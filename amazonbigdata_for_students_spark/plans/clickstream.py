@@ -1,0 +1,211 @@
+"""Reference-domain pipelines re-expressed over the driver's events table.
+
+These are the reference's dataflow components (SURVEY.md §0.1) as batch
+queries with DuckDB oracles: suspicious-key detection (diagram comp. 4),
+anti-join filtering (comp. 3), windowed popularity + top-N (comp. 6),
+high-traffic alerting (comp. 7), TTL state reads (comp. 5), and
+sessionization (T3's batch twin). The same logic runs against the
+reference-schema fixtures in pipelines (plans/botdetect.py) and as
+Structured Streaming queries (streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import EVENTS
+
+# Per-user-per-hour event count that flags a key as suspicious. The driver
+# events table is benign traffic, so a low threshold keeps the result
+# non-trivial; the reference's real gap is ~200-2000x (generator.py:125,150).
+RATE_THRESHOLD = 3
+
+
+@query(
+    "clk_suspicious_keys",
+    oracle=f"""
+    SELECT user_id, max(n) AS peak_hourly_rate FROM (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1, 2
+    ) GROUP BY user_id
+    HAVING max(n) >= {RATE_THRESHOLD}
+    """,
+    tags=("A2", "A1"),
+    bench=True,
+)
+def clk_suspicious_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch bot-detection core (reference diagram comp. 4): keys whose peak
+    per-hour rate crosses the threshold. Two-level aggregate, both with
+    map-side partials; the second groupBy reuses the user_id clustering
+    from the first, so AQE plans a single effective shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy("user_id")
+        .agg(F.max("n").alias("peak_hourly_rate"))
+        .filter(F.col("peak_hourly_rate") >= RATE_THRESHOLD)
+    )
+
+
+@query(
+    "clk_filter_suspicious",
+    oracle=f"""
+    WITH susp AS (
+      SELECT user_id FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM {EVENTS} e GROUP BY 1, 2
+      ) GROUP BY user_id HAVING max(n) >= {RATE_THRESHOLD}
+    )
+    SELECT event_id, user_id, event_type
+    FROM {EVENTS} e
+    WHERE user_id NOT IN (SELECT user_id FROM susp)
+    """,
+    tags=("P3", "J2", "J4"),
+)
+def clk_filter_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IP-filter stage (reference diagram comp. 3): anti-join the event
+    stream against the detected suspicious set. The set is tiny ⇒ broadcast
+    anti-join, zero shuffle of the fact side — the 100 TB shape."""
+    ev = load_table(spark, sf_dir, "events")
+    susp = clk_suspicious_keys(spark, sf_dir).select("user_id")
+    return ev.join(F.broadcast(susp), "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "clk_popular_by_window",
+    oracle=f"""
+    SELECT win, event_type, n, rnk FROM (
+      SELECT win, event_type, n,
+             row_number() OVER (PARTITION BY win ORDER BY n DESC, event_type) AS rnk
+      FROM (
+        SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n
+        FROM {EVENTS} e GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 3
+    """,
+    tags=("T1", "W1", "O3"),
+    bench=True,
+)
+def clk_popular_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-popular per tumbling window + top-N (reference diagram comp. 6,
+    Kinesis-Analytics aggregation): windowed count then row_number within
+    window. The window key rides the groupBy shuffle; the rank window
+    reuses that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("win").orderBy(F.col("n").desc(), "event_type")
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "clk_high_traffic_alert",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS win, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1
+    ),
+    mean AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS avg_n FROM hourly)
+    SELECT win, n FROM hourly, mean WHERE n > 1.5 * avg_n
+    """,
+    tags=("T2", "T5", "S8"),
+)
+def clk_high_traffic_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-traffic notification feed (reference diagram comp. 7): hours
+    whose traffic exceeds 1.5x the mean hourly rate — a scale-free
+    threshold. The mean is a one-row broadcast, not a driver collect.
+    Streaming twin emits per-window alerts via foreachBatch
+    (streaming/alerts.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("win")).agg(
+        F.count("*").alias("n")
+    )
+    mean = hourly.agg((F.sum("n").cast("double") / F.count("*")).alias("avg_n"))
+    return hourly.crossJoin(F.broadcast(mean)).filter(
+        F.col("n") > 1.5 * F.col("avg_n")
+    ).select("win", "n")
+
+
+@query(
+    "clk_state_ttl_read",
+    oracle=f"""
+    WITH bounds AS (SELECT max(ts) AS now_ts FROM {EVENTS} e),
+         state AS (
+           SELECT user_id,
+                  max(ts) AS detected_at,
+                  max(ts) + INTERVAL 12 HOUR AS expires_at
+           FROM {EVENTS} e GROUP BY user_id
+         )
+    SELECT user_id, detected_at, expires_at
+    FROM state, bounds
+    WHERE expires_at > bounds.now_ts
+    """,
+    tags=("S5", "S7", "T7"),
+)
+def clk_state_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-state-with-TTL read semantics (reference diagram comp. 5, DynamoDB
+    TTL): state rows are visible only while expires_at > now. "now" is the
+    dataset's max event time so the query is deterministic; the production
+    state table (sources/state.py) uses current_timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.groupBy("user_id").agg(
+        F.max("ts").alias("detected_at"),
+        (F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("expires_at"),
+    )
+    now_ts = ev.agg(F.max("ts").alias("now_ts"))
+    return state.crossJoin(F.broadcast(now_ts)).filter(
+        F.col("expires_at") > F.col("now_ts")
+    ).select("user_id", "detected_at", "expires_at")
+
+
+@query(
+    "clk_sessionize",
+    oracle=f"""
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS} e
+      )
+    )
+    GROUP BY user_id, session_seq
+    """,
+    tags=("T3", "W2"),
+    bench=True,
+)
+def clk_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, batch twin of session_window (SURVEY.md §2.9 T3):
+    lag-gap > 30 min starts a new session; cumulative sum numbers sessions.
+    One shuffle on user_id serves both window passes and the final
+    aggregate (same partitioning key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("session_seq", F.sum(is_new).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

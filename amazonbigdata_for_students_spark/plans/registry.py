@@ -1,0 +1,82 @@
+"""The query registry — single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables. ``__spark_entry__.queries()`` / ``oracle_sql()`` and
+``bench.py`` are thin views over this dict.
+
+Cross-engine determinism rules every registered query follows:
+  * alias every computed column identically in Spark and oracle SQL
+    (the driver sorts columns by name before hashing);
+  * no raw double aggregates — sum through decimal(38,6) and cast back to
+    double (order-independent, and doubles are never exactly at a decimal
+    midpoint, so both engines round identically), or round() coarse
+    derived ratios;
+  * events.ts is nanosecond-precision in parquet; Spark reads micros, so
+    oracle SQL wraps it in date_trunc('microseconds', ts) (see
+    sources.readers for the Spark side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None => rows-only check
+    tags: tuple[str, ...] = ()  # SURVEY.md §2 operator ids, e.g. ("A3", "P2")
+    bench: bool = False  # include in bench.py headline suite
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Register a query. The decorated function takes (spark, sf_dir)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent double sum: route through decimal(38,6).
+
+    Sum of doubles is order-dependent (parallel aggregation ⇒ nondeterministic
+    low bits, and Spark vs DuckDB would disagree). Casting each addend to
+    decimal(38,6) makes the sum exact and order-free; doubles are never
+    exactly at a 6-decimal midpoint (midpoints need a 5^7 denominator,
+    impossible in binary), so Spark and DuckDB round identically.
+    Oracle twin: CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent double mean: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def bench_queries() -> dict[str, Query]:
+    return {n: q for n, q in REGISTRY.items() if q.bench}

@@ -1,0 +1,821 @@
+"""Relational core — SURVEY.md §2.2-2.4, §2.6-2.8 operators as named queries.
+
+Every query here is a (PySpark builder, DuckDB oracle SQL) pair registered
+in the registry. The Spark side is written the way we'd run it at 100 TB:
+declarative plans (pushdown/pruning reach the parquet scan), explicit
+broadcasts for dimension joins, decimal-routed sums for deterministic
+distributed aggregation, no collect().
+
+Reference parity notes (what each operator corresponds to in the surveyed
+reference) are in each docstring as SURVEY.md §2 ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import davg, dsum, query
+
+# DuckDB twin of the events table: parquet stores ns timestamps which Spark
+# truncates to micros — truncate the oracle identically.
+EVENTS = "(SELECT * REPLACE (CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts) FROM events)"
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (P2 + A3 + A7 + O1)
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("P2", "A3", "A7", "O1", "S11"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→hash-aggregate. The shipdate filter and the
+    9-column projection both push to the parquet scan; the aggregate runs
+    partial→final (map-side combine) so the shuffle carries one row per
+    (flag, status) per partition — the shape that survives 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 Projection / filter / predicates
+# --------------------------------------------------------------------------
+@query(
+    "projection_rename",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           o_totalprice AS total_price,
+           date_trunc('day', o_orderdate) AS order_date
+    FROM orders
+    """,
+    tags=("P1",),
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column projection + rename; ReadSchema on the scan must list
+    only the three referenced columns (plan-shape-tested)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_linestatus IN ('F', 'O')
+      AND NOT (l_discount > 0.05)
+    """,
+    tags=("P2",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — compound predicate (equality, range, IN, negation); all four
+    conjuncts reach PushedFilters on the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_linestatus").isin("F", "O")
+        & ~(F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "null_normalization",
+    oracle=f"""
+    SELECT event_id,
+           nullif(event_type, 'error') AS event_type_clean,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS event_type_filled,
+           (nullif(event_type, 'error') IS NULL) AS was_sentinel
+    FROM {EVENTS} e
+    """,
+    tags=("P4", "F5"),
+)
+def null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F5 — sentinel→NULL normalization, the ingestion rule for the
+    reference's literal "NULL" device_id (reference:
+    log-generator/generator.py:75): nullif + coalesce + null predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    clean = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        clean.alias("event_type_clean"),
+        F.coalesce(clean, F.lit("unknown")).alias("event_type_filled"),
+        clean.isNull().alias("was_sentinel"),
+    )
+
+
+@query(
+    "derived_time_columns",
+    oracle=f"""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+           date_trunc('hour', ts) AS ts_hour,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM {EVENTS} e
+    """,
+    tags=("P5", "F1"),
+)
+def derived_time_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F1 — event-time decomposition: the reference partitions hourly by
+    path YYYY/MM/DD/HH (reference: log-generator/generator.py:244); these
+    derived columns are that layout as expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@query(
+    "conditional_case",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 1 ELSE 0 END AS is_building
+    FROM customer
+    """,
+    tags=("F5",),
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — searched + simple CASE (device_type-style branching,
+    SURVEY.md §2.2 P5)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_building"),
+    )
+
+
+@query(
+    "casting",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR) AS key_str,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(c_nationkey AS DOUBLE) AS nation_d,
+           (c_acctbal > 0) AS has_credit
+    FROM customer
+    """,
+    tags=("F6",),
+)
+def casting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — cast family (ids-as-strings → ints and back, SURVEY.md §1.4).
+    double→int goes through floor() because bare CAST truncates in Spark
+    but rounds in DuckDB."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.floor("c_acctbal").cast("long").alias("bal_floor"),
+        F.col("c_nationkey").cast("double").alias("nation_d"),
+        (F.col("c_acctbal") > 0).alias("has_credit"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(p_name) AS name_trim,
+           split_part(p_type, ' ', 1) AS type_first,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           replace(p_brand, '#', '-') AS brand_dash,
+           contains(p_type, 'BRASS') AS is_brass
+    FROM part
+    """,
+    tags=("F2",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — string family: lower/upper/length/substring/concat/trim/split/
+    regexp_extract/replace/contains (review-text manipulation surface,
+    reference: log-generator/generator.py:181-183)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+        F.contains(F.col("p_type"), F.lit("BRASS")).alias("is_brass"),
+    )
+
+
+@query(
+    "json_functions",
+    oracle=f"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL) AS has_k
+    FROM {EVENTS} e
+    """,
+    tags=("F3",),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — JSON field extraction from the props string column (the
+    reference's event lines are JSON, reference: log-generator/
+    generator.py:158)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("prop_k"), k.isNotNull().alias("has_k"))
+
+
+@query(
+    "hash_functions",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+    tags=("F8",),
+)
+def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — stable record keys for dedup (E3): md5 + sha2-256 hex digests."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)), 2) AS DOUBLE) AS disc_amount,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_decile,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(l_orderkey % 7 AS BIGINT) AS bucket7,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt
+    FROM lineitem
+    """,
+    tags=("F4",),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — arithmetic/rounding family used by rate-threshold math
+    (SURVEY.md §2.8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round(double, 2) is engine-dependent at half boundaries (Spark
+        # rounds the shortest decimal repr, DuckDB the exact binary value);
+        # decimal(38,6) first makes the midpoint handling identical.
+        F.round((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"), 2)
+        .cast("double")
+        .alias("disc_amount"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).cast("long").alias("bucket7"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 Joins
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS segment_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("J1", "A3"),
+    bench=True,
+)
+def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact×dim enrichment with an explicit broadcast (the items-table
+    join, reference diagram comp. 8). At 100 TB the customer dim stays far
+    below the broadcast threshold per segment — no fact shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("segment_revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("J2", "P3"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P3 — anti-membership: the IP-filter semantics (drop records whose
+    key is in the suspicious set; reference diagram comp. 3). Broadcast the
+    exclusion set: at scale the suspicious-IP table is tiny vs the stream."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(
+        F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    tags=("J3",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — membership (EXISTS): only parts that ever shipped."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "join_outer_left",
+    oracle="""
+    SELECT n_name,
+           count(c_custkey) AS n_customers,
+           CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_balance
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("J6",),
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — left outer: nations with zero customers still appear (items with
+    zero views per hour, SURVEY.md §2.3)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left_outer")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(dsum("c_acctbal"), F.lit(0.0)).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_customers,
+           coalesce(n_supp, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    tags=("J6",),
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — full outer over pre-aggregated sides (aggregate-before-join:
+    shuffles the small aggregates, not the facts)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return cn.join(sn, "k", "full_outer").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_large_facts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("J7", "A3"),
+    bench=True,
+)
+def join_large_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — large×large equi-join (views×reviews scale shape). Both sides
+    shuffle on l_orderkey/o_orderkey; AQE handles skew splitting. The
+    o_orderstatus filter pushes below the join into the orders scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum(disc_price).alias("revenue"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) AS n_shipped_90d
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    """,
+    tags=("J8",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — range/theta join bounded by an equi-key: the equi conjunct keeps
+    it a hash join (the range predicate is a post-join filter), never a
+    nested-loop — the only shape that survives at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_shipped_90d"))
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+    tags=("J10",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — tiny×tiny cross join (calendar×category scaffolds)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# --------------------------------------------------------------------------
+# §2.4 Aggregations
+# --------------------------------------------------------------------------
+@query(
+    "agg_count_per_key",
+    oracle=f"SELECT user_id, count(*) AS n_events FROM {EVENTS} e GROUP BY user_id",
+    tags=("A1",),
+)
+def agg_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — events per key: the bot-detection core shape (reference:
+    log-generator/generator.py:137-154 defines the rate gap it detects)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "agg_rate_per_window",
+    oracle=f"""
+    SELECT user_id, date_trunc('hour', ts) AS win, count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY user_id, date_trunc('hour', ts)
+    HAVING count(*) >= 2
+    """,
+    tags=("A2",),
+)
+def agg_rate_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — rate per key per window with threshold (suspicious-IP batch job,
+    reference diagram comp. 4): partial aggregation makes the shuffle carry
+    (key, window) partial counts only."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+@query(
+    "agg_multi_metric",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS avg_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A3",),
+)
+def agg_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — multi-metric aggregate (avg/min/max/sum stars per item,
+    SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg("value").alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A4",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — exact distinct count (distinct devices per IP shape). Spark
+    expands this to a two-stage aggregate; exact but shuffle-heavy — the
+    approx twin below is the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL++ estimate — engine-specific, no cross-engine oracle
+    tags=("A5",),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — approx distinct (HLL++): unique visitors at 100 TB where exact
+    distinct would shuffle every key. rsd=1% keeps the sketch ~constant
+    size per group regardless of cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A6",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — hierarchical rollup: (flag, status), (flag), () in one pass
+    (popularity by item/category/all, reference diagram comp. 6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+           count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+    tags=("A6",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — full cube over two dimensions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket_raw", (F.col("user_id") % 10).cast("long"))
+        .cube("event_type", "user_bucket_raw")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("user_bucket_raw", F.lit(-1)).alias("user_bucket"),
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("A8",),
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — collect-set aggregation, sorted + joined for deterministic
+    comparison (collection order is nondeterministic in any distributed
+    engine)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A9",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — exact interpolated percentiles (both engines use the (n-1)*p
+    linear-interpolation definition). At 100 TB switch to approx_percentile —
+    exact percentile materializes per-group sorted values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 Sorts / top-k; §2.7 set ops
+# --------------------------------------------------------------------------
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("O1", "O2"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full sort. Tiebreak on the key
+    keeps it deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT k AS nationkey, count(*) AS n_parties FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    """,
+    tags=("E1",),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — unionByName over aligned projections (stitching hourly files,
+    reference layout log-generator/generator.py:244)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.unionByName(s)
+        .groupBy(F.col("k").alias("nationkey"))
+        .agg(F.count("*").alias("n_parties"))
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("E2",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — INTERSECT (distinct semantics in both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT event_type FROM events
+    EXCEPT
+    SELECT * FROM (VALUES ('purchase'), ('signup')) AS t(event_type)
+    """,
+    tags=("E2",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — EXCEPT (distinct semantics): observed event types minus a known
+    allowlist — the "IPs seen in views but never in reviews" shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    known = spark.createDataFrame([("purchase",), ("signup",)], ["event_type"])
+    return ev.subtract(known)
+
+
+@query(
+    "dedup_exact_rows",
+    oracle=f"SELECT DISTINCT user_id, event_type FROM {EVENTS} e",
+    tags=("E3",),
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — exact dedup over a projection (at-least-once replay dedup,
+    SURVEY.md §2.7): hash-aggregate with partial dedup before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()

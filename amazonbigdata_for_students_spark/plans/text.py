@@ -1,0 +1,327 @@
+"""Text analysis + deduplication over the documents table (north-star
+extensions: SURVEY.md §2.10 U2/U6 and the training-data-pipeline surface).
+
+Tokenization contract shared by every query here (and by the oracle twins):
+tokens = non-empty pieces of lower(trim(text)) split on \\s+. All heavy
+lifting stays JVM-side (split/filter/transform higher-order functions) —
+no Python UDFs on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+def TOKENS():
+    """Spark-side tokens column (array<string>); lazy because Column
+    construction needs an active SparkContext."""
+    return F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+# DuckDB-side twin.
+SQL_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "txt_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({SQL_TOKENS}) AS n_tokens,
+           length(text) AS n_chars_measured,
+           round(length(text) / greatest(len({SQL_TOKENS}), 1), 6) AS chars_per_token
+    FROM documents
+    """,
+    tags=("U2", "F7"),
+    bench=True,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — the token-budget accounting
+    pass of a training-data pipeline. Pure higher-order functions: stays
+    inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TOKENS())
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(F.length("text") / F.greatest(n_tokens, F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "txt_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {SQL_TOKENS} AS toks,
+             len({SQL_TOKENS}) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(len(list_filter(toks, x -> x IN ({_SQL_STOP}))) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:()]', '', 'g'))) / greatest(length(text), 1), 6) AS punct_ratio,
+           round(length(replace(text, ' ', '')) / greatest(n_tokens, 1), 6) AS mean_token_len,
+           (n_tokens >= 5 AND
+            len(list_filter(toks, x -> x IN ({_SQL_STOP}))) / greatest(n_tokens, 1) BETWEEN 0.05 AND 0.7) AS passes_quality
+    FROM t
+    """,
+    tags=("U2",),
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length / punctuation / stopword
+    ratios) — the C4-style quality gate, all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TOKENS()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    punct_ratio = F.round(
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:()]", "")))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    mean_tok = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    passes = (n_tokens >= 5) & (stop_hits / F.greatest(n_tokens, F.lit(1))).between(0.05, 0.7)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok.alias("mean_token_len"),
+        passes.alias("passes_quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "was"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "es"),
+}
+
+
+def _marker_pred_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({SQL_TOKENS}, x -> x IN ({inlist})))"
+
+
+@query(
+    "txt_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_marker_pred_sql(_LANG_MARKERS["en"])} AS hits_en,
+             {_marker_pred_sql(_LANG_MARKERS["de"])} AS hits_de,
+             {_marker_pred_sql(_LANG_MARKERS["fr"])} AS hits_fr,
+             {_marker_pred_sql(_LANG_MARKERS["es"])} AS hits_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+    tags=("U2",),
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-marker voting (n-gram-heuristic
+    family): argmax of per-language marker-token hits, deterministic
+    tie-break by fixed language priority."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TOKENS()
+
+    def marker_hits(words: tuple[str, ...]):
+        # Closure (not a default-arg lambda): F.filter treats a 2-arg lambda
+        # as (element, index) and would pass the index over the default.
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    hits = {lang: marker_hits(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]), "en")
+        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+# Normalized-text fingerprint shared by the dedup queries.
+_NORM_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+def _NORM():
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+
+
+@query(
+    "txt_fingerprint",
+    oracle=f"SELECT doc_id, {_NORM_SQL} AS fingerprint FROM documents",
+    tags=("U2", "F8"),
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _NORM().alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT {_NORM_SQL} AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("U6", "E3"),
+    bench=True,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized fingerprint, keep the
+    lowest doc_id as canonical. One shuffle on the 32-byte digest — at
+    100 TB this is the cheapest dedup pass and runs first."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _NORM().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# Token 3-gram shingles, 1-indexed element_at in Spark / 1-based list index in
+# DuckDB so both build identical shingle strings.
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+)
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("U6",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: token-3-gram shingle Jaccard ≥ 0.5. The candidate
+    join is on exact shingle equality — rare enough that the pair explosion
+    stays bounded (the classic prefix-filtering shape); the full O(n²)
+    matrix is never materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", TOKENS())
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# MinHash: k=4 md5-derived permutations over distinct tokens. md5 is the
+# cross-engine-stable "random" hash; min over hex digests per seed is the
+# signature component.
+_MINHASH_K = 4
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"min(md5('{s}|' || tok)) AS sig{s}" for s in range(_MINHASH_K))}
+    FROM tok
+    GROUP BY doc_id
+    """,
+    tags=("U6",),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4 seeded md5 permutations over distinct
+    tokens): the signature stage of MinHash-LSH dedup. Shuffle carries one
+    row per (doc, token); the min-agg combines map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(TOKENS())).alias("tok"))
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("tok")))).alias(f"sig{s}")
+            for s in range(_MINHASH_K)
+        ]
+    )
+
+
+@query(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{s}|' || tok)) AS sig{s}" for s in range(_MINHASH_K))}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT sig0 || sig1 || sig2 || sig3 AS band_key,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_members
+    FROM sig
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    tags=("U6",),
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (one band of width 4): documents sharing the full
+    signature are near-dup candidates; groupBy on the band key replaces the
+    pairwise join entirely — the 100 TB-friendly dedup reduction."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band = F.concat(*[F.col(f"sig{s}") for s in range(_MINHASH_K)])
+    return (
+        sig.select("doc_id", band.alias("band_key"))
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )

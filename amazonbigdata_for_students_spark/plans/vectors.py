@@ -1,0 +1,108 @@
+"""Similarity search over the embeddings table (north-star extension U5).
+
+Exact brute-force cosine is the correctness baseline (SQL-expressible, so
+it gets a DuckDB oracle). The scale path — LSH bucketing so candidate
+generation is a groupBy instead of a cross join — lives in
+operators/similarity.py and registers rows-only checks.
+
+Float discipline: embeddings are float32; both engines cast to double
+before any arithmetic, and similarities are rounded to 6 decimals so the
+last-bit difference between Spark's fold and DuckDB's list_dot_product
+cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "vec_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("U5",),
+    bench=True,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector: broadcast the query
+    row, score every embedding JVM-side (zip_with/aggregate fold — no
+    Python), TakeOrderedAndProject for the top-k. This is the exact
+    baseline ANN implementations are measured against."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    scored = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    sim = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        scored.select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "vec_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+    tags=("U5", "U6"),
+)
+def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label so candidate
+    generation is an equi-join (per-label blocks) instead of a full cross
+    join — the blocked-pairing pattern that scales; threshold 0.4 (the testdata embeddings are spread — max intra-label cosine ~0.47)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Window functions — SURVEY.md §2.5 (W1-W4) + as-of join (J9).
+
+Window partitioning notes for scale: every window here partitions by a
+high-cardinality key (user, nation, brand) so state per partition stays
+bounded; none uses a global (unpartitioned) window, which would serialize
+on one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import EVENTS
+
+
+@query(
+    "win_topn_per_group",
+    oracle="""
+    SELECT nationkey, c_custkey, c_acctbal, rn FROM (
+      SELECT c_nationkey AS nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("W1", "O3"),
+    bench=True,
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O3 — top-N per group via row_number (most-popular-items shape,
+    reference diagram comp. 6). Deterministic tiebreak on the key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "win_lag_gap",
+    oracle=f"""
+    SELECT event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM {EVENTS} e
+    """,
+    tags=("W2",),
+)
+def win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — inter-event gap per key: the direct bot signature (bots emit
+    every ~16 ms vs hours-spread humans; reference: log-generator/
+    generator.py:147-150). Exact integer microseconds — no float drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select("event_id", (us - F.lag(us).over(w)).alias("gap_us"))
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM {EVENTS} e
+    """,
+    tags=("W3",),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — running total per key (rows frame), decimal-routed so the
+    prefix sums are exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(frame).cast("double").alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle=f"""
+    SELECT event_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+    FROM {EVENTS} e
+    """,
+    tags=("W3",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — trailing-hour rolling count per key (range frame over event-time
+    micros): the views-in-trailing-hour query."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select("event_id", F.count("*").over(w).alias("n_trailing_1h"))
+
+
+@query(
+    "win_ntile_ranks",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           dense_rank() OVER (ORDER BY c_mktsegment) AS segment_rank,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank
+    FROM customer
+    """,
+    tags=("W4", "W1"),
+)
+def win_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — ntile / dense_rank / percent_rank (activity-quantile queries).
+    Global windows here are fine only because customer is dimension-sized;
+    fact-side quantiles go through approx_percentile instead (A9)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))).alias("quartile"),
+        F.dense_rank().over(W.orderBy("c_mktsegment")).alias("segment_rank"),
+        F.round(
+            F.percent_rank().over(W.orderBy("c_acctbal", "c_custkey")), 6
+        ).alias("bal_pct_rank"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH purchases AS (SELECT * FROM {EVENTS} e WHERE event_type = 'purchase'),
+         signups   AS (SELECT * FROM {EVENTS} e WHERE event_type = 'signup')
+    SELECT p.event_id, s.ts AS signup_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("J9",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — as-of join: for each purchase, the latest signup at-or-before it
+    per user (the latest-suspicious-IP-record-as-of-event-ts shape,
+    SURVEY.md §2.3). Spark lacks a native ASOF; the scalable composition is
+    union + last_value(ignorenulls) over a per-key event-time window — one
+    shuffle on user_id, no range explosion, vs DuckDB's native ASOF JOIN
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("signup_ts"), F.lit(1).alias("is_p")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("signup_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    # Order signups before purchases at identical ts so "at-or-before" holds.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = purchases.unionByName(signups).withColumn(
+        "asof_signup", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_p") == 1).select(
+        "event_id", F.col("asof_signup").alias("signup_ts")
+    )

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line for the driver.
+
+Runs every registry entry marked bench=True at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is
+fully executed via a count-collect (``df.count()`` after a no-op cache-free
+plan) so the measured time covers scan → shuffle → result, not plan
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazonbigdata_for_students_spark.plans import REGISTRY
+from amazonbigdata_for_students_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    bench = {n: q for n, q in REGISTRY.items() if q.bench}
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    next(iter(bench.values())).fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, q in bench.items():
+        t0 = time.time()
+        q.fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
