@@ -1,0 +1,87 @@
+"""Plan-shape assertions (SURVEY.md §5.5): guard that the declarative
+plans keep their scale-critical physical properties — predicate pushdown,
+column pruning, broadcast joins, top-k without a global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazonbigdata_for_students_spark.plans import REGISTRY
+from amazonbigdata_for_students_spark.sources.readers import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_down(spark, sf_small):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_small):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_small)
+    plan = plan_of(df)
+    # ReadSchema must not include unused columns like l_partkey/l_suppkey
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_partkey" not in read_schema
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_projection_prunes_scan(spark, sf_small):
+    df = REGISTRY["projection_rename"].fn(spark, sf_small)
+    read_schema = plan_of(df).split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_orderstatus" not in read_schema
+    assert "o_totalprice" in read_schema
+
+
+def test_dim_join_is_broadcast(spark, sf_small):
+    df = REGISTRY["join_broadcast_enrich"].fn(spark, sf_small)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_anti_join_is_broadcast(spark, sf_small):
+    df = REGISTRY["clk_filter_suspicious"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "LeftAnti, BuildRight" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_small):
+    df = REGISTRY["sort_topk"].fn(spark, sf_small)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_range_join_stays_hash_join(spark, sf_small):
+    # The equi conjunct must anchor a hash join; a nested-loop/cartesian
+    # here would explode at scale.
+    df = REGISTRY["join_range"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wholestage_codegen_on_hot_path(spark, sf_small):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_small)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "Found 1 WholeStageCodegen subtrees" in codegen or "WholeStageCodegen" in codegen
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_small):
+    # A7: partial→final hash aggregation (map-side combine).
+    df = REGISTRY["agg_count_per_key"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_events_filter_pushdown_survives_ts_conversion(spark, sf_small):
+    # The nanos→timestamp conversion must not block pushdown of other cols.
+    ev = load_table(spark, sf_small, "events").filter(F.col("event_type") == "purchase")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan_of(ev)

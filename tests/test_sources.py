@@ -1,0 +1,80 @@
+"""Source/sink tests: hourly CSV layout, NULL sentinel, JSONL, schema drift
+(SURVEY.md §2.1 S1/S2/S10)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from amazonbigdata_for_students_spark import schemas
+from amazonbigdata_for_students_spark.sources.readers import (
+    infer_and_check,
+    read_hourly_csv,
+    read_jsonl,
+)
+
+
+def _write_hourly_csv(root: str) -> None:
+    # Reference layout: one CSV per hour at YYYY/MM/DD/HH.csv with header
+    # (generator.py:236-244); "NULL" sentinel in device_id (generator.py:75).
+    rows = {
+        ("2024", "01", "02", "03"): [
+            "item_id,ts,device_type,device_id,user_ip",
+            "1000,2024-01-02T03:00:01Z,mobile:ios,123456,11.1.1.1",
+            "1001,2024-01-02T03:10:00Z,other,NULL,12.2.2.2",
+        ],
+        ("2024", "01", "02", "04"): [
+            "item_id,ts,device_type,device_id,user_ip",
+            "1002,2024-01-02T04:00:00Z,mobile:android,654321,13.3.3.3",
+        ],
+    }
+    for (y, m, d, h), lines in rows.items():
+        p = os.path.join(root, y, m, d)
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, f"{h}.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def test_hourly_csv_partitions_and_null_sentinel(spark, tmp_path):
+    _write_hourly_csv(str(tmp_path))
+    df = read_hourly_csv(spark, str(tmp_path), schemas.VIEW_EVENT_RAW)
+    rows = {r.item_id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["1001"].device_id is None  # "NULL" sentinel → SQL NULL
+    assert rows["1001"].hour == 3 and rows["1002"].hour == 4
+    assert rows["1000"].year == 2024 and rows["1000"].month == 1 and rows["1000"].day == 2
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "views.jsonl")
+    with open(p, "w") as f:
+        f.write(
+            '{"device_id": "111", "device_type": "mobile:ios", "item_id": "1000",'
+            ' "ts": "2024-01-01T00:00:00Z", "user_ip": "11.0.0.1"}\n'
+        )
+    df = read_jsonl(spark, p, schemas.VIEW_EVENT_RAW)
+    row = df.collect()[0]
+    assert row.item_id == "1000" and row.user_ip == "11.0.0.1"
+
+
+def test_schema_drift_logged_not_fatal(spark, tmp_path):
+    p = str(tmp_path / "drifted.jsonl")
+    with open(p, "w") as f:
+        # missing device_id, extra column, ts stays string
+        f.write('{"item_id": "1", "ts": "2024-01-01T00:00:00Z", "device_type": "other",'
+                ' "user_ip": "11.0.0.1", "extra_col": 5}\n')
+    issues = infer_and_check(spark, p, schemas.VIEW_EVENT_RAW)
+    assert any("missing column: device_id" in i for i in issues)
+    assert any("new column: extra_col" in i for i in issues)
+
+
+def test_drift_type_change():
+    inferred = schemas.T.StructType(
+        [schemas.T.StructField("item_id", schemas.T.LongType())]
+    )
+    declared = schemas.T.StructType(
+        [schemas.T.StructField("item_id", schemas.T.StringType())]
+    )
+    issues = schemas.check_drift(declared, inferred)
+    assert issues == ["type drift: item_id string -> bigint"]
