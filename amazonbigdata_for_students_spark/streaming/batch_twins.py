@@ -1,0 +1,130 @@
+"""Streaming operators surfaced as driver-checkable queries.
+
+Each entry here runs the REAL Structured Streaming engine (file stream →
+watermarked stateful aggregation → memory sink, Trigger.AvailableNow) over
+the driver's events table, in *complete* output mode so the drained result
+equals the batch answer — which is exactly what the DuckDB oracle computes.
+This gives the streaming engine itself a correctness gate, not just its
+batch twins (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..plans.registry import query
+from ..plans.relational import EVENTS
+
+_COUNTER = itertools.count()
+
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # INT64 TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the events table as a parquet file stream (ns-long ts converted
+    exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory: glob-filter events.parquet
+    # out of the sf_dir table directory
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    spark = df.sparkSession
+    name = f"{prefix}_{next(_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_hourly_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "T4"),
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — tumbling-window streaming aggregation, drained via
+    AvailableNow; complete mode ⇒ result equals the batch oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _drain(agg, "stream_hourly_counts")
+
+
+@query(
+    "stream_sliding_traffic",
+    oracle=f"""
+    WITH slides AS (SELECT unnest(range(0, 4)) * INTERVAL 15 MINUTE AS off)
+    SELECT window_start, count(*) AS n FROM (
+      SELECT date_trunc('hour', ts - off) + off AS window_start
+      FROM {EVENTS} e, slides
+      WHERE ts >= date_trunc('hour', ts - off) + off
+        AND ts <  date_trunc('hour', ts - off) + off + INTERVAL 1 HOUR
+    ) GROUP BY 1
+    """,
+    tags=("T2",),
+)
+def stream_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — sliding-window (1h window, 15min slide) streaming counts; the
+    oracle materializes each event into its 4 overlapping windows."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return _drain(agg, "stream_sliding_traffic")
+
+
+@query(
+    "stream_dedup_counts",
+    oracle=f"""
+    SELECT user_id, count(*) AS n FROM (
+      SELECT DISTINCT user_id, ts, event_type FROM {EVENTS} e
+    ) GROUP BY user_id
+    """,
+    tags=("T6",),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — streaming dedup on (user_id, ts, event_type) followed by a
+    per-user count. Uses watermark-scoped dropDuplicates state; the batch
+    oracle is DISTINCT + count."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_type")
+        .dropDuplicates(["user_id", "ts", "event_type"])
+    )
+    agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
+    return _drain(agg, "stream_dedup_counts")

@@ -1,0 +1,202 @@
+"""Streaming tests (SURVEY.md §5.3): streaming-as-batch equivalence via
+Trigger.AvailableNow over JSONL fixture dirs, dedup of at-least-once
+delivery, watermark late-data policy, alert-once, exactly-once sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonbigdata_for_students_spark import fixtures, schemas
+from amazonbigdata_for_students_spark.plans import botdetect
+from amazonbigdata_for_students_spark.streaming import pipelines, sources
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fixtures.generate(seed=11, n_users=8, n_items=10, min_lines=20, max_lines=60)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(fx, tmp_path_factory):
+    # Split the fixture across several JSONL files (≈ Kinesis shards /
+    # Firehose flush files) with sorted keys like the reference producer.
+    d = tmp_path_factory.mktemp("views_stream")
+    chunk = max(1, len(fx.views) // 4)
+    for i in range(0, len(fx.views), chunk):
+        with open(os.path.join(d, f"part-{i:08d}.jsonl"), "w") as f:
+            for rec in fx.views[i : i + chunk]:
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+    return str(d)
+
+
+def _drain(df, name: str, mode: str = "append"):
+    sources.run_available_now_to_memory(df, name, output_mode=mode)
+
+
+def test_stream_batch_equivalence_windowed_counts(spark, fx, stream_dir):
+    stream = pipelines.normalize_stream(
+        sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+    )
+    _drain(pipelines.windowed_popularity(stream, window="15 minutes"), "pop_stream")
+    got = {
+        (r.window_start, r.item_id): r.n_views
+        for r in spark.sql("SELECT * FROM pop_stream").collect()
+    }
+    batch = botdetect.normalize_views(fixtures.views_df(spark, fx))
+    want = {
+        (r.ws, r.item_id): r.n
+        for r in batch.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "item_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "item_id", "n")
+        .collect()
+    }
+    # Append mode withholds windows newer than the watermark; everything
+    # emitted must match the batch twin, and coverage must be substantial.
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - len({k[1] for k in want})  # ≤1 open window/item
+
+
+def test_streaming_dedup_at_least_once(spark, fx, tmp_path):
+    # Replay every record twice (at-least-once delivery), then dedup.
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    recs = fx.views[:200]
+    for name, chunk in (("a", recs), ("b", recs)):  # duplicate file pair
+        with open(d / f"{name}.jsonl", "w") as f:
+            for rec in chunk:
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+    stream = pipelines.normalize_stream(
+        sources.read_jsonl_stream(spark, str(d), schemas.VIEW_EVENT_RAW)
+    )
+    suspicious = spark.createDataFrame([], "user_ip string")
+    _drain(pipelines.clean_stream(stream, suspicious), "dedup_stream")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0].n
+    distinct_keys = {(r["user_ip"], r["ts"], r["item_id"]) for r in recs}
+    assert n == len(distinct_keys)
+
+
+def test_stream_static_anti_join_filters_ips(spark, fx, stream_dir):
+    stream = pipelines.normalize_stream(
+        sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+    )
+    bot_ip = sorted({v["user_ip"] for v in fx.views})[0]
+    suspicious = spark.createDataFrame([(bot_ip,)], "user_ip string")
+    _drain(pipelines.clean_stream(stream, suspicious), "filtered_stream")
+    out_ips = {
+        r.user_ip for r in spark.sql("SELECT DISTINCT user_ip FROM filtered_stream").collect()
+    }
+    assert bot_ip not in out_ips
+    assert len(out_ips) >= 1
+
+
+def test_session_windows(spark, fx, stream_dir):
+    stream = pipelines.normalize_stream(
+        sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+    )
+    # small gap + tight watermark: sessions must close (and the watermark
+    # must pass them) within the single fixture hour for append mode to emit
+    _drain(
+        pipelines.session_activity(stream, gap="2 minutes", watermark="1 minute"),
+        "sessions_stream",
+    )
+    rows = spark.sql("SELECT * FROM sessions_stream").collect()
+    assert rows
+    for r in rows:
+        assert r.session_end > r.session_start and r.n_events >= 1
+
+
+def test_alert_once_per_window(spark, fx, stream_dir, tmp_path):
+    stream = pipelines.normalize_stream(
+        sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+    )
+    alerts: list = []
+    q = pipelines.high_traffic_alerts(
+        stream,
+        threshold=5,
+        on_alert=lambda rows: alerts.extend(rows),
+        window="1 minute",
+        checkpoint=str(tmp_path / "alert_ckpt"),
+    )
+    q.awaitTermination()
+    assert alerts  # fixture bots guarantee >5 events in some minute
+    starts = [a.window_start for a in alerts]
+    assert len(starts) == len(set(starts))  # alert-once per window
+    for a in alerts:
+        assert a.n_events > 5
+
+
+def test_partitioned_sink_exactly_once(spark, fx, stream_dir, tmp_path):
+    raw = sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+    stream = pipelines.normalize_stream(raw).withColumns(
+        {
+            "year": F.year("ts"),
+            "month": F.month("ts"),
+            "day": F.dayofmonth("ts"),
+            "hour": F.hour("ts"),
+        }
+    )
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    q = sources.write_partitioned_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(fx.views)
+    # re-run with same checkpoint: no new input => no duplicates (T8/S9)
+    q2 = sources.write_partitioned_stream(stream, out, ckpt, available_now=True)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+    # hive partition dirs exist
+    assert any(p.startswith("year=") for p in os.listdir(out) if not p.startswith("_"))
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """T4 — late-data policy. Within one run Spark's late-drop is
+    best-effort, so the *guaranteed* contract is across checkpointed runs:
+    the watermark persisted by run 1 gates run 2, and a record older than
+    it must not resurrect an already-finalized window."""
+    d = tmp_path / "late"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    on_time = [
+        {"item_id": "1", "ts": f"2024-01-01T10:{mm:02d}:00Z", "device_type": "other",
+         "device_id": "NULL", "user_ip": "11.0.0.1"}
+        for mm in range(0, 50)
+    ]
+    with open(d / "00.jsonl", "w") as f:
+        for r in on_time:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    def run():
+        stream = pipelines.normalize_stream(
+            sources.read_jsonl_stream(spark, str(d), schemas.VIEW_EVENT_RAW)
+        )
+        agg = pipelines.windowed_popularity(stream, window="10 minutes", watermark="5 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # advances + persists watermark to 10:44
+    emitted = {str(r.window_start) for r in spark.read.parquet(out).collect()}
+    assert "2024-01-01 10:00:00" in emitted
+    with open(d / "01.jsonl", "w") as f:
+        f.write(
+            json.dumps({"item_id": "1", "ts": "2024-01-01T09:00:00Z", "device_type": "other",
+                        "device_id": "NULL", "user_ip": "11.0.0.1"}, sort_keys=True) + "\n"
+        )
+    run()  # late record is beyond the checkpointed watermark
+    after = {str(r.window_start) for r in spark.read.parquet(out).collect()}
+    assert "2024-01-01 09:00:00" not in after
