@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing (north star).
+
+Media are opaque `binary` columns plus typed metadata. The Spark-side
+plumbing — schemas, partition sizing, mapInPandas batch shapes, UDF
+signatures — is real and tested; the actual codec calls are stubbed
+behind `Decoder` because the image/audio libraries are not in this
+container (a production deployment injects e.g. a Pillow/ffmpeg-backed
+Decoder with the same interface). `FakeDecoder` is deterministic so tests
+pin exact values.
+
+Scale notes: media rows are large and variable-sized — the loader
+repartitions by byte budget (not row count), and mapInPandas streams
+Arrow batches so an executor never holds more than
+spark.sql.execution.arrow.maxRecordsPerBatch rows of media at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),  # images/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),  # audio/video
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class Decoder:
+    """Codec seam. Production injects a real implementation; this base
+    raises so a missing codec is an explicit error, not silent garbage."""
+
+    def decode_features(self, kind: str, mime: str, content: bytes, dim: int) -> np.ndarray:
+        raise NotImplementedError(
+            "no media codec available in this environment; inject a Decoder "
+            "(e.g. Pillow/torchaudio-backed) or use FakeDecoder for tests"
+        )
+
+
+@dataclass
+class FakeDecoder(Decoder):
+    """Deterministic stand-in: features derived from the content digest —
+    stable across processes, so distributed results are reproducible."""
+
+    def decode_features(self, kind: str, mime: str, content: bytes, dim: int) -> np.ndarray:
+        digest = hashlib.sha256(content or b"").digest()
+        raw = np.frombuffer((digest * (dim * 4 // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+        return (raw / np.float64(2**32)).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, decoder: Decoder, dim: int = 16
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: one Arrow batch of media
+    rows in, one batch of fixed-width feature rows out. The decoder rides
+    the closure (broadcast once per task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder.decode_features(k, m, c, dim)
+                for k, m, c in zip(pdf["kind"], pdf["mime"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_sha256": [
+                        hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                    ],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions by media bytes, not row count: a fixed row budget
+    puts 10 4K-video rows and 10 icon rows in equal partitions and skews
+    task runtimes wildly. One total-bytes pass (cheap aggregate on an
+    already-loaded column) sets the partition count."""
+    total = media.agg(F.sum(F.length("content")).alias("b")).collect()[0].b or 0
+    n = max(1, int(total / target_partition_bytes))
+    return media.repartition(n)
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    timestamps (0, every_ms, ... duration_ms) — the real frame decode is
+    the Decoder's job; the row expansion + partitioning is Spark's and is
+    fully real here (UDTF-style explode, no Python)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+        )
+        .select("media_id", "mime", "frame_ms")
+    )

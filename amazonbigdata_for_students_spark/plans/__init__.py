@@ -15,6 +15,7 @@ from . import windows  # noqa: E402  §2.5 window functions
 from . import clickstream  # noqa: E402  reference-domain pipelines over events
 from . import text  # noqa: E402  text analysis + dedup (extensions)
 from . import vectors  # noqa: E402  similarity search (extensions)
+from . import extensions  # noqa: E402  pivot/subqueries/UDAF/simhash/ANN
 from ..streaming import batch_twins  # noqa: E402  streaming ops with oracles
 
 __all__ = ["REGISTRY", "Query", "query", "registry"]

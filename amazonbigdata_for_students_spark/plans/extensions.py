@@ -1,0 +1,444 @@
+"""Extension + SQL-surface queries: pivot, grouping sets, subqueries,
+array/map function families, batch session windows, salted aggregation,
+custom UDAF (applyInPandas), UDTF-style expansion, SimHash, and the
+approximate scale-path variants.
+
+Registered alongside the core so the driver checks them; the pure-Spark
+operator implementations live in operators/ and functions/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.skew import salted_agg
+from ..sources.readers import load_table, register_views
+from .registry import dsum, query
+from .relational import EVENTS
+from .text import SQL_TOKENS, TOKENS
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# SQL surface (entry point C, SURVEY.md §3.3): queries authored as
+# spark.sql over registered views — same Catalyst pipeline as DataFrames.
+# --------------------------------------------------------------------------
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+    tags=("J3",),
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery via the SQL entry point; Catalyst
+    rewrites it to a left-semi join (same plan as J3)."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal >= (SELECT max(c_acctbal) FROM customer) * 0.9
+    """,
+    tags=("J3", "A3"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (max is exact on doubles — deterministic across
+    engines, unlike avg of a parallel sum)."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal >= (SELECT max(c_acctbal) FROM customer) * 0.9
+        """
+    )
+
+
+@query(
+    "sql_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(year(ts) AS BIGINT), -1) AS y,
+           count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+    """,
+    tags=("A6",),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — explicit GROUPING SETS (not derivable from rollup/cube):
+    (type), (year), and grand total in one pass."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(year(ts) AS BIGINT), -1L) AS y,
+               count(*) AS n
+        FROM events_t
+        GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM {EVENTS} e
+    GROUP BY user_id
+    """,
+    tags=("A6", "A1"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never inferred — inference is a
+    separate job at scale); oracle is the FILTER-per-column equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS balance,
+             CAST(c_nationkey AS DOUBLE) AS nation
+      FROM customer
+    ) UNPIVOT (val FOR metric IN (balance, nation))
+    """,
+    tags=("A6", "P1"),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via native unpivot — wide metrics to long rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+    )
+    return c.unpivot("c_custkey", ["balance", "nation"], "metric", "val")
+
+
+# --------------------------------------------------------------------------
+# F7 — array & map function families
+# --------------------------------------------------------------------------
+@query(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           len(words) AS n_words,
+           list_contains(words, 'red') AS has_red,
+           words[1] AS first_word,
+           words[-1] AS last_word,
+           array_to_string(list_sort(words), ',') AS sorted_words,
+           array_to_string(list_reverse(words), ',') AS reversed_words,
+           array_to_string(list_transform(words, w -> upper(w)), ',') AS upper_words,
+           coalesce(array_to_string(list_filter(words, w -> length(w) > 4), ','), '') AS long_words
+    FROM t
+    """,
+    tags=("F7", "U4"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — array family: size/contains/indexing/sort/reverse and the
+    transform/filter higher-order functions (all JVM-side codegen)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        F.array_join(F.reverse(words), ",").alias("reversed_words"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias("upper_words"),
+        F.coalesce(
+            F.array_join(F.filter(words, lambda w: F.length(w) > 4), ","), F.lit("")
+        ).alias("long_words"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle=f"""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (json_extract_string(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM {EVENTS} e
+    """,
+    tags=("F7", "F3"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — map family over JSON props parsed to map<string,long>:
+    map_keys / element_at / membership."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(m, "missing").isNotNull().alias("has_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch session windows (T3's batch form, native session_window)
+# --------------------------------------------------------------------------
+@query(
+    "batch_session_window",
+    oracle=f"""
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS} e
+      )
+    )
+    GROUP BY user_id, grp
+    """,
+    tags=("T3",),
+)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — native session_window in a batch aggregation; the oracle is
+    the lag/cumsum formulation (gap-merge semantics: a new session starts
+    at gap >= 30min; session_end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe aggregation (same answer as the plain agg — that's the oracle)
+# --------------------------------------------------------------------------
+@query(
+    "salted_hot_key_agg",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A1", "A7"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): result must be
+    bit-identical to the unsalted aggregate — decimal partials keep the
+    merge order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+        ],
+        final_aggs=[
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# U3 — custom UDAF via applyInPandas (grouped-map)
+# --------------------------------------------------------------------------
+@query(
+    "udaf_segment_entropy",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, c_mktsegment AS s, count(*) AS n
+               FROM customer GROUP BY 1, 2),
+         t AS (SELECT k, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.k AS nationkey,
+           round(-sum((n / tot) * log2(n / tot)), 6) AS segment_entropy
+    FROM c JOIN t USING (k)
+    GROUP BY c.k
+    """,
+    tags=("U3",),
+)
+def udaf_segment_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — Shannon entropy of the segment mix per nation as a grouped-map
+    pandas UDAF (numpy inside, Arrow transfer). Pre-aggregating counts
+    BEFORE applyInPandas keeps the Python stage key-sized: the pattern for
+    custom aggregates at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count("*").alias("n"))
+
+    def entropy(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["n"].to_numpy(dtype=np.float64)
+        p = p / p.sum()
+        h = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame(
+            {"nationkey": [pdf["nationkey"].iloc[0]], "segment_entropy": [round(h, 6)]}
+        )
+
+    return counts.groupBy("nationkey").applyInPandas(
+        entropy, "nationkey int, segment_entropy double"
+    )
+
+
+# --------------------------------------------------------------------------
+# U4 — UDTF-style expansion (one doc → one row per token)
+# --------------------------------------------------------------------------
+@query(
+    "udtf_token_explode",
+    oracle=f"""
+    SELECT tok, count(*) AS df FROM (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    ) GROUP BY tok
+    HAVING count(*) >= 10
+    """,
+    tags=("U4", "F7"),
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — generator expansion natively via explode (no Python UDTF
+    needed): document frequency per token, thresholded."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(TOKENS())).alias("tok"))
+    return tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= 10)
+
+
+# --------------------------------------------------------------------------
+# SimHash — portable 16-bit variant with an oracle
+# --------------------------------------------------------------------------
+def _simhash16_sql() -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {p}, 1) IN {hi} THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(1, 17)
+    )
+    sig = " + ".join(f"(CASE WHEN v{p} > 0 THEN {1 << (p - 1)} ELSE 0 END)" for p in range(1, 17))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents),
+         votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash16 FROM votes
+    """
+
+
+@query("dedup_simhash16", oracle=_simhash16_sql(), tags=("U6", "F8"))
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — SimHash (16-bit, md5-nibble top bits): per-bit majority vote
+    over token hashes, as 16 conditional sums in ONE aggregation pass (no
+    per-bit explode). The 64-bit production variant is
+    operators/dedup.simhash64 (pandas UDF; rows-only check below)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(TOKENS())).alias("tok"))
+    md5 = F.md5("tok")
+    hi = set("89abcdef")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(md5, p, 1).isin(*hi), 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(1, 17)
+        ]
+    )
+    sig = None
+    for p in range(1, 17):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << (p - 1))).otherwise(0)
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash16"))
+
+
+@query("dedup_simhash64_bands", oracle=None, tags=("U6",))
+def dedup_simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 scale path (rows-only): 64-bit SimHash via vectorized pandas UDF
+    + banded candidate pairs + exact Hamming verify ≤ 8 bits."""
+    from ..operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", TOKENS())
+    fp = dd.simhash64_fingerprints(d.select("doc_id", "toks"))
+    cand = dd.simhash_band_candidates(fp)
+    return cand.select(
+        "id_a", "id_b", dd.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+    ).filter(F.col("hamming") <= 8)
+
+
+# --------------------------------------------------------------------------
+# U5 scale path — LSH-bucketed ANN (rows-only; recall tested in pytest)
+# --------------------------------------------------------------------------
+@query("vec_ann_lsh_topk", oracle=None, tags=("U5",))
+def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — approximate top-k via random-hyperplane LSH with multi-probe;
+    candidates come from bucket equality (groupBy shape), exact cosine
+    re-ranks. Recall vs vec_cosine_topk is asserted in tests."""
+    from ..operators.similarity import ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    # spread-out vectors (testdata max cosine ~0.33) are LSH's worst case:
+    # widen the probe budget to Hamming<=2 (1+6+15 of 64 buckets ≈ 34%
+    # candidates). Clustered corpora (where LSH shines) get high recall at
+    # probe_hamming=1 — tests/test_operators.py asserts both regimes.
+    return ann_topk(
+        e.filter(F.col("vec_id") != qrow.vec_id),
+        [float(x) for x in qrow.embedding],
+        k=10,
+        n_bits=6,
+        probe_hamming=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 scale path — approximate percentiles (rows-only)
+# --------------------------------------------------------------------------
+@query("agg_approx_percentiles", oracle=None, tags=("A9", "A5"))
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 at scale: approx_percentile sketches (bounded memory per group)
+    replace exact percentile's full per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").alias(
+            "price_quantiles"
+        )
+    )
