@@ -17,5 +17,7 @@ from . import text  # noqa: E402  text analysis + dedup (extensions)
 from . import vectors  # noqa: E402  similarity search (extensions)
 from . import extensions  # noqa: E402  pivot/subqueries/UDAF/simhash/ANN
 from ..streaming import batch_twins  # noqa: E402  streaming ops with oracles
+from . import sources_ops  # noqa: E402  §2.1 sources/sinks + J5/T8/U1 surface
+from . import multimodal_ops  # noqa: E402  north-star multimodal columns
 
 __all__ = ["REGISTRY", "Query", "query", "registry"]

@@ -37,7 +37,9 @@ def normalize_views(raw: DataFrame) -> DataFrame:
         F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
         F.col("device_type"),
         F.split("device_type", ":").getItem(0).alias("device_family"),
-        F.nullif(F.split("device_type", ":").getItem(1), F.lit(None)).alias("device_os"),
+        # "other" has no os part — F.get returns NULL past the end instead
+        # of raising under ANSI mode.
+        F.get(F.split("device_type", ":"), 1).alias("device_os"),
         F.nullif(F.col("device_id"), F.lit("NULL")).alias("device_id"),
         F.col("user_ip"),
     )

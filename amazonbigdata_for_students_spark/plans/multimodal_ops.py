@@ -1,0 +1,110 @@
+"""Multimodal-column queries (north star: image/audio/video as opaque
+binary + typed metadata).
+
+The container has no media codecs, so the *content* is deterministic fake
+media (documents.text encoded to bytes) — but every Spark-side mechanism
+under test is real: binary columns, typed metadata, Arrow-batched
+mapInPandas decode, byte-budget partitioning, UDTF-style frame expansion.
+The DuckDB oracles recompute digests/lengths/frame grids straight from the
+documents table, so the binary plumbing is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import multimodal
+from ..sources import readers
+from .registry import query
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: content is the
+    UTF-8 text bytes; kind/mime/width/height/duration are typed metadata
+    derived from stable columns (never from randomness — distributed
+    re-execution must agree)."""
+    docs = readers.load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.when(kind == "image", (F.col("n_chars") % 64 + 1).cast("int")).alias("width"),
+        F.when(kind == "image", (F.col("n_chars") % 48 + 1).cast("int")).alias("height"),
+        F.when(kind != "image", (F.col("n_chars") * 10).cast("int")).alias("duration_ms"),
+    )
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(text) AS content_sha256,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("U1", "F8"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over binary media via Arrow-batched
+    mapInPandas (functions.multimodal.extract_features): the FakeDecoder
+    stands in for the codec, and the digest + byte-length columns are
+    recomputed by the oracle from the source text — so batch shape, binary
+    round-trip, and UDF signature are all verified. The float feature
+    vector is dropped from the checked result (cross-engine float-array
+    hashing is not meaningful)."""
+    media = multimodal.repartition_by_bytes(media_table(spark, sf_dir))
+    feats = multimodal.extract_features(media, multimodal.FakeDecoder())
+    return feats.select("media_id", "content_sha256", "n_bytes")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(range(0, n_chars * 10 + 1, 1000)) AS frame_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    tags=("U4", "F7"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: UDTF-style expansion of each video
+    row into its frame-timestamp grid (one row per second of media). The
+    expansion is pure Spark (explode over sequence — no Python in the
+    row-multiplying path); the real frame decode remains the Decoder's
+    job."""
+    media = media_table(spark, sf_dir)
+    return multimodal.frame_sample_stub(media, every_ms=1000).select(
+        "media_id", "frame_ms"
+    )
+
+
+@query(
+    "mm_size_stats",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+           count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("F8", "A3"),
+)
+def mm_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget accounting per media kind — the aggregate behind
+    repartition_by_bytes' sizing decision, expressed declaratively so it
+    runs JVM-side (length() on binary, no Python)."""
+    media = media_table(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+    )

@@ -493,6 +493,7 @@ def join_large_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderkey
     """,
     tags=("J8",),
+    bench=True,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — range/theta join bounded by an equi-key: the equi conjunct keeps

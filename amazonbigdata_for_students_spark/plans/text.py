@@ -312,6 +312,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) > 1
     """,
     tags=("U6",),
+    bench=True,
 )
 def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding (one band of width 4): documents sharing the full

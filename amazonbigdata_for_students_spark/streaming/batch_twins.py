@@ -67,6 +67,7 @@ def _drain(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("T1", "T4"),
+    bench=True,
 )
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — tumbling-window streaming aggregation, drained via

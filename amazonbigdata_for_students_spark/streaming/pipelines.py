@@ -105,6 +105,99 @@ def session_activity(
     )
 
 
+def join_views_reviews(
+    views: DataFrame,
+    reviews: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """J5 — stream-stream inner join: a review joins the view of the same
+    (user_ip, item_id) that happened at-or-before it within max_lag. Both
+    sides carry watermarks and the join condition bounds event-time range,
+    so Catalyst can evict both join-state buffers — the only formulation
+    whose state doesn't grow forever."""
+    v = views.select(
+        F.col("user_ip").alias("v_user_ip"),
+        F.col("item_id").alias("v_item_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    r = reviews.select(
+        "user_ip", "item_id", F.col("ts").alias("review_ts"), "review_stars"
+    ).withWatermark("review_ts", watermark)
+    cond = (
+        (F.col("user_ip") == F.col("v_user_ip"))
+        & (F.col("item_id") == F.col("v_item_id"))
+        & (F.col("view_ts") <= F.col("review_ts"))
+        & (F.col("view_ts") >= F.col("review_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return v.join(r, cond, "inner").select(
+        "user_ip", "item_id", "view_ts", "review_ts", "review_stars"
+    )
+
+
+def alert_once_stateful(
+    stream: DataFrame,
+    threshold: int,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ttl_ms: int = 3_600_000,
+):
+    """T5/T7 via applyInPandasWithState — the GroupState formulation of
+    alert-once: per window-start key, state records whether the alert
+    already fired; re-delivery of the same window (update-mode re-emission,
+    replays) does not re-alert. State expires via EVENT-time timeout
+    (window_start + ttl, clamped above the current watermark) — the TTL
+    semantics of reference diagram comp. 5, but deterministic under replay.
+    Processing-time timeouts would also never resolve under
+    Trigger.AvailableNow (the drain would spin forever waiting on wall
+    clock); event-time timeouts settle as the watermark advances and the
+    drain terminates.
+
+    Returns the (window_start, n_events) alert stream — emitted at most
+    once per window."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # applyInPandasWithState cannot sit downstream of a streaming
+    # aggregation — the counting happens inside the stateful function:
+    # state per window key = (cumulative count, fired flag).
+    keyed = stream.withWatermark("ts", watermark).select(
+        F.date_trunc("minute" if window == "1 minute" else "hour", F.col("ts")).alias(
+            "window_start"
+        ),
+        F.col("ts"),
+    )
+
+    def fire_once(key, pdfs, state: GroupState):
+        import pandas as pd  # executor-side
+
+        if state.hasTimedOut:  # TTL expiry — drop the alert memory
+            state.remove()
+            return
+        batch_n = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            count, fired = state.get
+        else:
+            count, fired = 0, False
+        count += batch_n
+        should_fire = count > threshold and not fired
+        state.update((count, fired or should_fire))
+        # (Re)arm the event-time TTL: must stay above the watermark or
+        # Spark rejects it, hence the clamp.
+        window_ms = int(key[0].timestamp() * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(window_ms + ttl_ms, wm_ms + 60_000))
+        if should_fire:
+            yield pd.DataFrame({"window_start": [key[0]], "n_events": [count]})
+
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        fire_once,
+        outputStructType="window_start timestamp, n_events long",
+        stateStructType="count long, fired boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def high_traffic_alerts(
     stream: DataFrame,
     threshold: int,

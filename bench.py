@@ -27,9 +27,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     bench = {n: q for n, q in REGISTRY.items() if q.bench}
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup.
-    next(iter(bench.values())).fn(spark, sf_dir).count()
+    # Full untimed warmup pass: JIT, parquet footers, and page cache all
+    # settle so the timed pass measures the queries, not JVM warmup order.
+    for q in bench.values():
+        q.fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name, q in bench.items():
