@@ -326,3 +326,91 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
     )
+
+
+_SIG_SQL = ", ".join(f"min(md5('{s}|' || tok)) AS sig{s}" for s in range(_MINHASH_K))
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    ),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM tok GROUP BY doc_id),
+    ga AS (SELECT doc_id, sig0 || sig1 AS k FROM sig),
+    gb AS (SELECT doc_id, sig2 || sig3 AS k FROM sig),
+    ea AS (SELECT g.doc_id AS a, m.mn AS b
+           FROM ga g JOIN (SELECT k, min(doc_id) AS mn FROM ga GROUP BY k) m USING (k)
+           WHERE g.doc_id <> m.mn),
+    eb AS (SELECT g.doc_id AS a, m.mn AS b
+           FROM gb g JOIN (SELECT k, min(doc_id) AS mn FROM gb GROUP BY k) m USING (k)
+           WHERE g.doc_id <> m.mn),
+    ed AS (
+      SELECT a, b FROM ea UNION SELECT a, b FROM eb
+      UNION SELECT b, a FROM ea UNION SELECT b, a FROM eb
+    ),
+    closure(src, dst) AS (
+      SELECT doc_id, doc_id FROM sig
+      UNION
+      SELECT c.src, e.b FROM closure c JOIN ed e ON c.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM closure GROUP BY src
+    """,
+    tags=("U6",),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 complete — near-duplicate CLUSTERS, not just candidate pairs:
+    two LSH bands (sig0||sig1, sig2||sig3) generate star edges from each
+    band-group member to the group's min doc_id (linear in group size —
+    never the quadratic within-group clique), then iterative min-label
+    propagation over the symmetric edge set converges to connected
+    components. Each iteration is one shuffle join + aggregate, lineage
+    truncated per round via localCheckpoint — the pattern that scales to
+    billions of edges (label propagation / large-star, cf. GraphFrames'
+    connectedComponents). The DuckDB oracle computes the same fixpoint
+    with a recursive CTE, so this iterative, non-SQL Spark algorithm still
+    gets an exact hash-checked gate."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    def star_edges(band_col):
+        g = sig.select("doc_id", band_col.alias("k"))
+        rep = F.min("doc_id").over(W.partitionBy("k"))
+        return (
+            g.withColumn("b", rep)
+            .filter(F.col("doc_id") != F.col("b"))
+            .select(F.col("doc_id").alias("a"), "b")
+        )
+
+    ea = star_edges(F.concat(F.col("sig0"), F.col("sig1")))
+    eb = star_edges(F.concat(F.col("sig2"), F.col("sig3")))
+    fwd = ea.unionByName(eb)
+    edges = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = sig.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))

@@ -109,6 +109,68 @@ def stream_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topn_per_window",
+    oracle=f"""
+    SELECT window_start, event_type, n FROM (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rn
+      FROM (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n
+        FROM {EVENTS} e GROUP BY 1, 2
+      )
+    ) WHERE rn <= 2
+    """,
+    tags=("T1", "W1", "O3", "S8"),
+)
+def stream_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comp. 6 of the reference diagram — "most popular items/categories"
+    as a streaming query: watermarked tumbling-window counts in the stream,
+    then top-N ranking applied to the drained micro-batch output (the
+    foreachBatch pattern — ranking can't sit inside a streaming agg, and
+    doesn't need to: per-batch output is tiny after aggregation).
+    Deterministic tie-break on event_type."""
+    from pyspark.sql import Window as W
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    drained = _drain(agg, "stream_topn")
+    rn = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return drained.withColumn("rn", rn).filter(F.col("rn") <= 2).drop("rn")
+
+
+@query(
+    "stream_alert_once",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
+    FROM {EVENTS} e
+    GROUP BY 1
+    HAVING count(*) > 5
+    """,
+    tags=("T5", "T7", "S8"),
+)
+def stream_alert_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comp. 7 — high-traffic alerting with alert-once semantics via
+    applyInPandasWithState (event-time TTL on the alert memory, see
+    streaming.pipelines.alert_once_stateful). A single AvailableNow drain
+    sees each window's full count, so the fired set is exactly the windows
+    whose total exceeds the threshold — which is the oracle."""
+    from ..streaming.pipelines import alert_once_stateful
+
+    ev = events_stream(spark, sf_dir)
+    alerts = alert_once_stateful(ev, threshold=5, window="1 hour")
+    return _drain(alerts, "stream_alert_once", mode="update")
+
+
+@query(
     "stream_dedup_counts",
     oracle=f"""
     SELECT user_id, count(*) AS n FROM (

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md: the SURVEY.md §2 operator inventory cross-
+referenced against the live query registry (which queries exercise each
+operator, and whether each has a DuckDB oracle twin).
+
+    python scripts/gen_coverage.py > COVERAGE.md
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from amazonbigdata_for_students_spark.plans import REGISTRY
+
+# SURVEY.md §2 inventory: id -> (section, one-line description)
+OPERATORS: dict[str, tuple[str, str]] = {
+    "S1": ("2.1 Sources/sinks", "CSV batch scan (hourly YYYY/MM/DD/HH.csv layout)"),
+    "S2": ("2.1 Sources/sinks", "JSON-lines stream scan"),
+    "S3": ("2.1 Sources/sinks", "JSON catalog-table scan (partitioned external table)"),
+    "S4": ("2.1 Sources/sinks", "Dimension CSV scan (items/users)"),
+    "S5": ("2.1 Sources/sinks", "KV-table scan with TTL (suspicious IPs)"),
+    "S6": ("2.1 Sources/sinks", "Partitioned long-term sink (Firehose semantics)"),
+    "S7": ("2.1 Sources/sinks", "KV sink with TTL"),
+    "S8": ("2.1 Sources/sinks", "Alert/notification sink"),
+    "S9": ("2.1 Sources/sinks", "Incremental scan (job bookmarks)"),
+    "S10": ("2.1 Sources/sinks", "Schema inference / crawler with drift logging"),
+    "S11": ("2.1 Sources/sinks", "Parquet scan/sink (analytical layer)"),
+    "P1": ("2.2 Projection/filter", "Column projection / rename"),
+    "P2": ("2.2 Projection/filter", "Predicate filter"),
+    "P3": ("2.2 Projection/filter", "IP filter (anti-membership)"),
+    "P4": ("2.2 Projection/filter", "NULL-sentinel normalization"),
+    "P5": ("2.2 Projection/filter", "Derived/computed columns (ts parts, device split)"),
+    "P6": ("2.2 Projection/filter", "Spam classification filter"),
+    "J1": ("2.3 Joins", "Broadcast equi-join (dimension enrichment)"),
+    "J2": ("2.3 Joins", "Left anti join (exclude suspicious IPs)"),
+    "J3": ("2.3 Joins", "Left semi join / membership"),
+    "J4": ("2.3 Joins", "Stream-static join"),
+    "J5": ("2.3 Joins", "Stream-stream join (watermarked, range-bounded)"),
+    "J6": ("2.3 Joins", "Outer joins (left/full)"),
+    "J7": ("2.3 Joins", "Large-x-large shuffle equi-join"),
+    "J8": ("2.3 Joins", "Theta/range join"),
+    "J9": ("2.3 Joins", "As-of join"),
+    "J10": ("2.3 Joins", "Cross join"),
+    "A1": ("2.4 Aggregations", "Hash aggregate: count per key"),
+    "A2": ("2.4 Aggregations", "Rate-per-window aggregate (bot threshold)"),
+    "A3": ("2.4 Aggregations", "Multi-metric aggregate (avg/min/max/sum)"),
+    "A4": ("2.4 Aggregations", "Distinct + count-distinct"),
+    "A5": ("2.4 Aggregations", "Approx count-distinct (HLL)"),
+    "A6": ("2.4 Aggregations", "Grouping sets / rollup / cube / pivot"),
+    "A7": ("2.4 Aggregations", "Partial→final distributed aggregation"),
+    "A8": ("2.4 Aggregations", "Collect-list/set aggregate"),
+    "A9": ("2.4 Aggregations", "Percentiles / median"),
+    "W1": ("2.5 Window functions", "Ranking (top-N per group)"),
+    "W2": ("2.5 Window functions", "Lag/lead (inter-event gap)"),
+    "W3": ("2.5 Window functions", "Frame-spec aggregates (rolling)"),
+    "W4": ("2.5 Window functions", "ntile / percent_rank"),
+    "O1": ("2.6 Sort/limit", "Global sort by event time"),
+    "O2": ("2.6 Sort/limit", "Top-k (sort+limit)"),
+    "O3": ("2.6 Sort/limit", "Per-group top-k"),
+    "E1": ("2.7 Set ops", "Union by name"),
+    "E2": ("2.7 Set ops", "Intersect / except"),
+    "E3": ("2.7 Set ops", "Dedup (exact rows)"),
+    "F1": ("2.8 Scalar functions", "Timestamp/date functions"),
+    "F2": ("2.8 Scalar functions", "String functions"),
+    "F3": ("2.8 Scalar functions", "JSON functions"),
+    "F4": ("2.8 Scalar functions", "Math functions"),
+    "F5": ("2.8 Scalar functions", "Conditional/null functions"),
+    "F6": ("2.8 Scalar functions", "Casting"),
+    "F7": ("2.8 Scalar functions", "Array/map + higher-order functions"),
+    "F8": ("2.8 Scalar functions", "Hash functions / stable keys"),
+    "T1": ("2.9 Streaming", "Tumbling window aggregate"),
+    "T2": ("2.9 Streaming", "Sliding window aggregate"),
+    "T3": ("2.9 Streaming", "Session window"),
+    "T4": ("2.9 Streaming", "Watermark / late data"),
+    "T5": ("2.9 Streaming", "Stateful threshold alerting (alert-once)"),
+    "T6": ("2.9 Streaming", "Streaming dedup (at-least-once delivery)"),
+    "T7": ("2.9 Streaming", "State TTL"),
+    "T8": ("2.9 Streaming", "Exactly-once partitioned sink"),
+    "U1": ("2.10 UDF surface", "Spam-classifier pandas UDF / model seam"),
+    "U2": ("2.10 UDF surface", "Text tokenizer / quality / lang-id / fingerprint"),
+    "U3": ("2.10 UDF surface", "Python UDAF (applyInPandas)"),
+    "U4": ("2.10 UDF surface", "UDTF-style expansion"),
+    "U5": ("2.10 UDF surface", "Similarity search (cosine top-k, ANN)"),
+    "U6": ("2.10 UDF surface", "Near-duplicate dedup (MinHash/SimHash/Jaccard)"),
+}
+
+
+def main() -> None:
+    by_tag: dict[str, list] = {t: [] for t in OPERATORS}
+    for q in REGISTRY.values():
+        for t in q.tags:
+            by_tag.setdefault(t, []).append(q)
+
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
+    print("# COVERAGE — SURVEY.md §2 operator inventory vs. the query registry")
+    print()
+    print("Generated by `python scripts/gen_coverage.py` — do not hand-edit.")
+    print(f"Registry: **{len(REGISTRY)} queries**, {n_oracle} with DuckDB oracle twins")
+    print("(the rest are rows-only checks: approximate/streaming-stateful ops).")
+    print("Every query is driven by the driver contract (`__spark_entry__.queries()`)")
+    print("and the pytest oracle gate (`tests/test_oracle.py`,")
+    print("`scripts/check_oracle.py`).")
+    print()
+    print("| Op | Operator | Queries (o=oracle-checked, r=rows-only) |")
+    print("|---|---|---|")
+    section = None
+    for tag, (sec, desc) in OPERATORS.items():
+        if sec != section:
+            section = sec
+            print(f"| **§{sec}** | | |")
+        qs = ", ".join(
+            f"`{q.name}`({'o' if q.oracle else 'r'})" for q in by_tag.get(tag, [])
+        )
+        print(f"| {tag} | {desc} | {qs or '—'} |")
+    missing = [t for t, qs in by_tag.items() if t in OPERATORS and not qs]
+    print()
+    print(f"Uncovered operators: {missing or 'none'}.")
+
+
+if __name__ == "__main__":
+    main()

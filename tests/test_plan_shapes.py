@@ -85,3 +85,27 @@ def test_events_filter_pushdown_survives_ts_conversion(spark, sf_small):
     # The nanos→timestamp conversion must not block pushdown of other cols.
     ev = load_table(spark, sf_small, "events").filter(F.col("event_type") == "purchase")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan_of(ev)
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_small):
+    # S6: the day=5 predicate must resolve against directory names
+    # (PartitionFilters), not row-level filtering of all 30 days.
+    df = REGISTRY["src_partitioned_sink_prune"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "PartitionFilters:" in plan
+    assert "(day" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_dim_csv_join_is_broadcast(spark, sf_small):
+    # S4: the CSV-loaded dimension side must broadcast, never shuffle.
+    df = REGISTRY["src_dim_csv_broadcast"].fn(spark, sf_small)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_mm_frame_sample_expansion_is_jvm_side(spark, sf_small):
+    # The row-multiplying explode must be a native Generate node, not a
+    # Python UDF in the expansion path.
+    df = REGISTRY["mm_frame_sample"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan
