@@ -442,3 +442,36 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable continuous-aggregate pattern)
+# --------------------------------------------------------------------------
+@query(
+    "rollup_multires",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    GROUP BY 1, 2
+    """,
+    tags=("A6", "A7", "F1"),
+)
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute → hour → day, each
+    level REAGGREGATED from the level below (never from raw) — the
+    continuous-aggregate pattern where coarse resolutions cost |finer
+    rollup| not |raw data|. Summing through decimal(38,6) makes the
+    cascade exact, so the day level equals a direct day aggregation — which
+    is the oracle. Counts re-sum losslessly by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(F.sum("n").alias("n"), dsum("sum_value").alias("sum_value"))
+    return hour.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), dsum("sum_value").alias("sum_value"))

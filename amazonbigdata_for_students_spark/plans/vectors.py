@@ -106,3 +106,88 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "vec_ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         assign AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_dot_product(e.v, c.cv)
+                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid) AS rn
+           FROM e, c
+         ),
+         cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+         probe AS (
+           SELECT c.cid FROM c, q
+           ORDER BY round(list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cid
+           LIMIT 2
+         )
+    SELECT cell.vec_id,
+           round(list_dot_product(cell.v, q.qv)
+                 / (sqrt(list_dot_product(cell.v, cell.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM cell JOIN probe USING (cid), q
+    WHERE cell.vec_id <> q.qid
+    ORDER BY cos_sim DESC, cell.vec_id
+    LIMIT 10
+    """,
+    tags=("U5",),
+)
+def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the scale path for similarity search:
+    assign every vector to its nearest of K=8 coarse centroids (broadcast
+    centroids, linear scan — the IVF build), then search only the nprobe=2
+    cells nearest the query. At 100 TB the cell assignment partitions the
+    index so a query touches ~nprobe/K of the data. The coarse quantizer
+    here is deterministic (lowest-vec_id vectors) so the whole index is
+    SQL-expressible and the oracle checks it end-to-end — a k-means
+    quantizer plugs into the same seam without changing the plan shape.
+    Similarities are rounded before every ORDER BY so float last-bits
+    can't flip an ordering between engines."""
+    from pyspark.sql import Window as W
+
+    K, NPROBE = 8, 2
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    c = e.orderBy("vec_id").limit(K).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    q = e.orderBy("vec_id").limit(1).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+
+    def cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.round(cos(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+        )
+    )
+    cell = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probe = (
+        c.crossJoin(F.broadcast(q))
+        .orderBy(F.round(cos(F.col("qv"), F.col("cv")), 6).desc(), F.col("cid"))
+        .limit(NPROBE)
+        .select("cid")
+    )
+    return (
+        cell.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", F.round(cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -191,3 +191,48 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
     return _drain(agg, "stream_dedup_counts")
+
+
+@query(
+    "stream_session_counts",
+    oracle=f"""
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS} e
+      )
+    )
+    GROUP BY user_id, grp
+    """,
+    tags=("T3", "T4"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — native session_window in the STREAMING engine (merging session
+    state per user, watermark-bounded), drained complete so the result
+    equals the batch gaps-and-islands oracle. State per (user, open
+    session) merges as events arrive — the streaming sessionization the
+    reference's clickstream domain implies."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain(agg, "stream_session")
