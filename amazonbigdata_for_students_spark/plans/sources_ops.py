@@ -402,3 +402,78 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mark(d)
     back = spark.read.parquet(out)
     return back.groupBy("day").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# §3.3 — SQL view catalog (Athena-surface entry point)
+# --------------------------------------------------------------------------
+@query(
+    "sql_view_catalog",
+    oracle="""
+    WITH v_customer_value AS (
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+             count(o.o_orderkey) AS n_orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(total_spend AS DECIMAL(38,6))) AS DOUBLE) AS segment_spend,
+           max(n_orders) AS max_orders
+    FROM v_customer_value
+    GROUP BY c_mktsegment
+    """,
+    tags=("S3", "J6", "A3"),
+)
+def sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 entry point C — pure SQL over the installed semantic view
+    layer (sql/views.sql): base tables registered as views, a semantic
+    view (customer lifetime value) defined in DDL, and the query itself a
+    SQL string — the Athena surface end to end, compiled by the same
+    Catalyst pipeline as the DataFrame API."""
+    catalog.install_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(total_spend AS DECIMAL(38,6))) AS DOUBLE) AS segment_spend,
+               max(n_orders) AS max_orders
+        FROM v_customer_value
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — stream-static join in the streaming engine
+# --------------------------------------------------------------------------
+@query(
+    "stream_static_anti_join",
+    oracle=f"""
+    SELECT event_type, count(*) AS n
+    FROM {EVENTS} e
+    WHERE user_id % 7 <> 0
+    GROUP BY event_type
+    """,
+    tags=("J4", "P3"),
+)
+def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the IP-filter component (diagram comp. 3) in the streaming
+    engine: a static blocklist (deterministic here: user_id % 7 == 0)
+    anti-joined against the stream per micro-batch. The static side is
+    dimension-sized, so the anti-join broadcasts — per-record filtering
+    without shuffling the stream, exactly how the suspicious-IP filter
+    deploys at scale."""
+    from ..streaming.batch_twins import _drain, events_stream
+
+    ev = events_stream(spark, sf_dir)
+    blocklist = (
+        readers.load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id") % 7 == 0)
+        .distinct()
+    )
+    filtered = ev.join(F.broadcast(blocklist), "user_id", "left_anti")
+    agg = filtered.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _drain(agg, "stream_static_aj")

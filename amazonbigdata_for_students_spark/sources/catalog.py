@@ -39,3 +39,23 @@ def create_json_table(
 def query_table(spark: SparkSession, sql: str) -> DataFrame:
     """Athena-surface entry: plain spark.sql over catalog tables."""
     return spark.sql(sql)
+
+
+def install_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register base tables as temp views, then install the semantic view
+    layer from sql/views.sql (SURVEY.md §3.3 — the SQL entry point is an
+    equal citizen of the DataFrame API; both compile through the same
+    Catalyst pipeline)."""
+    import os
+
+    from . import readers
+
+    readers.register_views(spark, sf_dir)
+    ddl_path = os.path.join(os.path.dirname(__file__), "..", "sql", "views.sql")
+    with open(ddl_path) as f:
+        ddl = "\n".join(
+            line for line in f.read().splitlines() if not line.lstrip().startswith("--")
+        )
+    for stmt in ddl.split(";"):
+        if stmt.strip():
+            spark.sql(stmt)
