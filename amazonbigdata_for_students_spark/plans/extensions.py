@@ -475,3 +475,28 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour.groupBy(
         F.date_trunc("day", "hour").alias("day"), "event_type"
     ).agg(F.sum("n").alias("n"), dsum("sum_value").alias("sum_value"))
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketches (A5 at scale: partial sketches union losslessly)
+# --------------------------------------------------------------------------
+@query("agg_hll_sketch_merge", oracle=None, tags=("A5", "A7"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A7 — the mergeable-aggregate pattern that makes distinct-counting
+    feasible at 100 TB: per-group HLL sketches (datasketches, Spark 4
+    hll_sketch_agg) built map-side, merged with hll_union_agg to a global
+    estimate — no shuffle of raw values, sketch bytes only. Rows-only
+    driver check (DuckDB has no compatible sketch); the error-bound test
+    in tests/test_operators.py pins estimates within HLL tolerance of the
+    exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch")
+    )
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))").alias("est_total_users")
+    )
+    per_type_est = per_type.select(
+        "event_type", F.expr("hll_sketch_estimate(sketch)").alias("est_users")
+    )
+    return per_type_est.crossJoin(merged)

@@ -414,3 +414,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@query(
+    "txt_pii_flag",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+           regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS has_ip,
+           regexp_matches(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b') AS has_phone
+    FROM documents
+    """,
+    tags=("U2", "F2"),
+)
+def txt_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: PII detection flags (email / IPv4 / US-phone
+    shapes) as JVM-side regexps — the pre-filter step every corpus
+    pipeline runs before training. Pure `rlike`, so the scan stays inside
+    whole-stage codegen; at 100 TB this is a map-only pass with no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("has_email"),
+        F.col("text").rlike(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b").alias("has_ip"),
+        F.col("text").rlike(r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b").alias("has_phone"),
+    )

@@ -163,3 +163,25 @@ def test_repartition_by_bytes(spark, media_df):
     out = multimodal.repartition_by_bytes(media_df, target_partition_bytes=16)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 5
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_small):
+    # A5 — sketch estimates must land within HLL error bounds of exact
+    # counts, and the merged union must estimate the global distinct.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    est = {
+        r.event_type: (r.est_users, r.est_total_users)
+        for r in REGISTRY["agg_hll_sketch_merge"].fn(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+    for etype, (e_users, e_total) in est.items():
+        assert abs(e_users - exact[etype]) / exact[etype] < 0.05
+        assert abs(e_total - exact_total) / exact_total < 0.05
