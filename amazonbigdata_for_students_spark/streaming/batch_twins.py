@@ -33,10 +33,18 @@ _EVENTS_RAW = T.StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — the events table as a parquet file stream (ns-long ts converted
-    exactly like the batch loader)."""
+    exactly like the batch loader). Handles both layouts: events.parquet as
+    a single file (driver testdata — glob it out of the table directory) or
+    as a Spark-written directory of part files (stream the directory)."""
+    import os
+
+    from .. import schemas
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source wants a directory: glob-filter events.parquet
-    # out of the sf_dir table directory
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # Spark-written table: ts is already a proper (micros) timestamp.
+        return spark.readStream.schema(schemas.EVENTS).parquet(path)
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
