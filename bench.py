@@ -32,11 +32,17 @@ def main() -> None:
     for q in bench.values():
         q.fn(spark, sf_dir).count()
 
+    # Min of two timed runs per query: the min is the right estimator for
+    # "how fast does this plan run" — it sheds GC pauses and co-located
+    # load noise that the mean would absorb.
     times: dict[str, float] = {}
     for name, q in bench.items():
-        t0 = time.time()
-        q.fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -109,3 +109,22 @@ def test_mm_frame_sample_expansion_is_jvm_side(spark, sf_small):
     plan = plan_of(df)
     assert "Generate explode" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_small):
+    # DPP: a dim-side filter must prune fact partitions at runtime via a
+    # dynamic pruning subquery, not scan all days.
+    import pyspark.sql.functions as F
+
+    REGISTRY["src_partitioned_sink_prune"].fn(spark, sf_small)  # ensure layout
+    import os
+    base = os.path.join(
+        "/tmp/abd_srccache", os.path.basename(sf_small), "part_sink", "events_part"
+    )
+    fact = spark.read.parquet(base)
+    dim = spark.range(1, 31).select(
+        F.col("id").cast("int").alias("day"), (F.col("id") % 7 == 0).alias("special")
+    )
+    joined = fact.join(dim, "day").filter(F.col("special"))
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(day" in plan
