@@ -440,3 +440,82 @@ def txt_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b").alias("has_ip"),
         F.col("text").rlike(r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b").alias("has_phone"),
     )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("U6",),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs (same answer, same oracle, as
+    dedup_ngram_jaccard) via prefix filtering — the ppjoin-family
+    optimization that makes exact set-similarity joins feasible at scale:
+    under a global canonical shingle order (md5), two docs with
+    J >= t MUST share a shingle within their first |A| - ceil(t*|A|) + 1
+    shingles, so candidate generation joins only the prefixes (half the
+    shingles at t=0.5, and the join cost is quadratic in group size), then
+    only surviving candidate pairs pay the full intersection count.
+    Exactness is guaranteed by the prefix-filter theorem, and the
+    unchanged oracle verifies it.
+
+    Tradeoff: candidate-generate-then-verify wins when near-duplicates are
+    sparse (the realistic corpus regime — candidates << all pairs); on a
+    corpus that is mostly copies, candidates ~ true pairs and the
+    single-pass join (dedup_ngram_jaccard) is the better plan. Both are
+    exact; an engine would pick by duplicate-rate estimate."""
+    from pyspark.sql import Window as W
+
+    t = 0.5
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", TOKENS())
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy(F.md5("shingle"), "shingle")
+    prefix = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * t) + 1)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("fa"), F.col("doc_a") == F.col("fa.doc_id"))
+        .join(
+            sh.alias("fb"),
+            (F.col("doc_b") == F.col("fb.doc_id")) & (F.col("fa.shingle") == F.col("fb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
