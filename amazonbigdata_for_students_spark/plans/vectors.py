@@ -213,3 +213,37 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query("vec_cosine_topk_pandas", oracle=None, tags=("U5", "U1"))
+def vec_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched pandas-UDF formulation of brute-force cosine
+    top-k — the path to take when scoring needs a Python library (a real
+    model, a tokenizer) instead of JVM folds: one numpy matmul per Arrow
+    batch, query vector broadcast in the closure. Rows-only driver check
+    (numpy's pairwise summation rounds differently from a sequential fold
+    in the last bits); tests/test_operators.py asserts it ranks exactly
+    the same top-k as the JVM-side exact query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+    qid = qrow.vec_id
+
+    def _cos(emb):
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    cos_sim = F.pandas_udf(_cos, T.DoubleType())
+
+    return (
+        e.filter(F.col("vec_id") != qid)
+        .select("vec_id", F.round(cos_sim(F.col("embedding")), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -185,3 +185,13 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_small):
     for etype, (e_users, e_total) in est.items():
         assert abs(e_users - exact[etype]) / exact[etype] < 0.05
         assert abs(e_total - exact_total) / exact_total < 0.05
+
+
+def test_pandas_cosine_matches_jvm_exact(spark, sf_small):
+    # The Arrow-batched numpy path must rank the same top-k as the
+    # JVM fold (values equal after 6-decimal rounding).
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    jvm = REGISTRY["vec_cosine_topk"].fn(spark, sf_small).collect()
+    pnd = REGISTRY["vec_cosine_topk_pandas"].fn(spark, sf_small).collect()
+    assert [(r.vec_id, r.cos_sim) for r in jvm] == [(r.vec_id, r.cos_sim) for r in pnd]
