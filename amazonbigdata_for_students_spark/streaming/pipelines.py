@@ -229,3 +229,28 @@ def high_traffic_alerts(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def reviews_pipeline(
+    raw_reviews: DataFrame,
+    model=None,
+    spam_threshold: float = 0.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """§3.2 reviews path (reference diagram comps. 2→3→9): typed silver
+    view of the review stream + the spam classifier (Arrow-batched pandas
+    UDF, model broadcast once) running INSIDE the stream — every
+    micro-batch emits scored reviews with is_spam flags, ready to fork to
+    the ham sink and the spam quarantine. The UDF sits after projection,
+    so only title/text bytes cross the Arrow boundary."""
+    from ..functions import spam
+
+    silver = raw_reviews.select(
+        F.col("item_id").cast("long").alias("item_id"),
+        F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.col("user_ip"),
+        F.col("review_title"),
+        F.col("review_text"),
+        F.col("review_stars").cast("int").alias("review_stars"),
+    ).withWatermark("ts", watermark)
+    return spam.classify_reviews(silver, model=model, threshold=spam_threshold)

@@ -200,3 +200,32 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     run()  # late record is beyond the checkpointed watermark
     after = {str(r.window_start) for r in spark.read.parquet(out).collect()}
     assert "2024-01-01 09:00:00" not in after
+
+
+def test_streaming_reviews_spam_pipeline(spark, fx, tmp_path):
+    # §3.2 reviews path e2e: stream → silver → spam UDF in the stream →
+    # ham filter; must equal the batch classification and the corpus truth.
+    import json
+
+    from amazonbigdata_for_students_spark.functions import spam
+    from amazonbigdata_for_students_spark.streaming import pipelines, sources
+
+    rdir = tmp_path / "reviews"
+    rdir.mkdir()
+    with open(rdir / "r.jsonl", "w") as f:
+        for r in fx.reviews:
+            f.write(json.dumps({k: v for k, v in r.items() if not k.startswith("_")},
+                               sort_keys=True) + "\n")
+    stream = sources.read_jsonl_stream(spark, str(rdir), schemas.REVIEW_EVENT_RAW)
+    scored = pipelines.reviews_pipeline(stream)
+    sources.run_available_now_to_memory(
+        scored.select("review_title", "review_text", "is_spam"), "reviews_scored"
+    )
+    got = {(r.review_title, r.review_text): r.is_spam
+           for r in spark.sql("SELECT * FROM reviews_scored").collect()}
+    batch = spam.classify_reviews(fixtures.reviews_df(spark, fx))
+    want = {(r.review_title, r.review_text): r.is_spam
+            for r in batch.select("review_title", "review_text", "is_spam").collect()}
+    assert got == want and len(got) > 0
+    truth = {(r["review_title"], r["review_text"]): r["_is_spam_truth"] for r in fx.reviews}
+    assert all(got[k] == truth[k] for k in got)
