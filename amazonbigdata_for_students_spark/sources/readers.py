@@ -92,3 +92,25 @@ def infer_and_check(spark: SparkSession, path: str, declared) -> list[str]:
     contract (LOG policy — caller logs, never fails)."""
     inferred = spark.read.json(path).schema
     return schemas.check_drift(declared, inferred)
+
+
+def read_jsonl_tolerant(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S2 with production failure semantics: PERMISSIVE parse where a
+    malformed line lands whole in `_corrupt_record` (and its typed columns
+    null) instead of failing the job — the ingest-side quarantine every
+    at-scale landing zone needs. Split downstream with
+    `filter(col("_corrupt_record").isNull())` / `.isNotNull()`. Spark
+    disallows queries that reference ONLY the corrupt column straight off
+    the raw scan — `.cache()` (or persist to the silver layer first) before
+    corrupt-only filters."""
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

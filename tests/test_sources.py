@@ -78,3 +78,34 @@ def test_drift_type_change():
     )
     issues = schemas.check_drift(declared, inferred)
     assert issues == ["type drift: item_id string -> bigint"]
+
+
+def test_tolerant_jsonl_quarantines_corrupt_records(spark, tmp_path):
+    # S2 failure semantics: malformed lines must land in _corrupt_record,
+    # not fail the read; good lines parse normally.
+    import json
+
+    from amazonbigdata_for_students_spark import schemas
+    from amazonbigdata_for_students_spark.sources.readers import read_jsonl_tolerant
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    good = [
+        {"item_id": "7", "ts": "2024-01-01T00:00:01Z", "device_type": "other",
+         "device_id": "NULL", "user_ip": "11.0.0.1"},
+        {"item_id": "8", "ts": "2024-01-01T00:00:02Z", "device_type": "mobile:ios",
+         "device_id": "123", "user_ip": "11.0.0.2"},
+    ]
+    with open(p / "mixed.jsonl", "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write("{not valid json at all\n")
+        f.write(json.dumps(good[1]) + "\n")
+        f.write('\x00\x01binary garbage\n')
+    df = read_jsonl_tolerant(spark, str(p), schemas.VIEW_EVENT_RAW).cache()
+    ok = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert ok.count() == 2
+    assert bad.count() == 2
+    assert sorted(r.item_id for r in ok.collect()) == ["7", "8"]
+    assert all(r.item_id is None for r in bad.collect())
+    df.unpersist()
