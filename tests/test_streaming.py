@@ -229,3 +229,56 @@ def test_streaming_reviews_spam_pipeline(spark, fx, tmp_path):
     assert got == want and len(got) > 0
     truth = {(r["review_title"], r["review_text"]): r["_is_spam_truth"] for r in fx.reviews}
     assert all(got[k] == truth[k] for k in got)
+
+
+def test_multibatch_state_carries_across_microbatches(spark, fx, stream_dir):
+    # maxFilesPerTrigger=1 forces one micro-batch per file: windowed-count
+    # state must accumulate across batches and the drained complete-mode
+    # result must still equal the batch answer.
+    raw = sources.read_jsonl_stream(
+        spark, stream_dir, schemas.VIEW_EVENT_RAW, max_files_per_trigger=1
+    )
+    stream = pipelines.normalize_stream(raw)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "item_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "item_id", "n")
+    )
+    _drain(agg, "mb_counts", mode="complete")
+    got = {(r.ws, r.item_id): r.n for r in spark.sql("SELECT * FROM mb_counts").collect()}
+    batch = botdetect.normalize_views(fixtures.views_df(spark, fx))
+    want = {
+        (r.ws, r.item_id): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "item_id"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_multibatch_dedup_across_batches(spark, fx, tmp_path):
+    # A retry-duplicate landing in a LATER file (fresh micro-batch) must
+    # still be dropped by the watermark-scoped dedup state.
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    half = len(fx.views) // 2
+    with open(d / "a.jsonl", "w") as f:
+        for rec in fx.views[:half]:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+    with open(d / "b.jsonl", "w") as f:
+        for rec in fx.views[half:]:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+        # replay the last 5 records of batch a (at-least-once delivery)
+        for rec in fx.views[half - 5 : half]:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+    raw = sources.read_jsonl_stream(
+        spark, str(d), schemas.VIEW_EVENT_RAW, max_files_per_trigger=1
+    )
+    stream = pipelines.normalize_stream(raw)
+    wm = stream.withWatermark("ts", "10 minutes")
+    deduped = wm.dropDuplicatesWithinWatermark(["user_ip", "ts", "item_id"])
+    _drain(deduped.select("user_ip", "ts", "item_id"), "mb_dedup")
+    n = spark.sql("SELECT count(*) AS n FROM mb_dedup").collect()[0].n
+    distinct_truth = len({(v["user_ip"], v["ts"], v["item_id"]) for v in fx.views})
+    assert n == distinct_truth
