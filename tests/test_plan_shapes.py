@@ -128,3 +128,29 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_small):
     joined = fact.join(dim, "day").filter(F.col("special"))
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_small):
+    # With planning-time broadcast disabled, AQE must still convert the
+    # shuffle join to broadcast at runtime once it sees the small size —
+    # the safety net for misestimated dim tables at scale.
+    import pyspark.sql.functions as F
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # planning-time broadcast off; runtime (adaptive) threshold on —
+        # isolates the AQE conversion path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+        li = load_table(spark, sf_small, "lineitem")
+        orders = load_table(spark, sf_small, "orders").filter(F.col("o_orderstatus") == "O")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        j.collect()  # run so AQE finalizes the plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -282,3 +282,38 @@ def test_multibatch_dedup_across_batches(spark, fx, tmp_path):
     n = spark.sql("SELECT count(*) AS n FROM mb_dedup").collect()[0].n
     distinct_truth = len({(v["user_ip"], v["ts"], v["item_id"]) for v in fx.views})
     assert n == distinct_truth
+
+
+def test_checkpoint_processes_only_new_files_on_rerun(spark, fx, tmp_path):
+    # Glue-bookmark semantics across RUNS (S9): run 1 lands the first
+    # half; a new file arrives; run 2 with the SAME checkpoint processes
+    # exactly the new file — no reprocessing, no loss.
+    d = tmp_path / "inc_stream"
+    d.mkdir()
+    half = len(fx.views) // 2
+    with open(d / "a.jsonl", "w") as f:
+        for rec in fx.views[:half]:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+    out, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+
+    def run():
+        raw = sources.read_jsonl_stream(spark, str(d), schemas.VIEW_EVENT_RAW)
+        stream = pipelines.normalize_stream(raw).withColumns(
+            {"year": F.year("ts"), "month": F.month("ts"),
+             "day": F.dayofmonth("ts"), "hour": F.hour("ts")}
+        )
+        q = sources.write_partitioned_stream(stream, out, ckpt, available_now=True)
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == half
+    with open(d / "b.jsonl", "w") as f:
+        for rec in fx.views[half:]:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+    run()
+    landed = spark.read.parquet(out)
+    assert landed.count() == len(fx.views)
+    # every record landed exactly once
+    assert landed.select("user_ip", "ts", "item_id").distinct().count() == len(
+        {(v["user_ip"], v["ts"], v["item_id"]) for v in fx.views}
+    )
