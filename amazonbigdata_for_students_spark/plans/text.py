@@ -519,3 +519,30 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "txt_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9[:space:]]')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("U2", "F2"),
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: a BPE-ish pre-tokenizer
+    regex (letter runs | digit runs | single punctuation — the shape GPT-2
+    style pre-tokenization produces) next to the whitespace count. Pure
+    regexp_extract_all + size, JVM-side; the ratio of the two is the
+    standard tokens-per-word sanity metric for corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(TOKENS()).alias("n_ws_tokens"),
+    )
