@@ -500,3 +500,64 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("hll_sketch_estimate(sketch)").alias("est_users")
     )
     return per_type_est.crossJoin(merged)
+
+
+@query(
+    "agg_exact_median",
+    oracle=f"""
+    SELECT event_type,
+           median(value) AS med_value,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95_value
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A9",),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 exact flavor — median / continuous p95 per group (Spark's
+    percentile(), the sort-based exact aggregate, vs approx_percentile's
+    sketch). Exact quantiles shuffle the full column per group — use the
+    approx variant at 100 TB unless the group is bounded; both surfaces
+    exist here so the tradeoff is a one-line swap."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_value"),
+        F.expr("percentile(value, 0.95)").alias("p95_value"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle=f"""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type) OVER w AS last_event,
+           CAST(count(*) OVER w AS BIGINT) AS n_events
+    FROM {EVENTS} e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W3", "W1"),
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame — entry/exit event
+    per user (the funnel endpoints), one shuffle on user_id; DISTINCT
+    collapses to one row per user. Deterministic ORDER BY (ts, event_id)
+    tie-break."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_event"),
+            F.last("event_type").over(w).alias("last_event"),
+            F.count("*").over(w).alias("n_events"),
+        )
+        .distinct()
+    )
