@@ -911,3 +911,58 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name AS customer, o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY total_price DESC, order_key
+    LIMIT 20
+    """,
+    tags=("A1", "J3", "J7", "O2"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-orders: an aggregate-derived key set (orders
+    whose total quantity crosses the threshold — a HAVING on the fact
+    table) semi-drives a join back through orders and customers. The big
+    set is aggregate output (small) so it broadcasts into the re-join;
+    the lineitem table is scanned twice but shuffled on the same key both
+    times, so the exchange is reused."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("total_price").desc(), "order_key")
+        .limit(20)
+    )
