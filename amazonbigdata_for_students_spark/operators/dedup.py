@@ -65,12 +65,16 @@ def simhash_band_candidates(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "simhash64",
-    n_bands: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Near-dup candidate pairs by banded SimHash: split the 64-bit
-    signature into n_bands 16-bit bands; docs sharing any band are
-    candidates (Hamming distance ≤ 64 - 64/n_bands guaranteed caught).
-    GroupBy-on-band replaces the O(n²) pairwise scan — the scalable shape."""
+    signature into n_bands equal bands; docs sharing any band are
+    candidates. Pigeonhole bound: a pair at Hamming distance d can differ
+    in at most d bands, so every pair with d <= n_bands - 1 is GUARANTEED
+    to share an identical band; pairs at d >= n_bands may be missed
+    (recall < 1 there). With the default n_bands=8 the candidate set is
+    complete for d <= 7. GroupBy-on-band replaces the O(n²) pairwise scan
+    — the scalable shape."""
     bands = fingerprints.select(
         id_col,
         sig_col,

@@ -393,15 +393,19 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash64_bands", oracle=None, tags=("U6",))
 def dedup_simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 scale path (rows-only): 64-bit SimHash via vectorized pandas UDF
-    + banded candidate pairs + exact Hamming verify ≤ 8 bits."""
+    + banded candidate pairs + exact Hamming verify. The verify threshold
+    (7) equals n_bands - 1, so by the pigeonhole bound the banded
+    candidate set is COMPLETE for the emitted distance range — the output
+    is exactly all pairs with Hamming distance ≤ 7, not a recall<1
+    approximation of it."""
     from ..operators import dedup as dd
 
     d = load_table(spark, sf_dir, "documents").withColumn("toks", TOKENS())
     fp = dd.simhash64_fingerprints(d.select("doc_id", "toks"))
-    cand = dd.simhash_band_candidates(fp)
+    cand = dd.simhash_band_candidates(fp, n_bands=8)
     return cand.select(
         "id_a", "id_b", dd.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
-    ).filter(F.col("hamming") <= 8)
+    ).filter(F.col("hamming") <= 7)
 
 
 # --------------------------------------------------------------------------

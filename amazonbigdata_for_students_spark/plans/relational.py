@@ -375,12 +375,15 @@ def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/P3 — anti-membership: the IP-filter semantics (drop records whose
-    key is in the suspicious set; reference diagram comp. 3). Broadcast the
-    exclusion set: at scale the suspicious-IP table is tiny vs the stream."""
+    key is in the suspicious set; reference diagram comp. 3). Anti joins
+    only need the exclusion KEYS, so project + distinct the right side
+    first (orders is a fact table — forcing a broadcast of it would OOM at
+    scale); AQE demotes the shuffle to a broadcast at runtime whenever the
+    distinct key set actually is dimension-sized."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     return c.join(
-        F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti"
+        o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -17,8 +17,8 @@ glue_cf_template.json:139; Firehose partitioned long-term storage
 
 from __future__ import annotations
 
-import csv
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -37,17 +37,42 @@ _CACHE_ROOT = "/tmp/abd_srccache"
 _SLICE_END = "2024-01-03 00:00:00"
 
 
-def _cache_dir(sf_dir: str, name: str) -> tuple[str, bool]:
-    """Per-(sf, fixture) cache dir + whether it is already materialized."""
+def _src_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Content key of the fixture's source tables (mtime_ns + size per
+    parquet). Regenerated testdata at the same path gets a different key,
+    so stale fixtures can never silently answer for new data."""
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
+def _cache_dir(
+    sf_dir: str, name: str, tables: tuple[str, ...] = ("events",)
+) -> tuple[str, bool, str]:
+    """Per-(sf, fixture) cache dir, readiness, and the fingerprint to stamp.
+
+    Ready only when the _OK marker exists AND records the current source
+    fingerprint; otherwise the whole fixture dir is cleared so a rebuild
+    never mixes stale files with fresh ones."""
     d = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
-    ready = os.path.exists(os.path.join(d, "_OK"))
+    fp = _src_fingerprint(sf_dir, tables)
+    ok = os.path.join(d, "_OK")
+    ready = False
+    if os.path.exists(ok):
+        with open(ok) as f:
+            ready = f.read() == fp
+    if not ready and os.path.isdir(d):
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    return d, ready
+    return d, ready, fp
 
 
-def _mark(d: str) -> None:
+def _mark(d: str, fp: str) -> None:
     with open(os.path.join(d, "_OK"), "w") as f:
-        f.write("ok")
+        f.write(fp)
 
 
 # --------------------------------------------------------------------------
@@ -83,33 +108,47 @@ def src_hourly_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour) partition columns from the file path. The oracle recomputes the
     per-hour rollup straight from parquet, so file placement, header
     parsing, and path-derived partitions are all under test."""
-    d, ready = _cache_dir(sf_dir, "hourly_csv")
+    d, ready, fp = _cache_dir(sf_dir, "hourly_csv")
     if not ready:
-        rows = (
+        # Distributed fixture write: partitionBy lays out hive dirs
+        # (yy=…/mm=…/dd=…/hh=…), then a driver-side RENAME pass (metadata
+        # only, no row ever touches the driver) maps them onto the
+        # reference's YYYY/MM/DD/HH.csv layout (generator.py:241-245).
+        staging = os.path.join(d, "_staging")
+        (
             readers.load_table(spark, sf_dir, "events")
             .filter(F.col("ts") < F.lit(_SLICE_END).cast("timestamp"))
             .select(
+                F.date_format("ts", "yyyy").alias("yy"),
+                F.date_format("ts", "MM").alias("mm"),
+                F.date_format("ts", "dd").alias("dd"),
+                F.date_format("ts", "HH").alias("hh"),
                 "event_id",
                 F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
                 "user_id",
                 "event_type",
                 "value",
             )
-            .collect()
+            .repartition("yy", "mm", "dd", "hh")  # one file per hour dir
+            .write.partitionBy("yy", "mm", "dd", "hh")
+            .option("header", True)
+            .mode("overwrite")
+            .csv(staging)
         )
-        by_hour: dict[tuple[str, str, str, str], list] = {}
-        for r in rows:
-            key = (r.ts[0:4], r.ts[5:7], r.ts[8:10], r.ts[11:13])
-            by_hour.setdefault(key, []).append(r)
-        for (y, m, day, h), recs in by_hour.items():
+        for root, _dirs, files in os.walk(staging):
+            csvs = sorted(f for f in files if f.endswith(".csv"))
+            if not csvs:
+                continue
+            # repartition on the partition cols puts each hour group in one
+            # task => exactly one part file per leaf dir
+            assert len(csvs) == 1, f"expected 1 csv in {root}, got {csvs}"
+            rel = os.path.relpath(root, staging)  # yy=2024/mm=01/dd=01/hh=00
+            y, m, day, h = (seg.split("=", 1)[1] for seg in rel.split(os.sep))
             hour_dir = os.path.join(d, y, m, day)
             os.makedirs(hour_dir, exist_ok=True)
-            with open(os.path.join(hour_dir, f"{h}.csv"), "w", newline="") as f:
-                w = csv.writer(f)
-                w.writerow(["event_id", "ts", "user_id", "event_type", "value"])
-                for r in recs:
-                    w.writerow([r.event_id, r.ts, r.user_id, r.event_type, repr(r.value)])
-        _mark(d)
+            os.rename(os.path.join(root, csvs[0]), os.path.join(hour_dir, f"{h}.csv"))
+        shutil.rmtree(staging)
+        _mark(d, fp)
     hourly = readers.read_hourly_csv(spark, d, _EVENTS_CSV_SCHEMA)
     return hourly.groupBy("year", "month", "day", "hour").agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
@@ -135,11 +174,11 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator.py:158) and read back with the declared schema contract —
     schema-on-read over the landing zone, never inference in the hot
     path."""
-    d, ready = _cache_dir(sf_dir, "jsonl")
+    d, ready, fp = _cache_dir(sf_dir, "jsonl")
     out = os.path.join(d, "events_jsonl")
     if not ready:
         readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
-        _mark(d)
+        _mark(d, fp)
     ev = readers.read_jsonl(spark, out, schemas.EVENTS)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -165,13 +204,13 @@ def src_dim_csv_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     users CSVs of generator.py:87-114), loaded with explicit schemas and
     joined broadcast-side — the dimension-table pattern every enrichment
     join uses at scale."""
-    d, ready = _cache_dir(sf_dir, "dims_csv")
+    d, ready, fp = _cache_dir(sf_dir, "dims_csv", tables=("nation", "region"))
     if not ready:
         for t in ("nation", "region"):
             readers.load_table(spark, sf_dir, t).coalesce(1).write.mode(
                 "overwrite"
             ).option("header", True).csv(os.path.join(d, t))
-        _mark(d)
+        _mark(d, fp)
     nation = (
         spark.read.option("header", True)
         .schema(schemas.NATION)
@@ -208,13 +247,13 @@ def src_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back with a partition predicate. The `day = 5` filter resolves at
     planning time against directory names — the scan never opens the other
     29 days (plan-shape test asserts PartitionFilters)."""
-    d, ready = _cache_dir(sf_dir, "part_sink")
+    d, ready, fp = _cache_dir(sf_dir, "part_sink")
     out = os.path.join(d, "events_part")
     if not ready:
         sinks.write_partitioned(
             readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
         )
-        _mark(d)
+        _mark(d, fp)
     back = sinks.read_partitioned(spark, out)
     return (
         back.filter(F.col("day") == 5)
@@ -243,7 +282,7 @@ def src_incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental read (modifiedAfter) must return exactly the second batch.
     The deterministic even/odd split lets the oracle state which rows the
     bookmark admits."""
-    d, ready = _cache_dir(sf_dir, "incremental")
+    d, ready, fp = _cache_dir(sf_dir, "incremental")
     ckpt_file = os.path.join(d, "checkpoint.txt")
     data = os.path.join(d, "data")
     ev = readers.load_table(spark, sf_dir, "events")
@@ -259,7 +298,7 @@ def src_incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
             os.path.join(data, "batch2")
         )
-        _mark(d)
+        _mark(d, fp)
     with open(ckpt_file) as f:
         ckpt = f.read().strip()
     newer = sinks.read_incremental(spark, data, schemas.EVENTS, ckpt)
@@ -288,7 +327,7 @@ def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared contract, LOG policy (report, never fail). The landed layout
     deliberately drops two columns and adds one; the oracle pins the exact
     drift report."""
-    d, ready = _cache_dir(sf_dir, "drift_jsonl")
+    d, ready, fp = _cache_dir(sf_dir, "drift_jsonl")
     out = os.path.join(d, "drifted")
     if not ready:
         (
@@ -297,7 +336,7 @@ def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .json(out)
         )
-        _mark(d)
+        _mark(d, fp)
     issues = readers.infer_and_check(spark, out, schemas.EVENTS)
     return spark.createDataFrame(
         [(i,) for i in sorted(issues)], T.StructType([T.StructField("issue", T.StringType())])
@@ -386,7 +425,7 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly-once by the sink's commit log — re-running the query after the
     cache exists re-reads, never re-appends). The read-back per-day counts
     must equal the batch oracle — no dupes, no loss."""
-    d, ready = _cache_dir(sf_dir, "stream_sink")
+    d, ready, fp = _cache_dir(sf_dir, "stream_sink")
     out, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
     if not ready:
         ev = events_stream(spark, sf_dir).withColumn("day", F.dayofmonth("ts"))
@@ -399,7 +438,7 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        _mark(d)
+        _mark(d, fp)
     back = spark.read.parquet(out)
     return back.groupBy("day").agg(F.count("*").alias("n"))
 

@@ -202,8 +202,13 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token 3-gram shingles, 1-indexed element_at in Spark / 1-based list index in
 # DuckDB so both build identical shingle strings.
 _SHINGLES_SPARK = (
-    "transform(sequence(1, greatest(size(toks) - 2, 0)), "
-    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    # Guarded: for size(toks) < 3, sequence(1, size-2) would count DOWN
+    # (e.g. sequence(1, 0) = [1, 0]) and element_at(toks, 0) throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — short/empty/null docs must yield
+    # an empty shingle list, matching the DuckDB twin's range() semantics.
+    "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))) "
+    "ELSE array() END"
 )
 _SHINGLES_SQL = (
     "list_transform(range(1, greatest(len(toks) - 1, 1)), "
