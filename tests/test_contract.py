@@ -23,6 +23,32 @@ def test_queries_and_oracles_align():
         assert name in qs
 
 
+ALL_SURVEY_OPS = frozenset(
+    [f"S{i}" for i in range(1, 12)]
+    + [f"P{i}" for i in range(1, 7)]
+    + [f"J{i}" for i in range(1, 11)]
+    + [f"A{i}" for i in range(1, 10)]
+    + [f"W{i}" for i in range(1, 5)]
+    + [f"O{i}" for i in range(1, 4)]
+    + [f"E{i}" for i in range(1, 4)]
+    + [f"F{i}" for i in range(1, 9)]
+    + [f"T{i}" for i in range(1, 9)]
+    + [f"U{i}" for i in range(1, 7)]
+)
+
+
+def test_priority_prefix_covers_all_operators():
+    """The driver verifies the first 50 registry entries; that window must
+    set-cover every SURVEY.md §2 operator id (VERDICT r1+r2 item 1)."""
+    from amazonbigdata_for_students_spark.plans import DRIVER_PRIORITY, REGISTRY
+
+    assert len(ALL_SURVEY_OPS) == 68
+    first50 = list(REGISTRY)[:50]
+    assert first50 == list(DRIVER_PRIORITY)[:50]
+    covered = {tag for name in first50 for tag in REGISTRY[name].tags}
+    assert ALL_SURVEY_OPS <= covered, f"uncovered ops: {sorted(ALL_SURVEY_OPS - covered)}"
+
+
 def test_query_callables_run(spark, sf_small):
     qs = entrymod.queries()
     # spot-run one query per family through the public contract
