@@ -349,13 +349,16 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — fact×dim enrichment with an explicit broadcast (the items-table
-    join, reference diagram comp. 8). At 100 TB the customer dim stays far
-    below the broadcast threshold per segment — no fact shuffle at all."""
+    """J1 — fact×dim enrichment (the items-table join, reference diagram
+    comp. 8). No forced broadcast hint: customer grows linearly with SF, so
+    a hard `F.broadcast` would OOM the driver at 100×. AQE converts the
+    shuffle join to a broadcast join at runtime whenever the projected
+    2-column customer side actually fits (it does at bench SF); at scale
+    the plan degrades gracefully to SMJ instead of failing."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -848,8 +851,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style 3-way join: segment-filtered customers (selective —
     broadcast side) x date-filtered orders x shipdate-filtered lineitem,
     aggregate revenue per order, top-10. All three filters push to their
-    scans; the customer side broadcasts; TakeOrderedAndProject caps the
-    result without a global sort."""
+    scans; the segment-filtered customer side is still ~1/5 of a linearly
+    scaling table, so no forced broadcast — AQE picks BHJ when the runtime
+    size allows; TakeOrderedAndProject caps the result without a global
+    sort."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
@@ -859,7 +864,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("l_orderkey").alias("order_key"), F.col("o_orderdate").alias("order_date"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("order_key", "revenue", "order_date")
@@ -889,8 +894,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style 6-way join (the join-ordering stress test): two fact
-    tables (orders, lineitem) shuffle-join on orderkey; every dimension
-    (customer, supplier, nation, region) broadcasts; the
+    tables (orders, lineitem) shuffle-join on orderkey; nation/region are
+    constant-size dims so they keep explicit broadcast hints, while
+    customer and supplier scale linearly with SF — no forced hint, AQE
+    demotes those shuffles to broadcasts at runtime when they fit. The
     customer-nation = supplier-nation conjunct rides the supplier join.
     Region filter prunes before any join touches facts."""
     c = load_table(spark, sf_dir, "customer")
@@ -904,9 +911,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -943,9 +950,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-style large-orders: an aggregate-derived key set (orders
     whose total quantity crosses the threshold — a HAVING on the fact
     table) semi-drives a join back through orders and customers. The big
-    set is aggregate output (small) so it broadcasts into the re-join;
-    the lineitem table is scanned twice but shuffled on the same key both
-    times, so the exchange is reused."""
+    set is aggregate output, but its size is data-dependent (a HAVING
+    result can be anything), and customer scales with SF — so neither gets
+    a forced broadcast hint; AQE sees their runtime sizes and picks BHJ
+    when safe. The lineitem table is scanned twice but shuffled on the
+    same key both times, so the exchange is reused."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -956,9 +965,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big), "l_orderkey")
+        li.join(big, "l_orderkey")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_name").alias("customer"),
             F.col("o_orderkey").alias("order_key"),
@@ -994,8 +1003,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join twice under different roles (supplier vs customer side), and the
     symmetric OR country-pair predicate sits ABOVE both joins — Catalyst
     can't push it into either scan, so the filter placement (after the
-    cheap broadcast joins, before the aggregate) is the plan that
-    matters."""
+    cheap dim joins, before the aggregate) is the plan that matters.
+    Nation (constant 25 rows) keeps its broadcast hints; customer and
+    supplier scale with SF, so AQE decides those at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1008,8 +1018,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)

@@ -42,8 +42,50 @@ def test_projection_prunes_scan(spark, sf_small):
 
 
 def test_dim_join_is_broadcast(spark, sf_small):
+    # No forced hint anymore — AQE must still pick BHJ at runtime for the
+    # 2-column customer projection at this SF.
     df = REGISTRY["join_broadcast_enrich"].fn(spark, sf_small)
+    df.collect()
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_small):
+    """VERDICT r2 item 2: customer/supplier/HAVING-derived sets scale with
+    the data, so they must not carry explicit broadcast hints (a hint
+    overrides AQE's size check and OOMs the driver at 100×). With both
+    static and adaptive broadcast thresholds disabled, any remaining
+    BroadcastHashJoin can only come from an explicit hint — q5/q7 must
+    show exactly their constant-size dim hints (nation/region), q18 none.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        expected_hinted_bhj = {
+            "join_broadcast_enrich": 0,
+            "q3_shipping_priority": 0,
+            "q18_large_orders": 0,
+            "q5_local_supplier_volume": 2,  # nation + region only
+            "q7_nation_volume": 2,  # the two nation role-views only
+        }
+        for name, n_expected in expected_hinted_bhj.items():
+            df = REGISTRY[name].fn(spark, sf_small)
+            df.collect()
+            # executed AQE plans print "final plan\n== Initial Plan ==\n..." —
+            # count hints in the final section only
+            plan = plan_of(df).split("== Initial Plan ==")[0]
+            n_bhj = plan.count("BroadcastHashJoin")
+            assert n_bhj == n_expected, f"{name}: {n_bhj} hinted BHJ, want {n_expected}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_anti_join_is_broadcast(spark, sf_small):
