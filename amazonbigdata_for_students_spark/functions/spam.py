@@ -97,6 +97,75 @@ def score_udf(model: NBModel | None = None) -> Column:
     return spam_score
 
 
+# --- quantized decision path (cross-engine hash-checkable) -----------------
+# Summing floats is order-dependent, so a float decision boundary can
+# disagree between engines in the last bit. Quantizing the per-token
+# log-odds to integers makes the score an exact, order-free integer sum —
+# Spark's pandas UDF and a DuckDB VALUES-table oracle then agree
+# bit-for-bit on every label.
+_QUANT = 10**6
+
+
+def quantized_weights(model: NBModel | None = None) -> tuple[dict[str, int], int, int]:
+    """Per-token integer log-odds, plus (default, prior) integer terms.
+    Decision rule: prior + sum(weights of tokens) >= 0 ⇒ spam — identical
+    to spam_score >= 0.5 up to the 1e-6 quantization."""
+    model = model or default_model()
+    w = {
+        t: round((model.log_lik_spam[t] - model.log_lik_ham[t]) * _QUANT)
+        for t in model.log_lik_spam
+    }
+    default = round((model.default_spam - model.default_ham) * _QUANT)
+    prior = round((model.log_prior_spam - model.log_prior_ham) * _QUANT)
+    return w, default, prior
+
+
+def is_spam_udf(model: NBModel | None = None) -> Column:
+    """Arrow-batched boolean classifier over the quantized weights."""
+    w, default, prior = quantized_weights(model)
+
+    @F.pandas_udf(T.BooleanType())
+    def is_spam(texts: pd.Series) -> pd.Series:
+        def decide(text: str) -> bool:
+            s = prior
+            for tok in _tokens(text or ""):
+                s += w.get(tok, default)
+            return s >= 0
+
+        return texts.map(decide)
+
+    return is_spam
+
+
+def spam_oracle_sql(
+    model: NBModel | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of is_spam_udf: the 154-token vocabulary inlined as a
+    VALUES table, same tokenizer regex, same integer decision rule."""
+    w, default, prior = quantized_weights(model)
+    values = ", ".join(
+        "('{}', {})".format(t.replace("'", "''"), v) for t, v in sorted(w.items())
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             unnest(regexp_extract_all(lower({text_col}), '[a-z0-9'']+')) AS tok
+      FROM {table}
+    ),
+    w(tok, dw) AS (VALUES {values}),
+    scored AS (
+      SELECT {id_col}, sum(coalesce(w.dw, {default})) AS s
+      FROM tok LEFT JOIN w USING (tok)
+      GROUP BY {id_col}
+    )
+    SELECT d.{id_col}, CAST(coalesce(s.s, 0) + {prior} >= 0 AS BOOLEAN) AS is_spam
+    FROM {table} d LEFT JOIN scored s USING ({id_col})
+    """
+
+
 def classify_reviews(
     reviews: DataFrame,
     model: NBModel | None = None,

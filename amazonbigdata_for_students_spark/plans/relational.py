@@ -622,16 +622,32 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL++ estimate — engine-specific, no cross-engine oracle
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS within_bound
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
     tags=("A5",),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — approx distinct (HLL++): unique visitors at 100 TB where exact
     distinct would shuffle every key. rsd=1% keeps the sketch ~constant
-    size per group regardless of cardinality."""
+    size per group regardless of cardinality. The HLL++ estimate itself is
+    engine-specific, so the hash-checkable form emits the exact count plus
+    a within_bound flag (|approx-exact| <= 5*rsd*exact) that the oracle
+    asserts true — the exact arm exists only to make the estimate
+    verifiable; the production query is the estimate alone."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01) - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("within_bound"),
     )
 
 

@@ -346,20 +346,18 @@ def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # U1/P6 — spam classifier (Arrow-batched pandas UDF; rows-only check)
 # --------------------------------------------------------------------------
-@query("spam_classify_docs", oracle=None, tags=("U1", "P6"))
+@query("spam_classify_docs", oracle=spam.spam_oracle_sql(), tags=("U1", "P6"))
 def spam_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/P6 — the spam-filter component (diagram comp. 9) over the
     documents table: deterministic bundled-corpus NB model, scored by an
     Arrow-batched pandas UDF (model broadcast once per executor, vectorized
-    per batch — never a row-at-a-time UDF). Not SQL-expressible → rows-only
-    driver check; exact-label tests live in tests/test_reference_domain.py."""
+    per batch — never a row-at-a-time UDF). The decision uses integer-
+    quantized log-odds (functions/spam.quantized_weights), so the DuckDB
+    oracle — the same vocabulary inlined as a VALUES table — reproduces
+    every label exactly; exact-label tests live in
+    tests/test_reference_domain.py."""
     docs = readers.load_table(spark, sf_dir, "documents")
-    scorer = spam.score_udf()
-    return (
-        docs.withColumn("spam_score", scorer(F.col("text")))
-        .withColumn("is_spam", F.col("spam_score") >= 0.5)
-        .select("doc_id", "is_spam")
-    )
+    return docs.select("doc_id", spam.is_spam_udf()(F.col("text")).alias("is_spam"))
 
 
 # --------------------------------------------------------------------------

@@ -215,15 +215,32 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_cosine_topk_pandas", oracle=None, tags=("U5", "U1"))
+@query(
+    "vec_cosine_topk_pandas",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("U5", "U1"),
+)
 def vec_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched pandas-UDF formulation of brute-force cosine
     top-k — the path to take when scoring needs a Python library (a real
     model, a tokenizer) instead of JVM folds: one numpy matmul per Arrow
-    batch, query vector broadcast in the closure. Rows-only driver check
-    (numpy's pairwise summation rounds differently from a sequential fold
-    in the last bits); tests/test_operators.py asserts it ranks exactly
-    the same top-k as the JVM-side exact query."""
+    batch, query vector broadcast in the closure. Scores round to 6
+    decimals before comparison/ordering, which absorbs the last-bit
+    difference between numpy's pairwise summation and a sequential fold —
+    so it shares the exact JVM query's oracle; tests/test_operators.py
+    additionally asserts rank equality with vec_cosine_topk."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
