@@ -188,6 +188,46 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S2 production analogue — Kafka-shaped ingress through the same landing
+# --------------------------------------------------------------------------
+@query(
+    "src_kafka_shaped_scan",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("S2", "J5", "F3"),
+)
+def src_kafka_shaped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 production analogue — the reference's ingress is a Kinesis
+    stream (generator.py:202-224); streaming.sources.read_kafka_stream is
+    the portable equivalent: six Kafka wire columns → from_json against
+    the declared schema. The dev harness ships the same JSONL landing
+    through that exact normalization (value bytes → typed rows), so this
+    query certifies the wire-decode path end-to-end; on a cluster the same
+    call with bootstrap_servers hits a real broker."""
+    from ..streaming import sources as stream_sources
+
+    d, ready, fp = _cache_dir(sf_dir, "jsonl")
+    out = os.path.join(d, "events_jsonl")
+    if not ready:
+        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
+        _mark(d, fp)
+    ev = stream_sources.read_kafka_stream(
+        spark, schemas.EVENTS, dev_jsonl_path=out, topic="events"
+    ).drop("_topic", "_ingest_ts")
+    drained = _drain(ev, "kafka_scan", mode="append")
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # S4 — dimension CSV scan + broadcast join
 # --------------------------------------------------------------------------
 @query(

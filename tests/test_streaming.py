@@ -83,6 +83,52 @@ def test_streaming_dedup_at_least_once(spark, fx, tmp_path):
     assert n == len(distinct_keys)
 
 
+def test_kafka_shaped_source_matches_jsonl_path(spark, fx, stream_dir):
+    # S2 production analogue: the kafka-shaped dev harness must yield the
+    # same typed payload rows as the plain JSONL file stream, plus the
+    # wire metadata columns, through the SAME normalize path.
+    kafka = sources.read_kafka_stream(
+        spark, schemas.VIEW_EVENT_RAW, dev_jsonl_path=stream_dir, topic="views"
+    )
+    assert "_topic" in kafka.columns and "_ingest_ts" in kafka.columns
+    _drain(pipelines.normalize_stream(kafka.drop("_topic", "_ingest_ts")), "kafka_norm")
+    _drain(
+        pipelines.normalize_stream(
+            sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
+        ),
+        "jsonl_norm",
+    )
+    key = lambda r: (r.user_ip, r.ts, r.item_id, r.device_type, r.device_id)  # noqa: E731
+    got = sorted(map(key, spark.sql("SELECT * FROM kafka_norm").collect()))
+    want = sorted(map(key, spark.sql("SELECT * FROM jsonl_norm").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_kafka_shaped_source_composes_with_clean_stream(spark, fx, stream_dir):
+    # clean_stream (watermark + dedup + anti-join) must compose over the
+    # kafka-shaped source unchanged — the VERDICT r2 item-5 contract.
+    stream = pipelines.normalize_stream(
+        sources.read_kafka_stream(
+            spark, schemas.VIEW_EVENT_RAW, dev_jsonl_path=stream_dir
+        ).drop("_topic", "_ingest_ts")
+    )
+    bot_ip = sorted({v["user_ip"] for v in fx.views})[0]
+    suspicious = spark.createDataFrame([(bot_ip,)], "user_ip string")
+    _drain(pipelines.clean_stream(stream, suspicious), "kafka_clean")
+    rows = spark.sql("SELECT * FROM kafka_clean").collect()
+    assert rows
+    assert bot_ip not in {r.user_ip for r in rows}
+
+
+def test_kafka_stream_requires_exactly_one_mode(spark):
+    with pytest.raises(ValueError):
+        sources.read_kafka_stream(spark, schemas.VIEW_EVENT_RAW)
+    with pytest.raises(ValueError):
+        sources.read_kafka_stream(
+            spark, schemas.VIEW_EVENT_RAW, bootstrap_servers="b:9092", dev_jsonl_path="/x"
+        )
+
+
 def test_stream_static_anti_join_filters_ips(spark, fx, stream_dir):
     stream = pipelines.normalize_stream(
         sources.read_jsonl_stream(spark, stream_dir, schemas.VIEW_EVENT_RAW)
