@@ -86,6 +86,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_wav_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS n_channels,
+           CAST((n_chars * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+             AS duration_ms
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+    tags=("U1", "F8"),
+)
+def mm_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the Decoder seam: synthesize a valid
+    RIFF/WAV PCM file per audio doc (functions.multimodal.synth_wav —
+    rate/channels/frames derived from stable doc columns, samples tiling
+    the text bytes), then parse the BYTES back with the stdlib WavDecoder
+    inside Arrow-batched mapInPandas. The oracle recomputes
+    rate/channels/duration from the same doc columns, so a header
+    mis-write or mis-parse fails the hash — unlike the FakeDecoder
+    queries, this one round-trips an actual codec."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    dec = multimodal.WavDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                wav = multimodal.synth_wav(
+                    sample_rate=8000 + (doc_id % 4) * 4000,
+                    n_channels=1 + (doc_id % 2),
+                    n_frames=int(n_chars),
+                    seed_bytes=(text or "").encode("utf-8"),
+                )
+                rate, ch, dur = dec.decode_wav_stats(wav)
+                rows.append((doc_id, rate, ch, dur))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_channels", "duration_ms"]
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+@query(
     "mm_size_stats",
     oracle="""
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -148,6 +148,39 @@ def test_multimodal_base_decoder_is_explicit_stub(spark, media_df):
         feats.collect()
 
 
+def test_wav_decoder_roundtrip():
+    # A REAL codec behind the Decoder seam: synthesize a PCM WAV with
+    # known parameters, parse the bytes back with the stdlib decoder.
+    wav = multimodal.synth_wav(
+        sample_rate=16000, n_channels=2, n_frames=8000, seed_bytes=b"abc123"
+    )
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    dec = multimodal.WavDecoder()
+    rate, ch, dur_ms = dec.decode_wav_stats(wav)
+    assert (rate, ch, dur_ms) == (16000, 2, 500)
+    feat = dec.decode_features("audio", "audio/wav", wav, dim=8)
+    assert len(feat) == 8
+    assert feat[0] == pytest.approx(0.5)  # duration_s
+    assert feat[1] == 16000 and feat[2] == 2
+    assert 0.0 < feat[3] < 1.0  # rms of non-silent samples
+    # determinism across calls (distributed re-execution must agree)
+    assert multimodal.synth_wav(16000, 2, 8000, b"abc123") == wav
+
+
+def test_wav_decoder_in_extract_features(spark):
+    rows = [
+        (1, "audio", "audio/wav", multimodal.synth_wav(8000, 1, 4000, b"x"), None, None, 500),
+        (2, "audio", "audio/wav", multimodal.synth_wav(12000, 2, 6000, b"y"), None, None, 500),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(df, multimodal.WavDecoder(), dim=4).collect()
+    }
+    assert feats[1][1] == 8000 and feats[1][2] == 1
+    assert feats[2][1] == 12000 and feats[2][2] == 2
+
+
 def test_multimodal_frame_sampling(spark, media_df):
     frames = multimodal.frame_sample_stub(media_df, every_ms=1000).collect()
     # one video of 3500ms -> frames at 0,1000,2000,3000
