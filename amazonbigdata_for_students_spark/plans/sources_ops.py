@@ -39,13 +39,27 @@ _SLICE_END = "2024-01-03 00:00:00"
 
 def _src_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     """Content key of the fixture's source tables (mtime_ns + size per
-    parquet). Regenerated testdata at the same path gets a different key,
-    so stale fixtures can never silently answer for new data."""
+    parquet data file). Regenerated testdata at the same path gets a
+    different key, so stale fixtures can never silently answer for new
+    data. Spark-written tables are directories of part files — those key
+    on every data file inside, not the directory's own (weak) stat."""
     parts = []
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        st = os.stat(p)
-        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"fixture source table missing: {p} (table '{t}' under {sf_dir})"
+            )
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue  # _SUCCESS / checksums aren't data
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{t}/{f}:{st.st_mtime_ns}:{st.st_size}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
     return "|".join(parts)
 
 
@@ -139,14 +153,25 @@ def src_hourly_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             csvs = sorted(f for f in files if f.endswith(".csv"))
             if not csvs:
                 continue
-            # repartition on the partition cols puts each hour group in one
-            # task => exactly one part file per leaf dir
-            assert len(csvs) == 1, f"expected 1 csv in {root}, got {csvs}"
             rel = os.path.relpath(root, staging)  # yy=2024/mm=01/dd=01/hh=00
             y, m, day, h = (seg.split("=", 1)[1] for seg in rel.split(os.sep))
             hour_dir = os.path.join(d, y, m, day)
             os.makedirs(hour_dir, exist_ok=True)
-            os.rename(os.path.join(root, csvs[0]), os.path.join(hour_dir, f"{h}.csv"))
+            target = os.path.join(hour_dir, f"{h}.csv")
+            if len(csvs) == 1:
+                # repartition on the partition cols puts each hour group in
+                # one task => normally exactly one part file per leaf dir
+                os.rename(os.path.join(root, csvs[0]), target)
+            else:
+                # e.g. spark.sql.files.maxRecordsPerFile splits the task
+                # output — concatenate, keeping only the first header, so
+                # no part file is ever silently dropped
+                with open(target, "wb") as out:
+                    for i, name in enumerate(csvs):
+                        with open(os.path.join(root, name), "rb") as part:
+                            if i > 0:
+                                part.readline()  # skip repeated header
+                            shutil.copyfileobj(part, out)
         shutil.rmtree(staging)
         _mark(d, fp)
     hourly = readers.read_hourly_csv(spark, d, _EVENTS_CSV_SCHEMA)
