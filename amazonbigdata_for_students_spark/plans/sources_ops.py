@@ -213,6 +213,57 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J7 scale path — co-located join via bucketed tables (no join shuffle)
+# --------------------------------------------------------------------------
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("J7", "S11"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 at 100 TB — the co-located fact×fact join: lineitem and orders
+    persisted with bucketBy(16, orderkey) + sortBy, so the join reads
+    pre-partitioned, pre-sorted buckets and needs NO exchange on either
+    side — bucketing pays the fact shuffle ONCE at write time and every
+    subsequent orderkey join rides it free, which is the difference
+    between re-shuffling 100 TB per query and never. The only exchange
+    left in the plan is the final aggregate's (plan-shape-tested).
+    Fixture staleness follows the same fingerprint contract as the other
+    source fixtures; tableExists guards a wiped warehouse."""
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    li_t, o_t = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
+    d, ready, fp = _cache_dir(sf_dir, "bucketed", tables=("lineitem", "orders"))
+    if not ready or not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(o_t):
+        for t, name, key in (("lineitem", li_t, "l_orderkey"), ("orders", o_t, "o_orderkey")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                readers.load_table(spark, sf_dir, t)
+                # align write tasks with buckets so each bucket is one file
+                # (single-file buckets also let the join skip its sorts)
+                .repartition(16, F.col(key))
+                .write.bucketBy(16, key)
+                .sortBy(key)
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _mark(d, fp)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
 # S2 production analogue — Kafka-shaped ingress through the same landing
 # --------------------------------------------------------------------------
 @query(

@@ -94,6 +94,17 @@ def test_anti_join_is_broadcast(spark, sf_small):
     assert "LeftAnti, BuildRight" in plan
 
 
+def test_bucketed_join_eliminates_join_shuffle(spark, sf_small):
+    # J7 scale path: both sides bucketed on the join key → the join itself
+    # must not re-shuffle either fact table; only the final aggregate may.
+    df = REGISTRY["join_bucketed_colocated"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan  # both scans are bucket-aware
+
+
 def test_topk_avoids_global_sort(spark, sf_small):
     df = REGISTRY["sort_topk"].fn(spark, sf_small)
     assert "TakeOrderedAndProject" in plan_of(df)
