@@ -288,6 +288,50 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TYPE_WEIGHTS = (
+    ("click", 1.0),
+    ("error", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("view", 1.5),
+)
+
+
+@query(
+    "salted_hot_key_join",
+    oracle=f"""
+    WITH w(event_type, weight) AS (VALUES
+      {", ".join(f"('{t}', {v})" for t, v in _TYPE_WEIGHTS)})
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CAST(e.value * w.weight AS DECIMAL(38,6))) AS DOUBLE)
+             AS weighted_value
+    FROM {EVENTS} e JOIN w USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("J7", "A1"),
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (operators/skew.salted_join) on a maximally hot
+    key: every events row carries one of five event_type values, so an
+    unsalted shuffle join lands the whole table on five reducers. Salting
+    spreads each key across 16 buckets (right side exploded 16x — fine,
+    it's five rows) — the fallback for when AQE's skew splitting is
+    unavailable (streaming micro-batches). The oracle is the plain
+    unsalted join: salting must not change a single answer."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    weights = spark.createDataFrame(
+        list(_TYPE_WEIGHTS), "event_type string, weight double"
+    )
+    joined = salted_join(ev, weights, "event_type", salt_buckets=16)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # U3 — custom UDAF via applyInPandas (grouped-map)
 # --------------------------------------------------------------------------

@@ -240,8 +240,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_t, o_t = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
     d, ready, fp = _cache_dir(sf_dir, "bucketed", tables=("lineitem", "orders"))
     if not ready or not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(o_t):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        warehouse = warehouse.removeprefix("file:")
         for t, name, key in (("lineitem", li_t, "l_orderkey"), ("orders", o_t, "o_orderkey")):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # a fresh session's catalog may not know the table even though a
+            # previous session left its managed location behind — clear it,
+            # or saveAsTable fails with LOCATION_ALREADY_EXISTS
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
             (
                 readers.load_table(spark, sf_dir, t)
                 # align write tasks with buckets so each bucket is one file
