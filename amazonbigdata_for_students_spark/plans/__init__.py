@@ -19,6 +19,7 @@ from . import extensions  # noqa: E402  pivot/subqueries/UDAF/simhash/ANN
 from ..streaming import batch_twins  # noqa: E402  streaming ops with oracles
 from . import sources_ops  # noqa: E402  §2.1 sources/sinks + J5/T8/U1 surface
 from . import multimodal_ops  # noqa: E402  north-star multimodal columns
+from . import traindata  # noqa: E402  LLM-corpus split/sample/shard ops
 
 # The driver's external correctness gate verifies a fixed-size prefix of the
 # registry (observed: first 50 entries of ``queries()``, insertion order).

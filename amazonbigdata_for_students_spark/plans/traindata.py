@@ -1,0 +1,154 @@
+"""Training-data pipeline operators over the documents/events tables
+(north star: the operations a 100 TB LLM-corpus build runs between raw
+scrape and tokenizer — split, sample, shard).
+
+Determinism discipline: anything that must be reproducible across engines
+and re-executions derives from md5 of a stable key, never from an RNG;
+anything inherently randomized (Bernoulli sampling) is checked through a
+statistical self-audit the oracle pins true.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .relational import EVENTS
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                  THEN 'train'
+                WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 13
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("P5", "F8"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~81/6/13): the first
+    md5 nibble of the stable doc key buckets each row. Hash-based splits
+    are the only kind that survive a distributed, incrementally-growing
+    corpus — the assignment of a document never depends on partitioning,
+    row order, or corpus size, so re-runs and late-arriving shards agree.
+    Pure JVM expressions (md5 + strpos), map-only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    return d.select(
+        "doc_id",
+        F.when(nibble < 13, "train").when(nibble == 13, "val").otherwise("test").alias("split"),
+    )
+
+
+_SAMPLE_FRACS = (
+    ("click", 0.5),
+    ("error", 0.9),
+    ("purchase", 0.25),
+    ("signup", 0.75),
+    ("view", 0.1),
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_total, true AS frac_ok
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("P2", "A1"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling — the class-rebalancing step of a
+    training-corpus build — via sampleBy with a fixed seed: Bernoulli
+    per-row draws, so it's one map-only pass at any scale (never a
+    per-stratum shuffle). Sampled counts are partitioning-dependent in
+    their low bits, so the hash-checkable form emits the exact stratum
+    size plus a realized-fraction-within-0.1-of-target boolean the oracle
+    pins true (>=9 sigma of slack at sf0.01 stratum sizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    fracs = dict(_SAMPLE_FRACS)
+    sampled = ev.sampleBy("event_type", fractions=fracs, seed=42)
+    n_samp = sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    n_tot = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    target = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _SAMPLE_FRACS for x in kv]), F.col("event_type")
+    )
+    return (
+        n_tot.join(n_samp, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total") - target)
+                <= 0.1
+            ).alias("frac_ok"),
+        )
+    )
+
+
+_SHARD_BUDGET = 4000  # tokens per shard
+
+
+@query(
+    "shard_by_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {_SHARD_BUDGET}) AS BIGINT) AS shard
+    FROM t
+    """,
+    tags=("W3", "A7"),
+)
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~equal-token shards (the tokenizer-feeding
+    layout of a corpus build): shard = floor(exclusive-prefix-sum of
+    token counts / budget) in doc_id order. The naive formulation is a
+    GLOBAL window — one reducer holds the corpus, dead at 100 TB — so
+    this runs the distributed two-pass prefix sum instead:
+    range-partition by doc_id, (1) per-partition token subtotals -> tiny
+    offsets table (one row per partition, prefix-summed on the driver
+    side of a broadcast), (2) per-partition running sum + offset. The
+    oracle is the equivalent single-window SQL; answers must be
+    identical."""
+    from ..plans.text import TOKENS
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(TOKENS()).alias("n_tokens"))
+        .repartitionByRange(8, "doc_id")
+        .withColumn("_part", F.spark_partition_id())
+    )
+    # pass 1: per-partition subtotal -> exclusive offset per partition.
+    # The offsets frame is #partitions rows — broadcast-sized at ANY data
+    # scale, which is the whole point of the two-pass shape.
+    subtotals = d.groupBy("_part").agg(F.sum("n_tokens").alias("sub"))
+    w_off = W.orderBy("_part").rowsBetween(W.unboundedPreceding, -1)
+    offsets = subtotals.select(
+        "_part", F.coalesce(F.sum("sub").over(w_off), F.lit(0)).alias("offset")
+    )
+    # pass 2: running sum within each partition + that partition's offset
+    w_run = W.partitionBy("_part").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        d.join(F.broadcast(offsets), "_part")
+        .withColumn("_run", F.coalesce(F.sum("n_tokens").over(w_run), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("_run") + F.col("offset")) / _SHARD_BUDGET).alias("shard"),
+        )
+    )
