@@ -67,29 +67,39 @@ _SAMPLE_FRACS = (
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-class) sampling — the class-rebalancing step of a
-    training-corpus build — via sampleBy with a fixed seed: Bernoulli
-    per-row draws, so it's one map-only pass at any scale (never a
-    per-stratum shuffle). Sampled counts are partitioning-dependent in
-    their low bits, so the hash-checkable form emits the exact stratum
-    size plus a realized-fraction-within-0.1-of-target boolean the oracle
-    pins true (>=9 sigma of slack at sf0.01 stratum sizes)."""
-    ev = load_table(spark, sf_dir, "events")
-    fracs = dict(_SAMPLE_FRACS)
-    sampled = ev.sampleBy("event_type", fractions=fracs, seed=42)
-    n_samp = sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
-    n_tot = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    training-corpus build — as seeded per-row Bernoulli draws (the same
+    semantics sampleBy lowers to), audited in the SAME single aggregation
+    pass: one scan, one map-side-combined shuffle, no second aggregate or
+    join. Sampled counts are partitioning-dependent in their low bits, so
+    the hash-checkable form emits the exact stratum size plus a
+    realized-fraction-within-0.1-of-target boolean the oracle pins true
+    (>=9 sigma of slack at sf0.01 stratum sizes)."""
     target = F.element_at(
         F.create_map(*[F.lit(x) for kv in _SAMPLE_FRACS for x in kv]), F.col("event_type")
     )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # nondeterministic rand() must live in a projection, not inside
+        # the aggregate; the draw + target lookup stay map-side either way
+        .select(
+            "event_type",
+            (F.rand(seed=42) < target).cast("long").alias("_keep"),
+            target.alias("_target"),
+        )
+    )
     return (
-        n_tot.join(n_samp, "event_type", "left")
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("_keep").alias("_n_sampled"),
+            F.first("_target").alias("_t"),
+        )
         .select(
             "event_type",
             "n_total",
-            (
-                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total") - target)
-                <= 0.1
-            ).alias("frac_ok"),
+            (F.abs(F.col("_n_sampled") / F.col("n_total") - F.col("_t")) <= 0.1).alias(
+                "frac_ok"
+            ),
         )
     )
 
