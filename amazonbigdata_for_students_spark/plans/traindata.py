@@ -47,6 +47,69 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    kept AS (
+      SELECT d.doc_id,
+             len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> ''))
+               AS n_tokens,
+             CASE WHEN strpos('{_HEX}', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                    THEN 'train'
+                  WHEN strpos('{_HEX}', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 = 13
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE d.n_chars >= 20
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY split
+    """,
+    tags=("U6", "E3", "P2"),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build, composed from this engine's own
+    operator stages the way a user would chain them: exact dedup (keep the
+    min-doc_id canonical per normalized-text fingerprint — dedup_exact_docs'
+    key) → minimum-length quality gate → deterministic md5-nibble
+    train/val/test assignment (split_train_test's rule) → per-split
+    document and token accounting. Everything JVM-side; the only shuffles
+    are the dedup groupBy and the final 3-group aggregate — the membership
+    join is left-semi on the canonical-id set (aggregate output, AQE
+    broadcasts it when it fits)."""
+    from .text import TOKENS, _NORM
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    nibble = F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    kept = (
+        d.join(canon, "doc_id", "left_semi")
+        .filter(F.col("n_chars") >= 20)
+        .select(
+            F.size(TOKENS()).alias("n_tokens"),
+            F.when(nibble < 13, "train")
+            .when(nibble == 13, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return kept.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 _SAMPLE_FRACS = (
     ("click", 0.5),
     ("error", 0.9),

@@ -119,6 +119,37 @@ def test_range_join_stays_hash_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hash_split_is_map_only(spark, sf_small):
+    # Deterministic train/test split must stay a map-only pass — any
+    # Exchange here means the split depends on data movement.
+    df = REGISTRY["split_train_test"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_single_aggregation(spark, sf_small):
+    # The draw + audit must ride ONE aggregation: exactly one shuffle,
+    # partial/final combine, no join.
+    df = REGISTRY["sample_stratified"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_token_sharding_avoids_global_window(spark, sf_small):
+    # The two-pass prefix sum must not funnel the corpus through a single
+    # unpartitioned window (SinglePartition exchange over the full table);
+    # only the #partitions-row offsets frame may do that.
+    df = REGISTRY["shard_by_token_budget"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # the doc-level window is partitioned by _part, never a global sort
+    assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert "rangepartitioning(doc_id" in plan  # pass-2 locality comes from range partitioning
+
+
 def test_wholestage_codegen_on_hot_path(spark, sf_small):
     df = REGISTRY["q1_pricing_summary"].fn(spark, sf_small)
     codegen = df._sc._jvm.PythonSQLUtils.explainString(
