@@ -264,3 +264,57 @@ def vec_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+    SELECT vec_id,
+           round(lo, 6) AS scale_lo,
+           round(hi, 6) AS scale_hi,
+           CAST(len(v) AS BIGINT) AS dim,
+           CAST(list_sum(list_transform(v,
+                 x -> CAST(least(floor((x - lo) / (hi - lo) * 256), 255) - 128 AS BIGINT)))
+             AS BIGINT) AS q_checksum
+    FROM mm
+    """,
+    tags=("U5", "F7"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization — the 4x storage/bandwidth compression
+    step of an embedding pipeline: per-vector min/max affine scale to
+    [-128, 127] (equal-width bins of 1/256; the hi endpoint's bin 256
+    clamps to 255 → code 127). Pure JVM higher-order
+    array functions, map-only, no shuffle. floor() on identically-ordered
+    double arithmetic is bit-stable across engines (unlike round-half
+    modes), so the oracle recomputes the quantized values exactly; the
+    checked columns are the per-vector scale params + quantized-sum
+    checksum (a flipped code anywhere shifts the sum)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    lo = F.array_min("v")
+    hi = F.array_max("v")
+    mm = e.select("vec_id", "v", lo.alias("lo"), hi.alias("hi"))
+    qcode = F.transform(
+        F.col("v"),
+        lambda x: (
+            F.least(
+                F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+                F.lit(255),
+            )
+            - 128
+        ).cast("long"),
+    )
+    return mm.select(
+        "vec_id",
+        F.round("lo", 6).alias("scale_lo"),
+        F.round("hi", 6).alias("scale_hi"),
+        F.size("v").cast("long").alias("dim"),
+        F.aggregate(qcode, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_checksum"
+        ),
+    )
