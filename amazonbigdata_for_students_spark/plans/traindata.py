@@ -225,3 +225,48 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("_run") + F.col("offset")) / _SHARD_BUDGET).alias("shard"),
         )
     )
+
+
+@query(
+    "decontaminate_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')
+                           AS toks
+                  FROM documents),
+         sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+                FROM toks),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+    SELECT sh.doc_id, count(*) AS n_shared_shingles
+    FROM sh JOIN bench USING (shingle)
+    WHERE sh.doc_id >= 20
+    GROUP BY sh.doc_id
+    """,
+    tags=("U6", "J3"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene pass that
+    flags candidate documents sharing any token-3-gram shingle with a
+    held-out benchmark set (here: the 20 lowest doc_ids stand in for the
+    benchmark). The benchmark shingle set is tiny relative to the corpus,
+    so the overlap test is a broadcast inner join on shingle equality —
+    the corpus side streams through map-side, no self-join, no skew
+    exposure — followed by one count-per-doc aggregate. At 100 TB this is
+    the cheapest of the dedup-family passes: |benchmark| bounds the
+    broadcast no matter how large the corpus grows."""
+    from .text import _SHINGLES_SPARK, TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.withColumn("toks", TOKENS()).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
