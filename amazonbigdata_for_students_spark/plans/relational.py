@@ -969,8 +969,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is aggregate output, but its size is data-dependent (a HAVING
     result can be anything), and customer scales with SF — so neither gets
     a forced broadcast hint; AQE sees their runtime sizes and picks BHJ
-    when safe. The lineitem table is scanned twice but shuffled on the
-    same key both times, so the exchange is reused."""
+    when safe (at bench SF the final plan is all-broadcast with exactly
+    one exchange: the HAVING aggregate's partial shuffle — the main
+    lineitem scan never shuffles). At sizes where AQE keeps SMJ instead,
+    both lineitem branches shuffle on the same key and the exchange is
+    reused."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
