@@ -270,3 +270,78 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+@query(
+    "chunk_content_defined",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')
+                           AS toks
+                  FROM documents),
+         pos AS (SELECT doc_id, i AS pos,
+                        CASE WHEN i <= len(toks) - 2
+                               AND substring(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 1) = '0'
+                             THEN 1 ELSE 0 END AS boundary
+                 FROM toks, unnest(range(1, len(toks) + 1)) AS u(i)),
+         chunked AS (SELECT doc_id, pos,
+                            coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                     FROM pos)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, count(*) AS n_tokens
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    """,
+    tags=("U2", "W3"),
+)
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — split documents into passages at
+    hash-derived token boundaries (boundary where the md5 of the local
+    3-gram starts with nibble 0, i.e. expected chunk length ~16 tokens).
+    Content-defined boundaries are the dedup-friendly chunking: inserting
+    a sentence shifts ONE chunk, not every chunk after it (rsync/CDC
+    insight applied to corpus passages). All JVM-side: posexplode, md5,
+    and a per-document running sum — the window partitions by doc_id, so
+    parallelism is per-document and no global order exists."""
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
+    pos = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when(
+            (F.col("pos0") + 1 <= F.col("n") - 2)
+            & (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.col("tok"),
+                            F.element_at("toks", F.col("pos0") + 2),
+                            F.element_at("toks", F.col("pos0") + 3),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                == "0"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    chunked = pos.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.sum("boundary").over(w), F.lit(0)).alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id")).agg(
+        F.count("*").alias("n_tokens")
+    )
