@@ -569,3 +569,43 @@ def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(TOKENS()).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "txt_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_share
+    FROM c
+    GROUP BY doc_id
+    """,
+    tags=("U2", "A3"),
+)
+def txt_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): per
+    document, the fraction of word occurrences that are repeats and the
+    share held by the single most frequent word — the two cheapest
+    detectors of boilerplate/keyword-stuffed text that length filters
+    miss. Shape: explode to (doc, token), count per pair (map-side
+    combine does most of the work — per-doc vocab is far smaller than
+    per-doc tokens), then one per-doc rollup. Both shuffles key on
+    doc_id(+token), so parallelism is per-document and no stage ever
+    holds more than a doc's vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(TOKENS()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(1.0 - F.count("*") / n.cast("double"), 6).alias("dup_word_frac"),
+        F.round(F.max("c") / n.cast("double"), 6).alias("top_word_share"),
+    )

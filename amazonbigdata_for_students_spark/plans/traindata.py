@@ -227,6 +227,118 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('{_HEX}', substring(skey, 1, 1)) - 1 AS BIGINT) AS shard,
+           row_number() OVER (
+             PARTITION BY strpos('{_HEX}', substring(skey, 1, 1)) - 1
+             ORDER BY skey, doc_id) AS pos
+    FROM k
+    """,
+    tags=("W1", "F8"),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle — the step that fixes the
+    example order a training run will consume. Seeded-RNG shuffles are not
+    reproducible across cluster sizes or re-runs; hashing is: shard = the
+    first md5 nibble of (seed | doc key), position = rank of the full md5
+    digest within the shard. The order is uniform-pseudorandom in the seed
+    yet a pure function of the data, so adding documents never reorders
+    existing (shard, pos) prefixes beyond their insertion points. The sort
+    window partitions by shard — per-shard parallelism, never a global
+    single-reducer order-by; at 100 TB bump the nibble count to keep
+    shards at a few GB each."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("shuf42|"), F.col("doc_id").cast("string")))
+    shard = (F.instr(F.lit(_HEX), F.substring(F.col("skey"), 1, 1)) - 1).cast("long")
+    w = W.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", skey.alias("skey"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         sq AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS isq,
+                       CAST(floor(sqrt((SELECT min(n) FROM cnt))) AS BIGINT) AS isq_min
+                FROM cnt),
+         draw AS (
+           SELECT d.lang,
+                  CAST(strpos('0123456789abcdef', substring(md5('temp42|' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) * 4096
+                  + CAST(strpos('0123456789abcdef', substring(md5('temp42|' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1
+                    AS BIGINT) * 256
+                  + CAST(strpos('0123456789abcdef', substring(md5('temp42|' || CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1
+                    AS BIGINT) * 16
+                  + CAST(strpos('0123456789abcdef', substring(md5('temp42|' || CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1
+                    AS BIGINT) AS u16
+           FROM documents d
+         )
+    SELECT s.lang,
+           s.n AS n_total,
+           CAST(sum(CASE WHEN draw.u16 * s.isq < 32768 * s.isq_min THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           round(CAST(s.isq_min AS DOUBLE) / (2 * s.isq), 6) AS target_frac
+    FROM draw JOIN sq s USING (lang)
+    GROUP BY s.lang, s.n, s.isq, s.isq_min
+    """,
+    tags=("P2", "A1", "F8"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling across languages — the corpus-rebalancing
+    step that upsamples rare strata: keep probability ∝ n_lang^(α-1) with
+    α=1/2, so a language 4x smaller is kept at 2x the rate. The draw and
+    the threshold are EXACT integer math — u16 = the first 16 md5 bits of
+    (seed | doc key), keep iff u16·⌊√n_lang⌋ < 32768·⌊√n_min⌋ (i.e.
+    p = ⌊√n_min⌋ / 2⌊√n_lang⌋, max ½) — so unlike an RNG-based sampler the
+    kept COUNT itself is reproducible cross-engine and hash-checked, not
+    just bounded. Two shuffles: the per-lang count aggregate (5 rows,
+    broadcast back onto the scan) and the final 5-group rollup; the
+    per-row draw is map-side md5."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
+    isq_min = cnt.agg(F.floor(F.sqrt(F.min("n"))).cast("long").alias("m"))
+    sq = (
+        cnt.withColumn("isq", F.floor(F.sqrt(F.col("n"))).cast("long"))
+        .crossJoin(F.broadcast(isq_min))
+    )
+    u16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("temp42|"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("lang", u16.alias("u16"))
+        .join(F.broadcast(sq), "lang")
+        .groupBy("lang", "n", "isq", "m")
+        .agg(
+            F.sum(
+                (F.col("u16") * F.col("isq") < 32768 * F.col("m")).cast("long")
+            ).alias("n_kept")
+        )
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            "n_kept",
+            F.round(F.col("m").cast("double") / (2 * F.col("isq")), 6).alias("target_frac"),
+        )
+    )
+
+
 @query(
     "decontaminate_overlap",
     oracle="""

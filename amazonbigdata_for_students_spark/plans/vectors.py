@@ -442,3 +442,46 @@ def vec_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits") >= 8).alias("recall_ok"),
         F.lit(monotone).alias("inertia_monotone"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT b.vec_id, b.label
+    FROM e b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e a
+      WHERE a.label = b.label AND a.vec_id < b.vec_id
+        AND list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    )
+    """,
+    tags=("U6", "U5", "J2"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (not just the pair list):
+    survivors under the min-id canonical rule — drop a vector iff some
+    lower-id vector in its block is cosine-similar above the 0.4
+    threshold. Candidate generation is the same label-blocked equi-join
+    as vec_neardup_pairs (per-block pairs, never all-pairs); the survivor
+    pass is a LEFT ANTI join of the corpus against the dropped-id side of
+    the pair set — at scale that's one blocked pairwise stage plus one
+    hash anti-join, the exact shape MinHash-clustered dedup uses with
+    buckets in place of labels."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.4)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
