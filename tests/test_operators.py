@@ -222,3 +222,62 @@ def test_pandas_cosine_matches_jvm_exact(spark, sf_small):
     jvm = REGISTRY["vec_cosine_topk"].fn(spark, sf_small).collect()
     pnd = REGISTRY["vec_cosine_topk_pandas"].fn(spark, sf_small).collect()
     assert [(r.vec_id, r.cos_sim) for r in jvm] == [(r.vec_id, r.cos_sim) for r in pnd]
+
+
+def test_shuffle_deterministic_is_permutation_and_stable(spark, sf_small):
+    out1 = REGISTRY["shuffle_deterministic"].fn(spark, sf_small).collect()
+    out2 = REGISTRY["shuffle_deterministic"].fn(spark, sf_small).collect()
+    # pure function of the data: identical across runs
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert len(out1) == n_docs
+    # every shard's positions are exactly 1..len(shard) — a true permutation
+    by_shard: dict[int, list[int]] = {}
+    for r in out1:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # and the order is not just doc_id order (it actually shuffles)
+    first_shard = min(by_shard)
+    ids_in_order = [
+        r.doc_id for r in sorted(out1, key=lambda r: (r.shard, r.pos)) if r.shard == first_shard
+    ]
+    assert ids_in_order != sorted(ids_in_order)
+
+
+def test_sample_temperature_upsamples_rare_langs(spark):
+    rows = {r.lang: r for r in REGISTRY["sample_temperature"].fn(spark, "/root/testdata/sf0.01").collect()}
+    biggest = max(rows.values(), key=lambda r: r.n_total)
+    smallest = min(rows.values(), key=lambda r: r.n_total)
+    assert smallest.n_total < biggest.n_total  # the stratum sizes really differ
+    # inverse-sqrt temperature: the rare stratum gets the higher target AND
+    # higher realized keep rate
+    assert smallest.target_frac > biggest.target_frac
+    assert smallest.n_kept / smallest.n_total > biggest.n_kept / biggest.n_total
+    for r in rows.values():
+        # realized rate tracks the deterministic target (u16 grid is 2^16)
+        assert abs(r.n_kept / r.n_total - r.target_frac) < 0.15
+
+
+def test_repetition_stats_match_python_recount(spark, sf_small):
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_small, "documents").collect()}
+    out = REGISTRY["txt_repetition_stats"].fn(spark, sf_small).collect()
+    assert len(out) == sum(1 for t in docs.values() if t.strip())
+    for r in out[:20]:
+        toks = [t for t in docs[r.doc_id].strip().lower().split() if t]
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct == len(counts)
+        assert abs(r.dup_word_frac - (1 - len(counts) / len(toks))) < 1e-6
+        assert abs(r.top_word_share - max(counts.values()) / len(toks)) < 1e-6
+
+
+def test_embedding_dedup_complements_pair_list(spark, sf_small):
+    survivors = {r.vec_id for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_small).collect()}
+    pairs = REGISTRY["vec_neardup_pairs"].fn(spark, sf_small).collect()
+    dropped = {r.vec_b for r in pairs}
+    all_ids = {r.vec_id for r in load_table(spark, sf_small, "embeddings").collect()}
+    # exactly the non-dropped ids survive (min-id canonical rule)
+    assert survivors == all_ids - dropped
