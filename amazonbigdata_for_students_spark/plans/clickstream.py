@@ -209,3 +209,138 @@ def clk_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM {EVENTS} e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM {EVENTS} e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM {EVENTS} e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_viewed,
+           (SELECT count(*) FROM s2) AS n_clicked_after_view,
+           (SELECT count(*) FROM s3) AS n_purchased_after_click,
+           round((SELECT count(*) FROM s3) / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6)
+             AS full_funnel_rate
+    """,
+    tags=("A3", "J3", "F1"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (the Athena-surface ad-hoc query family,
+    diagram comp. 11): users who viewed, then clicked strictly AFTER their
+    first view, then purchased strictly after that click. Order matters —
+    this is not three independent filters but a chain of per-user
+    first-passage times, computed as three user-keyed aggregates each
+    feeding the next through an equi-join on user_id. Every shuffle keys
+    on user_id, so the stages stay co-partitioned (one real exchange, AQE
+    reuses it) and per-user state is three timestamps, never the event
+    list."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(s2.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        F.round(
+            F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"), 6
+        ).alias("full_funnel_rate"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH first_seen AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                        FROM {EVENTS} e GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+                    FROM {EVENTS} e)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("A1", "F1", "J1"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users bucketed by the ISO week they first appeared, counted in every
+    subsequent week they were active. Shape: one per-user min aggregate
+    (the cohort assignment), one distinct over (user, week) — both key on
+    user_id so they share a partitioning — then a join back and a
+    (cohort, offset) count whose cardinality is weeks², tiny at any data
+    scale. The offset is day-difference/7 on week-truncated timestamps,
+    exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EVENTS} e
+    ) WHERE rn = 1
+    """,
+    tags=("W1", "S9"),
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: collapse an append-only event log to
+    the latest record per key (ts desc, event_id desc as the deterministic
+    tie-break) — the read-side MERGE that turns a CDC feed into a current-
+    state table. One window keyed on user_id; at scale this is the
+    log-compaction pass run per ingest batch, and because the window
+    partitions by the key it never globally sorts — each key's history
+    sorts independently."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
