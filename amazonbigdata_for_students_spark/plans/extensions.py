@@ -697,3 +697,75 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "profile_table",
+    oracle=f"""
+    WITH e AS (SELECT * FROM {EVENTS} e0)
+    SELECT 'event_id' AS col_name, count(*) AS n,
+           count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num
+    FROM e
+    UNION ALL
+    SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+           CAST(epoch_us(min(ts)) AS DOUBLE), CAST(epoch_us(max(ts)) AS DOUBLE) FROM e
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM e
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type),
+           NULL, NULL FROM e
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+           round(min(value), 6), round(max(value), 6) FROM e
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+           NULL, NULL FROM e
+    """,
+    tags=("A3", "A4", "P1"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — the first query every pipeline runs against an
+    unfamiliar table: per-column null count, exact distinct count, and
+    numeric range. ONE aggregation pass computes every statistic (the
+    oracle's six scans collapse to a single Spark scan with 20+ aggregate
+    expressions — count-distincts expand via a single expand node), then a
+    map-only inline() unpivots the 1-row result to the long per-column
+    form. Timestamps profile as epoch-microseconds so the range is numeric
+    and exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("*")
+
+    def null_cnt(c):
+        return n - F.count(c)
+
+    row = ev.agg(
+        n.alias("n"),
+        *[null_cnt(c).alias(f"null_{c}") for c in ("event_id", "ts", "user_id", "event_type", "value", "props")],
+        *[F.countDistinct(c).alias(f"dist_{c}") for c in ("event_id", "ts", "user_id", "event_type", "value", "props")],
+        F.min("event_id").cast("double").alias("min_event_id"),
+        F.max("event_id").cast("double").alias("max_event_id"),
+        F.unix_micros(F.min("ts")).cast("double").alias("min_ts"),
+        F.unix_micros(F.max("ts")).cast("double").alias("max_ts"),
+        F.min("user_id").cast("double").alias("min_user_id"),
+        F.max("user_id").cast("double").alias("max_user_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
+    entries = []
+    for c in cols:
+        mn = f"min_{c}" if c not in ("event_type", "props") else None
+        mx = f"max_{c}" if c not in ("event_type", "props") else None
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n").alias("n"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                (F.col(mn) if mn else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(mx) if mx else F.lit(None).cast("double")).alias("max_num"),
+            )
+        )
+    return row.select(F.inline(F.array(*entries)))

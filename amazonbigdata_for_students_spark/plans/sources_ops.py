@@ -636,3 +636,119 @@ def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = ev.join(F.broadcast(blocklist), "user_id", "left_anti")
     agg = filtered.groupBy("event_type").agg(F.count("*").alias("n"))
     return _drain(agg, "stream_static_aj")
+
+
+# --------------------------------------------------------------------------
+# S11 format coverage — ORC roundtrip through the long-term-storage layer
+# --------------------------------------------------------------------------
+@query(
+    "src_orc_roundtrip",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("S11", "S6"),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 format coverage — the long-term-storage layer (diagram comp. 10)
+    in ORC, the other columnar format an Athena-compatible lake speaks.
+    Write the events table to ORC (zlib, Spark's native vectorized writer),
+    read it back, aggregate — certifying the full write/read cycle, not
+    just the reader. Predicate pushdown, column pruning, and partition
+    discovery work identically to parquet; the oracle runs on the original
+    rows, so any corruption in the roundtrip breaks the hash."""
+    d, ready, fp = _cache_dir(sf_dir, "orc")
+    out = os.path.join(d, "events_orc")
+    if not ready:
+        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
+        _mark(d, fp)
+    ev = spark.read.orc(out)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# S7/S9 — MERGE upsert (SCD type 1) into a dimension snapshot
+# --------------------------------------------------------------------------
+@query(
+    "merge_upsert_scd1",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+         updates AS (
+           SELECT c_custkey, c_name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS c_acctbal
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + mx.m, 'Customer#new' || CAST(c_custkey AS VARCHAR),
+                  CAST(0.0 AS DOUBLE)
+           FROM customer, mx WHERE c_custkey % 100 = 0
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM updates
+           UNION ALL
+           SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), 0 AS version FROM customer
+         )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+           CAST(version AS BIGINT) AS was_updated
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+          FROM merged)
+    WHERE rn = 1
+    """,
+    tags=("S7", "S9", "E1", "W1"),
+)
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type 1: update-in-place + insert-new)
+    without a table format: union the base snapshot with the update batch
+    under a version tag, keep the highest version per key. This is the
+    scalable upsert shape — one union (no shuffle) plus one per-key window
+    keyed on the merge key, the same partitioning the snapshot's next
+    writer needs anyway. The update batch here is deterministic (+100.00
+    to every 10th customer's balance via exact decimal math, brand-new
+    keys past max(custkey) for every 100th), so the merged result is
+    fully oracle-checkable. Delta/Iceberg MERGE compiles to exactly this
+    plan plus file-level pruning."""
+    c = readers.load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey").alias("m"))
+    base = c.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    ).withColumn("version", F.lit(0))
+    updated = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("decimal(18,2)") + 100)
+            .cast("double")
+            .alias("c_acctbal"),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    inserted = (
+        c.filter(F.col("c_custkey") % 100 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("m")).alias("c_custkey"),
+            F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    merged = base.unionByName(updated).unionByName(inserted)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("version").cast("long").alias("was_updated"),
+        )
+    )
