@@ -769,3 +769,72 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return row.select(F.inline(F.array(*entries)))
+
+
+@query(
+    "filter_by_quantile",
+    oracle="""
+    WITH thr AS (SELECT quantile_cont(n_chars, 0.10) AS t FROM documents)
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(thr.t, 6) AS threshold
+    FROM documents d, thr
+    GROUP BY thr.t
+    """,
+    tags=("A9", "P2"),
+)
+def filter_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gating: drop the bottom decile by length —
+    the filter whose threshold is a property of the corpus, not a
+    constant, so it needs a quantile pass before the gate. The exact
+    interpolated percentile here matches DuckDB's quantile_cont bit-for-
+    bit; at 100 TB swap in approx_percentile (t-digest, map-side-merged)
+    and the plan shape is unchanged: one tiny threshold aggregate
+    broadcast back onto the scan, then a map-side conditional count."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.agg(F.expr("percentile(n_chars, 0.10)").alias("t"))
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("n_chars") >= F.col("t")).cast("long")).alias("n_kept"),
+            F.first(F.round("t", 6)).alias("threshold"),
+        )
+    )
+
+
+@query(
+    "histogram_values",
+    oracle=f"""
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM {EVENTS} e),
+         b AS (SELECT CAST(floor((e.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT) + 1 AS bucket
+               FROM {EVENTS} e, mm)
+    SELECT bucket, count(*) AS n
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("A1", "F4"),
+)
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution-shape
+    profile behind data-quality dashboards and skew diagnosis. Two
+    aggregates: the 1-row min/max (broadcast back onto the scan) and the
+    21-group bucket count (like SQL width_bucket, the exact max lands in
+    the overflow bucket n+1; the explicit floor formula is used in BOTH
+    engines because floor on identically-ordered double arithmetic is
+    bit-stable cross-engine). Both shuffles carry bytes proportional to
+    bucket count, never data size."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = (
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20).cast(
+            "long"
+        )
+        + 1
+    )
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -609,3 +609,75 @@ def txt_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.count("*") / n.cast("double"), 6).alias("dup_word_frac"),
         F.round(F.max("c") / n.cast("double"), 6).alias("top_word_share"),
     )
+
+
+@query(
+    "txt_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos,
+                  CAST(list_sum(list_transform(range(1, 9),
+                    j -> (strpos('0123456789abcdef',
+                            substring(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), j, 1)) - 1)
+                         * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS h
+           FROM toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+         ),
+         winmin AS (
+           SELECT doc_id,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams
+         ),
+         sel AS (SELECT DISTINCT doc_id, fp FROM winmin)
+    SELECT doc_id, count(*) AS n_fps, CAST(sum(fp) AS BIGINT) AS fp_checksum
+    FROM sel
+    GROUP BY doc_id
+    """,
+    tags=("U2", "U6", "F8", "W3"),
+)
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme): hash
+    every 3-token shingle, slide a 4-position window over the hash
+    sequence, keep each window's minimum — the guarantee is that any match
+    of >= window+shingle tokens between two documents shares a selected
+    fingerprint, at ~1/4 the storage of all-shingles. This is the
+    plagiarism/near-dup fingerprinting the brief's 'rolling hash' family
+    means. All JVM-side: posexplode, md5-prefix as int64, a per-document
+    rows-frame window min, distinct. Parallelism is per-document; the
+    selected-set checksum makes the result hash-checkable without
+    materializing fingerprint lists."""
+    from pyspark.sql import Window as PW
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
+    grams = (
+        d.select("doc_id", "toks", F.posexplode("toks").alias("pos0", "tok"))
+        .filter(F.col("pos0") <= F.size("toks") - 3)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.col("tok"),
+                            F.element_at("toks", F.col("pos0") + 2),
+                            F.element_at("toks", F.col("pos0") + 3),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w = PW.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"), F.sum("fp").cast("long").alias("fp_checksum")
+    )
