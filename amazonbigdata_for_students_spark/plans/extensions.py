@@ -838,3 +838,87 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "skew_diagnose",
+    oracle=f"""
+    WITH c AS (SELECT event_type, user_id, count(*) AS n
+               FROM {EVENTS} e GROUP BY event_type, user_id)
+    SELECT event_type,
+           count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_per_key,
+           round(avg(n), 6) AS avg_per_key,
+           round(quantile_cont(n, 0.99), 6) AS p99_per_key,
+           round(max(n) / avg(n), 6) AS skew_ratio
+    FROM c
+    GROUP BY event_type
+    """,
+    tags=("A1", "A9", "A3"),
+)
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis — the query an engineer runs BEFORE choosing a
+    partitioning or salting strategy: per grouping key-space, the
+    distribution of per-key row counts (max, mean, p99) and the
+    max/mean skew ratio that predicts straggler tasks. Two aggregates:
+    per-(type,key) counts (map-side combined), then a 5-group stats
+    rollup over the counts — the second shuffle carries one row per key,
+    already the reduced form. A ratio near 1 means hash partitioning is
+    safe; large means salt (operators/skew.py) or AQE skew-join."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").cast("long").alias("max_per_key"),
+        F.round(F.avg("n"), 6).alias("avg_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )
+
+
+@query(
+    "quality_outlier_mad",
+    oracle="""
+    WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                 FROM documents GROUP BY source),
+         dev AS (SELECT d.source, d.n_chars, med.med,
+                        quantile_cont(abs(d.n_chars - med.med), 0.5)
+                          OVER (PARTITION BY d.source) AS mad
+                 FROM documents d JOIN med USING (source))
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN abs(n_chars - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           round(med, 6) AS median_chars,
+           round(mad, 6) AS mad_chars
+    FROM dev
+    GROUP BY source, med, mad
+    """,
+    tags=("A9", "P2", "A3"),
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per stratum (median absolute deviation):
+    flag documents whose length deviates from their source's median by
+    more than 3 scaled MADs — the outlier rule that, unlike z-scores,
+    is not itself corrupted by the outliers it hunts. Three passes, all
+    keyed on source: per-source median, per-source MAD of the absolute
+    deviations, then the conditional count. The interpolated median
+    matches DuckDB's quantile_cont exactly, so even the float thresholds
+    agree cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.first(F.round("med", 6)).alias("median_chars"),
+            F.first(F.round("mad", 6)).alias("mad_chars"),
+        )
+    )
