@@ -37,7 +37,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "derived_time_columns",      # P5 F1
     "casting",                   # F6
     "string_functions",          # F2
-    "json_functions",            # F3
+    "corpus_build_pipeline",     # U6 E3 P2 (end-to-end corpus flagship; F3 rides src_jsonl_scan)
     "hash_functions",            # F8
     "math_functions",            # F4
     "join_left_semi",            # J3
@@ -78,7 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_partitioned_sink",   # T8 S6
     "udaf_segment_entropy",      # U3
     "udtf_token_explode",        # U4
-    "vec_cosine_topk",           # U5
+    "merge_upsert_scd1",         # S7 S9 E1 W1 (MERGE flagship; exact U5 rides vec_ann_ivf_topk)
     "dedup_minhash_groups",      # U6
     "vec_ann_ivf_topk",          # U5 (end-to-end ANN representative)
 )
