@@ -167,3 +167,71 @@ def mm_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.max(F.length("content")).alias("max_bytes"),
     )
+
+
+@query(
+    "mm_resize_grid",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars > 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS out_w, CAST(12 AS BIGINT) AS out_h,
+           CAST(list_sum(flatten(list_transform(range(0, 12), y ->
+             list_transform(range(0, 16), x ->
+               ord(substring(text,
+                 CAST((((y * h) // 12) * w + ((x * w) // 16)) % n_chars AS INTEGER) + 1,
+                 1)))))) AS BIGINT) AS px_checksum
+    FROM img
+    """,
+    tags=("U1", "F7", "F4"),
+)
+def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE plumbing — the missing quarter of the decode /
+    feature-extract / resize / frame-sample family: nearest-neighbor
+    downsample of each image's pixel buffer to a fixed 16x12 thumbnail
+    inside Arrow-batched mapInPandas (numpy gather per batch — a real
+    codec's decoded array plugs into the same seam). The pixel buffer is
+    the deterministic fake media (content bytes tiled row-major into the
+    metadata's w x h), source indices use pure integer math
+    ((y*h)//12, (x*w)//16), and the oracle recomputes the sampled-pixel
+    checksum straight from the text — so batch shape, byte round-trip,
+    and the resize index mapping are all hash-verified."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    media = media_table(spark, sf_dir).filter(
+        (F.col("kind") == "image") & (F.length("content") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_w", T.LongType()),
+            T.StructField("out_h", T.LongType()),
+            T.StructField("px_checksum", T.LongType()),
+        ]
+    )
+    OW, OH = 16, 12
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(content, dtype=np.uint8)
+                img = np.resize(buf, (int(h), int(w)))  # row-major modular tiling
+                ys = (np.arange(OH) * int(h)) // OH
+                xs = (np.arange(OW) * int(w)) // OW
+                thumb = img[np.ix_(ys, xs)]
+                rows.append((media_id, OW, OH, int(thumb.sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "px_checksum"])
+
+    return media.select("media_id", "content", "width", "height").mapInPandas(
+        run, out_schema
+    )
