@@ -1249,3 +1249,101 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS supp_key, s.s_name AS supp_name,
+           round(rev.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY supp_key
+    """,
+    tags=("A3", "J3", "O2"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: a derived revenue view consumed twice
+    — once for its max (a 1-row aggregate-of-aggregate), once to select
+    the supplier(s) achieving it. The view materializes as one shuffle on
+    suppkey; its max broadcasts back as a 1-row join (never a global
+    sort), and the supplier join is dimension-shaped. The revenue
+    equality is safe cross-engine because both sides route the sum
+    through exact decimal before the double cast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("supp_key")
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nation_key,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("J2", "A3", "P2"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style idle high-balance customers: the scalar-subquery +
+    anti-join combination — customers above the positive-balance average
+    with no order since 2000, rolled up per nation. The average
+    broadcasts as a 1-row cross join (computed through exact decimal so
+    the threshold is partitioning-independent — a raw double sum would
+    make the filter nondeterministic); the idleness test is a left anti
+    join on custkey whose orders side is date-pruned at the scan before
+    it reaches the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
