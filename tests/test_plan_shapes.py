@@ -272,3 +272,61 @@ def test_aqe_splits_skewed_join_partition(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+import re
+
+
+def _shuffles(df) -> list[str]:
+    """Shuffle exchanges in the AQE-final plan (BroadcastExchange excluded)."""
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    return re.findall(r"(?<!Broadcast)Exchange (\w+[^,]*)", final)
+
+
+def test_q6_single_exchange_scan_probe(spark, sf_small):
+    """PLANS.md claim: q6 is the scan-bandwidth probe — its only exchange
+    is the final aggregate's partial->final pair."""
+    assert len(_shuffles(REGISTRY["q6_forecast_revenue"].fn(spark, sf_small))) == 1
+
+
+def test_merge_upsert_single_data_shuffle(spark, sf_small):
+    """MERGE shape: the union adds no exchange; the only DATA-carrying
+    shuffle is the latest-version-per-key window's, keyed on the merge
+    key (the new-key batch's 1-row max aggregate may add a
+    SinglePartition exchange of per-partition maxes — constant bytes)."""
+    sh = _shuffles(REGISTRY["merge_upsert_scd1"].fn(spark, sf_small))
+    data_shuffles = [s for s in sh if s.startswith("hashpartitioning")]
+    assert len(data_shuffles) == 1
+    assert "c_custkey" in data_shuffles[0]
+
+
+def test_profile_table_single_scan(spark, sf_small):
+    """All per-column statistics in ONE pass over the data: a single
+    FileScan; the aggregate's exchanges carry only distinct groups and
+    the 1-row final — never a second read of the table."""
+    df = REGISTRY["profile_table"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
+    assert len(_shuffles(df)) <= 2
+
+
+def test_deterministic_shuffle_no_global_sort(spark, sf_small):
+    """The training shuffle must sort per shard (window partitioned on
+    shard), never via a single global ordering."""
+    df = REGISTRY["shuffle_deterministic"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange ") == 1
+    assert "rangepartitioning" not in final.lower()
+
+
+def test_q19_residuals_push_to_both_scans(spark, sf_small):
+    """Catalyst must derive pushable residuals of the OR-of-ANDs: the
+    quantity union reaches the lineitem scan, the brand/size union the
+    part scan."""
+    plan = plan_of(REGISTRY["q19_disjunctive_revenue"].fn(spark, sf_small))
+    pushed = [s.split("\n")[0] for s in plan.split("PushedFilters: ")[1:]]
+    assert any("l_quantity" in p for p in pushed)
+    assert any("p_brand" in p and "p_size" in p for p in pushed)
