@@ -1347,3 +1347,106 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "agg_corr_stddev",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS return_flag, n,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM m
+    """,
+    tags=("A3", "F4"),
+)
+def agg_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, Pearson correlation) computed
+    DETERMINISTICALLY: Spark's built-in corr/stddev accumulate doubles in
+    partition order, so their last bits change run to run — useless under
+    a hash gate and subtly irreproducible in production. Routing the five
+    raw moments (Sx, Sy, Sxx, Syy, Sxy) through exact decimal sums makes
+    the final double formulas order-independent, at the cost of one extra
+    multiplication per row — the same map-side-combined single aggregate
+    otherwise. The products stay exact in doubles (2-decimal prices,
+    integer quantities), so decimal conversion loses nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.count("*").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(price).alias("sy"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(price * price).alias("syy"),
+        dsum(qty * price).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "return_flag",
+        "n",
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM {EVENTS} e
+    ),
+    grid AS (
+      SELECT t.event_type, h.h AS hour
+      FROM (SELECT DISTINCT event_type FROM {EVENTS} e) t,
+           bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS h(h)
+    ),
+    actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a USING (event_type, hour)
+    """,
+    tags=("F1", "J6", "A1"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the densification step dashboards and
+    forecasting models need: every (type, hour) cell of the calendar
+    grid, zero-filled where no events landed. The grid is GENERATED
+    (sequence over the 1-row global bounds, exploded per type), so its
+    cost is types x hours regardless of data size; the left join back to
+    the hourly counts is grid-sized, tiny next to the scan. Nothing
+    scans the events table twice except the 1-row bounds aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return grid.join(actual, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
