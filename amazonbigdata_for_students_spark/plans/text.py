@@ -681,3 +681,55 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"), F.sum("fp").cast("long").alias("fp_checksum")
     )
+
+
+@query(
+    "vocab_induction",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({SQL_TOKENS}) AS token FROM documents),
+         cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         total AS (SELECT count(*) AS t FROM tok),
+         top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 100)
+    SELECT token, cnt,
+           row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(total.t AS DOUBLE), 6) AS cum_coverage
+    FROM top, total
+    """,
+    tags=("U2", "A1", "W3", "O2"),
+)
+def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction — the frequency pass every tokenizer
+    build starts from: the top-K corpus tokens with the cumulative share
+    of all token occurrences each prefix of the vocabulary covers (the
+    coverage curve that picks the vocab size). Scale shape: the token
+    count is one map-side-combined aggregate; TakeOrderedAndProject caps
+    the candidates at K BEFORE the ranking window, so the only global
+    window ever sees K rows, not the vocabulary; the total is a 1-row
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TOKENS()).alias("token"))
+    total = tok.agg(F.count("*").alias("t"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(100)
+    )
+    from pyspark.sql import Window as PW
+
+    w = PW.orderBy(F.col("cnt").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.row_number().over(w).alias("rank"),
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(PW.unboundedPreceding, 0))
+                / F.col("t").cast("double"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

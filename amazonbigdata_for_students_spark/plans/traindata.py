@@ -457,3 +457,40 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunked.groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id")).agg(
         F.count("*").alias("n_tokens")
     )
+
+
+_EXACT_K = 10
+
+
+@query(
+    "sample_exact_k",
+    oracle=f"""
+    SELECT event_id, event_type, rk FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5('k42|' || CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    ) WHERE rk <= {_EXACT_K}
+    """,
+    tags=("W1", "F8", "P2"),
+)
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (the deterministic reservoir): rank
+    every row by the md5 of (seed | key) within its stratum and keep the
+    first k — a uniform without-replacement sample whose membership is a
+    pure function of the data, reproducible across cluster sizes and
+    re-runs (Bernoulli samplers give ±√n counts; RNG reservoirs are
+    partition-order-dependent). The rank window partitions by stratum, and
+    Spark's WindowGroupLimit pushes the k-limit below the shuffle, so each
+    partition forwards at most k candidates per stratum."""
+    ev = load_table(spark, sf_dir, "events")
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.md5(F.concat(F.lit("k42|"), F.col("event_id").cast("string"))), "event_id"
+        )
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _EXACT_K)
+    )
