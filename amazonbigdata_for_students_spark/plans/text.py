@@ -733,3 +733,118 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@query(
+    "txt_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS tfidf_lin, rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df DESC, tf.term
+             ) AS rank
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    tags=("U2", "A1", "W1", "J1"),
+)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the top-3 most characteristic terms per
+    document, scored with the linear-idf variant tf * N / df. The linear
+    form is chosen deliberately: tf*N is exact in int64 and well under
+    2^53, so the IEEE division by df is correctly rounded and bit-identical
+    across engines — unlike ln(N/df), whose libm differs between the JVM
+    and DuckDB, which would make the ranking hash-fragile. Scale shape:
+    tf is one (doc,term)-keyed aggregate off the exploded tokens; df
+    re-aggregates the (already one-row-per-doc-term) tf table with
+    map-side combine, so hot terms cost one counter per partition, not a
+    hot shuffle group; the tf<-df join is term-keyed but the tf side
+    carries at most one row per (doc,term); the per-doc window is capped
+    by WindowGroupLimit (rank<=3 pushes into the shuffle-read)."""
+    from pyspark.sql import Window as PW
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TOKENS()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = PW.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(score, 6).alias("tfidf_lin"), "rank",
+        )
+    )
+
+
+_HH_K = 50  # Misra-Gries counter budget => reports every term with freq > n/K
+
+
+@query(
+    "txt_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+         n AS (SELECT count(*) AS n_tokens FROM toks)
+    SELECT term, count(*) AS exact_count, n.n_tokens
+    FROM toks CROSS JOIN n
+    GROUP BY term, n.n_tokens
+    HAVING count(*) * {_HH_K} > n.n_tokens
+    """,
+    tags=("A5", "U3", "A1"),
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (freq > n/K, K=50) via the two-pass
+    Misra-Gries pattern — the sketch answer that is nevertheless EXACT,
+    which is what makes it fully hash-checkable: pass 1 runs a K-counter
+    Misra-Gries summary per Arrow batch inside mapInPandas (pigeonhole:
+    any term with global freq > n/K exceeds its share in at least one
+    batch, so the union of per-batch candidates is a superset of the true
+    heavy hitters); pass 2 broadcast-semi-joins the tiny candidate set
+    back onto the token stream and counts exactly. At 100 TB the final
+    shuffle carries only candidate-term rows (<= K per batch), never the
+    full vocabulary — the sketch does the pruning, the exact pass does
+    the proving."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TOKENS()).alias("term"))
+
+    cand_schema = T.StructType([T.StructField("term", T.StringType())])
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _HH_K:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    counters = {k: v - 1 for k, v in counters.items() if v > 1}
+            yield pd.DataFrame({"term": list(counters)})
+
+    candidates = toks.mapInPandas(mg, cand_schema).distinct()
+    n = toks.agg(F.count("*").alias("n_tokens"))
+    return (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("exact_count"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("exact_count") * _HH_K > F.col("n_tokens"))
+    )
