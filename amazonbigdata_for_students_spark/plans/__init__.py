@@ -20,6 +20,7 @@ from ..streaming import batch_twins  # noqa: E402  streaming ops with oracles
 from . import sources_ops  # noqa: E402  §2.1 sources/sinks + J5/T8/U1 surface
 from . import multimodal_ops  # noqa: E402  north-star multimodal columns
 from . import traindata  # noqa: E402  LLM-corpus split/sample/shard ops
+from . import graph  # noqa: E402  iterative graph analytics (pagerank)
 
 # The driver's external correctness gate verifies a fixed-size prefix of the
 # registry (observed: first 50 entries of ``queries()``, insertion order).

@@ -1,0 +1,121 @@
+"""Graph analytics over relationship edges derived from the relational
+tables (extension surface alongside dedup_connected_components).
+
+The customer<->supplier trading graph: one undirected edge per distinct
+(o_custkey, l_suppkey) pair that ever traded (orders x lineitem). All
+iterative math is scaled-integer arithmetic — floor division and int64
+sums are bit-identical across engines, unlike floating-point PageRank
+whose parallel double sums are order-dependent — so even an iterative
+algorithm gets an exact hash-checked oracle (3 unrolled iterations in
+SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+_SCALE = 1_000_000_000  # rank fixed-point: 1.0 == 1e9
+_TELEPORT = 150_000_000  # 0.15 * _SCALE
+_ITERS = 3
+
+_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+"""
+
+_ITER_SQL = """
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST({teleport} + (85 * sum(r.r // d.d)) // 100 AS BIGINT) AS r
+      FROM edges e
+      JOIN r{prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    its = "".join(
+        "," + _ITER_SQL.format(i=i, prev=i - 1, teleport=_TELEPORT)
+        for i in range(1, _ITERS + 1)
+    )
+    return f"""
+    WITH {_EDGES_SQL},
+    r0 AS (SELECT src AS node, CAST({_SCALE} AS BIGINT) AS r FROM deg)
+    {its}
+    SELECT node, r AS rank_scaled,
+           row_number() OVER (ORDER BY r DESC, node) AS pos
+    FROM r{_ITERS}
+    ORDER BY r DESC, node LIMIT 100
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("J7", "A1", "O2"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the customer<->supplier
+    trading graph; returns the top-100 nodes. Scaled-integer update rule
+    r' = 0.15*SCALE + (85 * sum(r DIV deg)) DIV 100 keeps every
+    intermediate an exact int64, so Spark and the SQL-unrolled DuckDB
+    fixpoint agree bit-for-bit regardless of aggregation order — the same
+    determinism trick as dedup_connected_components' min-label lattice.
+    Scale shape: the distinct-pair edge list is one shuffle off the
+    lineitem join; edges+degrees are localCheckpointed once and reused
+    every round; each iteration is exactly one src-keyed join plus one
+    dst-keyed map-side-combined aggregate (the billions-of-edges Pregel
+    layout); the symmetric construction leaves no dangling nodes, so no
+    global mass-redistribution term is needed; TakeOrderedAndProject caps
+    the result before the only global window (100 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), "c").alias("src"), F.concat(F.lit("s"), "s").alias("dst")
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), "s").alias("src"), F.concat(F.lit("c"), "c").alias("dst")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_SCALE).cast("long").alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("contrib"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.expr(f"CAST({_TELEPORT} + (85 * sum(contrib)) DIV 100 AS BIGINT)").alias(
+                "r"
+            )
+        ).select(F.col("dst").alias("node"), "r")
+
+    from pyspark.sql import Window as PW
+
+    top = ranks.orderBy(F.col("r").desc(), "node").limit(100)
+    w = PW.orderBy(F.col("r").desc(), "node")
+    return top.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.row_number().over(w).alias("pos"),
+    )
