@@ -11,6 +11,8 @@ documents table, so the binary plumbing is hash-checked end to end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import multimodal
@@ -234,4 +236,74 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.select("media_id", "content", "width", "height").mapInPandas(
         run, out_schema
+    )
+
+
+@query(
+    "mm_binary_file_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(text) AS content_sha256,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 7 = 3
+    """,
+    tags=("S11", "F8", "U1"),
+)
+def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ingestion through Spark's real `binaryFile` source — the
+    production entry point for raw image/audio files: one opaque file per
+    media object, read back as (path, modificationTime, length, content)
+    with media_id recovered from the file path. The fixture (one .bin per
+    documents row with doc_id % 7 = 3, bytes = UTF-8 text) is written by
+    the executors via mapInPandas — no row ever passes through the driver,
+    the same layout a distributed media-landing job produces on shared
+    storage. The oracle recomputes digest + byte length from the source
+    table, so path parsing, the source's length metadata, and the binary
+    content round-trip are all hash-checked. At 100 TB this scan
+    parallelizes per-file (maxPartitionBytes packing) and carries only
+    (path, content) columns — the digest/feature pass never shuffles."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources_ops import _cache_dir, _mark
+
+    d, ready, fp = _cache_dir(sf_dir, "binary_media", tables=("documents",))
+    files_dir = os.path.join(d, "files")
+    if not ready:
+        os.makedirs(files_dir, exist_ok=True)
+        docs = readers.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == 3
+        )
+
+        def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n = 0
+            for pdf in batches:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    with open(os.path.join(files_dir, f"{int(doc_id)}.bin"), "wb") as f:
+                        f.write((text or "").encode("utf-8"))
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        wrote = (
+            docs.select("doc_id", "text")
+            .mapInPandas(write_files, T.StructType([T.StructField("n", T.LongType())]))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        if not wrote:
+            raise RuntimeError(f"binary media fixture wrote 0 files under {files_dir}")
+        _mark(d, fp)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(files_dir)
+        .select(
+            F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("long").alias("media_id"),
+            F.sha2("content", 256).alias("content_sha256"),
+            F.col("length").alias("n_bytes"),
+        )
     )
