@@ -1,0 +1,407 @@
+"""TPC-H family completion — the remaining decision-support shapes.
+
+The reference's batch surface is TPC-H-flavoured (generator.py emits the
+slimmed region/nation/customer/supplier/part/orders/lineitem schema), and
+rounds 1-3 already cover q1/q3/q5/q6/q7/q10/q12/q14/q15/q18/q19/q22. This
+module adds the remaining query *shapes* of the 22-query family, adapted to
+the slimmed schema (no partsupp table, no commit/receipt dates, no
+p_container/o_comment columns — each docstring names the substitution):
+
+- q4  EXISTS-per-order           -> left-semi join on the fact key
+- q8  market share               -> two-ratio 8-table join with dim snowflake
+- q9  product-type profit        -> multi-fact join + (nation, year) rollup
+- q13 outer-join distribution    -> count-of-counts over a left join
+- q16 supplier-part variety      -> count-distinct + NOT-IN anti join
+- q17 small-quantity lines       -> per-key scalar subquery vs global fact
+- q21 waiting supplier           -> semi + anti self-joins on one fact key
+
+All money arithmetic routes through decimal (dsum) so distributed sums are
+exact and order-free; q17's 0.2*avg comparison is rewritten in pure integer
+arithmetic so the threshold cannot diverge between engines.
+
+Scale notes: every join here shuffles on a fact key (orderkey/partkey) or
+is a dimension join left to AQE (customer/supplier/part carry no broadcast
+hint — they scale with SF; nation/region keep explicit hints). No
+collect(), no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .registry import dsum, query
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("J3", "A1", "P2"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style priority check: orders in one quarter that have at
+    least one problem line (the slimmed lineitem has no commit/receipt
+    dates, so ``l_returnflag = 'R'`` stands in for "received late"),
+    counted per priority. The EXISTS compiles to a left-semi hash join on
+    l_orderkey — one shuffle, no row duplication however many lines match
+    — and both the quarter filter and the flag filter push to the scans,
+    so the join sees ~1/20 of orders and ~1/3 of lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    flagged = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(flagged, o.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_7'
+                               THEN CAST(volume AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(CASE WHEN nation = 'NATION_7'
+                         THEN CAST(volume AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS nation_volume,
+           CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS total_volume
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("J7", "J1", "A3", "F1", "F5"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style national market share: of all ECONOMY-part revenue
+    sold into ASIA-region customers over two years, what fraction came
+    from NATION_7 suppliers, per year. The 8-table join is the family's
+    widest: lineitem shuffles once on orderkey (against orders) — every
+    other input is a dimension-side hash join. nation/region are O(1)
+    tables and keep explicit broadcast hints; customer/supplier/part scale
+    with SF so they carry none (AQE converts to broadcast when runtime
+    size allows). Both sums are decimal-exact; the ratio is rounded to 6
+    so the one double division cannot diverge between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    nation_vol = F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(F.col("volume")).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(nation_vol).cast("double").alias("nation_volume"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year
+    """,
+    tags=("J7", "A3", "F1", "F4"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product profit by supplier nation and order year.
+    The slimmed schema has no partsupp/ps_supplycost, so cost is modelled
+    as 10% of p_retailprice per unit — same shape (revenue minus a
+    part-priced cost term), same join graph minus partsupp. The p_name
+    LIKE filter prunes part (and, through the join, lineitem) before the
+    orderkey shuffle; the per-addend decimal cast keeps the mixed
+    product-difference sum exact. Grouping is (nation, year) — 25*7 groups,
+    so the final agg is trivially small however big the input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(profit).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J6", "A1", "O1"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution (how many
+    customers placed 0, 1, 2, ... orders), excluding urgent orders via a
+    predicate *inside* the left join (the slimmed orders has no o_comment,
+    so priority plays the NOT-LIKE role — customers with only urgent
+    orders must still appear with count 0, which an ON-clause filter
+    preserves and a WHERE filter would destroy). Two shuffles: custkey
+    join+count, then a count-of-counts over at most a few hundred distinct
+    values. count(o_orderkey) counts non-null matches only — identical
+    semantics both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+    tags=("A4", "J2", "P2", "O1"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier variety: how many distinct suppliers ship
+    each (brand, size) of non-PROMO parts in eight target sizes. The
+    slimmed schema has no partsupp, so lineitem *is* the part-supplier
+    association, and no s_comment, so a negative account balance stands in
+    for "customer complaints" — excluded with a left-anti join (the
+    excluded set is tiny and data-dependent, so no broadcast hint; AQE
+    decides). Both engines treat NOT IN over a NULL-free subquery as
+    anti-join semantics. The distinct-count shuffles on the group key with
+    partial de-dup map-side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             count(*) AS cnt,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN per_part a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+    """,
+    tags=("J7", "A3", "A9", "F4"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity revenue: lines of one brand/type
+    (p_type stands in for the missing p_container) whose quantity is below
+    20% of that part's average quantity. The correlated AVG subquery is a
+    per-partkey pre-aggregation joined back to lineitem — both sides hash
+    on l_partkey, so the join adds no extra shuffle beyond the agg's. The
+    threshold ``qty < 0.2 * avg`` is rewritten as the integer inequality
+    ``5*qty*cnt < sum_qty`` (quantities are integral), so no engine's
+    division rounding can flip a borderline row; only the final single
+    /7.0 is floating, and it is rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(
+            5 * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l1.l_orderkey = o.o_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    tags=("J3", "J2", "J7", "A1", "O1"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style sole problem supplier: on finished multi-supplier
+    orders, suppliers of one nation who were the *only* supplier with a
+    returned line ('R' replaces the missing receipt>commit predicate).
+    The correlated EXISTS / NOT EXISTS pair becomes a left-semi then a
+    left-anti self-join of lineitem, both hashed on l_orderkey with the
+    suppkey inequality as a residual condition — so all three passes over
+    lineitem co-partition on the same key and AQE can reuse the exchange.
+    No broadcast hints: every side scales with SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cand = (
+        l1.join(
+            others,
+            (l1.l_orderkey == F.col("o2_orderkey"))
+            & (l1.l_suppkey != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            others_r,
+            (l1.l_orderkey == F.col("o3_orderkey"))
+            & (l1.l_suppkey != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey, "left_semi")
+        .join(s, cand.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
