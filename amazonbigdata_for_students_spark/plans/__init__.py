@@ -41,16 +41,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "string_functions",          # F2
     "corpus_build_pipeline",     # U6 E3 P2 (end-to-end corpus flagship; F3 rides src_jsonl_scan)
     "hash_functions",            # F8
-    "math_functions",            # F4
-    "join_left_semi",            # J3
-    "join_outer_full",           # J6
-    "join_large_facts",          # J7
+    "q9_profit_by_nation",       # F4 F1 A3 J7 (profit rollup; math rides the profit expr)
+    "q4_order_priority",         # J3 A1 (EXISTS→semi; rotated in for driver evidence)
+    "q13_order_distribution",    # J6 A1 O1 (outer-join distribution)
+    "q8_market_share",           # J7 J1 A3 F1 (widest join in the family)
     "join_range",                # J8
     "join_cross",                # J10
     "join_asof",                 # J9
     "agg_count_per_key",         # A1
     "agg_rate_per_window",       # A2
-    "agg_count_distinct",        # A4
+    "q16_part_supplier_variety", # A4 J2 (distinct-count + NOT-IN anti join)
     "agg_approx_count_distinct", # A5
     "agg_rollup",                # A6
     "agg_collect_list",          # A8
