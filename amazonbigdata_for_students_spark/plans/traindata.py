@@ -494,3 +494,42 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk)
         .filter(F.col("rk") <= _EXACT_K)
     )
+
+
+@query(
+    "seq_user_events",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:16], ',')
+             AS prefix_events
+    FROM {EVENTS} e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("A8", "W2", "F7"),
+)
+def seq_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence dataset build: per user, the time-ordered prefix
+    of their event types (max 16), the shape sequence models train on.
+    One shuffle on user_id; ordering happens *inside* each group via
+    array_sort on (ts, event_id, type) structs — no global sort, no
+    window over the whole table, and event_id breaks ts ties so the
+    sequence is deterministic under any partitioning. The slice bounds
+    per-user state: a pathological million-event user still emits 16
+    elements. At 100 TB the same plan holds; only the collect_list buffer
+    needs the usual spark.sql.shuffle.partitions sizing."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.slice(F.transform(ordered, lambda x: x["event_type"]), 1, 16), ","
+            ).alias("prefix_events"),
+        )
+        .orderBy("user_id")
+    )
