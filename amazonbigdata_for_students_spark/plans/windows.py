@@ -175,3 +175,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("is_p") == 1).select(
         "event_id", F.col("asof_signup").alias("signup_ts")
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT c_custkey,
+           first_value(c_custkey) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS poorest_so_far,
+           last_value(c_custkey) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_in_nation,
+           round(cume_dist() OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS bal_cume
+    FROM customer
+    """,
+    tags=("W1", "W3", "W4"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 — first_value / last_value / cume_dist per nation partition.
+    last_value needs the explicit full frame (the default frame stops at
+    CURRENT ROW — a classic silent-wrong-answer; both engines get the
+    identical explicit frame). c_custkey breaks acctbal ties so cume_dist
+    has no peer groups and the result is deterministic. Partitioned by
+    nationkey, so at scale each window is one nation's customers — no
+    global single-partition window."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.first("c_custkey").over(w).alias("poorest_so_far"),
+        F.last("c_custkey").over(wfull).alias("richest_in_nation"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )

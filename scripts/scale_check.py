@@ -2,9 +2,10 @@
 """Scaling sanity harness: build an Nx key-shifted replica of a testdata
 sf dir under /tmp and time the headline (bench-flagged) queries on it.
 
-    python scripts/scale_check.py [N] [src_sf_dir]
+    python scripts/scale_check.py [N] [src_sf_dir] [query ...]
 
-Defaults: N=10, src=/root/testdata/sf0.1. Results feed BASELINE.md's
+Defaults: N=10, src=/root/testdata/sf0.1, queries=the bench-flagged
+headline set (pass explicit registry names to time others). Results feed BASELINE.md's
 "Scaling sanity" table — near-flat times mean the suite is
 overhead-dominated; growth should stay sublinear in N for data-bound
 queries (joins) because columnar scan + codegen + AQE absorb the rest.
@@ -64,7 +65,7 @@ def main() -> None:
     dst = f"/tmp/scale_{os.path.basename(os.path.normpath(src))}_x{n}"
     spark = get_spark(app_name=f"scale_check_x{n}")
     build_replica(spark, src, dst, n)
-    names = [q.name for q in REGISTRY.values() if q.bench]
+    names = sys.argv[3:] or [q.name for q in REGISTRY.values() if q.bench]
     for name in names:
         REGISTRY[name].fn(spark, dst).count()  # warm
     for name in names:

@@ -71,6 +71,13 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_small):
             "q18_large_orders": 0,
             "q5_local_supplier_volume": 2,  # nation + region only
             "q7_nation_volume": 2,  # the two nation role-views only
+            "q4_order_priority": 0,
+            "q8_market_share": 3,  # nation x2 + region only
+            "q9_profit_by_nation": 1,  # nation only
+            "q13_order_distribution": 0,
+            "q16_part_supplier_variety": 0,
+            "q17_small_quantity_revenue": 0,
+            "q21_waiting_supplier": 1,  # nation only
         }
         for name, n_expected in expected_hinted_bhj.items():
             df = REGISTRY[name].fn(spark, sf_small)
@@ -86,6 +93,19 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_self_joins_stay_hashed(spark, sf_small):
+    """The EXISTS/NOT-EXISTS pair joins on l_orderkey equality with a
+    suppkey *inequality* residual — the planner must keep both as hash
+    joins on the equi-key, never degrade to a nested-loop/cartesian stage
+    (which would be quadratic in lineitem at scale)."""
+    df = REGISTRY["q21_waiting_supplier"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_anti_join_is_broadcast(spark, sf_small):
