@@ -922,3 +922,35 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.round("mad", 6)).alias("mad_chars"),
         )
     )
+
+
+@query(
+    "json_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k_mod
+    ORDER BY k_mod
+    """,
+    tags=("F3", "P5", "A3"),
+)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 via the VARIANT type (Spark 4): parse the JSON props column once
+    into a binary variant, extract a typed path, aggregate on it. At 100 TB
+    this is the semi-structured fast path — parse_json happens in the scan
+    projection (JVM, no Python), variant_get is O(path) on the encoded
+    form instead of re-parsing text per access, and since Parquet stores
+    the variant shredded, repeated-path access reads a column, not a blob.
+    The oracle shreds the same path with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+            "value",
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("k_mod")
+    )

@@ -122,6 +122,16 @@ def src_hourly_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour) partition columns from the file path. The oracle recomputes the
     per-hour rollup straight from parquet, so file placement, header
     parsing, and path-derived partitions are all under test."""
+    d = _hourly_csv_fixture(spark, sf_dir)
+    hourly = readers.read_hourly_csv(spark, d, _EVENTS_CSV_SCHEMA)
+    return hourly.groupBy("year", "month", "day", "hour").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+def _hourly_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the hourly YYYY/MM/DD/HH.csv
+    layout from the events table; returns the fixture root."""
     d, ready, fp = _cache_dir(sf_dir, "hourly_csv")
     if not ready:
         # Distributed fixture write: partitionBy lays out hive dirs
@@ -174,10 +184,7 @@ def src_hourly_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                             shutil.copyfileobj(part, out)
         shutil.rmtree(staging)
         _mark(d, fp)
-    hourly = readers.read_hourly_csv(spark, d, _EVENTS_CSV_SCHEMA)
-    return hourly.groupBy("year", "month", "day", "hour").agg(
-        F.count("*").alias("n"), dsum("value").alias("sum_value")
-    )
+    return d
 
 
 # --------------------------------------------------------------------------
@@ -795,4 +802,36 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_sum").cast("double").alias("total_spent"),
         )
         .orderBy("o_custkey")
+    )
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+           hour(ts) AS hour, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    WHERE ts < TIMESTAMP '{_SLICE_END}'
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("S1", "S11"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through a from-scratch connector: the same hourly
+    YYYY/MM/DD/HH.csv archive as `src_hourly_csv_scan`, but read via the
+    Python Data Source API (`sources/pydatasource.py`) — driver-side
+    split planning (one InputPartition per hourly file, partition values
+    derived from the path at plan time), executor-side per-file reads,
+    Arrow batches to the JVM. This is the extension seam for ingress Spark
+    has no built-in reader for; the oracle recomputes the rollup straight
+    from parquet, so the connector's listing, parsing, and path-derived
+    partitioning are all under test."""
+    from ..sources import pydatasource
+
+    d = _hourly_csv_fixture(spark, sf_dir)
+    pydatasource.register(spark)
+    df = spark.read.format("hourly_csv").option("path", d).load()
+    return df.groupBy("year", "month", "day", "hour").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
     )

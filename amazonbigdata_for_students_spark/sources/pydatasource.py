@@ -1,0 +1,99 @@
+"""Custom connector via the Python Data Source API (Spark 4).
+
+The reference's batch ingress is an hourly CSV layout on object storage
+(`generator.py:241-245` — one headered file per hour at
+``prefix/YYYY/MM/DD/HH.csv``). Besides the built-in-reader path
+(`readers.read_hourly_csv`), this module exposes the same layout as a
+from-scratch ``DataSource`` — the shape a production connector
+(Kafka/Kinesis/JDBC/SaaS API) takes when no built-in source fits:
+
+- the DRIVER plans splits: ``partitions()`` lists the leaf files and
+  derives the (year, month, day, hour) partition values from each path —
+  pure metadata, no row is read at planning time;
+- each EXECUTOR task reads exactly one ``InputPartition`` independently
+  in ``read()`` — so parallelism scales with the number of hourly files,
+  and a 100 TB archive fans out across the cluster with no coordination
+  beyond the initial listing.
+
+Arrow moves the Python-produced batches to the JVM; downstream plans
+(aggregates, joins) run JVM-side as usual.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class HourlyFilePartition(InputPartition):
+    """One hourly CSV file = one split; carries the path-derived
+    partition-column values so executors never re-parse paths."""
+
+    def __init__(self, path: str, year: int, month: int, day: int, hour: int):
+        self.path = path
+        self.year = year
+        self.month = month
+        self.day = day
+        self.hour = hour
+
+
+class HourlyCsvReader(DataSourceReader):
+    def __init__(self, options: dict):
+        root = options.get("path")
+        if not root:
+            raise ValueError("hourly_csv source requires .option('path', <root>)")
+        self.root = root
+
+    def partitions(self) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for dirpath, _dirs, files in sorted(os.walk(self.root)):
+            for f in sorted(files):
+                if not f.endswith(".csv"):
+                    continue
+                rel = os.path.relpath(dirpath, self.root)
+                segs = rel.split(os.sep)
+                if len(segs) != 3:
+                    continue  # not a YYYY/MM/DD leaf
+                y, m, d = (int(s) for s in segs)
+                parts.append(
+                    HourlyFilePartition(os.path.join(dirpath, f), y, m, d, int(f[:-4]))
+                )
+        return parts
+
+    def read(self, partition: HourlyFilePartition) -> Iterator[tuple]:
+        with open(partition.path, newline="") as fh:
+            for row in csv.DictReader(fh):
+                yield (
+                    int(row["event_id"]),
+                    row["ts"],
+                    int(row["user_id"]),
+                    row["event_type"],
+                    float(row["value"]),
+                    partition.year,
+                    partition.month,
+                    partition.day,
+                    partition.hour,
+                )
+
+
+class HourlyCsvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hourly_csv"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, year int, month int, day int, hour int"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return HourlyCsvReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the hourly_csv format on a session."""
+    spark.dataSource.register(HourlyCsvDataSource)

@@ -264,3 +264,12 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "stream_session")
+
+
+# NOTE: transformWithStateInPandas (the Spark 4 successor to
+# applyInPandasWithState, typed ValueState/ListState/MapState + timers on
+# the RocksDB store) was evaluated here but its state server requires the
+# `protobuf` Python package, which this container does not ship. The
+# arbitrary-stateful surface (T5/T7) is covered by stream_alert_once's
+# applyInPandasWithState processor instead; on a cluster with protobuf
+# installed the same processor maps 1:1 onto a StatefulProcessor.
