@@ -954,3 +954,44 @@ def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .orderBy("k_mod")
     )
+
+
+@query(
+    "udtf_chunk_lateral",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[i*32+1 : (i+1)*32], ' ') AS chunk_text,
+           len(toks[i*32+1 : (i+1)*32]) AS n_tokens
+    FROM t, LATERAL (SELECT unnest(range(CAST((len(toks)+31)//32 AS BIGINT))) AS i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("U4", "F7", "P5"),
+)
+def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 via the Python UDTF API (Spark 4): a table function that splits
+    each document into fixed 32-word chunks, applied with a SQL LATERAL
+    join so every document row fans out to its chunks. Arrow-optimized
+    (useArrow) so rows move in batches, and the UDTF runs inside the scan
+    stage — per-partition, no shuffle; at 100 TB the fan-out is the
+    passage-splitting pass a RAG/pretraining chunker runs. The oracle
+    reproduces the chunking with DuckDB list slicing + LATERAL unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=True)
+    class ChunkWords:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range((len(toks) + 31) // 32):
+                c = toks[i * 32 : (i + 1) * 32]
+                yield i, " ".join(c), len(c)
+
+    register_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("chunk_words", ChunkWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_words(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

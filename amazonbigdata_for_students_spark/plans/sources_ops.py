@@ -835,3 +835,80 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("year", "month", "day", "hour").agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
     )
+
+
+@query(
+    "stream_checkpoint_restart",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("T8", "S2", "T4"),
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 end to end: crash-recovery of a stateful stream from its
+    checkpoint. The events table is landed as 8 parquet files; a windowless
+    grouped aggregation streams the first 4 (AvailableNow), terminates —
+    simulating a crash between deploys — then a SECOND query instance
+    restarts on the same checkpoint after 4 more files land. The file
+    source's committed offsets make it skip the already-processed files,
+    and the recovered state store still carries their counts, so the final
+    complete-mode output equals the batch aggregate over ALL rows — which
+    is exactly what the oracle computes. If recovery dropped state (or
+    replayed files), rows or sums would be off and the hash gate fails.
+    At 100 TB this is the property that makes a long-lived ingest pipeline
+    restartable: offsets + state both live in the checkpoint, the sink
+    sees each input exactly once."""
+    import tempfile
+
+    d, ready, fp = _cache_dir(sf_dir, "ckpt_files")
+    staging = os.path.join(d, "parts")
+    if not ready:
+        (
+            readers.load_table(spark, sf_dir, "events")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        _mark(d, fp)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    run = tempfile.mkdtemp(prefix="ckpt_restart_")
+    live = os.path.join(run, "live")
+    ck = os.path.join(run, "ck")
+    os.makedirs(live)
+
+    def drain_once(name: str) -> None:
+        agg = (
+            spark.readStream.schema(schemas.EVENTS)
+            .parquet(live)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for f in parts[:4]:
+            shutil.copy(os.path.join(staging, f), os.path.join(live, f))
+        drain_once("ckpt_phase1")
+        # "crash": the first query object is gone; land the rest and restart
+        # a brand-new query instance on the same checkpoint.
+        for f in parts[4:]:
+            shutil.copy(os.path.join(staging, f), os.path.join(live, f))
+        drain_once("ckpt_phase2")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("ckpt_phase2")
