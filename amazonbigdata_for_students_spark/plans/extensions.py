@@ -995,3 +995,106 @@ def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("J7", "P2", "F8"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the 100 TB shuffle-join
+    technique: when neither side broadcasts, Spark's InjectRuntimeFilter
+    builds a bloom filter from the selective (filtered-orders) side and
+    pushes `might_contain(xxhash64(l_orderkey))` into the lineitem scan,
+    so most non-matching fact rows are dropped BEFORE the shuffle instead
+    of after the join. Results are exact (bloom false positives only let
+    extra rows reach the exact join). The rule skips broadcast-able joins
+    — pointless there — so this query pins broadcast off, the honest
+    posture for a fact×fact join at scale; eager localCheckpoint runs the
+    plan under those confs, then the session is restored. Plan-shape test
+    asserts the injected might_contain."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("l_returnflag")
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "dq_constraint_check",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders) AS n_orders,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT count(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        AS n_dup_orderkeys,
+      (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL) AS n_null_priority,
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS n_nonpositive_price
+    """,
+    tags=("P2", "J2", "A4", "A3"),
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/dbt-test shape) in three
+    bounded passes: (1) one scan of orders folds row count, null-priority
+    count and non-positive-price count into a single aggregate; (2) a
+    left-anti join against customer counts referential-integrity orphans;
+    (3) a keyed pre-aggregate counts duplicate primary keys. Every check
+    emits an integer, so the verdict row is hash-exact cross-engine. At
+    100 TB the anti join is the only shuffle (key-partitioned), and the
+    single-scan fold means adding more column checks costs zero extra
+    passes — constraints scale with columns, not scans."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_priority"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive_price"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphan_orders"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("n_dup_orderkeys"))
+    )
+    return base.crossJoin(orphans).crossJoin(dups).select(
+        "n_orders", "n_orphan_orders", "n_dup_orderkeys",
+        "n_null_priority", "n_nonpositive_price",
+    )

@@ -912,3 +912,133 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("ckpt_phase2")
+
+
+@query(
+    "compact_small_files",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           true AS files_reduced, true AS meets_plan
+    FROM {EVENTS} e
+    """,
+    tags=("S6", "S11"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file problem, solved the way a 100 TB table maintenance
+    job does it: the events table lands as 64 tiny parquet files (what
+    per-trigger streaming sinks produce), then a compaction pass sizes the
+    output file count from measured input bytes / a target file size and
+    rewrites with coalesce (no shuffle — coalesce only merges read
+    splits). The verdict row carries the full-table (count, sum) through
+    the rewrite plus two audit booleans the oracle pins true: the rewrite
+    reduced the file count and hit its computed plan. Too many small files
+    is a *driver*-side scale killer (listing, footer reads, task
+    scheduling), which is why compaction is a first-class operator."""
+    import math
+    import tempfile
+
+    d, ready, fp = _cache_dir(sf_dir, "small_files")
+    small = os.path.join(d, "small")
+    if not ready:
+        (
+            readers.load_table(spark, sf_dir, "events")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(small)
+        )
+        _mark(d, fp)
+
+    def data_files(p: str) -> list[str]:
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    before = data_files(small)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    target_file_bytes = 8 * 1024 * 1024  # the classic 128MB, scaled to testdata
+    planned = max(1, math.ceil(total_bytes / target_file_bytes))
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "events")
+    spark.read.parquet(small).coalesce(planned).write.parquet(out)
+    after = data_files(out)
+    return (
+        spark.read.parquet(out)
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "n",
+            "sum_value",
+            F.lit(len(after) < len(before)).alias("files_reduced"),
+            F.lit(len(after) <= planned).alias("meets_plan"),
+        )
+    )
+
+
+def _z16(p, s) -> F.Column:
+    """Interleave the low 8 bits of two keys into a 16-bit Z-value —
+    pure JVM integer ops, same arithmetic the oracle runs."""
+    z = F.lit(0)
+    for b in range(8):
+        z = (
+            z
+            + (((p / (2 ** b)).cast("long") % 2) * (2 ** (2 * b)))
+            + (((s / (2 ** b)).cast("long") % 2) * (2 ** (2 * b + 1)))
+        )
+    return z.cast("long")
+
+
+@query(
+    "layout_zorder_cluster",
+    oracle="""
+    WITH z AS (
+      SELECT (
+        ((l_partkey % 256) // 1 % 2) * 1 + ((l_suppkey % 256) // 1 % 2) * 2
+      + ((l_partkey % 256) // 2 % 2) * 4 + ((l_suppkey % 256) // 2 % 2) * 8
+      + ((l_partkey % 256) // 4 % 2) * 16 + ((l_suppkey % 256) // 4 % 2) * 32
+      + ((l_partkey % 256) // 8 % 2) * 64 + ((l_suppkey % 256) // 8 % 2) * 128
+      + ((l_partkey % 256) // 16 % 2) * 256 + ((l_suppkey % 256) // 16 % 2) * 512
+      + ((l_partkey % 256) // 32 % 2) * 1024 + ((l_suppkey % 256) // 32 % 2) * 2048
+      + ((l_partkey % 256) // 64 % 2) * 4096 + ((l_suppkey % 256) // 64 % 2) * 8192
+      + ((l_partkey % 256) // 128 % 2) * 16384 + ((l_suppkey % 256) // 128 % 2) * 32768
+      ) AS zval
+      FROM lineitem
+    )
+    SELECT zval % 64 AS z_bucket, count(*) AS n, CAST(sum(zval) AS BIGINT) AS sum_z
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    tags=("S6", "O1", "F4"),
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout: interleave the low bits of (partkey, suppkey)
+    into a space-filling-curve key, range-partition + sort the table on
+    it, and write. Files then hold narrow min/max ranges in BOTH original
+    dimensions, so parquet row-group stats prune scans filtered on either
+    key — the multi-dimensional data-skipping trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, built from primitives
+    (repartitionByRange + sortWithinPartitions). The readback aggregate
+    hash-checks that the rewrite preserved every row; the plan-shape test
+    asserts the per-file Z ranges are disjoint (the property pruning
+    relies on)."""
+    import tempfile
+
+    li = readers.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z = _z16(F.col("l_partkey") % 256, F.col("l_suppkey") % 256)
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "lineitem_z")
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy((F.col("zval") % 64).alias("z_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("zval").alias("sum_z"))
+        .orderBy("z_bucket")
+    )

@@ -281,3 +281,33 @@ def test_embedding_dedup_complements_pair_list(spark, sf_small):
     all_ids = {r.vec_id for r in load_table(spark, sf_small, "embeddings").collect()}
     # exactly the non-dropped ids survive (min-id canonical rule)
     assert survivors == all_ids - dropped
+
+
+def test_zorder_files_have_disjoint_z_ranges(spark, sf_small, tmp_path):
+    """The property multi-dim data skipping relies on: after
+    repartitionByRange + sortWithinPartitions on the Z-value, each written
+    file covers a Z interval that does not overlap any other file's."""
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans.sources_ops import _z16
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select("l_partkey", "l_suppkey")
+    z = _z16(F.col("l_partkey") % 256, F.col("l_suppkey") % 256)
+    out = str(tmp_path / "lineitem_z")
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(out)
+    )
+    ranges = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},..)"

@@ -350,3 +350,30 @@ def test_q19_residuals_push_to_both_scans(spark, sf_small):
     pushed = [s.split("\n")[0] for s in plan.split("PushedFilters: ")[1:]]
     assert any("l_quantity" in p for p in pushed)
     assert any("p_brand" in p and "p_size" in p for p in pushed)
+
+
+def test_bloom_runtime_filter_injected(spark, sf_small):
+    """join_bloom_prefilter's reason to exist: with broadcast off and the
+    app-side scan threshold lowered, InjectRuntimeFilter must push a
+    might_contain(xxhash64(l_orderkey)) predicate into the fact scan."""
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_small, "lineitem")
+        o = load_table(spark, sf_small, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        assert "might_contain" in plan_of(j)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
