@@ -1098,3 +1098,37 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders", "n_orphan_orders", "n_dup_orderkeys",
         "n_null_priority", "n_nonpositive_price",
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("J7", "A3"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 with an explicit SHUFFLE_HASH strategy hint: same shuffle as a
+    sort-merge join, but the orders side builds a hash map per partition
+    instead of BOTH sides paying an O(n log n) sort — the right call when
+    one side is much smaller than the other yet too big to broadcast
+    (orders vs lineitem at any SF: 4x fewer rows, here made explicit
+    rather than left to the SMJ default). AQE can still override if the
+    build side won't fit; the plan-shape test asserts the
+    ShuffledHashJoin materializes. Semantics identical to the plain join,
+    which is what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -377,3 +377,14 @@ def test_bloom_runtime_filter_injected(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_materializes(spark, sf_small):
+    """join_shuffle_hash_hint's point: the hint must yield a
+    ShuffledHashJoin (hash build on the hinted side), not the SMJ default
+    with its double sort."""
+    df = REGISTRY["join_shuffle_hash_hint"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
