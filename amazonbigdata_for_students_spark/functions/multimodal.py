@@ -103,6 +103,61 @@ class WavDecoder(Decoder):
         return out
 
 
+class PpmDecoder(Decoder):
+    """REAL image decode for binary PPM (P6) bytes using only the stdlib —
+    the image-modality counterpart of WavDecoder. P6 layout: ASCII header
+    ``P6 <width> <height> <maxval>`` (whitespace/comment separated),
+    then width*height*3 raw RGB bytes."""
+
+    def decode_ppm_stats(self, content: bytes) -> tuple[int, int, int]:
+        """(width, height, pixel_byte_sum) from a real header parse +
+        full-raster read; integer-exact so an SQL oracle reproduces it."""
+        width, height, _maxval, body = self._parse(content)
+        need = width * height * 3
+        if len(body) < need:
+            raise ValueError(f"PPM truncated: want {need} bytes, have {len(body)}")
+        return width, height, int(sum(body[:need]))
+
+    def decode_features(self, kind: str, mime: str, content: bytes, dim: int) -> np.ndarray:
+        width, height, _maxval, body = self._parse(content)
+        px = np.frombuffer(body[: width * height * 3], dtype=np.uint8)
+        head = np.array(
+            [width, height, float(px.mean()) if px.size else 0.0], dtype=np.float32
+        )
+        out = np.zeros(dim, dtype=np.float32)
+        out[: min(dim, head.size)] = head[:dim]
+        return out
+
+    @staticmethod
+    def _parse(content: bytes) -> tuple[int, int, int, bytes]:
+        if not content.startswith(b"P6"):
+            raise ValueError("not a P6 PPM")
+        # Tokenize the header: three ints after the magic, '#' comments
+        # allowed, single whitespace byte terminates the maxval token.
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(content[start:pos]))
+        return vals[0], vals[1], vals[2], content[pos + 1 :]
+
+
+def synth_ppm(width: int, height: int, seed_bytes: bytes) -> bytes:
+    """Deterministic binary PPM (P6): a raster whose RGB bytes tile
+    seed_bytes — a real, parseable image built from stable inputs."""
+    need = width * height * 3
+    seed = seed_bytes or b"\x00\x01"
+    body = (seed * (need // len(seed) + 1))[:need]
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
+
+
 def synth_wav(sample_rate: int, n_channels: int, n_frames: int, seed_bytes: bytes) -> bytes:
     """Deterministic 16-bit PCM WAV: n_frames frames whose samples tile
     seed_bytes — a real, `wave`-readable file built from stable inputs so

@@ -307,3 +307,64 @@ def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
         )
     )
+
+
+@query(
+    "mm_ppm_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars > 0
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST((3 * w * h // n_chars) * list_sum(list_transform(range(1, n_chars + 1),
+                  i -> ord(substring(text, CAST(i AS INTEGER), 1))))
+                + COALESCE(list_sum(list_transform(range(1, CAST(3 * w * h % n_chars AS INTEGER) + 1),
+                  i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0)
+                AS BIGINT) AS px_sum
+    FROM img
+    """,
+    tags=("U1", "F8", "F4"),
+)
+def mm_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Decoder seam — the image counterpart
+    of mm_wav_stats: synthesize a valid binary PPM (P6) per image doc
+    (raster = text bytes tiled to w*h*3, dimensions from stable columns),
+    then parse the BYTES back with the stdlib PpmDecoder inside
+    Arrow-batched mapInPandas: header tokenization, raster read, and an
+    integer pixel-byte sum. The oracle recomputes width/height/sum
+    straight from the doc columns (tiling = whole cycles of the text's
+    byte sum + a prefix), so a mis-written header, a short raster, or an
+    off-by-one in the parse all fail the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("n_chars") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+        ]
+    )
+    dec = multimodal.PpmDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 64 + 1
+                h = int(n_chars) % 48 + 1
+                ppm = multimodal.synth_ppm(w, h, (text or "").encode("utf-8"))
+                pw, ph, psum = dec.decode_ppm_stats(ppm)
+                rows.append((doc_id, pw, ph, psum))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "px_sum"])
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)

@@ -311,3 +311,20 @@ def test_zorder_files_have_disjoint_z_ranges(spark, sf_small, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},..)"
+
+
+def test_ppm_decoder_parses_comments_and_rejects_truncation():
+    from amazonbigdata_for_students_spark.functions.multimodal import PpmDecoder, synth_ppm
+
+    d = PpmDecoder()
+    ppm = synth_ppm(5, 4, b"abcxyz")
+    assert d.decode_ppm_stats(ppm) == (5, 4, sum((b"abcxyz" * 11)[:60]))
+    # comments between header tokens are legal PPM
+    with_comment = ppm.replace(b"P6\n", b"P6\n# synthetic test raster\n", 1)
+    assert d.decode_ppm_stats(with_comment) == (5, 4, sum((b"abcxyz" * 11)[:60]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        d.decode_ppm_stats(ppm[:-10])
+    with _pytest.raises(ValueError, match="not a P6"):
+        d.decode_ppm_stats(b"P3\n1 1\n255\n...")
