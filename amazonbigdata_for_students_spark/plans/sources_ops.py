@@ -1042,3 +1042,65 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("zval").alias("sum_z"))
         .orderBy("z_bucket")
     )
+
+
+@query(
+    "src_schema_evolution_merge",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{_SLICE_END}'
+                         THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+             AS sum_cents_v2,
+           CAST(count(CASE WHEN ts < TIMESTAMP '{_SLICE_END}' THEN 1 END) AS BIGINT)
+             AS n_legacy
+    FROM {EVENTS} e
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "S11", "F5"),
+)
+def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 on the parquet path: the table's schema EVOLVES mid-stream — a
+    v2 batch adds a `cents` column the v1 (legacy) batch never had. Both
+    generations land in one directory; reading with mergeSchema=true
+    reconciles them (union of fields, missing columns null-filled), which
+    is how a long-lived 100 TB table absorbs producer upgrades without a
+    rewrite. The aggregate proves the reconciliation: v2 rows carry exact
+    cents sums, legacy rows count through the null-filled column. Spark
+    merges footers distributedly; the oracle recomputes both generations
+    straight from the source table."""
+    d, ready, fp = _cache_dir(sf_dir, "schema_evo")
+    table = os.path.join(d, "events_evo")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events")
+        cut = F.lit(_SLICE_END).cast("timestamp")
+        (
+            ev.filter(F.col("ts") < cut)
+            .select("event_id", "ts", "event_type")  # v1 schema: no cents
+            .write.mode("overwrite")
+            .parquet(table)
+        )
+        (
+            ev.filter(F.col("ts") >= cut)
+            .select(
+                "event_id",
+                "ts",
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),  # v2 adds
+            )
+            .write.mode("append")
+            .parquet(table)
+        )
+        _mark(d, fp)
+    merged = spark.read.option("mergeSchema", "true").parquet(table)
+    cut = F.lit(_SLICE_END).cast("timestamp")
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents_v2"),
+            F.count(F.when(F.col("ts") < cut, 1)).alias("n_legacy"),
+        )
+        .orderBy("event_type")
+    )
