@@ -21,6 +21,7 @@ from . import sources_ops  # noqa: E402  §2.1 sources/sinks + J5/T8/U1 surface
 from . import multimodal_ops  # noqa: E402  north-star multimodal columns
 from . import traindata  # noqa: E402  LLM-corpus split/sample/shard ops
 from . import graph  # noqa: E402  iterative graph analytics (pagerank)
+from . import retrieval  # noqa: E402  BM25 / inverted index / n-gram LM stats
 from . import tpch_extra  # noqa: E402  TPC-H family completion (q4/q8/q9/q13/q16/q17/q21)
 
 # The driver's external correctness gate verifies a fixed-size prefix of the

@@ -344,3 +344,54 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "scd2_user_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM {EVENTS} e
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    tags=("W2", "W1", "S9"),
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: treat the event
+    log as an attribute change feed per user, collapse runs of the same
+    value (a row survives only when it differs from its predecessor —
+    lag), then stitch validity intervals (valid_from = change time,
+    valid_to = next change's time via lead, open interval = current).
+    This is the warehouse pattern that turns CDC into an auditable
+    history table. Both windows partition by the key — per-user
+    parallelism, no global sort — and the change filter shrinks the
+    second window's input to the number of actual transitions, which is
+    what bounds state at 100 TB (a hot key with a million unchanged
+    events contributes its transitions, not its volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -1,0 +1,209 @@
+"""Retrieval / language-model statistics over the documents table —
+the IR-flavored slice of a training-data pipeline (reference parity:
+the docs corpus the scaffold's generator emits, generator.py:137-171;
+the reference specifies no retrieval engine, so these are the Spark-first
+operators a corpus user layers on top).
+
+Cross-engine determinism: scoring never touches floats. BM25's
+transcendental idf is replaced by a rational "probabilistic idf"
+(2(N-df)+1)/(2df+1) scaled to an integer, and the tf/length
+normalization is cleared of fractions by multiplying through by
+10·A (A = corpus token count), so every score is a pure BIGINT
+expression both engines floor-divide identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .text import SQL_TOKENS, TOKENS
+
+# Fixed retrieval query (terms from the corpus vocabulary).
+_QUERY_TERMS = ("vector", "merge", "window")
+_SQL_TERMS = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+_IDF_SCALE = 10_000
+_TOP_K = 10
+
+
+@query(
+    "txt_bm25_topk",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl, {SQL_TOKENS} AS toks
+                FROM documents),
+         stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens
+                   FROM dl),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+                WHERE tok IN ({_SQL_TERMS})
+                GROUP BY doc_id, dl, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT t.doc_id,
+                  count(*) AS n_terms_hit,
+                  CAST(sum(
+                    (((2 * (s.n_docs - f.df) + 1) * {_IDF_SCALE}) // (2 * f.df + 1))
+                    * (22 * t.tf * s.a_tokens)
+                    // (10 * s.a_tokens * t.tf + 3 * s.a_tokens + 9 * t.dl * s.n_docs)
+                  ) AS BIGINT) AS score_q
+           FROM tf t JOIN dfreq f USING (tok), stats s
+           GROUP BY t.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, n_terms_hit, score_q
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+    """,
+    tags=("U2", "A3", "O2"),
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term query, integer-quantized so
+    both engines agree bit-for-bit: idf(t) = ⌊scale·(2(N−df)+1)/(2df+1)⌋
+    (the rational probabilistic-idf — no ln), and the per-term Okapi
+    fraction tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 is
+    multiplied through by 10·A (A = corpus tokens, avgdl = A/N) into
+    22·tf·A / (10·A·tf + 3·A + 9·dl·N) — BIGINT floor division end to end.
+    Plan shape: one tokenize scan feeding (a) a 1-row corpus-stats
+    aggregate and (b) a term-filtered tf table; df-per-term is a tiny
+    aggregate broadcast back; top-k is orderBy+limit →
+    TakeOrderedAndProject, never a global sort. The tf table is
+    |query terms| × docs-containing-them — the filter lands before the
+    explode's groupBy, so corpus size only enters through the scan. At
+    trillion-token scale widen the BIGINTs to decimal(38,0); the floor
+    algebra is unchanged."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("a_tokens")
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    term_score = F.expr(
+        f"(((2 * (n_docs - df) + 1) * {_IDF_SCALE}) div (2 * df + 1))"
+        " * (22 * tf * a_tokens)"
+        " div (10 * a_tokens * tf + 3 * a_tokens + 9 * dl * n_docs)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(term_score).cast("long").alias("score_q"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_q"), "doc_id").limit(_TOP_K)
+    rank = F.row_number().over(W.orderBy(F.desc("score_q"), "doc_id"))
+    return top.select(
+        rank.cast("long").alias("rank"), "doc_id", "n_terms_hit", "score_q"
+    )
+
+
+_POSTINGS_HEAD = 8
+
+
+@query(
+    "index_inverted_postings",
+    oracle=f"""
+    WITH posting AS (
+      SELECT tok, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok, doc_id)
+    SELECT tok,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+             (list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                   ORDER BY doc_id))[1:{_POSTINGS_HEAD}], ' ') AS postings_head
+    FROM posting
+    GROUP BY tok
+    """,
+    tags=("A8", "F7", "U2"),
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — token → (document frequency, total term
+    frequency, head of the doc_id-ordered posting list as "doc:tf"
+    pairs). The posting list is assembled *inside* the group via
+    array_sort on (doc_id, tf) structs — per-token parallelism, no
+    global order — and the emitted head is sliced to a constant length
+    so a stopword's row stays bounded no matter the corpus size (the
+    full list would be the one thing that scales with N; real posting
+    files shard it, the capped head is the hash-checkable stand-in).
+    Two shuffles: (tok, doc_id) tf counts with map-side combine, then
+    the per-token fold. Output cardinality = vocabulary size, not
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    posting = (
+        d.select("doc_id", F.explode(TOKENS()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    head = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(
+                    ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                ),
+            ),
+            1,
+            _POSTINGS_HEAD,
+        ),
+        " ",
+    )
+    return posting.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        head.alias("postings_head"),
+    )
+
+
+@query(
+    "lm_bigram_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
+         cnt AS (SELECT w1, w2, count(*) AS n_bigram FROM big GROUP BY w1, w2)
+    SELECT w1, w2, n_bigram,
+           CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_prefix
+    FROM cnt
+    """,
+    tags=("F7", "A1", "W3"),
+)
+def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model count table — the n-gram statistics pass of
+    a corpus build: every adjacent token pair's count plus its prefix
+    marginal (the conditional probability n_bigram/n_prefix as the exact
+    integer pair, never a float). Bigram extraction is a JVM zip_with of
+    the token array against its own shift — no Python, no per-row UDF —
+    then one (w1, w2) count with map-side combine. The prefix marginal
+    reuses the counted table through a window partitioned by w1: it runs
+    over vocabulary² rows (constant for a closed vocab, tiny vs corpus),
+    not over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    cnt = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_bigram"))
+    )
+    return cnt.withColumn(
+        "n_prefix",
+        F.sum("n_bigram").over(W.partitionBy("w1")).cast("long"),
+    )

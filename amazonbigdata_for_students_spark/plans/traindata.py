@@ -459,6 +459,90 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_GROUPS_HEX = 1  # md5 nibbles -> 16 independent packing streams
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(strpos('{_HEX}', substring(md5('pack42|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS BIGINT) AS grp,
+             md5('pack42|' || CAST(doc_id AS VARCHAR)) AS skey,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY skey, doc_id) AS rn
+      FROM base
+    ),
+    packed AS (
+      SELECT grp, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT b.grp, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN p.fill + b.n_tokens > {_PACK_BUDGET} THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + b.n_tokens > {_PACK_BUDGET} THEN b.n_tokens
+                  ELSE p.fill + b.n_tokens END
+      FROM packed p JOIN numbered b ON b.grp = p.grp AND b.rn = p.rn + 1
+    )
+    SELECT grp, doc_id, n_tokens, bin FROM packed
+    """,
+    tags=("U3", "W3", "F8"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — the step that concatenates documents
+    into fixed token-budget training sequences (bins): walk the docs in
+    a deterministic pseudorandom order and open a new bin whenever the
+    next document would overflow the budget. The walk order and the
+    stream assignment both derive from md5 of (seed | doc key), so the
+    packing is a pure function of the data — reproducible across
+    cluster sizes, like shuffle_deterministic's order. Greedy packing
+    is a sequential recurrence (bin fill resets on overflow — not a
+    prefix sum), so the corpus is sharded into 16 independent md5-nibble
+    streams and each stream runs the loop in one Arrow-batched
+    applyInPandas group: the serial frontier is per-stream, bounded by
+    corpus/16, and at 100 TB you widen to more nibbles (65k streams at
+    4) rather than changing shape. The oracle is the same recurrence as
+    a recursive CTE stepping one row per stream per iteration."""
+    import pandas as pd
+
+    from ..plans.text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("pack42|"), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id",
+        skey.alias("skey"),
+        F.size(TOKENS()).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "grp",
+        (F.instr(F.lit(_HEX), F.substring("skey", 1, _PACK_GROUPS_HEX)) - 1).cast(
+            "long"
+        ),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["skey", "doc_id"], kind="mergesort")
+        bins, b, fill = [], -1, 0
+        for n in pdf["n_tokens"]:
+            if b < 0 or fill + n > _PACK_BUDGET:
+                b, fill = b + 1, int(n)
+            else:
+                fill += int(n)
+            bins.append(b)
+        pdf = pdf.assign(bin=bins)
+        return pdf[["grp", "doc_id", "n_tokens", "bin"]]
+
+    return base.groupBy("grp").applyInPandas(
+        pack, "grp long, doc_id long, n_tokens long, bin long"
+    )
+
+
 _EXACT_K = 10
 
 
