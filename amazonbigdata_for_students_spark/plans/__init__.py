@@ -54,14 +54,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_part_supplier_variety", # A4 J2 (distinct-count + NOT-IN anti join)
     "agg_approx_count_distinct", # A5
     "agg_rollup",                # A6
-    "agg_collect_list",          # A8
+    "index_inverted_postings",   # A8 F7 U2 (in-group sorted posting fold)
     "agg_percentiles",           # A9
     "sort_topk",                 # O1 O2
     "set_union_by_name",         # E1
     "set_intersect",             # E2
     "dedup_exact_rows",          # E3
     "win_topn_per_group",        # W1 O3
-    "win_running_sum",           # W3
+    "pack_sequences_greedy",     # U3 W3 F8 (greedy packing recurrence, applyInPandas)
     "win_ntile_ranks",           # W4
     "clk_state_ttl_read",        # S5 S7 T7
     "clk_high_traffic_alert",    # T2 T5 S8
@@ -79,7 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_hourly_counts",      # T1 T4
     "stream_dedup_counts",       # T6
     "stream_partitioned_sink",   # T8 S6
-    "udaf_segment_entropy",      # U3
+    "txt_bm25_topk",             # U2 A3 O2 (integer-quantized BM25 retrieval)
     "udtf_token_explode",        # U4
     "merge_upsert_scd1",         # S7 S9 E1 W1 (MERGE flagship; exact U5 rides vec_ann_ivf_topk)
     "dedup_minhash_groups",      # U6
