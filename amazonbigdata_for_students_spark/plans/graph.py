@@ -62,6 +62,105 @@ def _pagerank_oracle() -> str:
     """
 
 
+_TRI_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_orderkey % 4 = 0
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs
+      ) GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS lo,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS hi
+      FROM pairs p
+      JOIN deg du ON du.n = p.u
+      JOIN deg dv ON dv.n = p.v
+    ),
+    wedges AS (
+      SELECT e1.hi AS a, e2.hi AS b
+      FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+    ),
+    tri AS (
+      -- wedge pairs and edge list share the same id-canonical (small, large)
+      -- form, so closure is a single equi-join against pairs
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN pairs e ON w.a = e.u AND w.b = e.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           n_triangles
+    FROM tri
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRI_ORACLE,
+    tags=("J7", "A1"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the supplier co-supply graph (edge =
+    two suppliers appear in the same order; every 4th order sampled by key
+    to keep the graph sparse). Uses the degree-ordered edge orientation
+    from Suri & Vassilvitskii's MapReduce triangle algorithm: orient every
+    edge from its (degree, id)-smaller endpoint to the larger, so each
+    triangle is counted exactly once and — the scale property — wedge
+    generation is Σ out_deg², which orientation provably caps at
+    O(m^1.5) total wedges regardless of skew (a celebrity node of degree
+    10^6 contributes nothing: its edges all point INTO it). The plan is
+    three hash joins + one aggregate, all keyed, no iteration.
+    Everything is integer arithmetic: the count hash-matches the SQL twin
+    exactly."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("lo"), F.col("hi").alias("a"))
+    e2 = oriented.select(F.col("lo"), F.col("hi").alias("b"))
+    wedges = e1.join(e2, "lo").filter(F.col("a") < F.col("b")).select("a", "b")
+    # wedge (a,b) is id-canonical like pairs (u<v): closure is one equi-join
+    tri = wedges.join(
+        pairs, (wedges.a == pairs.u) & (wedges.b == pairs.v)
+    ).agg(F.count("*").alias("n_triangles"))
+    counts = pairs.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
 @query(
     "graph_pagerank",
     oracle=_pagerank_oracle(),

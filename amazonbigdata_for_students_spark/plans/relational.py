@@ -516,6 +516,89 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) + 1 AS t1 FROM {EVENTS} e
+    ),
+    w AS (
+      SELECT i AS window_id,
+             t0 + (i * (t1 - t0)) // 8 AS s_us,
+             t0 + ((i + 1) * (t1 - t0)) // 8 AS e_us
+      FROM b, (SELECT unnest(range(0, 8)) AS i)
+    )
+    SELECT window_id,
+           make_timestamp(s_us) AS w_start,
+           make_timestamp(e_us) AS w_end,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM {EVENTS} e JOIN w
+      ON epoch_us(e.ts) >= w.s_us AND epoch_us(e.ts) < w.e_us
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J8",),
+)
+def join_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 at 100 TB — the interval join WITHOUT an equi key, done the scale
+    way. join_range leans on its equi conjunct to stay a hash join; when the
+    condition is purely `ts BETWEEN start AND end` Spark's only direct plan
+    is a nested-loop join — O(|events| x |windows|). The scale shape instead
+    derives an equi key: explode each interval into the day buckets it
+    covers, equi-join events on their day bucket, then apply the exact range
+    predicate as a residual filter. Work becomes O(|events| x avg
+    buckets-per-event-window) with a broadcastable bucket table, and the
+    fact side never shuffles (map-side broadcast join + one aggregate).
+    All boundary math is integer micros (epoch_us both engines), so the
+    eight data-derived windows hash-match the oracle exactly."""
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        (F.unix_micros(F.max("ts")) + F.lit(1)).alias("t1"),
+    )
+    w = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("window_id"), "t0", "t1"
+        )
+        .select(
+            "window_id",
+            # integer `div` end to end: epoch-micros products exceed double's
+            # 53-bit mantissa, so float division here would drift boundaries
+            F.expr("t0 + (window_id * (t1 - t0)) div 8").alias("s_us"),
+            F.expr("t0 + ((window_id + 1) * (t1 - t0)) div 8").alias("e_us"),
+        )
+        .select(
+            "window_id",
+            "s_us",
+            "e_us",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {day_us}"), F.expr(f"(e_us - 1) div {day_us}")
+                )
+            ).alias("bucket"),
+        )
+    )
+    us = F.unix_micros(F.col("ts"))
+    evb = ev.withColumn("_us", us).withColumn("bucket", F.expr(f"_us div {day_us}"))
+    return (
+        evb.join(F.broadcast(w), "bucket")
+        .filter((F.col("_us") >= F.col("s_us")) & (F.col("_us") < F.col("e_us")))
+        .groupBy("window_id", "s_us", "e_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "window_id",
+            F.timestamp_micros(F.col("s_us")).alias("w_start"),
+            F.timestamp_micros(F.col("e_us")).alias("w_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
     "join_cross",
     oracle="""
     SELECT r_name, n_name

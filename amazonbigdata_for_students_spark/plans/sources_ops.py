@@ -1104,3 +1104,79 @@ def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# S2/S10 — malformed-record handling (PERMISSIVE parse + corrupt-row audit)
+# --------------------------------------------------------------------------
+_CORRUPT_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+@query(
+    "src_corrupt_records",
+    oracle=f"""
+    SELECT CASE WHEN event_id % 13 = 0 THEN '_corrupt' ELSE event_type END AS label,
+           count(*) AS n,
+           count(DISTINCT CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END)
+             AS n_users
+    FROM {EVENTS} e
+    GROUP BY 1
+    """,
+    tags=("S2", "S10", "F3"),
+)
+def src_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-ingress handling — the production reality the reference's
+    Kinesis→Lambda path papers over: at-least-once delivery plus flaky
+    producers means a 100 TB landing zone ALWAYS contains broken lines, and
+    a reader that either crashes (FAILFAST) or silently drops them
+    (DROPMALFORMED) is wrong at scale. The fixture plants a deterministic
+    corruption (every event_id % 13 == 0 row written as truncated JSON);
+    the PERMISSIVE read routes each broken line into _corrupt_record with
+    all data fields null, keeping good and bad rows in ONE pass of the
+    scan — quarantine-with-accounting instead of drop. The audit groups by
+    recovered label ('_corrupt' vs event_type) and the oracle recomputes
+    the exact same partition of the rows from the source table, so both
+    the parse success set and the quarantine set are hash-gated."""
+    d, ready, fp = _cache_dir(sf_dir, "corrupt_jsonl")
+    out = os.path.join(d, "events_dirty")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events")
+        good = F.to_json(
+            F.struct(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+        broken = F.concat(
+            F.lit('{"event_id":'), F.col("event_id").cast("string"), F.lit(',"oops')
+        )
+        line = F.when(F.col("event_id") % 13 == 0, broken).otherwise(good)
+        ev.select(line.alias("value")).write.mode("overwrite").text(out)
+        _mark(d, fp)
+    dirty = (
+        spark.read.schema(_CORRUPT_READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    label = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("event_type"))
+        .alias("label")
+    )
+    return dirty.select(label, "user_id").groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

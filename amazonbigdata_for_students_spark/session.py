@@ -61,3 +61,9 @@ def configure_runtime(spark: SparkSession) -> None:
     # Read nanos as long and convert (sources.readers.load_table) instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet timestamps (isAdjustedToUTC=false) infer as TIMESTAMP_NTZ
+    # by default in Spark 4, which TIMESTAMP-only expressions (unix_micros,
+    # window(), watermarks) reject. Under a pinned-UTC session the LTZ reading
+    # is value-identical, keeps scan-level filter pushdown (a post-read cast
+    # would block it), and matches the DuckDB oracle's naive timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -29,6 +29,9 @@ _NANOS_TS_TABLES = {"events": ["ts"]}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table with its schema contract."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps read as TIMESTAMP (LTZ) under the pinned-UTC
+    # session — see session.configure_runtime for the full rationale.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for ts_col in _NANOS_TS_TABLES.get(name, []):
         if dict(df.dtypes).get(ts_col) == "bigint":

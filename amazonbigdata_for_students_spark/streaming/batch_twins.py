@@ -32,25 +32,34 @@ _EVENTS_RAW = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 — the events table as a parquet file stream (ns-long ts converted
-    exactly like the batch loader). Handles both layouts: events.parquet as
-    a single file (driver testdata — glob it out of the table directory) or
-    as a Spark-written directory of part files (stream the directory)."""
+    """S2 — the events table as a parquet file stream, converted exactly like
+    the batch loader. Handles every layout the driver has shipped:
+    events.parquet as a directory of Spark part files, as a single file with
+    INT64 TIMESTAMP(NANOS) ts (read as long + rebuilt), or as a single file
+    with plain micros ts (read with the declared schema). The physical type
+    is probed from the parquet footer via a batch read — metadata only."""
     import os
 
     from .. import schemas
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         # Spark-written table: ts is already a proper (micros) timestamp.
         return spark.readStream.schema(schemas.EVENTS).parquet(path)
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+    if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(schemas.EVENTS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _drain(

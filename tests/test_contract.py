@@ -37,16 +37,51 @@ ALL_SURVEY_OPS = frozenset(
 )
 
 
+def _driver_green_names():
+    """Query names with a fully-green row in any past driver CORRECTNESS file."""
+    import glob
+    import json
+    import os
+
+    names = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("rows_match") and row.get("err") is None:
+                    names.add(name)
+    return names
+
+
 def test_priority_prefix_covers_all_operators():
-    """The driver verifies the first 50 registry entries; that window must
-    set-cover every SURVEY.md §2 operator id (VERDICT r1+r2 item 1)."""
+    """The driver verifies the first 50 registry entries per round. The window
+    rotates (round 4+) to accumulate external evidence over the whole
+    registry, so the invariant is CUMULATIVE: queries already driver-green in
+    past rounds plus the current window must set-cover every SURVEY.md §2
+    operator id (VERDICT r1+r2 item 1)."""
     from amazonbigdata_for_students_spark.plans import DRIVER_PRIORITY, REGISTRY
 
     assert len(ALL_SURVEY_OPS) == 68
     first50 = list(REGISTRY)[:50]
     assert first50 == list(DRIVER_PRIORITY)[:50]
-    covered = {tag for name in first50 for tag in REGISTRY[name].tags}
+    evidence = _driver_green_names() | set(first50)
+    covered = {tag for name in evidence if name in REGISTRY for tag in REGISTRY[name].tags}
     assert ALL_SURVEY_OPS <= covered, f"uncovered ops: {sorted(ALL_SURVEY_OPS - covered)}"
+
+
+def test_priority_prefix_is_oracle_backed_and_fresh():
+    """Every window slot must carry a DuckDB oracle (hash-checkable by the
+    driver), and the rotation must spend slots on queries without prior
+    driver evidence — at most a handful of repeats are tolerated."""
+    import __spark_entry__ as em
+
+    from amazonbigdata_for_students_spark.plans import DRIVER_PRIORITY
+
+    oracles = em.oracle_sql()
+    missing = [n for n in DRIVER_PRIORITY if n not in oracles]
+    assert not missing, f"window entries without oracle: {missing}"
+    repeats = [n for n in DRIVER_PRIORITY if n in _driver_green_names()]
+    assert len(repeats) <= 5, f"window wastes slots on already-green queries: {repeats}"
 
 
 def test_query_callables_run(spark, sf_small):
