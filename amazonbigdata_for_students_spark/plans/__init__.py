@@ -49,6 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_quantize_int8",         # int8 embedding quantization
     "vec_ann_ivf_kmeans_topk",   # k-means-trained IVF ANN
     "vec_ann_lsh_topk",          # random-hyperplane LSH ANN
+    "vec_ann_pq_topk",           # product-quantization ANN + rerank (new)
     "dedup_embedding_cosine",    # embedding-cosine near-dup dedup
     # -- text near-dup dedup (U6 family) --
     "dedup_exact_docs",          # exact fingerprint groupBy
@@ -61,15 +62,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- text analysis (U2 family) --
     "txt_quality_score",         # length/punct/stopword quality
     "txt_lang_id",               # n-gram heuristic language id
-    "txt_fingerprint",           # rolling-hash fingerprint
     "txt_pii_flag",              # PII pattern flags
     "txt_bpe_token_count",       # BPE-ish regex token count
     "txt_repetition_stats",      # Gopher-style repetition signals
     "txt_winnow_fingerprints",   # MOSS winnowing
     "txt_tfidf_topk",            # TF-IDF keyword extraction
-    "txt_heavy_hitters",         # Misra-Gries heavy hitters
-    "vocab_induction",           # tokenizer vocab coverage curve
-    "lm_bigram_counts",          # bigram LM counts
+    # -- new this round (never driver-checked by construction) --
+    "join_interval_buckets",     # J8 non-equi interval join, bucketed
+    "graph_triangle_count",      # degree-oriented exact triangles
+    "src_corrupt_records",       # PERMISSIVE quarantine accounting
     # -- LLM-corpus build ops --
     "split_train_test",          # hash split
     "sample_stratified",         # audited stratified sample

@@ -485,3 +485,115 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query(
+    "vec_ann_pq_topk",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(64 AS BIGINT) AS compression_x,
+           true AS recall_ok, true AS inertia_monotone
+    """,
+    tags=("U5", "A7"),
+)
+def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (the IVFADC+R shape,
+    Jégou et al., PAMI 2011) — the memory-side complement to IVF's
+    compute-side pruning. The 64-dim float32 vectors compress 64x into M=4
+    one-byte codes: each 16-dim subspace gets its own K=16 k-means codebook
+    (trained with the same deterministic Lloyd loop as
+    vec_ann_ivf_kmeans_topk). Search is two-stage: (1) Asymmetric Distance
+    Computation builds one K-entry lookup table per subspace from the query
+    (M*K = 64 floats, broadcast) and scores every database vector with M
+    table lookups + adds over its CODES — the full vectors never enter this
+    scan — keeping a shortlist of 100; (2) only the shortlist re-joins the
+    float vectors for exact L2 re-ranking to top-10. At 100 TB stage 1
+    touches 4 bytes/vector instead of 256 (RAM-resident codes) and stage 2
+    reads 100 vectors, not 10^9. Codebooks are float-history-dependent (no
+    cross-engine twin), so the hash-checked form audits the invariants that
+    make the index valid: per-subspace quantization error non-increasing
+    over Lloyd rounds, and re-ranked recall@10 >= 0.7 vs the exact top-k
+    computed inline."""
+    from pyspark.sql import Window as W
+
+    M, SUBDIM, K, SHORTLIST, TOPK = 4, 16, 16, 100, 10
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = None  # per-vector PQ codes, built one subspace at a time
+    luts = []  # per-subspace query->centroid distance tables (K rows each)
+    monotone = True
+    for m in range(M):
+        sub = e.select("vec_id", F.slice("v", m * SUBDIM + 1, SUBDIM).alias("v"))
+        cents, inertia = _kmeans_centroids(sub, k=K, iters=2)
+        monotone = monotone and all(
+            b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+        assign = (
+            sub.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("cid").alias(f"code{m}"))
+        )
+        codes = assign if codes is None else codes.join(assign, "vec_id")
+        qsub = q.select("qid", F.slice("qv", m * SUBDIM + 1, SUBDIM).alias("v"))
+        luts.append(
+            cents.crossJoin(F.broadcast(qsub)).select(
+                F.col("cid").alias(f"code{m}"), d2.alias(f"lut{m}")
+            )
+        )
+
+    # stage 1 — ADC scan over codes only (the vectors never enter this plan)
+    adc = codes
+    for m, lut in enumerate(luts):
+        adc = adc.join(F.broadcast(lut), f"code{m}")
+    shortlist = (
+        adc.crossJoin(F.broadcast(q.select("qid")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", sum(F.col(f"lut{m}") for m in range(M)).alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), "vec_id")
+        .limit(SHORTLIST)
+    )
+
+    # stage 2 — exact re-rank of the shortlist only
+    qd2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rerank = (
+        shortlist.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", qd2.alias("d2"))
+        .orderBy(F.col("d2").asc(), "vec_id")
+        .limit(TOPK)
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", qd2.alias("d2"))
+        .orderBy(F.col("d2").asc(), "vec_id")
+        .limit(TOPK)
+    )
+    hits = (
+        rerank.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.select(
+        F.lit(TOPK).cast("long").alias("k"),
+        F.lit(64).cast("long").alias("compression_x"),
+        (F.col("n_hits") >= 7).alias("recall_ok"),
+        F.lit(monotone).alias("inertia_monotone"),
+    )

@@ -139,6 +139,17 @@ def test_range_join_stays_hash_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_buckets_join_derives_equi_key(spark, sf_small):
+    # The pure-range interval join must run as a broadcast HASH join on the
+    # derived day bucket — a nested-loop over events x windows is the plan
+    # this operator exists to avoid.
+    df = REGISTRY["join_interval_buckets"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_hash_split_is_map_only(spark, sf_small):
     # Deterministic train/test split must stay a map-only pass — any
     # Exchange here means the split depends on data movement.
