@@ -1180,3 +1180,138 @@ def src_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# S6/S7 — delete propagation with partition-pruned rewrite (GDPR erasure)
+# --------------------------------------------------------------------------
+@query(
+    "delete_propagate_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT *, user_id % 16 AS bucket, user_id % 41 = 3 AS doomed
+               FROM {EVENTS} e)
+    SELECT (SELECT count(DISTINCT bucket) FROM t) AS n_partitions,
+           (SELECT count(DISTINCT bucket) FROM t WHERE doomed) AS n_rewritten,
+           (SELECT count(*) FROM t) AS rows_before,
+           (SELECT count(*) FROM t WHERE doomed) AS rows_deleted,
+           (SELECT count(*) FROM t WHERE NOT doomed) AS rows_after,
+           true AS untouched_files_intact
+    """,
+    tags=("S6", "S7", "S11"),
+)
+def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure at 100 TB — the operational reason user-keyed
+    layouts exist: deleting 4 users from a time-partitioned table means
+    rewriting EVERY partition, but with the table bucketed by
+    user_id % 16 the tombstone set maps to exactly the buckets those
+    users live in. The op plants a user-bucketed parquet layout, builds a
+    tombstone list, anti-joins ONLY the affected buckets, and rewrites
+    them via dynamic partition overwrite (partitionOverwriteMode=dynamic
+    — untouched buckets keep their original data files, verified by
+    mtime). The audit returns the full accounting — partitions total vs
+    rewritten, rows before/deleted/after (counted from the post-delete
+    table, so a miswritten bucket hash-mismatches) — and the
+    untouched-files-intact boolean."""
+    d, ready, fp = _cache_dir(sf_dir, "gdpr_bucketed")
+    table = os.path.join(d, "events_by_user_bucket")
+    ev = readers.load_table(spark, sf_dir, "events")
+    if not ready:
+        (
+            ev.withColumn("bucket", F.col("user_id") % 16)
+            .repartition(1, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(table)
+        )
+        _mark(d, fp)
+    # rebuild the pristine layout if a previous run already deleted from it
+    marker = os.path.join(d, "_DELETED")
+    if os.path.exists(marker):
+        shutil.rmtree(d)
+        d2, _ready2, fp2 = _cache_dir(sf_dir, "gdpr_bucketed")
+        (
+            ev.withColumn("bucket", F.col("user_id") % 16)
+            .repartition(1, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(table)
+        )
+        _mark(d2, fp2)
+    # the layout mutates across runs; drop any cached file listing first
+    spark.catalog.refreshByPath(table)
+
+    rows_before = spark.read.parquet(table).count()
+    tombstones = (
+        ev.filter(F.col("user_id") % 41 == 3).select("user_id").distinct()
+    )
+    affected = tombstones.select(
+        (F.col("user_id") % 16).alias("bucket")
+    ).distinct()
+
+    before = {
+        p: os.stat(os.path.join(table, p)).st_mtime_ns
+        for p in os.listdir(table)
+        if p.startswith("bucket=")
+    }
+    n_partitions = len(before)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors = (
+            spark.read.parquet(table)
+            .join(F.broadcast(affected), "bucket", "left_semi")
+            .join(F.broadcast(tombstones), "user_id", "left_anti")
+        )
+        # Materialize the surviving-bucket set BEFORE the overwrite — after
+        # it, this lazy plan would re-list files the rewrite just deleted.
+        survived_buckets = {
+            r[0] for r in survivors.select("bucket").distinct().collect()
+        }
+        (
+            survivors.repartition(1, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(table)
+        )
+        # Dynamic overwrite replaces only partitions PRESENT in the output:
+        # a bucket whose rows were all tombstoned writes zero rows and its
+        # old files would silently survive. Emptied partitions need an
+        # explicit metadata delete (what Delta/Iceberg MERGE does under the
+        # hood); here that is removing the partition directory.
+        for r in affected.collect():
+            if r[0] not in survived_buckets:
+                shutil.rmtree(os.path.join(table, f"bucket={r[0]}"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(table)
+    with open(marker, "w") as f:
+        f.write("1")
+
+    after = {
+        p: os.stat(os.path.join(table, p)).st_mtime_ns
+        for p in os.listdir(table)
+        if p.startswith("bucket=")
+    }
+    n_rewritten = sum(1 for p in before if after.get(p) != before[p])
+    untouched_ok = (
+        sum(1 for p in before if after.get(p) == before[p])
+        == n_partitions - n_rewritten
+    )
+
+    back = spark.read.parquet(table)
+    rows_after = back.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_partitions,
+                n_rewritten,
+                rows_before,
+                rows_before - rows_after,
+                rows_after,
+                bool(untouched_ok),
+            )
+        ],
+        "n_partitions bigint, n_rewritten bigint, rows_before bigint, "
+        "rows_deleted bigint, rows_after bigint, untouched_files_intact boolean",
+    )

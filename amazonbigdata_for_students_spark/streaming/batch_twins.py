@@ -326,3 +326,95 @@ def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(total_in, n_keys)], "total_input_rows bigint, n_result_keys bigint"
     )
+
+
+@query(
+    "stream_late_data_drop",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+    FROM {EVENTS} e
+    WHERE day(ts) > 3
+    GROUP BY 1
+    """,
+    tags=("T4", "T1"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 with REAL late-data drops — the other streaming queries validate
+    watermarked plans on in-order input, where the watermark never fires;
+    this one proves the drop semantics. The fixture splits events into
+    three JSONL batch files replayed in controlled order (maxFilesPerTrigger
+    = 1, ascending mtimes): days 4-12, then days 13-20, then a final file
+    holding days 21-30 PLUS the day<=3 stragglers. When the straggler file
+    arrives the watermark — advanced by batch 2 to (max day-20 ts - 1h) —
+    is weeks past the stragglers' windows, so the 1h-tumbling aggregation
+    drops exactly the day<=3 rows and keeps days 21-30. Update-mode drain
+    emits each window's running count; the final value per window is the
+    max. The oracle is the batch aggregate over day > 3 — rows match ONLY
+    if the engine dropped precisely the late set (drop-nothing and
+    drop-too-much both hash-mismatch)."""
+    import os
+    import shutil
+
+    from ..plans.sources_ops import _cache_dir, _mark
+    from ..sources import readers
+
+    d, ready, fp = _cache_dir(sf_dir, "late_jsonl")
+    out = os.path.join(d, "batches")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.dayofmonth("ts").alias("_day"),
+        )
+        os.makedirs(out, exist_ok=True)
+        batches = [
+            ("b0", F.col("_day").between(4, 12)),
+            ("b1", F.col("_day").between(13, 20)),
+            ("b2", (F.col("_day") <= 3) | (F.col("_day") >= 21)),
+        ]
+        for i, (nm, cond) in enumerate(batches):
+            staging = os.path.join(d, f"_stage_{nm}")
+            ev.filter(cond).drop("_day").coalesce(1).write.mode("overwrite").json(
+                staging
+            )
+            part = next(
+                f
+                for f in sorted(os.listdir(staging))
+                if f.startswith("part-") and f.endswith(".json")
+            )
+            target = os.path.join(out, f"{nm}.json")
+            os.rename(os.path.join(staging, part), target)
+            shutil.rmtree(staging)
+            # mtime drives FileStreamSource ordering: strictly increasing
+            t = 1_700_000_000 + i
+            os.utime(target, times=(t, t))
+        _mark(d, fp)
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .json(out)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    drained = _drain(agg, "stream_late_drop", mode="update")
+    # update mode re-emits a window on every batch that touches it; the
+    # final count is the last (= max, counts are monotone) per window
+    return drained.groupBy("window_start").agg(F.max("n").alias("n"))
