@@ -62,15 +62,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- text analysis (U2 family) --
     "txt_quality_score",         # length/punct/stopword quality
     "txt_lang_id",               # n-gram heuristic language id
-    "txt_pii_flag",              # PII pattern flags
-    "txt_bpe_token_count",       # BPE-ish regex token count
-    "txt_repetition_stats",      # Gopher-style repetition signals
-    "txt_winnow_fingerprints",   # MOSS winnowing
-    "txt_tfidf_topk",            # TF-IDF keyword extraction
     # -- new this round (never driver-checked by construction) --
     "join_interval_buckets",     # J8 non-equi interval join, bucketed
     "graph_triangle_count",      # degree-oriented exact triangles
     "src_corrupt_records",       # PERMISSIVE quarantine accounting
+    "stream_late_data_drop",     # T4 watermark drop actually fires
+    "delete_propagate_rewrite",  # GDPR bucket-pruned erasure
+    "histogram_equidepth",       # distributed-rank quantile grid
+    "reconcile_replicas",        # anti-entropy replica audit
+    "join_fuzzy_blocked",        # blocked levenshtein record linkage
     # -- LLM-corpus build ops --
     "split_train_test",          # hash split
     "sample_stratified",         # audited stratified sample

@@ -1132,3 +1132,57 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle=f"""
+    WITH r AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) - 1 AS rk
+      FROM {EVENTS} e
+    ),
+    t AS (SELECT count(*) AS total FROM {EVENTS} e)
+    SELECT (rk * 8) // total AS bucket,
+           count(*) AS n_rows,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM r, t
+    GROUP BY 1
+    """,
+    tags=("A9", "A1", "O1"),
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-count) histogram — the boundary profile
+    optimizers and partition planners want (equi-WIDTH buckets collapse
+    under skew; equi-depth buckets are the quantile grid). The global rank
+    every row needs is computed WITHOUT a single-node sort, reusing the
+    distributed two-pass prefix-sum shape from shard_by_token_budget:
+    repartitionByRange(value) gives cross-partition order, each partition
+    ranks locally, and only the #partitions-row offset table passes
+    through one task before broadcasting back. Bucket assignment is pure
+    integer math ((rank*8) div total), so the per-bucket counts and exact
+    [lo, hi] boundaries hash-match DuckDB's window-ranked twin."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    part = ev.repartitionByRange(8, "value", "event_id").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    sizes = part.groupBy("_part").agg(F.count("*").alias("sz"))
+    off_w = W.orderBy("_part").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_part",
+        F.coalesce(F.sum("sz").over(off_w), F.lit(0)).alias("off"),
+        F.sum("sz").over(W.partitionBy()).alias("total"),
+    )
+    rk_w = W.partitionBy("_part").orderBy("value", "event_id")
+    ranked = (
+        part.join(F.broadcast(offsets), "_part")
+        .withColumn("rk", F.row_number().over(rk_w) + F.col("off") - 1)
+        .withColumn("bucket", F.expr("(rk * 8) div total"))
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -1315,3 +1315,77 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_partitions bigint, n_rewritten bigint, rows_before bigint, "
         "rows_deleted bigint, rows_after bigint, untouched_files_intact boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S11 — replica reconciliation (anti-entropy audit between two table copies)
+# --------------------------------------------------------------------------
+@query(
+    "reconcile_replicas",
+    oracle=f"""
+    SELECT day(ts) AS day,
+           count(*) AS n_a,
+           count(*) FILTER (WHERE event_id % 103 <> 0) AS n_b,
+           count(*) FILTER (WHERE event_id % 103 = 0) AS rows_missing,
+           (count(*) FILTER (WHERE event_id % 103 = 0) = 0 AND
+            count(*) FILTER (WHERE event_id % 101 = 0 AND event_id % 103 <> 0) = 0)
+             AS checksum_match
+    FROM {EVENTS} e
+    GROUP BY 1
+    """,
+    tags=("S11", "A3", "J6", "F8"),
+)
+def reconcile_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation of two replicas of a partitioned table —
+    the cross-region/cross-cluster validation a 100 TB pipeline runs after
+    every backfill or DR copy. Replica B is planted with both failure
+    modes: silent row loss (event_id % 103 rows missing) and silent
+    corruption (value bumped on % 101 rows). The audit computes, per day
+    partition, a row count and an ORDER-INDEPENDENT content checksum
+    (sum of per-row xxhash64, accumulated in decimal so ANSI mode cannot
+    overflow), then full-outer-joins the two partition summaries. Each
+    side's summary is one map-side-combined aggregate over its own
+    replica — partitions never co-shuffle, rows never cross replicas; the
+    join carries #partitions rows. The oracle recomputes which days lost
+    rows and which days' checksums must mismatch straight from the source
+    table, so both detector channels are hash-gated."""
+    d, ready, fp = _cache_dir(sf_dir, "replicas")
+    pa, pb = os.path.join(d, "a"), os.path.join(d, "b")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").withColumn(
+            "day", F.dayofmonth("ts")
+        )
+        ev.repartition(1, "day").write.partitionBy("day").mode("overwrite").parquet(pa)
+        drifted = ev.filter(F.col("event_id") % 103 != 0).withColumn(
+            "value",
+            F.when(F.col("event_id") % 101 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        drifted.repartition(1, "day").write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(pb)
+        _mark(d, fp)
+
+    def summary(path: str, cn: str, hn: str) -> DataFrame:
+        t = spark.read.parquet(path)
+        h = F.xxhash64("event_id", "ts", "user_id", "event_type", "value")
+        return t.groupBy("day").agg(
+            F.count("*").alias(cn),
+            F.sum(h.cast("decimal(38,0)")).alias(hn),
+        )
+
+    a = summary(pa, "n_a", "h_a")
+    b = summary(pb, "n_b", "h_b")
+    return (
+        a.join(b, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            (F.coalesce("n_a", F.lit(0)) - F.coalesce("n_b", F.lit(0))).alias(
+                "rows_missing"
+            ),
+            (F.col("h_a").eqNullSafe(F.col("h_b"))).alias("checksum_match"),
+        )
+    )

@@ -322,16 +322,25 @@ _MINHASH_K = 4
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4 seeded md5 permutations over distinct
-    tokens): the signature stage of MinHash-LSH dedup. Shuffle carries one
-    row per (doc, token); the min-agg combines map-side."""
+    tokens): the signature stage of MinHash-LSH dedup. MAP-ONLY: each
+    signature is array_min over a per-row transform of the token array —
+    no explode, no shuffle, no sort-based aggregate. (The earlier
+    explode→groupBy(doc).min() shape shuffled one row per (doc, token) and
+    fell back to SortAggregate because a string min-buffer isn't a mutable
+    fixed-size type; at 100 TB that shuffle is the whole cost of the
+    signature stage, and it buys nothing.) Downstream stages shuffle only
+    the k×32-char signatures."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(TOKENS())).alias("tok"))
-    return tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("tok")))).alias(f"sig{s}")
-            for s in range(_MINHASH_K)
-        ]
-    )
+    toks = F.array_distinct(TOKENS())
+
+    def sig(seed: int):
+        # NB: the lambda must be unary — transform() feeds a second arg the
+        # element INDEX, which a default-arg closure would silently absorb
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
+        ).alias(f"sig{seed}")
+
+    return d.select("doc_id", *[sig(s) for s in range(_MINHASH_K)])
 
 
 @query(
@@ -847,4 +856,47 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_count"))
         .crossJoin(F.broadcast(n))
         .filter(F.col("exact_count") * _HH_K > F.col("n_tokens"))
+    )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, pfx, string_split(pfx, ' ')[1] AS blk FROM t
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.pfx, c.pfx) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pfx, c.pfx) <= 8
+    """,
+    tags=("U6", "J7", "F2"),
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the entity-resolution workhorse (record linkage,
+    near-dup titles, address matching): edit-distance joins are O(n^2) x
+    O(len^2) if run all-pairs, so candidates are generated by BLOCKING on a
+    cheap deterministic key (here the prefix's first token) and the
+    expensive levenshtein runs only within blocks — the same
+    candidates-then-verify shape as the shingle dedups, and like them the
+    production version drops any block whose size exceeds a document-
+    frequency threshold (a stop-word block degenerates to all-pairs).
+    Both engines implement the standard unrestricted Damerau-free
+    Levenshtein DP, so the surviving (doc_a, doc_b, dist) pairs hash-match
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 40).alias("pfx")
+    ).withColumn("blk", F.split(F.col("pfx"), " ").getItem(0))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"), "blk")
+    c = t.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= 8)
+        .select("doc_a", "doc_b", "dist")
     )
