@@ -328,3 +328,57 @@ def test_ppm_decoder_parses_comments_and_rejects_truncation():
         d.decode_ppm_stats(ppm[:-10])
     with _pytest.raises(ValueError, match="not a P6"):
         d.decode_ppm_stats(b"P3\n1 1\n255\n...")
+
+
+def test_delete_propagation_physically_removes_tombstoned_users(spark, sf_small):
+    """The audit numbers could lie; read the rewritten layout directly and
+    assert no tombstoned user's rows survive on disk."""
+    import os
+
+    REGISTRY["delete_propagate_rewrite"].fn(spark, sf_small).collect()
+    table = os.path.join(
+        "/tmp/abd_srccache",
+        os.path.basename(os.path.normpath(sf_small)),
+        "gdpr_bucketed",
+        "events_by_user_bucket",
+    )
+    spark.catalog.refreshByPath(table)
+    left = (
+        spark.read.parquet(table)
+        .filter(F.col("user_id") % 41 == 3)
+        .count()
+    )
+    assert left == 0
+
+
+def test_triangle_count_matches_naive_on_sample(spark, sf_small):
+    """Degree-oriented counting must equal the naive all-wedge count: for
+    every edge set, #triangles = (1/3) * closed directed wedges of the
+    undirected graph. Recompute naively on the (sampled) co-supply graph."""
+    li = load_table(spark, sf_small, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    pairs = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # naive: closed paths u-w-v with an edge u-v, every triangle counted 6x
+    w1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    naive6 = w1.join(w2, "y").join(closing, ["x", "z"]).count()
+    reported = REGISTRY["graph_triangle_count"].fn(spark, sf_small).collect()[0]
+    assert naive6 % 6 == 0
+    assert reported["n_triangles"] == naive6 // 6
+
+
+def test_fuzzy_join_pairs_are_truly_close(spark, sf_small):
+    """Every surviving pair's prefixes must be within the edit-distance
+    bound, and symmetric duplicates must not appear."""
+    rows = REGISTRY["join_fuzzy_blocked"].fn(spark, sf_small).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["dist"] <= 8
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
