@@ -60,7 +60,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash16",           # 16-bit simhash (pure SQL oracle)
     "dedup_simhash64_bands",     # 64-bit simhash + band bucketing
     # -- text analysis (U2 family) --
-    "txt_quality_score",         # length/punct/stopword quality
     "txt_lang_id",               # n-gram heuristic language id
     # -- new this round (never driver-checked by construction) --
     "join_interval_buckets",     # J8 non-equi interval join, bucketed
@@ -71,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "histogram_equidepth",       # distributed-rank quantile grid
     "reconcile_replicas",        # anti-entropy replica audit
     "join_fuzzy_blocked",        # blocked levenshtein record linkage
+    "stream_join_outer_unmatched",  # stream-stream outer join, gated nulls
     # -- LLM-corpus build ops --
     "split_train_test",          # hash split
     "sample_stratified",         # audited stratified sample

@@ -1389,3 +1389,74 @@ def reconcile_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h_a").eqNullSafe(F.col("h_b"))).alias("checksum_match"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J5 — stream-stream LEFT OUTER join (watermark-gated null emission)
+# --------------------------------------------------------------------------
+@query(
+    "stream_join_outer_unmatched",
+    oracle=f"""
+    WITH c AS (SELECT * FROM {EVENTS} e WHERE event_type = 'click'),
+         p AS (SELECT * FROM {EVENTS} e WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 10 MINUTE AS w
+         )
+    SELECT c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.user_id, c.ts, NULL, NULL
+    FROM c, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    AND c.ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    tags=("J5", "J6", "T4", "T7"),
+)
+def stream_join_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6 — stream-stream LEFT OUTER join, the abandoned-cart query:
+    every click pairs with its purchases within 30 minutes, and clicks that
+    never convert STILL emit (with nulls) — but only once the join
+    watermark has provably passed their match window, because until then a
+    matching purchase could still arrive. That gating is the semantics
+    under test: the oracle reproduces it exactly — null rows appear for
+    unmatched clicks whose (click_ts + 30min) lies strictly below the
+    final global watermark, which Spark computes as min(per-input max
+    event time) - delay. One click in the stream tail stays in state
+    un-emitted at sf0.001, so an engine that emitted nulls eagerly (or
+    never) hash-mismatches. State for both sides is range-evictable — the
+    only outer-join formulation that survives an unbounded stream."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _drain(joined, "stream_join_outer", mode="append")
