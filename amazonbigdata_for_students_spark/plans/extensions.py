@@ -1186,3 +1186,83 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_exact,
+           true AS never_undercounts,
+           true AS within_eps_bound
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A5", "A7", "F8"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) — the mergeable FREQUENCY
+    sketch completing the sketch family (HLL = distinct, Misra-Gries =
+    top-k, CMS = per-key counts). d=4 hash rows x w=64 buckets: every
+    event increments one bucket per row (explode to 4 (row, bucket) cells,
+    one map-side-combined groupBy over 256 cells — at 100 TB the shuffle
+    carries the SKETCH, never the keys), and a key's estimate is the MIN
+    over its d buckets. The audit carries the two CMS guarantees per key:
+    estimate >= exact (one-sided error, never undercounts) and
+    estimate <= exact + (e/w)*N (the eps-bound with e/w ≈ 0.0425 at
+    w=64). Exact counts ride along, so the whole row — including both
+    booleans — is hash-gated against the SQL twin."""
+    import math
+
+    D, W = 4, 64
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    cell = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64(F.lit(r), "event_type"), F.lit(W)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("c"),
+    ).select("event_type", "c.row", "c.bucket")
+    sketch = cell.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    keys = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    key_cells = keys.select(
+        "event_type",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64(F.lit(r), "event_type"), F.lit(W)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("c"),
+    ).select("event_type", "n_exact", "c.row", "c.bucket")
+    est = (
+        key_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("event_type", "n_exact")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    total = keys.agg(F.sum("n_exact").alias("n_total"))
+    eps = math.e / W
+    return est.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_exact",
+        (F.col("estimate") >= F.col("n_exact")).alias("never_undercounts"),
+        (F.col("estimate") <= F.col("n_exact") + F.lit(eps) * F.col("n_total")).alias(
+            "within_eps_bound"
+        ),
+    )
