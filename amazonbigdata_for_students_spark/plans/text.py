@@ -900,3 +900,51 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 8)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=r"""
+    WITH para AS (
+      SELECT doc_id, trim(p) AS p
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\.\s+')) AS t(p)
+      WHERE trim(p) <> ''
+    )
+    SELECT md5(p) AS para_hash,
+           min(doc_id) AS first_doc,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM para
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    tags=("U6", "E3", "F7"),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the pass that catches
+    boilerplate repeated ACROSS documents that whole-document fingerprints
+    miss (headers, disclaimers, navigation chrome — the single biggest
+    contamination class in web-scale corpora). Documents explode into
+    sentence-ish units (split on '. '), each unit hashes, and one
+    map-side-combined groupBy on the 32-byte digest finds units appearing
+    more than once corpus-wide with first-seen attribution. At 100 TB the
+    shuffle carries (digest, doc_id) pairs only — text never moves."""
+    d = load_table(spark, sf_dir, "documents")
+    para = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\.\s+")).alias("p"),
+        )
+        .select("doc_id", F.trim("p").alias("p"))
+        .filter(F.col("p") != "")
+    )
+    return (
+        para.groupBy(F.md5("p").alias("para_hash"))
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

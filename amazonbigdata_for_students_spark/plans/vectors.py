@@ -597,3 +597,56 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits") >= 7).alias("recall_ok"),
         F.lit(monotone).alias("inertia_monotone"),
     )
+
+
+@query(
+    "vec_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+               FROM e ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM e, q
+    WHERE e.label <> q.qlabel
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("U5",),
+)
+def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for a query
+    vector, the most-similar vectors with a DIFFERENT label (the negatives
+    that actually teach the model something; random negatives are too easy).
+    Identical plan shape to vec_cosine_topk — broadcast query row, JVM fold,
+    label-inequality pushed into the scan filter, TakeOrderedAndProject —
+    so at 100 TB it is one map-side pass over the embeddings. In a full
+    pipeline this runs per training batch with the ANN index (IVF/PQ)
+    supplying candidates; the exact form here is its correctness oracle."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    sim = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
