@@ -207,3 +207,74 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prefix",
         F.sum("n_bigram").over(W.partitionBy("w1")).cast("long"),
     )
+
+
+@query(
+    "txt_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         big AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
+         cb AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+         cu AS (SELECT w1 AS w, count(*) AS c FROM big GROUP BY w1),
+         v AS (SELECT count(DISTINCT u) AS vs FROM
+                 (SELECT unnest(toks) AS u FROM toks)),
+         scored AS (
+           SELECT b.doc_id,
+                  CAST(round(ln((cb.c + 1.0) / (cu.c + v.vs)), 6)
+                       AS DECIMAL(18,6)) AS lp
+           FROM big b JOIN cb ON b.bg = cb.bg
+                      JOIN cu ON b.w1 = cu.w, v
+         )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) AS total_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("U2", "A7", "F4"),
+)
+def txt_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality scoring — the model-based corpus filter
+    (KenLM-style): train add-1-smoothed bigram statistics on the corpus
+    itself, then score every document's total log-probability; low scores
+    flag boilerplate/garbled text for removal. Train and score are two
+    passes over the same exploded bigrams: counts groupBy (map-side
+    combined), then a broadcast join of the (vocabulary-bounded) count
+    tables back onto the bigram stream. Cross-engine float discipline:
+    each bigram's ln() is QUANTIZED to decimal(18,6) immediately, so the
+    per-doc reduction is an exact decimal sum — aggregation order can
+    never change the answer — and only the final cast returns to double.
+    At 100 TB the count tables are |vocab| and |vocab|² rows (bounded for
+    a closed tokenizer vocabulary), while the corpus stream is map-only."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(
+            x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")
+        ),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bg"
+    )
+    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = (
+        d.select(F.explode("toks").alias("u"))
+        .agg(F.countDistinct("u").alias("vs"))
+    )
+    lp = F.round(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        big.join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").cast("double").alias("total_logprob"),
+    )

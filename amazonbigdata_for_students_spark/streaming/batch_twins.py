@@ -418,3 +418,119 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode re-emits a window on every batch that touches it; the
     # final count is the last (= max, counts are monotone) per window
     return drained.groupBy("window_start").agg(F.max("n").alias("n"))
+
+
+@query(
+    "stream_upsert_sink",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           max(ts) AS last_ts
+    FROM {EVENTS} e
+    GROUP BY user_id
+    """,
+    tags=("T5", "T8", "S7"),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE — the foreachBatch upsert pattern every lakehouse
+    sink (Delta/Iceberg MERGE, JDBC upsert, KV put) is built on: each
+    micro-batch's per-user partial aggregate merges into a keyed running
+    table with algebraic combine rules (counts add, decimal sums add,
+    last_ts maxes). Update-mode streaming gives the per-batch DELTAS of
+    changed keys; foreachBatch applies them transactionally per batchId —
+    the idempotence contract that makes retries safe. Three replay files
+    (mtime-ordered) force genuine multi-batch merging, so a sink that
+    overwrote instead of merged, or dropped a batch, hash-mismatches the
+    single-pass batch oracle."""
+    import os
+
+    from ..plans.registry import dsum
+    from ..plans.sources_ops import _cache_dir, _mark
+    from ..sources import readers
+
+    d, ready, fp = _cache_dir(sf_dir, "upsert_jsonl")
+    out = os.path.join(d, "batches")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.dayofmonth("ts").alias("_day"),
+        )
+        os.makedirs(out, exist_ok=True)
+        import shutil
+
+        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            staging = os.path.join(d, f"_stage_{i}")
+            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                1
+            ).write.mode("overwrite").json(staging)
+            part = next(
+                f
+                for f in sorted(os.listdir(staging))
+                if f.startswith("part-") and f.endswith(".json")
+            )
+            target = os.path.join(out, f"b{i}.json")
+            os.rename(os.path.join(staging, part), target)
+            shutil.rmtree(staging)
+            t = 1_700_000_000 + i
+            os.utime(target, times=(t, t))
+        _mark(d, fp)
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .json(out)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+    state: dict[int, tuple] = {}  # the keyed sink table (driver-held map;
+    # a real deployment writes a Delta/JDBC/KV table — merge law identical)
+    applied: set[int] = set()
+
+    def upsert(batch_df, batch_id: int):
+        if batch_id in applied:  # idempotence on retry
+            return
+        applied.add(batch_id)
+        # update-mode delta rows REPLACE the key's row (the agg re-emits
+        # full per-key values, already merged across batches by the engine's
+        # state store — foreachBatch's job is the transactional apply)
+        for r in batch_df.collect():
+            state[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_ts"])
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    rows = [
+        (uid, n, sv, lt) for uid, (n, sv, lt) in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+    )
