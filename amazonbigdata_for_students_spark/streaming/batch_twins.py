@@ -534,3 +534,92 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+    SELECT user_id, count(*) AS n FROM (
+      SELECT DISTINCT user_id, ts, event_type FROM {EVENTS} e
+    ) GROUP BY user_id
+    """,
+    tags=("T6", "T7"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 via dropDuplicatesWithinWatermark — the production dedup for
+    at-least-once sources: unlike plain dropDuplicates (whose key state
+    grows forever), the within-watermark variant GUARANTEES state eviction
+    once a key's event time falls behind the watermark, trading unbounded
+    memory for a bounded dedup horizon (10 min here ≫ the source's redelivery
+    window, so the answer is still exact). Same oracle as the unbounded
+    variant — on a correctly deduped stream both agree; an engine that
+    evicted too early (dropping dupes late in the horizon) would double
+    count and hash-mismatch."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_type")
+        .dropDuplicatesWithinWatermark(["user_id", "ts", "event_type"])
+    )
+    agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
+    return _drain(agg, "stream_dedup_wm")
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+           true AS rocksdb_used
+    FROM {EVENTS} e
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "T7"),
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production state-store backend: RocksDB instead of the default
+    in-JVM-heap HDFS-backed map. At 100 TB of keyed state (sessions over
+    hundreds of millions of users) heap state stores OOM executors and
+    stall GC; RocksDB keeps state off-heap with incremental checkpointing —
+    flipping the provider is THE knob that takes a stateful query from demo
+    to production. Same tumbling-window aggregation as stream_hourly_counts,
+    with the provider switched for this query only; the result must be
+    byte-identical to the heap-backed answer (state backend must never
+    change semantics), and rocksdb_used reports whether the run's progress
+    metrics actually came from RocksDB (guards against the conf silently
+    not applying)."""
+    name = f"rocksdb_state_{next(_COUNTER)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rocksdb_used = any(
+            any("rocksdb" in k.lower() for k in (op.get("customMetrics") or {}))
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+    return spark.table(name).withColumn("rocksdb_used", F.lit(rocksdb_used))
