@@ -650,3 +650,78 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "vec_matryoshka_truncate",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         t AS (SELECT vec_id, v[1:16] AS tv FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         tq AS (SELECT vec_id AS qid, tv AS qtv FROM t ORDER BY vec_id LIMIT 1),
+         full_topk AS (
+           SELECT e.vec_id FROM e, q WHERE e.vec_id <> q.qid
+           ORDER BY list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                    DESC, e.vec_id
+           LIMIT 10
+         ),
+         trunc_topk AS (
+           SELECT t.vec_id FROM t, tq WHERE t.vec_id <> tq.qid
+           ORDER BY list_dot_product(t.tv, tq.qtv)
+                    / (sqrt(list_dot_product(t.tv, t.tv)) * sqrt(list_dot_product(tq.qtv, tq.qtv)))
+                    DESC, t.vec_id
+           LIMIT 10
+         )
+    SELECT CAST(16 AS BIGINT) AS kept_dims,
+           CAST(4 AS BIGINT) AS compression_x,
+           CAST((SELECT count(*) FROM full_topk f JOIN trunc_topk t ON f.vec_id = t.vec_id) AS BIGINT)
+             AS n_overlap
+    """,
+    tags=("U5", "P1"),
+)
+def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation (Kusupati et al., NeurIPS
+    2022): keep only the first 16 of 64 dimensions and renormalize — the
+    zero-compute 4x compression used for coarse retrieval tiers when
+    embeddings are trained front-loaded. The audit measures exactly what a
+    retrieval tier cares about: the overlap between the truncated-space
+    cosine top-10 and the full-space top-10, computed inline (both sides
+    JVM folds over broadcast query rows). Unlike PQ/IVF this is pure
+    projection — a column expression, no training, no index build — so
+    BOTH engines can compute the entire audit exactly and the overlap
+    count itself is hash-gated (not a thresholded boolean: the testdata's
+    first 16 dims carry whatever signal they carry, and both engines must
+    agree on precisely how much)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    t = e.select("vec_id", F.slice("v", 1, 16).alias("tv"))
+
+    def topk(df, vec_col: str):
+        q = (
+            df.orderBy("vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("qid"), F.col(vec_col).alias("qv"))
+        )
+        nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        qnrm = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        sim = _dot(F.col(vec_col), F.col("qv")) / (nrm * qnrm)
+        return (
+            df.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("vec_id", sim.alias("s"))
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    overlap = topk(e, "v").join(topk(t, "tv"), "vec_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(16).cast("long").alias("kept_dims"),
+        F.lit(4).cast("long").alias("compression_x"),
+        F.col("n_overlap").cast("long"),
+    )
