@@ -395,3 +395,74 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "clk_attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, value,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM {EVENTS} e
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT date_trunc('hour', last_click_ts) AS click_hour,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+      AND last_click_ts IS NOT NULL
+      AND ts - last_click_ts <= INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+    tags=("W2", "W3", "J9", "A3"),
+)
+def clk_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — every purchase credits the user's most
+    recent click within a 1-day lookback, the canonical marketing-analytics
+    ask over the reference's clickstream. Implemented as ONE pass, NO join:
+    a running max of click timestamps over each user's time-ordered event
+    sequence (rows-frame ending 1 PRECEDING, so a purchase can never credit
+    itself) makes the as-of lookup a window function — at 100 TB this is a
+    single user-keyed shuffle instead of the clicks×purchases range join,
+    the same trick that makes sessionization scale. Attribution revenue
+    rolls up by originating click hour; deterministic tie-break on
+    (ts, event_id)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+            # exact micros, not cast("long") (which truncates to seconds and
+            # would disagree with the oracle's INTERVAL compare on
+            # sub-second boundary straddles)
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+                <= 86_400_000_000
+            )
+        )
+    )
+    from .registry import dsum
+
+    return attributed.groupBy(
+        F.date_trunc("hour", "last_click_ts").alias("click_hour")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value").alias("attributed_value"),
+    )
