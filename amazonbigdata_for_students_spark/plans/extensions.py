@@ -1266,3 +1266,37 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_eps_bound"
         ),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle=f"""
+    SELECT event_type, user_id AS mode_user, n FROM (
+      SELECT event_type, user_id, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rn
+      FROM {EVENTS} e
+      GROUP BY event_type, user_id
+    ) WHERE rn = 1
+    """,
+    tags=("A1", "W1"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break — the built-in mode() leaves tie order engine-defined, which
+    is exactly the kind of nondeterminism that breaks cross-run diffs and
+    incremental recomputes at scale. Shape: count per (group, value) with
+    map-side combine, then WindowGroupLimit-eligible rank-1 selection
+    (ties break on the value itself), so the window state is O(1) per
+    group and the heavy shuffle happens once on the pre-aggregated
+    counts."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "n")
+    )

@@ -368,3 +368,99 @@ def mm_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "px_sum"])
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+@query(
+    "mm_wav_decimate",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((8000 + (doc_id % 4) * 4000) // 2 AS BIGINT) AS out_rate,
+           CAST((n_chars + 1) // 2 AS BIGINT) AS out_frames,
+           CAST((((n_chars + 1) // 2) * 1000) // ((8000 + (doc_id % 4) * 4000) // 2) AS BIGINT)
+             AS out_duration_ms,
+           true AS roundtrip_ok
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+    tags=("U1", "U4"),
+)
+def mm_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the REAL codec path: decode the synthesized
+    PCM, decimate 2:1 (keep even frames — the integer-factor resample that
+    needs no interpolation), re-encode at half rate with the stdlib writer,
+    then decode the RE-ENCODED bytes and verify they reproduce the
+    decimated samples exactly (roundtrip_ok). This is the media-transform
+    shape (decode → array op → encode) every multimodal pipeline stage
+    follows, Arrow-batched in mapInPandas; the oracle pins the output
+    rate/frame/duration arithmetic, and the round-trip boolean is the
+    codec-integrity audit the hash gate enforces."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_rate", T.LongType()),
+            T.StructField("out_frames", T.LongType()),
+            T.StructField("out_duration_ms", T.LongType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                rate = 8000 + (doc_id % 4) * 4000
+                ch = 1 + (doc_id % 2)
+                wav = multimodal.synth_wav(
+                    sample_rate=rate,
+                    n_channels=ch,
+                    n_frames=int(n_chars),
+                    seed_bytes=(text or "").encode("utf-8"),
+                )
+                with wave.open(io.BytesIO(wav), "rb") as r:
+                    frames = r.getnframes()
+                    pcm = np.frombuffer(r.readframes(frames), dtype="<i2").reshape(
+                        frames, ch
+                    )
+                dec = pcm[::2]  # keep even frames: 2:1 decimation
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(2)
+                    w.setframerate(rate // 2)
+                    w.writeframes(dec.tobytes())
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as r2:
+                    rate2 = r2.getframerate()
+                    frames2 = r2.getnframes()
+                    pcm2 = np.frombuffer(
+                        r2.readframes(frames2), dtype="<i2"
+                    ).reshape(frames2, ch)
+                ok = bool(frames2 == dec.shape[0] and np.array_equal(pcm2, dec))
+                rows.append(
+                    (doc_id, rate2, frames2, (frames2 * 1000) // rate2, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "out_rate",
+                    "out_frames",
+                    "out_duration_ms",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
