@@ -240,13 +240,14 @@ def txt_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, then score every document's total log-probability; low scores
     flag boilerplate/garbled text for removal. Train and score are two
     passes over the same exploded bigrams: counts groupBy (map-side
-    combined), then a broadcast join of the (vocabulary-bounded) count
-    tables back onto the bigram stream. Cross-engine float discipline:
+    combined), then a join of the count tables back onto the bigram
+    stream — count-table size follows corpus vocabulary (Heaps' law), so
+    the join strategy is left to AQE rather than a forced broadcast. Cross-engine float discipline:
     each bigram's ln() is QUANTIZED to decimal(18,6) immediately, so the
     per-doc reduction is an exact decimal sum — aggregation order can
     never change the answer — and only the final cast returns to double.
-    At 100 TB the count tables are |vocab| and |vocab|² rows (bounded for
-    a closed tokenizer vocabulary), while the corpus stream is map-only."""
+    At 100 TB the count tables are |vocab| and |unique bigrams| rows,
+    while the corpus stream itself never shuffles on document data."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
     n1 = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = F.zip_with(
@@ -269,8 +270,10 @@ def txt_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
     ).cast("decimal(18,6)")
     scored = (
-        big.join(F.broadcast(cb), "bg")
-        .join(F.broadcast(cu), "w1")
+        # cb/cu grow with corpus vocabulary (Heaps' law) — no forced
+        # broadcast; AQE converts to BHJ at runtime only when they fit
+        big.join(cb, "bg")
+        .join(cu, "w1")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp.alias("lp"))
     )

@@ -670,8 +670,9 @@ def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is order-independent; docs with avg logprob < -3.45 — the
     least-predictable ~quartile, garbled-text proxy — drop) → minimum
     length gate → deterministic md5-nibble split → per-split accounting.
-    The LM train+score adds two vocabulary-bounded count tables broadcast
-    onto one exploded-bigram pass; everything else is unchanged from v1.
+    The LM train+score joins two count tables back onto one
+    exploded-bigram pass — their size follows corpus vocabulary, so the
+    join strategy is left to AQE; everything else is unchanged from v1.
     This is the judge-visible proof the new operators are pipeline stages,
     not demos."""
     from .text import TOKENS, _NORM
@@ -704,8 +705,10 @@ def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
     ).cast("decimal(18,6)")
     lp = (
-        big.join(F.broadcast(cb), "bg")
-        .join(F.broadcast(cu), "w1")
+        # cb/cu grow with corpus vocabulary (Heaps' law) — no forced
+        # broadcast; AQE converts to BHJ at runtime only when they fit
+        big.join(cb, "bg")
+        .join(cu, "w1")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp_tok.alias("lp"))
         .groupBy("doc_id")
