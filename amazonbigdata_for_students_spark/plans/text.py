@@ -924,7 +924,9 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lb").cast("string"),
         ),
     ).otherwise(F.col("tok1"))
-    b = t.join(F.broadcast(sizes), "tok1").select("doc_id", "pfx", refined.alias("blk"))
+    # the census is |first-token vocab| rows — grows with the corpus, so
+    # no forced broadcast; AQE converts when the runtime size allows
+    b = t.join(sizes, "tok1").select("doc_id", "pfx", refined.alias("blk"))
     a = b.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"), "blk")
     c = b.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"), "blk")
     return (
