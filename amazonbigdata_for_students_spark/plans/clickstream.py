@@ -466,3 +466,40 @@ def clk_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         dsum("value").alias("attributed_value"),
     )
+
+
+@query(
+    "clk_trending_growth",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1, 2
+    )
+    SELECT h, event_type, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY h) AS n_prev,
+           n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY h), 0)
+             AS delta
+    FROM hourly
+    """,
+    tags=("W2", "A2", "O3"),
+)
+def clk_trending_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection (reference diagram comp. 6's "most popular"
+    upgraded to momentum): hour-over-hour count deltas per event type via
+    lag over the PRE-AGGREGATED hourly counts — the window runs over
+    (hours x types) rows, thousands at any corpus size, never over raw
+    events. Deltas stay integers (no float growth ratio), so the result
+    hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("h")
+    prev = F.lag("n").over(w)
+    return hourly.select(
+        "h",
+        "event_type",
+        "n",
+        prev.alias("n_prev"),
+        (F.col("n") - F.coalesce(prev, F.lit(0))).alias("delta"),
+    )

@@ -1460,3 +1460,68 @@ def stream_join_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _drain(joined, "stream_join_outer", mode="append")
+
+
+# --------------------------------------------------------------------------
+# S2 variant — multiLine JSON document read (pretty-printed array landing)
+# --------------------------------------------------------------------------
+@query(
+    "src_json_multiline",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM {EVENTS} e
+    WHERE day(ts) = 1
+    GROUP BY event_type
+    """,
+    tags=("S2", "F3"),
+)
+def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER JSON landing shape: not line-delimited records but a
+    pretty-printed JSON ARRAY per file (what REST export jobs and manual
+    dumps produce). multiLine=true makes the whole file one parse unit —
+    which also makes a file the unit of parallelism, the documented
+    trade-off versus JSONL (one straggler file = one straggler task; fine
+    for dimension-sized drops, wrong for the firehose — and why the hourly
+    landing path stays JSONL). Fixture: day-1 events exported as an
+    indented JSON array via to_json + concat (built distributedly, then
+    assembled with metadata-only renames); the oracle recomputes from
+    parquet, so the array framing, indentation and schema projection are
+    all under test."""
+    d, ready, fp = _cache_dir(sf_dir, "json_multiline")
+    out = os.path.join(d, "export")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").filter(
+            F.dayofmonth("ts") == 1
+        )
+        body = ev.select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+            ).alias("j")
+        )
+        rows = [r["j"] for r in body.collect()]  # day-1 slice: bounded export,
+        # mirroring the manual-dump shape this reader exists for
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "export.json"), "w") as f:
+            f.write("[\n  " + ",\n  ".join(rows) + "\n]\n")
+        _mark(d, fp)
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(sch).option("multiLine", True).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
