@@ -725,3 +725,151 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).cast("long").alias("compression_x"),
         F.col("n_overlap").cast("long"),
     )
+
+
+@query(
+    "vec_ann_recall_curve",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         assign AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_dot_product(e.v, c.cv)
+                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid) AS rn
+           FROM e, c
+         ),
+         cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+         pr AS (
+           SELECT c.cid,
+                  row_number() OVER (
+                    ORDER BY round(list_dot_product(q.qv, c.cv)
+                          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid) AS prk
+           FROM c, q
+         ),
+         exact AS (
+           SELECT e.vec_id FROM e, q WHERE e.vec_id <> q.qid
+           ORDER BY round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id
+           LIMIT 10
+         ),
+         cand AS (
+           SELECT p.nprobe, cell.vec_id,
+                  round(list_dot_product(cell.v, q.qv)
+                        / (sqrt(list_dot_product(cell.v, cell.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                    AS sim
+           FROM cell JOIN pr USING (cid)
+                JOIN (SELECT unnest(range(1, 5)) AS nprobe) p ON pr.prk <= p.nprobe,
+                q
+           WHERE cell.vec_id <> q.qid
+         ),
+         ranked AS (
+           SELECT nprobe, vec_id,
+                  row_number() OVER (PARTITION BY nprobe
+                                     ORDER BY sim DESC, vec_id) AS rn
+           FROM cand
+         )
+    SELECT r.nprobe, CAST(count(x.vec_id) AS BIGINT) AS n_hits
+    FROM ranked r LEFT JOIN exact x ON r.vec_id = x.vec_id
+    WHERE r.rn <= 10
+    GROUP BY r.nprobe
+    """,
+    tags=("U5", "W1"),
+)
+def vec_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve — recall@10 as a function of nprobe (1..4) over
+    the deterministic IVF index: the accuracy/cost trade-off an operator
+    actually consults before picking a probe budget (each +1 nprobe scans
+    one more of the 8 cells ≈ +12.5% of the data). Per-nprobe candidate
+    sets come from ONE probe-rank table (cells ranked by query similarity)
+    joined against a tiny nprobe range — the index is built once, not per
+    setting. The whole curve is hash-gated exactly: deterministic
+    quantizer, rounded similarities, integer hit counts — no thresholded
+    booleans."""
+    from pyspark.sql import Window as W
+
+    K, MAXPROBE, TOPK = 8, 4, 10
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    c = e.orderBy("vec_id").limit(K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+
+    def cos(a, b, anrm, bnrm):
+        return _dot(a, b) / (anrm * bnrm)
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6).desc(),
+            F.col("cid"),
+        )
+    )
+    cell = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    pr = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.row_number()
+            .over(
+                W.orderBy(
+                    F.round(
+                        cos(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")), 6
+                    ).desc(),
+                    F.col("cid"),
+                )
+            )
+            .alias("prk"),
+        )
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            F.round(cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    nprobes = spark.range(1, MAXPROBE + 1).select(F.col("id").alias("nprobe"))
+    cand = (
+        cell.join(F.broadcast(pr), "cid")
+        .join(F.broadcast(nprobes), F.col("prk") <= F.col("nprobe"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "nprobe",
+            "vec_id",
+            F.round(cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6).alias("sim"),
+        )
+    )
+    ranked = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("nprobe").orderBy(F.col("sim").desc(), "vec_id")
+        ),
+    ).filter(F.col("rn") <= TOPK)
+    return (
+        ranked.join(exact.withColumnRenamed("vec_id", "hit_id"),
+                    ranked.vec_id == F.col("hit_id"), "left")
+        .groupBy("nprobe")
+        .agg(F.count("hit_id").cast("long").alias("n_hits"))
+    )
