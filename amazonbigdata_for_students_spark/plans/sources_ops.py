@@ -1525,3 +1525,84 @@ def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# The smoke panel: one query that proves the whole surface is wired
+# --------------------------------------------------------------------------
+@query(
+    "engine_healthcheck",
+    oracle=f"""
+    SELECT 'region' AS tbl, count(*) AS n_rows, CAST(0 AS BIGINT) AS fk_orphans FROM region
+    UNION ALL SELECT 'nation', count(*),
+      (SELECT count(*) FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_regionkey IS NULL) FROM nation
+    UNION ALL SELECT 'customer', count(*),
+      (SELECT count(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE n.n_nationkey IS NULL) FROM customer
+    UNION ALL SELECT 'supplier', count(*),
+      (SELECT count(*) FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE n.n_nationkey IS NULL) FROM supplier
+    UNION ALL SELECT 'part', count(*), CAST(0 AS BIGINT) FROM part
+    UNION ALL SELECT 'orders', count(*),
+      (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL) FROM orders
+    UNION ALL SELECT 'lineitem', count(*),
+      (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL) FROM lineitem
+    UNION ALL SELECT 'events', count(*), CAST(0 AS BIGINT) FROM {EVENTS} e
+    UNION ALL SELECT 'documents', count(*), CAST(0 AS BIGINT) FROM documents
+    UNION ALL SELECT 'embeddings', count(*), CAST(0 AS BIGINT) FROM embeddings
+    """,
+    tags=("S11", "J6", "A1"),
+)
+def engine_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment smoke panel — the first query an operator runs
+    against a fresh environment: every table readable with its declared
+    schema, row counts, and referential integrity along the join spine
+    (nation→region, customer/supplier→nation, orders→customer,
+    lineitem→orders; orphans must be zero or every downstream join
+    silently loses rows). Each FK check is a broadcast-anti-join count;
+    the whole panel is ten scans and a 10-row result at any data size."""
+    checks = []
+    fk = {
+        "nation": ("n_regionkey", "region", "r_regionkey"),
+        "customer": ("c_nationkey", "nation", "n_nationkey"),
+        "supplier": ("s_nationkey", "nation", "n_nationkey"),
+        "orders": ("o_custkey", "customer", "c_custkey"),
+        "lineitem": ("l_orderkey", "orders", "o_orderkey"),
+    }
+    for tbl in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        t = readers.load_table(spark, sf_dir, tbl)
+        n = t.agg(F.count("*").alias("n_rows"))
+        if tbl in fk:
+            child_key, parent, parent_key = fk[tbl]
+            p = readers.load_table(spark, sf_dir, parent).select(
+                F.col(parent_key).alias("_pk")
+            )
+            orphans = (
+                t.join(F.broadcast(p), t[child_key] == F.col("_pk"), "left_anti")
+                .agg(F.count("*").alias("fk_orphans"))
+            )
+        else:
+            orphans = spark.range(1).select(F.lit(0).cast("long").alias("fk_orphans"))
+        checks.append(
+            n.crossJoin(orphans).select(
+                F.lit(tbl).alias("tbl"), "n_rows", "fk_orphans"
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
