@@ -623,3 +623,115 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
     return spark.table(name).withColumn("rocksdb_used", F.lit(rocksdb_used))
+
+
+@query(
+    "stream_static_refresh",
+    oracle=f"""
+    SELECT event_type, count(*) AS n
+    FROM {EVENTS} e
+    WHERE NOT (day(ts) > 10 AND user_id % 10 = 3)
+    GROUP BY event_type
+    """,
+    tags=("J4", "S5", "T7"),
+)
+def stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE property that makes stream-static joins operational (reference
+    comps. 3+5): the static side is RE-READ every micro-batch, so a
+    blocklist updated mid-stream takes effect on the next batch without
+    restarting the query. Fixture: three mtime-ordered replay files (days
+    1-10, 11-20, 21-31); the blocklist starts EMPTY, and a foreachBatch
+    hook adds user_id % 10 = 3 after batch 0 commits — so those users'
+    batch-0 events pass, and their day>10 events are anti-joined away.
+    The oracle encodes exactly that batch-boundary semantics; an engine
+    that snapshots the static side at query start (letting everything
+    pass) or applies the update retroactively both hash-mismatch."""
+    import os
+    import shutil
+
+    from ..plans.sources_ops import _cache_dir, _mark
+    from ..sources import readers
+
+    d, ready, fp = _cache_dir(sf_dir, "static_refresh")
+    out = os.path.join(d, "batches")
+    block_dir = os.path.join(d, "blocklist")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.dayofmonth("ts").alias("_day"),
+        )
+        os.makedirs(out, exist_ok=True)
+        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            staging = os.path.join(d, f"_stage_{i}")
+            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                1
+            ).write.mode("overwrite").json(staging)
+            part = next(
+                f
+                for f in sorted(os.listdir(staging))
+                if f.startswith("part-") and f.endswith(".json")
+            )
+            os.rename(os.path.join(staging, part), os.path.join(out, f"b{i}.json"))
+            shutil.rmtree(staging)
+            t = 1_700_000_000 + i
+            os.utime(os.path.join(out, f"b{i}.json"), times=(t, t))
+        _mark(d, fp)
+
+    # blocklist always starts this run EMPTY — a CATALOG table, because a
+    # path-based DataFrame freezes its file listing at plan time; the
+    # catalog relation + refreshTable is the supported mid-stream refresh
+    tbl = "blocklist_refresh_demo"
+    empty = spark.createDataFrame([], "user_id bigint")
+    empty.write.mode("overwrite").option("path", block_dir).saveAsTable(tbl)
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .json(out)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    # stream-static anti-join: the catalog table is re-read per batch
+    blocklist = spark.table(tbl)
+    filtered = stream.join(blocklist, "user_id", "left_anti")
+
+    rows_by_type: dict[str, int] = {}
+
+    def sink(batch_df, batch_id: int):
+        for r in batch_df.groupBy("event_type").agg(F.count("*").alias("n")).collect():
+            rows_by_type[r["event_type"]] = rows_by_type.get(r["event_type"], 0) + r["n"]
+        if batch_id == 0:
+            # mid-stream blocklist update: detected bots added AFTER batch 0
+            spark.range(0, 1000).select(
+                (F.col("id") * 10 + 3).alias("user_id")
+            ).write.mode("append").saveAsTable(tbl)
+            spark.catalog.refreshTable(tbl)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            filtered.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.createDataFrame(
+        sorted(rows_by_type.items()), "event_type string, n bigint"
+    )
