@@ -984,3 +984,100 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "er_resolve_entities",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
+    ),
+    b0 AS (
+      SELECT doc_id, pfx,
+             string_split(pfx, ' ')[1] AS tok1,
+             coalesce(string_split(pfx, ' ')[2], '') AS tok2,
+             length(pfx) // 8 AS lb
+      FROM t
+    ),
+    sz AS (SELECT tok1, count(*) AS c FROM b0 GROUP BY tok1),
+    b AS (
+      SELECT doc_id, pfx,
+             CASE WHEN sz.c > 500
+                  THEN b0.tok1 || ' ' || b0.tok2 || '|' || CAST(b0.lb AS VARCHAR)
+                  ELSE b0.tok1 END AS blk
+      FROM b0 JOIN sz USING (tok1)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, c.doc_id AS b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.pfx, c.pfx) <= 8
+    ),
+    ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    closure(src, dst) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT c.src, e.b FROM closure c JOIN ed e ON c.dst = e.a
+    ),
+    entity AS (SELECT src AS doc_id, min(dst) AS entity_id FROM closure GROUP BY src)
+    SELECT entity_id,
+           count(*) AS n_members,
+           min(doc_id) AS canonical_doc
+    FROM entity
+    GROUP BY entity_id
+    HAVING count(*) > 1
+    """,
+    tags=("U6", "J7", "W1"),
+)
+def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composed record-linkage pipeline:
+    hierarchical blocking → within-block levenshtein match (the
+    join_fuzzy_blocked stage) → transitive closure via iterative min-label
+    propagation (the dedup_connected_components stage) → one canonical
+    entity per group with membership counts. Matching is pairwise but
+    resolution must be transitive (A~B, B~C ⇒ one entity ABC even when
+    A,C don't match directly) — that closure is what this op adds over the
+    pair list, and the recursive-CTE oracle checks the fixpoint exactly.
+    Per-iteration cost is one edge join + aggregate, lineage truncated per
+    round — the same billions-of-edges shape as the dedup clusters."""
+    pairs = join_fuzzy_blocked(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
