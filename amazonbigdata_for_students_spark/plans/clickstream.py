@@ -503,3 +503,64 @@ def clk_trending_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("n_prev"),
         (F.col("n") - F.coalesce(prev, F.lit(0))).alias("delta"),
     )
+
+
+@query(
+    "ab_test_analysis",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM (SELECT DISTINCT user_id FROM {EVENTS} e)
+    ),
+    acts AS (
+      SELECT a.variant, e.user_id,
+             count(*) FILTER (WHERE e.event_type = 'click') AS n_clicks,
+             count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purchases
+      FROM {EVENTS} e JOIN assigned a USING (user_id)
+      GROUP BY a.variant, e.user_id
+    )
+    SELECT variant,
+           count(*) AS n_users,
+           CAST(sum(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(sum(n_purchases) AS BIGINT) AS total_purchases,
+           count(*) FILTER (WHERE n_purchases > 0) AS n_converted
+    FROM acts
+    GROUP BY variant
+    """,
+    tags=("A3", "A4", "F8", "P2"),
+)
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis — the A/B readout every growth team runs on the
+    clickstream: deterministic hash assignment of users to variants (the
+    same md5-nibble rule as the train/test splitter — assignment must be a
+    pure function of the unit id so it survives reprocessing and stays
+    consistent across sessions), then per-variant unit counts, activity
+    totals, and converted-unit counts. All integers — rate and lift
+    computation is a trivial downstream division, kept out of the result
+    so the gate stays exact. Shape: one user-keyed aggregate, one tiny
+    per-variant rollup; the assignment never shuffles (it rides the
+    groupBy's hash partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    assigned = per_user.withColumn(
+        "variant", F.when(nibble < 8, "control").otherwise("treatment")
+    )
+    return assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_clicks").cast("long").alias("total_clicks"),
+        F.sum("n_purchases").cast("long").alias("total_purchases"),
+        F.count(F.when(F.col("n_purchases") > 0, 1)).alias("n_converted"),
+    )
