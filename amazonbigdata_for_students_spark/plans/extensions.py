@@ -1300,3 +1300,50 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("user_id").alias("mode_user"), "n")
     )
+
+
+@query(
+    "agg_group_median_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM {EVENTS} e
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           avg(value) AS median_value
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+    """,
+    tags=("A9", "W1"),
+)
+def agg_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by order statistics — the complement of
+    percentile_approx for the audit/finance cases where "approximately the
+    median" is not an answer. Each group's middle one-or-two elements are
+    selected by rank (row_number + group count in one window pass over the
+    group's partition), then averaged — no group ever materializes as an
+    array, no sort leaves its partition, so a billion-row group costs one
+    in-partition sort like any other window. The even-group interpolation
+    (a+b)/2 matches quantile_cont(0.5) exactly in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.avg("value").alias("median_value"),
+    )

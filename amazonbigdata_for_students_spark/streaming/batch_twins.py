@@ -735,3 +735,74 @@ def stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows_by_type.items()), "event_type string, n bigint"
     )
+
+
+@query(
+    "stream_multi_sink_fanout",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM hourly) AS BIGINT) AS archive_windows,
+           CAST((SELECT count(*) FROM hourly WHERE n > 5) AS BIGINT) AS alert_windows,
+           CAST((SELECT sum(n) FROM hourly) AS BIGINT) AS archive_rows,
+           true AS sinks_consistent
+    """,
+    tags=("S8", "S6", "T8"),
+)
+def stream_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fan-out done right: ONE streaming query feeds both the
+    archive and the alert sink from inside a single foreachBatch, so both
+    sinks see the same micro-batch exactly once. (The naive alternative —
+    two independent writeStream queries over the same source — reads the
+    data twice and can diverge: each query has its own offsets, so a crash
+    can land a batch in one sink but not the other.) The audit drains the
+    windowed counts, routes every window to the archive list and the
+    over-threshold subset to the alert list, then checks the invariant the
+    pattern exists for: every alert row is present in the archive with the
+    SAME count — and the totals are hash-gated against the batch oracle."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    archive: dict = {}
+    alerts: dict = {}
+
+    def fanout(batch_df, batch_id: int):
+        rows = batch_df.collect()  # post-aggregate: bounded by #windows
+        for r in rows:
+            archive[r["window_start"]] = r["n"]
+        for r in rows:
+            if r["n"] > 5:
+                alerts[r["window_start"]] = r["n"]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(fanout)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    consistent = all(archive.get(k) == v for k, v in alerts.items())
+    return spark.createDataFrame(
+        [
+            (
+                len(archive),
+                len(alerts),
+                int(sum(archive.values())),
+                bool(consistent),
+            )
+        ],
+        "archive_windows bigint, alert_windows bigint, archive_rows bigint, "
+        "sinks_consistent boolean",
+    )
