@@ -1347,3 +1347,51 @@ def agg_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n"),
         F.avg("value").alias("median_value"),
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) / 100.0 * 1.08
+                         AS DECIMAL(38,6))) AS DOUBLE) AS taxed_total,
+           count(*) AS n
+    FROM {EVENTS} e
+    WHERE CAST(round(value * 100) AS BIGINT) / 100.0 * 1.08 > 50.0
+    GROUP BY event_type
+    """,
+    tags=("F4", "F6", "U3"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`) — the
+    right way to share business logic across queries: the function body is
+    pure SQL, so Catalyst INLINES it at plan time and the call sites keep
+    whole-stage codegen, predicate behavior, and vectorization — none of
+    which survive a Python UDF. The demo registers cents-rounding and
+    tax logic once, uses it in both the projection and the WHERE clause,
+    and the oracle inlines the same expressions — byte-identical results
+    prove the inlining semantics."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents_exact(v DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(round(v * 100) AS BIGINT) / 100.0"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION with_tax(v DOUBLE) "
+        "RETURNS DOUBLE RETURN to_cents_exact(v) * 1.08"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               -- decimal-routed sum: per-row quantization then exact decimal
+               -- addition, so distributed order never changes the answer
+               CAST(sum(CAST(with_tax(value) AS DECIMAL(38,6))) AS DOUBLE)
+                 AS taxed_total,
+               count(*) AS n
+        FROM events
+        WHERE with_tax(value) > 50.0
+        GROUP BY event_type
+        """
+    )
