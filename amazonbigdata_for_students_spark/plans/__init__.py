@@ -26,72 +26,87 @@ from . import tpch_extra  # noqa: E402  TPC-H family completion (q4/q8/q9/q13/q1
 
 # The driver's external correctness gate verifies a fixed-size prefix of the
 # registry (observed: first 50 entries of ``queries()``, insertion order).
-# Rounds 1-3 already produced green driver rows for a window set-covering all
-# 68 SURVEY.md §2 operator ids (CORRECTNESS_r0{1,2,3}.json). From round 4 on,
+# Rounds 1-3 produced green driver rows set-covering all 68 SURVEY.md §2
+# operator ids; round 4's rotated window went 50/50 green. From round 4 on,
 # the window ROTATES: each round's prefix is filled with oracle-backed queries
 # that have never had a driver verdict, so external evidence accumulates over
-# the whole 174-query registry instead of re-verifying the same 50.
+# the whole 206-query registry instead of re-verifying the same 50.
 # tests/test_contract.py::test_priority_prefix_covers_all_operators guards the
 # cumulative invariant (past green rows ∪ current window ⊇ all §2 ops).
+#
+# ROUND-5 WINDOW: 50 of the 84 queries with no driver verdict in r1-r4
+# (judge-computed list, VERDICT r4 item 1).
+#
+# ROUND-6 QUEUE (the remaining 34 never-driver-checked queries — fill the
+# next rotation from exactly this list so round 6 doesn't have to recompute):
+#   win_first_last, win_first_last_value, array_functions, map_functions,
+#   pivot_event_counts, unpivot_stack, batch_session_window,
+#   salted_hot_key_agg, salted_hot_key_join, rollup_multires,
+#   agg_approx_percentiles, agg_exact_median, agg_hll_sketch_merge,
+#   agg_incremental_merge, agg_mode_exact, filter_by_quantile,
+#   histogram_values, skew_diagnose, quality_outlier_mad,
+#   txt_quality_score, txt_fingerprint, txt_pii_flag, txt_bpe_token_count,
+#   txt_repetition_stats, txt_winnow_fingerprints, txt_heavy_hitters,
+#   vocab_induction, dedup_paragraphs, udtf_chunk_lateral,
+#   index_inverted_postings, lm_bigram_counts, mm_wav_decimate,
+#   corpus_build_pipeline_v2, engine_healthcheck
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- multimodal columns (north-star family, never driver-checked) --
-    "mm_feature_extract",        # binary decode seam, mapInPandas
-    "mm_frame_sample",           # U4 explode frame grid
-    "mm_wav_stats",              # real stdlib WAV decode
-    "mm_size_stats",             # byte-budget repartition stats
-    "mm_resize_grid",            # nearest-neighbor raster resize
-    "mm_binary_file_scan",       # binaryFile source ingest
-    "mm_ppm_stats",              # real stdlib PPM image decode
-    # -- similarity search / embeddings (U5 family) --
-    "vec_cosine_topk",           # exact cosine top-k baseline
-    "vec_neardup_pairs",         # blocked near-dup pairs
-    "vec_cosine_topk_pandas",    # Arrow-vectorized variant, rank-checked
-    "vec_quantize_int8",         # int8 embedding quantization
-    "vec_ann_ivf_kmeans_topk",   # k-means-trained IVF ANN
-    "vec_ann_lsh_topk",          # random-hyperplane LSH ANN
-    "vec_ann_pq_topk",           # product-quantization ANN + rerank (new)
-    "dedup_embedding_cosine",    # embedding-cosine near-dup dedup
-    # -- text near-dup dedup (U6 family) --
-    "dedup_exact_docs",          # exact fingerprint groupBy
-    "dedup_ngram_jaccard",       # shingle Jaccard candidate join
-    "dedup_minhash_signatures",  # minhash signature agg
-    "dedup_connected_components",# iterative min-label propagation
-    "dedup_jaccard_prefix",      # ppjoin prefix filter
-    "dedup_simhash16",           # 16-bit simhash (pure SQL oracle)
-    "dedup_simhash64_bands",     # 64-bit simhash + band bucketing
-    # -- text analysis (U2 family) --
-    "txt_lang_id",               # n-gram heuristic language id
-    # -- new this round (never driver-checked by construction) --
-    "join_interval_buckets",     # J8 non-equi interval join, bucketed
-    "graph_triangle_count",      # degree-oriented exact triangles
-    "src_corrupt_records",       # PERMISSIVE quarantine accounting
-    "stream_late_data_drop",     # T4 watermark drop actually fires
-    "delete_propagate_rewrite",  # GDPR bucket-pruned erasure
-    "histogram_equidepth",       # distributed-rank quantile grid
-    "reconcile_replicas",        # anti-entropy replica audit
-    "join_fuzzy_blocked",        # blocked levenshtein record linkage
-    "stream_join_outer_unmatched",  # stream-stream outer join, gated nulls
-    # -- LLM-corpus build ops --
-    "split_train_test",          # hash split
-    "sample_stratified",         # audited stratified sample
-    "shard_by_token_budget",     # distributed prefix-sum sharding
-    "shuffle_deterministic",     # reproducible training shuffle
-    "sample_temperature",        # temperature resampling
-    "decontaminate_overlap",     # benchmark decontamination
-    "chunk_content_defined",     # CDC chunking
-    "sample_exact_k",            # exact-k per-stratum sample
-    "seq_user_events",           # behavior-sequence build
-    # -- streaming engine (real readStream paths) --
-    "stream_sliding_traffic",    # T2 sliding window agg
-    "stream_topn_per_window",    # per-window top-N
-    "stream_alert_once",         # applyInPandasWithState alert-once
-    "stream_session_counts",     # native session_window
-    "stream_progress_audit",     # row-accounting canary
-    "stream_static_anti_join",   # J4 real-stream variant
-    "src_kafka_shaped_scan",     # Kafka-shaped ingress normalize
-    # -- catalog + graph --
-    "sql_view_catalog",          # S3 catalog table (only §2 id without a row)
-    "graph_pagerank",            # iterative integer-exact PageRank
+    # -- TPC-H remainder (relational core, never driver-checked) --
+    "q6_forecast_revenue",          # pushed-filter scan + single agg
+    "q10_returned_items",           # returned-item revenue top-N
+    "q12_priority_lines",           # shipmode conditional counts
+    "q14_promo_revenue",            # promo revenue ratio
+    "q15_top_supplier",             # view + scalar-max join
+    "q17_small_quantity_revenue",   # correlated avg-qty subquery
+    "q19_disjunctive_revenue",      # disjunctive predicate pushdown
+    "q21_waiting_supplier",         # multi-exists/anti-join
+    "q22_idle_customers",           # substring + NOT EXISTS
+    # -- SQL surface --
+    "sql_exists_subquery",          # EXISTS rewrite
+    "sql_scalar_subquery",          # scalar subquery in projection
+    "sql_grouping_sets",            # GROUPING SETS
+    "sql_scalar_udf",               # CREATE FUNCTION ... RETURN, inlined
+    # -- source/sink + layout plumbing --
+    "src_orc_roundtrip",            # ORC write/read parity
+    "src_python_datasource",        # Python DataSource V2 API
+    "src_schema_evolution_merge",   # mergeSchema evolution read
+    "src_json_multiline",           # multiline JSON documents
+    "join_bloom_prefilter",         # bloom-filter semi-join prefilter
+    "join_bucketed_colocated",      # bucketed co-located join (no shuffle)
+    "join_shuffle_hash_hint",       # SHUFFLE_HASH hint plan control
+    "json_variant_shred",           # semi-structured variant shredding
+    "compact_small_files",          # small-file compaction
+    "layout_zorder_cluster",        # z-order interleaved clustering
+    # -- streaming engine (round-4 ops, real readStream paths) --
+    "stream_checkpoint_restart",    # T8 checkpoint resume
+    "stream_dedup_within_watermark",# dropDuplicatesWithinWatermark
+    "stream_multi_sink_fanout",     # consistent multi-sink fan-out
+    "stream_rocksdb_state",         # RocksDB state-store backend
+    "stream_static_refresh",        # mid-stream static-side refresh
+    "stream_upsert_sink",           # keyed upsert sink (executor-side, r5)
+    # -- analytics over events --
+    "funnel_conversion",            # ordered funnel stages
+    "retention_cohorts",            # cohort retention matrix
+    "cdc_latest_by_key",            # CDC latest-per-key compaction
+    "scd2_user_history",            # SCD2 validity intervals
+    "clk_attribution_last_touch",   # last-touch attribution
+    "clk_trending_growth",          # window-over-window growth
+    "ab_test_analysis",             # deterministic A/B readout
+    "timeseries_gapfill",           # calendar spine gap-fill
+    # -- stats / text / vectors --
+    "agg_corr_stddev",              # corr + stddev aggregates
+    "agg_countmin_sketch",          # count-min sketch heavy hitters
+    "agg_group_median_exact",       # exact per-group median
+    "profile_table",                # column-profile summary
+    "dq_constraint_check",          # data-quality constraint audit
+    "txt_bm25_topk",                # BM25 ranked retrieval
+    "txt_perplexity_filter",        # bigram-LM perplexity filter
+    "txt_tfidf_topk",               # TF-IDF ranked retrieval
+    "vec_hard_negatives",           # hard-negative mining
+    "vec_matryoshka_truncate",      # matryoshka dim truncation
+    "vec_ann_recall_curve",         # IVF recall-vs-nprobe self-audit
+    "pack_sequences_greedy",        # greedy sequence packing
+    "er_resolve_entities",          # entity resolution w/ closure
 )
 
 

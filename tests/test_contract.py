@@ -48,7 +48,14 @@ def _driver_green_names():
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
             for name, row in json.load(f).items():
-                if row.get("rows_match") and row.get("err") is None:
+                # ADVICE r4: a row counts as evidence only if fully green —
+                # rows AND schema AND value-hash all matched, no error.
+                if (
+                    row.get("rows_match")
+                    and row.get("err") is None
+                    and row.get("hash_match", True)
+                    and row.get("schema_match", True)
+                ):
                     names.add(name)
     return names
 
