@@ -1254,6 +1254,8 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p.startswith("bucket=")
     }
     n_partitions = len(before)
+    # bounded collect: ≤16 bucket ids, used by the rewrite loop AND the audit
+    affected_buckets = {r[0] for r in affected.collect()}
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1279,9 +1281,9 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # old files would silently survive. Emptied partitions need an
         # explicit metadata delete (what Delta/Iceberg MERGE does under the
         # hood); here that is removing the partition directory.
-        for r in affected.collect():
-            if r[0] not in survived_buckets:
-                shutil.rmtree(os.path.join(table, f"bucket={r[0]}"))
+        for b in affected_buckets:
+            if b not in survived_buckets:
+                shutil.rmtree(os.path.join(table, f"bucket={b}"))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(table)
@@ -1294,9 +1296,13 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p.startswith("bucket=")
     }
     n_rewritten = sum(1 for p in before if after.get(p) != before[p])
-    untouched_ok = (
-        sum(1 for p in before if after.get(p) == before[p])
-        == n_partitions - n_rewritten
+    # The real audit: every bucket NOT in the tombstones' bucket set must
+    # still have its original mtime. (Comparing counts derived from the same
+    # mtime scan would be a tautology that can never fail.)
+    untouched_ok = all(
+        after.get(p) == before[p]
+        for p in before
+        if int(p.split("=", 1)[1]) not in affected_buckets
     )
 
     back = spark.read.parquet(table)

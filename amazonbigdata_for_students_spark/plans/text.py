@@ -463,6 +463,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # Same loud-failure policy as er_resolve_entities: an unconverged
+        # exit would silently return split components.
+        raise RuntimeError(
+            f"dedup_connected_components: label propagation did not converge "
+            f"in 20 iterations ({changed} labels still changing)"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
@@ -1073,6 +1080,16 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # A component with diameter > 20 would exit the loop unconverged and
+        # silently return split entities that hash-mismatch the recursive-CTE
+        # oracle. Fail loudly instead: min-label propagation halves the
+        # frontier per round on these corpora, so hitting the cap means the
+        # edge set is pathological, not that more rounds would be wasteful.
+        raise RuntimeError(
+            f"er_resolve_entities: label propagation did not converge in 20 "
+            f"iterations ({changed} labels still changing)"
+        )
     return (
         labels.groupBy(F.col("label").alias("entity_id"))
         .agg(

@@ -713,10 +713,16 @@ def stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in batch_df.groupBy("event_type").agg(F.count("*").alias("n")).collect():
             rows_by_type[r["event_type"]] = rows_by_type.get(r["event_type"], 0) + r["n"]
         if batch_id == 0:
-            # mid-stream blocklist update: detected bots added AFTER batch 0
-            spark.range(0, 1000).select(
-                (F.col("id") * 10 + 3).alias("user_id")
-            ).write.mode("append").saveAsTable(tbl)
+            # mid-stream blocklist update: detected bots added AFTER batch 0.
+            # Derived from the DATA (distinct user_ids with user_id % 10 = 3),
+            # not a fixed range — a hardcoded spark.range cap would silently
+            # stop covering users minted above it at larger scale factors
+            # while the oracle's WHERE clause applies to ALL users.
+            readers.load_table(spark, sf_dir, "events").select(
+                "user_id"
+            ).where(F.col("user_id") % 10 == 3).distinct().write.mode(
+                "append"
+            ).saveAsTable(tbl)
             spark.catalog.refreshTable(tbl)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
