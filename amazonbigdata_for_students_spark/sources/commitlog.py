@@ -1,0 +1,207 @@
+"""Minimal ACID commit log for keyed parquet tables.
+
+The MERGE/upsert family (``merge_upsert_scd1``, ``stream_upsert_sink``,
+the S6/S7 sinks; reference diagram comps. 10-11, the long-term-storage +
+incremental-ETL components of ``cloudformation/glue_cf_template.json:139``)
+needs a commit protocol the moment two writers race: dynamic partition
+overwrite alone is atomic per-file but not per-commit, so a reader can see
+writer A's files and writer B's files interleaved (a torn read), and a
+retried micro-batch can double-apply.
+
+This is the public-knowledge core of every table format (Delta's
+``_delta_log``, Iceberg's snapshot metadata), reduced to the smallest
+correct kernel:
+
+* **Write-temp**: data files land under ``data/<token>/`` while INVISIBLE —
+  readers only ever look at directories referenced by a committed manifest.
+* **Atomic manifest swap**: a commit is one JSON file ``_commits/<version>``
+  published via ``os.link`` (put-if-absent). POSIX link(2) fails with
+  ``EEXIST`` if the version is taken, which gives compare-and-swap on the
+  version counter: exactly one writer wins each version; losers re-read the
+  log and retry at the next version (optimistic concurrency, same loop as
+  Delta's commitLarge). ``fsync`` before link makes the manifest durable
+  before it becomes visible.
+* **Snapshot read**: a reader lists ``_commits/``, takes the contiguous
+  version prefix, and unions exactly the data directories those manifests
+  name — it can never observe half a commit, because visibility IS the
+  manifest file.
+* **Idempotence**: a manifest carries an optional ``batch_id``; re-applying
+  an already-committed batch (a streaming retry after a sink crash) is
+  detected from the log itself, not from writer-local state, so the
+  exactly-once contract survives a driver restart.
+
+At 100 TB the log stays tiny (one small JSON per commit — the data volume
+lives in parquet), reads are O(#commits) metadata operations, and the
+snapshot union is the same latest-per-key window MERGE compiles to anyway.
+On object stores without atomic rename/link (S3), the same protocol runs
+against a put-if-absent primitive (S3 conditional PUT, DynamoDB lock table);
+the local-filesystem link used here is the dev-harness stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Raised when a writer exhausts its optimistic-retry budget."""
+
+
+class CommitLog:
+    """Commit log for one table directory.
+
+    Layout::
+
+        <path>/data/<token>/part-*.parquet   -- staged/committed data dirs
+        <path>/_commits/00000000000n.json    -- one manifest per version
+
+    A data directory is visible iff some manifest names it in ``adds``.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._commits_dir = os.path.join(path, _COMMITS)
+        self._data_dir = os.path.join(path, _DATA)
+        os.makedirs(self._commits_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # -- staging ----------------------------------------------------------
+    def stage_dir(self, token: str | None = None) -> str:
+        """Directory to write a (not-yet-visible) parquet delta into."""
+        token = token or uuid.uuid4().hex
+        return os.path.join(self._data_dir, token)
+
+    # -- log inspection ---------------------------------------------------
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._commits_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._commits_dir, f"{version:012d}.json")
+
+    def read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def snapshot(self) -> list[tuple[int, dict]]:
+        """(version, manifest) for the contiguous committed prefix.
+
+        Contiguity is the torn-read guard: version N is only readable once
+        every version < N is readable, so a reader racing a writer sees a
+        clean prefix of history, never a gap. (With link-based CAS gaps
+        cannot occur; the check costs nothing and makes the invariant
+        explicit.)
+        """
+        snap = []
+        for i, v in enumerate(self._versions()):
+            if v != i:
+                break
+            snap.append((v, self.read_manifest(v)))
+        return snap
+
+    def committed_batch_ids(self) -> set:
+        return {
+            m.get("batch_id")
+            for _, m in self.snapshot()
+            if m.get("batch_id") is not None
+        }
+
+    # -- commit (optimistic CAS) ------------------------------------------
+    def commit(
+        self,
+        adds: list[str],
+        *,
+        batch_id: int | None = None,
+        writer: str = "",
+        max_retries: int = 64,
+    ) -> int | None:
+        """Publish staged data dirs as the next version. Returns the version
+        won, or None if ``batch_id`` was already committed (idempotent skip —
+        the staged duplicate is cleaned up).
+
+        Exactly one concurrent writer wins each version number; the loser
+        re-reads the log (re-checking batch idempotence) and retries at the
+        next version.
+        """
+        tokens = [os.path.basename(a.rstrip("/")) for a in adds]
+        for _ in range(max_retries):
+            if batch_id is not None and batch_id in self.committed_batch_ids():
+                for t in tokens:  # retry of an applied batch: drop the dup
+                    shutil.rmtree(os.path.join(self._data_dir, t), ignore_errors=True)
+                return None
+            versions = self._versions()
+            next_v = versions[-1] + 1 if versions else 0
+            manifest = {
+                "version": next_v,
+                "adds": tokens,
+                "batch_id": batch_id,
+                "writer": writer,
+                "ts": time.time(),
+            }
+            tmp = os.path.join(
+                self._commits_dir, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())  # durable BEFORE visible
+            try:
+                os.link(tmp, self._manifest_path(next_v))  # atomic CAS
+                return next_v
+            except FileExistsError:
+                continue  # lost the race — re-read log, retry next version
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"commit lost {max_retries} races at {self.path} — livelock?"
+        )
+
+    # -- snapshot read ----------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Union of all committed deltas, each row tagged with its commit
+        version as ``_commit_version``. None for an empty table."""
+        parts = []
+        for v, m in self.snapshot():
+            for token in m["adds"]:
+                parts.append(
+                    spark.read.parquet(
+                        os.path.join(self._data_dir, token)
+                    ).withColumn("_commit_version", F.lit(v))
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_latest_per_key(
+        self, spark: SparkSession, key_cols: list[str]
+    ) -> DataFrame | None:
+        """MERGE-on-read resolution: the highest-version row wins per key —
+        one window over the key partitioning, the same shuffle the next
+        writer of a key-partitioned table needs anyway."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        w = W.partitionBy(*key_cols).orderBy(F.col("_commit_version").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_commit_version")
+        )

@@ -439,11 +439,19 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with algebraic combine rules (counts add, decimal sums add,
     last_ts maxes). Update-mode streaming gives the per-batch DELTAS of
     changed keys; foreachBatch applies them transactionally per batchId —
-    the idempotence contract that makes retries safe. Three replay files
-    (mtime-ordered) force genuine multi-batch merging, so a sink that
-    overwrote instead of merged, or dropped a batch, hash-mismatches the
-    single-pass batch oracle."""
+    the idempotence contract that makes retries safe. The sink table is a
+    CommitLog-backed keyed parquet table (sources/commitlog.py): each
+    batch's delta is written EXECUTOR-SIDE as a staged parquet dir, then
+    published by one atomic manifest commit carrying the batchId — no
+    driver round-trip, no per-key collect, so a wide key space at 100×
+    costs a parquet write, not driver memory. Reads resolve latest-per-key
+    by commit version (merge-on-read). Idempotence is read FROM THE LOG
+    (committed batch ids), so a retry after a sink crash is a no-op even
+    across driver restarts. Three replay files (mtime-ordered) force
+    genuine multi-batch merging, so a sink that overwrote instead of
+    merged, or dropped a batch, hash-mismatches the single-pass oracle."""
     import os
+    import shutil
 
     from ..plans.registry import dsum
     from ..plans.sources_ops import _cache_dir, _mark
@@ -501,19 +509,23 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
     )
 
-    state: dict[int, tuple] = {}  # the keyed sink table (driver-held map;
-    # a real deployment writes a Delta/JDBC/KV table — merge law identical)
-    applied: set[int] = set()
+    from ..sources.commitlog import CommitLog
+
+    # fresh sink table per run so the commit protocol is exercised end-to-end
+    sink_path = os.path.join(d, "sink_table")
+    shutil.rmtree(sink_path, ignore_errors=True)
+    log = CommitLog(sink_path)
 
     def upsert(batch_df, batch_id: int):
-        if batch_id in applied:  # idempotence on retry
+        if batch_id in log.committed_batch_ids():  # idempotence, from the LOG
             return
-        applied.add(batch_id)
         # update-mode delta rows REPLACE the key's row (the agg re-emits
         # full per-key values, already merged across batches by the engine's
-        # state store — foreachBatch's job is the transactional apply)
-        for r in batch_df.collect():
-            state[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_ts"])
+        # state store — foreachBatch's job is the transactional apply):
+        # stage the delta executor-side, then one atomic manifest commit.
+        staged = log.stage_dir()
+        batch_df.write.mode("overwrite").parquet(staged)
+        log.commit([staged], batch_id=batch_id, writer="stream_upsert_sink")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -528,12 +540,9 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    rows = [
-        (uid, n, sv, lt) for uid, (n, sv, lt) in sorted(state.items())
-    ]
-    return spark.createDataFrame(
-        rows, "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
-    )
+    merged = log.read_latest_per_key(spark, ["user_id"])
+    assert merged is not None, "upsert sink committed no batches"
+    return merged.select("user_id", "n_events", "sum_value", "last_ts")
 
 
 @query(
