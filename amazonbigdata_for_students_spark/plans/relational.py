@@ -12,7 +12,7 @@ reference) are in each docstring as SURVEY.md §2 ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
 from .registry import davg, dsum, query
@@ -504,7 +504,11 @@ def join_large_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — range/theta join bounded by an equi-key: the equi conjunct keeps
     it a hash join (the range predicate is a post-join filter), never a
-    nested-loop — the only shape that survives at scale."""
+    nested-loop. This is the registered STRESS variant (measured 2.8x growth
+    at 10x from the 90-day residual fan-out); the default at scale is the
+    bucketed rewrite — see ``bucketize_interval_join`` and the
+    ``join_interval_buckets`` demonstration, per the PLANS.md range-join
+    policy."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (
@@ -513,6 +517,57 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 90 DAYS"))
     )
     return li.join(o, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_shipped_90d"))
+
+
+def bucketize_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_us: Column,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    bucket_us: int = 86_400_000_000,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """The range-join policy helper (PLANS.md): rewrite `point BETWEEN
+    start AND end` — which Spark can only execute as a nested-loop join —
+    into an equi join on a derived fixed-width bucket plus the exact range
+    predicate as a residual filter.
+
+    Each interval is exploded into the integer buckets it covers
+    (``[start div w .. (end-1) div w]``), each point maps to exactly one
+    bucket, and the equi join on the bucket makes the pairing hash-based:
+    work is O(|points| + |intervals| x avg-buckets-per-interval) instead of
+    O(|points| x |intervals|). All boundary math is integer microseconds so
+    no float drift crosses a bucket edge. ``bucket_us`` should be on the
+    order of the median interval width — too fine explodes the interval
+    side, too coarse weakens the prefilter. With ``broadcast_intervals``
+    (the common shape: bounded window/calendar table vs. a fact table) the
+    fact side never shuffles.
+
+    Returns points⋈intervals rows with the helper's ``_pt_us`` point-micros
+    column retained and the join bucket dropped.
+    """
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_us}"),
+                F.expr(f"({end_col} - 1) div {bucket_us}"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    pts = points.withColumn("_pt_us", point_us).withColumn(
+        "_bucket", F.expr(f"_pt_us div {bucket_us}")
+    )
+    return (
+        pts.join(iv, "_bucket")
+        .filter(
+            (F.col("_pt_us") >= F.col(start_col)) & (F.col("_pt_us") < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
 
 
 @query(
@@ -567,22 +622,9 @@ def join_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("t0 + (window_id * (t1 - t0)) div 8").alias("s_us"),
             F.expr("t0 + ((window_id + 1) * (t1 - t0)) div 8").alias("e_us"),
         )
-        .select(
-            "window_id",
-            "s_us",
-            "e_us",
-            F.explode(
-                F.sequence(
-                    F.expr(f"s_us div {day_us}"), F.expr(f"(e_us - 1) div {day_us}")
-                )
-            ).alias("bucket"),
-        )
     )
-    us = F.unix_micros(F.col("ts"))
-    evb = ev.withColumn("_us", us).withColumn("bucket", F.expr(f"_us div {day_us}"))
     return (
-        evb.join(F.broadcast(w), "bucket")
-        .filter((F.col("_us") >= F.col("s_us")) & (F.col("_us") < F.col("e_us")))
+        bucketize_interval_join(ev, w, F.unix_micros(F.col("ts")), bucket_us=day_us)
         .groupBy("window_id", "s_us", "e_us")
         .agg(
             F.count("*").alias("n_events"),

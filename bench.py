@@ -26,19 +26,22 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    bench = {n: q for n, q in REGISTRY.items() if q.bench}
+    # Name-sorted so run order is pinned regardless of registry rotation —
+    # the round-4 DRIVER_PRIORITY reorder shifted warm-up order enough to
+    # drift vec_cosine_topk by 1.17x (VERDICT r4 item 7).
+    bench = {n: REGISTRY[n] for n in sorted(REGISTRY) if REGISTRY[n].bench}
     # Full untimed warmup pass: JIT, parquet footers, and page cache all
     # settle so the timed pass measures the queries, not JVM warmup order.
     for q in bench.values():
         q.fn(spark, sf_dir).count()
 
-    # Min of two timed runs per query: the min is the right estimator for
+    # Min of three timed runs per query: the min is the right estimator for
     # "how fast does this plan run" — it sheds GC pauses and co-located
     # load noise that the mean would absorb.
     times: dict[str, float] = {}
     for name, q in bench.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
