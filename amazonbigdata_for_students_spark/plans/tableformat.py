@@ -1,0 +1,323 @@
+"""ACID table-format operations over the commit log (round 5).
+
+The reference's long-term-storage + incremental-ETL components (diagram
+comps. 10-11; ``cloudformation/glue_cf_template.json:139``) assume a table
+a reader can trust while writers mutate it. ``sources/commitlog.py`` is the
+protocol kernel; these queries register the user-facing table-format
+operations every lakehouse exposes — time travel, CDC change feed,
+OPTIMIZE/compaction, VACUUM, and concurrent MERGE — each as a registered,
+DuckDB-oracle-checked query.
+
+All five share one deterministic fixture: a balances table evolving over
+three commits (base snapshot, then two update waves keyed on c_custkey
+modulo), rebuilt fresh every run so the commit protocol itself is
+exercised end-to-end, never a cached artifact. The evolution rules are
+pure functions of the customer table, so every audit number — row counts,
+decimal-exact balance checksums per version, live-file counts, commit
+versions — is pinned by an exact SQL twin.
+
+Scale notes: the log itself is metadata (one small JSON per commit); all
+data movement is parquet write/read of the delta sets, and snapshot
+resolution is ONE latest-per-key window over the merge key — the same
+shuffle MERGE needs anyway. Nothing here collects data rows to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.commitlog import CommitLog
+from ..sources.readers import load_table
+from .registry import query
+
+_ACID_ROOT = "/tmp/abd_acidtables"
+
+# The three-commit evolution, shared by every query and every oracle:
+#   v0 base:   every customer, bal = c_acctbal
+#   v1 update: c_custkey % 10 = 0  ->  bal = c_acctbal + 100
+#   v2 update: c_custkey % 7 = 0   ->  bal = c_acctbal - 50
+_BAL_V1 = "CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END"
+_BAL_V2 = (
+    "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal - 50 "
+    "WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END"
+)
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(sum(CAST(round({expr}, 2) AS DECIMAL(38,2))) AS DOUBLE)"
+
+
+def _fresh_log(sf_dir: str, name: str) -> CommitLog:
+    d = os.path.join(
+        _ACID_ROOT, os.path.basename(os.path.normpath(sf_dir)), name
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return CommitLog(d)
+
+
+def _balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("bal")
+    )
+
+
+def _build_three_commits(spark: SparkSession, sf_dir: str, name: str) -> CommitLog:
+    log = _fresh_log(sf_dir, name)
+    base = _balances(spark, sf_dir)
+    for delta in (
+        base,
+        base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "bal", F.round(F.col("bal") + 100, 2)
+        ),
+        base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "bal", F.round(F.col("bal") - 50, 2)
+        ),
+    ):
+        staged = log.stage_dir()
+        delta.write.mode("overwrite").parquet(staged)
+        log.commit([staged], writer=name)
+    return log
+
+
+@query(
+    "acid_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, count(*) AS n_rows, {_dsum("c_acctbal")} AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 1, count(*), {_dsum(_BAL_V1)} FROM customer
+    UNION ALL
+    SELECT 2, count(*), {_dsum(_BAL_V2)} FROM customer
+    """,
+    tags=("S6", "S9"),
+)
+def acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel — SELECT ... VERSION AS OF v: an old snapshot is just
+    the manifest prefix <= v, so reading history costs zero extra storage
+    or bookkeeping (the deltas already exist; retention is vacuum's job).
+    Three commits mutate customer balances; reading as-of versions 0, 1, 2
+    must reproduce each historical state exactly — row counts AND a
+    decimal-exact balance checksum per version, both pinned by the SQL
+    twin that applies the same update rules directly. A log that leaked a
+    younger delta into an older snapshot (or resolved keys in commit order
+    instead of version order) hash-mismatches."""
+    log = _build_three_commits(spark, sf_dir, "time_travel")
+    out = None
+    for v in (0, 1, 2):
+        snap = (
+            log.read_latest_per_key(spark, ["c_custkey"], as_of=v)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "total_bal")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+@query(
+    "acid_change_feed",
+    oracle=f"""
+    SELECT 1 AS version,
+           count(*) AS n_changed,
+           {_dsum("c_acctbal + 100")} AS changed_bal
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 2, count(*), {_dsum("c_acctbal - 50")}
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    tags=("S9", "S6"),
+)
+def acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed — readChangeFeed(startingVersion=1): incremental
+    consumers poll the commits after their bookmark instead of diffing
+    full snapshots (the S9 bookmark pattern with the commit version as the
+    bookmark, which is exactly how Delta CDF / Iceberg incremental reads
+    work for upsert tables: the adds ARE the change stream). The feed for
+    versions (0, 2] must contain exactly the two update waves — per-version
+    changed-row counts and decimal checksums of the new values, nothing
+    from the base snapshot."""
+    log = _build_three_commits(spark, sf_dir, "change_feed")
+    return (
+        log.read_changes(spark, since=0)
+        .groupBy(F.col("_commit_version").alias("version"))
+        .agg(
+            F.count("*").alias("n_changed"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("changed_bal"),
+        )
+    )
+
+
+@query(
+    "acid_compact_snapshot",
+    oracle=f"""
+    SELECT CAST(3 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(3 AS BIGINT) AS compaction_version,
+           count(*) AS n_rows,
+           {_dsum(_BAL_V2)} AS total_bal
+    FROM customer
+    """,
+    tags=("S6", "A7"),
+)
+def acid_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE — compaction as a first-class committed operation: the
+    live delta set (3 files after 3 commits) is resolved latest-per-key
+    ONCE and rewritten as a single base, published atomically with
+    remove-actions retiring every input delta. Readers before the swap see
+    3 deltas, readers after see 1 base, nobody sees both — and the
+    resolved answer must be BYTE-identical to the pre-compaction snapshot
+    (same row count, same decimal checksum), which is the invariant that
+    makes background compaction safe to run at all. At 100 TB this is the
+    job that keeps merge-on-read read amplification bounded: O(k) deltas
+    fold into 1 whenever k grows past the read-cost budget."""
+    log = _build_three_commits(spark, sf_dir, "compact")
+    files_before = len(log.live_tokens())
+    version = log.compact(spark, ["c_custkey"])
+    files_after = len(log.live_tokens())
+    return (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.lit(files_before).cast("long").alias("files_before"),
+            F.lit(files_after).cast("long").alias("files_after"),
+            F.lit(version).cast("long").alias("compaction_version"),
+            "n_rows",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "acid_vacuum",
+    oracle=f"""
+    SELECT CAST(4 AS BIGINT) AS swept_dirs,
+           CAST(1 AS BIGINT) AS live_files,
+           count(*) AS n_rows,
+           {_dsum(_BAL_V2)} AS total_bal
+    FROM customer
+    """,
+    tags=("S6",),
+)
+def acid_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — reclaim the two kinds of dead files a commit-log table
+    accretes: deltas retired by compaction's remove-actions (3 here) and
+    staged-but-never-committed dirs from crashed writers (1 planted). The
+    audit pins the swept count exactly AND proves the live snapshot
+    survived untouched (row count + decimal checksum unchanged after the
+    sweep). Vacuum is pure local metadata + deletes — it never reads data
+    files, so at 100 TB its cost is a directory listing, not a scan."""
+    log = _build_three_commits(spark, sf_dir, "vacuum")
+    # a crashed writer: staged data, no commit
+    orphan = log.stage_dir()
+    _balances(spark, sf_dir).limit(10).write.mode("overwrite").parquet(orphan)
+    log.compact(spark, ["c_custkey"])  # retires the 3 input deltas
+    swept = log.vacuum()
+    live_files = len(log.live_tokens())
+    return (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.lit(len(swept)).cast("long").alias("swept_dirs"),
+            F.lit(live_files).cast("long").alias("live_files"),
+            "n_rows",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "acid_concurrent_merge",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(5 AS BIGINT) AS n_commits,
+           {_dsum("CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000 "
+                  "ELSE c_acctbal + 2000 END")} AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("S6", "S7", "J6"),
+)
+def acid_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent MERGE — the scenario the commit protocol exists for: two
+    writers race interleaved upserts into one table (writer A: +1000 to
+    even keys across 2 commits; writer B: +2000 to odd keys across 2).
+    The os.link CAS serializes them into SOME total order (5 contiguous
+    commits incl. base — pinned), and because the key sets are disjoint
+    the resolved state is identical under every interleaving — which is
+    what makes an exact oracle possible for a genuinely racy run. Torn
+    reads, lost commits, or double-applies all shift the per-segment
+    decimal checksums."""
+    log = _fresh_log(sf_dir, "concurrent_merge")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round(F.col("c_acctbal"), 2).alias("bal")
+    )
+    staged0 = log.stage_dir()
+    cust.write.mode("overwrite").parquet(staged0)
+    log.commit([staged0], writer="base")
+
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def writer(parity: int, bump: int, name: str) -> None:
+        try:
+            mine = cust.filter(F.col("c_custkey") % 2 == parity).withColumn(
+                "bal", F.round(F.col("bal") + bump, 2)
+            )
+            # split into two commits on a second modulus so the two
+            # writers' commits genuinely interleave in the log
+            halves = [
+                mine.filter((F.col("c_custkey") % 4) < 2),
+                mine.filter((F.col("c_custkey") % 4) >= 2),
+            ]
+            barrier.wait()
+            for half in halves:
+                staged = log.stage_dir()
+                half.write.mode("overwrite").parquet(staged)
+                log.commit([staged], writer=name)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(0, 1000, "writer_even")),
+        threading.Thread(target=writer, args=(1, 2000, "writer_odd")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+    n_commits = len(log.snapshot())
+    return (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.lit(n_commits).cast("long").alias("n_commits"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

@@ -121,11 +121,42 @@ class CommitLog:
             if m.get("batch_id") is not None
         }
 
+    def live_tokens(self, as_of: int | None = None) -> list[tuple[int, str]]:
+        """(add_version, token) pairs visible at ``as_of`` (default: latest):
+        every token added by a commit <= as_of and not named in a later
+        commit's ``removes`` <= as_of. Remove-actions are how compaction
+        retires superseded deltas without rewriting history — the same
+        add/remove file-action model as Delta's log."""
+        adds: list[tuple[int, str]] = []
+        removed: set[str] = set()
+        for v, m in self.snapshot():
+            if as_of is not None and v > as_of:
+                break
+            adds.extend((v, t) for t in m.get("adds", ()))
+            removed.update(m.get("removes", ()))
+        return [(v, t) for v, t in adds if t not in removed]
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories no live OR historical manifest needs:
+        staged-but-never-committed dirs (crashed writers) and dirs retired
+        by a remove-action. Returns the removed tokens. (A production
+        vacuum applies a retention window so as-of reads older than the
+        horizon keep working and in-flight writers are not swept; this
+        dev-harness version uses retention zero for determinism.)"""
+        live = {t for _, t in self.live_tokens()}
+        swept = []
+        for token in sorted(os.listdir(self._data_dir)):
+            if token not in live:
+                shutil.rmtree(os.path.join(self._data_dir, token))
+                swept.append(token)
+        return swept
+
     # -- commit (optimistic CAS) ------------------------------------------
     def commit(
         self,
         adds: list[str],
         *,
+        removes: list[str] | None = None,
         batch_id: int | None = None,
         writer: str = "",
         max_retries: int = 64,
@@ -149,6 +180,9 @@ class CommitLog:
             manifest = {
                 "version": next_v,
                 "adds": tokens,
+                "removes": [
+                    os.path.basename(r.rstrip("/")) for r in (removes or [])
+                ],
                 "batch_id": batch_id,
                 "writer": writer,
                 "ts": time.time(),
@@ -172,12 +206,37 @@ class CommitLog:
         )
 
     # -- snapshot read ----------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Union of all committed deltas, each row tagged with its commit
-        version as ``_commit_version``. None for an empty table."""
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
+        """Union of the deltas live at ``as_of`` (default latest), each row
+        tagged with its commit version as ``_commit_version``. Time travel
+        is free: an old snapshot is just the manifest prefix <= as_of.
+        None for an empty table."""
+        parts = [
+            spark.read.parquet(os.path.join(self._data_dir, token)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            for v, token in self.live_tokens(as_of)
+        ]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_changes(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame | None:
+        """Change feed: rows ADDED by commits in (since, until] — the CDC
+        read incremental consumers poll instead of re-scanning the table
+        (the S9 bookmark pattern, with the commit version as the bookmark).
+        Remove-actions are metadata-only (compaction), so adds are the
+        complete change stream for an upsert table."""
         parts = []
         for v, m in self.snapshot():
-            for token in m["adds"]:
+            if v <= since or (until is not None and v > until):
+                continue
+            for token in m.get("adds", ()):
                 parts.append(
                     spark.read.parquet(
                         os.path.join(self._data_dir, token)
@@ -190,13 +249,37 @@ class CommitLog:
             out = out.unionByName(p)
         return out
 
+    def compact(self, spark: SparkSession, key_cols: list[str]) -> int | None:
+        """OPTIMIZE: rewrite the current live delta set as ONE resolved
+        base (latest-per-key), committed atomically with remove-actions
+        retiring every input delta. Readers before the commit see the
+        deltas; readers after see the compacted base; no reader ever sees
+        both (the swap is the one manifest link). Returns the compaction
+        commit version.
+
+        Assumes no writer commits between the snapshot and the compaction
+        commit: an interleaved delta would keep its data (it is not in
+        ``removes``) but lose the per-key version race to the younger base.
+        A production compactor adds the standard conflict check — after
+        winning version N, verify no commit landed in between, else abort
+        and retry (Delta/Iceberg do exactly this)."""
+        live = self.live_tokens()
+        merged = self.read_latest_per_key(spark, key_cols)
+        if merged is None:
+            return None
+        staged = self.stage_dir()
+        merged.write.mode("overwrite").parquet(staged)
+        return self.commit(
+            [staged], removes=[t for _, t in live], writer="compact"
+        )
+
     def read_latest_per_key(
-        self, spark: SparkSession, key_cols: list[str]
+        self, spark: SparkSession, key_cols: list[str], as_of: int | None = None
     ) -> DataFrame | None:
         """MERGE-on-read resolution: the highest-version row wins per key —
         one window over the key partitioning, the same shuffle the next
         writer of a key-partitioned table needs anyway."""
-        df = self.read(spark)
+        df = self.read(spark, as_of)
         if df is None:
             return None
         w = W.partitionBy(*key_cols).orderBy(F.col("_commit_version").desc())
