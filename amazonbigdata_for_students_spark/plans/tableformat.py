@@ -246,6 +246,152 @@ def acid_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "acid_stats_pruning",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS files_total,
+           CAST(3 AS BIGINT) AS files_skipped,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    tags=("S6", "S11", "P2"),
+)
+def acid_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping — the read-path half of why table
+    formats beat bare parquet at 100 TB: each commit carries per-column
+    min/max for the files it adds (one tiny agg at write time), so a
+    predicate can prune whole files FROM THE LOG, before any parquet
+    footer is opened. Fixture: orders land as four time-ordered commits
+    (1995-96 | 1997 | 1998 | 1999+), a natural ingestion layout; the 1998
+    filter must then skip exactly 3 of 4 files by stats alone, while the
+    exact predicate still runs over the kept file (stats prove
+    non-overlap, never membership). Both the pruning count AND the
+    filtered aggregate are pinned — a reader whose pruning drops a
+    matching row (over-prune) or scans every file (no-prune) mismatches."""
+    log = _fresh_log(sf_dir, "stats_pruning")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    slices = [
+        ("1995-01-01", "1997-01-01"),
+        ("1997-01-01", "1998-01-01"),
+        ("1998-01-01", "1999-01-01"),
+        ("1999-01-01", "2002-01-01"),
+    ]
+    for lo, hi in slices:
+        staged = log.stage_dir()
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).write.mode("overwrite").parquet(staged)
+        log.commit(
+            [staged],
+            writer="ingest",
+            stats={staged: log.stats_for(spark, staged, ["o_orderdate"])},
+        )
+    files_total = len(log.live_tokens())
+    df, skipped = log.read_pruned(
+        spark, "o_orderdate", "1998-01-01 00:00:00", "1998-12-31 23:59:59"
+    )
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lit(files_total).cast("long").alias("files_total"),
+            F.lit(skipped).cast("long").alias("files_skipped"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "acid_incremental_view",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {_dsum(_BAL_V2)} AS maintained_bal,
+           {_dsum(_BAL_V2)} AS recomputed_bal,
+           true AS ivm_consistent
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("S9", "A7", "A3"),
+)
+def acid_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed — the consumer
+    side of CDC: a per-segment balance SUM is maintained by applying each
+    commit's deltas as (new - old) retractions, never re-scanning the
+    table. The pre-image an upsert feed lacks is recovered the standard
+    way (Delta CDF's update_preimage): join the changed keys against the
+    snapshot AS OF the previous version — a key-bounded join, not a table
+    scan. The maintained aggregate must equal the full recompute from the
+    final snapshot EXACTLY (decimal math, so the comparison is bit-strict,
+    not epsilon) — returned side by side plus the audit boolean. At 100 TB
+    the maintained path reads |changed keys| rows per commit; the
+    recompute reads the world — that gap is the point of IVM."""
+    log = _build_three_commits(spark, sf_dir, "incr_view")
+    seg = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def seg_sum(df: DataFrame) -> DataFrame:
+        return (
+            df.join(seg, "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.round("bal", 2).cast("decimal(38,2)")).alias("s")
+            )
+        )
+
+    # initialize from the base snapshot (version 0)
+    view = seg_sum(log.read_latest_per_key(spark, ["c_custkey"], as_of=0))
+    for v in (1, 2):
+        changes = log.read_changes(spark, since=v - 1, until=v).select(
+            "c_custkey", F.col("bal").alias("new_bal")
+        )
+        pre = (
+            log.read_latest_per_key(spark, ["c_custkey"], as_of=v - 1)
+            .join(changes.select("c_custkey"), "c_custkey", "left_semi")
+            .select("c_custkey", F.col("bal").alias("old_bal"))
+        )
+        delta = seg_sum(
+            changes.join(pre, "c_custkey").select(
+                "c_custkey",
+                (
+                    F.round("new_bal", 2).cast("decimal(38,2)")
+                    - F.round("old_bal", 2).cast("decimal(38,2)")
+                ).alias("bal"),
+            )
+        )
+        view = (
+            view.unionByName(delta)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("s").alias("s"))
+        )
+
+    recomputed = seg_sum(log.read_latest_per_key(spark, ["c_custkey"])).select(
+        "c_mktsegment", F.col("s").alias("r")
+    )
+    return (
+        view.join(recomputed, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("s").cast("double").alias("maintained_bal"),
+            F.col("r").cast("double").alias("recomputed_bal"),
+            (F.col("s") == F.col("r")).alias("ivm_consistent"),
+        )
+    )
+
+
+@query(
     "acid_concurrent_merge",
     oracle=f"""
     SELECT c_mktsegment,

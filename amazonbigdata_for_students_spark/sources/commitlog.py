@@ -152,6 +152,47 @@ class CommitLog:
         return swept
 
     # -- commit (optimistic CAS) ------------------------------------------
+    def stats_for(self, spark: SparkSession, staged: str, cols: list[str]) -> dict:
+        """Per-column min/max over a staged delta, to be carried in its
+        commit manifest (Iceberg file stats / Delta dataSkippingNumIndexedCols).
+        One tiny agg job per commit; the payoff is manifest-level file
+        skipping at read time — pruning decided from the LOG, before any
+        parquet footer is opened."""
+        row = (
+            spark.read.parquet(staged)
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in cols],
+                *[F.max(c).alias(f"max_{c}") for c in cols],
+            )
+            .collect()[0]  # bounded: 2 x len(cols) scalars
+        )
+        def norm(v):
+            # manifests are JSON: timestamps/dates stored as their fixed-width
+            # string form, which orders lexicographically == chronologically
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        return {c: [norm(row[f"min_{c}"]), norm(row[f"max_{c}"])] for c in cols}
+
+    def live_tokens_pruned(
+        self, col: str, lo, hi, as_of: int | None = None
+    ) -> tuple[list[tuple[int, str]], int]:
+        """(kept (version, token) pairs, n_skipped) for predicate
+        ``col BETWEEN lo AND hi``: a file is skipped iff its manifest stats
+        prove [min, max] cannot intersect [lo, hi]. Files without stats for
+        ``col`` are conservatively kept."""
+        stats_by_token: dict[str, dict] = {}
+        for _, m in self.snapshot():
+            for t in m.get("adds", ()):
+                stats_by_token[t] = m.get("stats", {}).get(t, {})
+        kept, skipped = [], 0
+        for v, t in self.live_tokens(as_of):
+            mm = stats_by_token.get(t, {}).get(col)
+            if mm is not None and (mm[0] > hi or mm[1] < lo):
+                skipped += 1
+            else:
+                kept.append((v, t))
+        return kept, skipped
+
     def commit(
         self,
         adds: list[str],
@@ -159,6 +200,7 @@ class CommitLog:
         removes: list[str] | None = None,
         batch_id: int | None = None,
         writer: str = "",
+        stats: dict[str, dict] | None = None,
         max_retries: int = 64,
     ) -> int | None:
         """Publish staged data dirs as the next version. Returns the version
@@ -185,6 +227,11 @@ class CommitLog:
                 ],
                 "batch_id": batch_id,
                 "writer": writer,
+                # per-token column stats: {token: {col: [min, max]}}
+                "stats": {
+                    os.path.basename(k.rstrip("/")): v
+                    for k, v in (stats or {}).items()
+                },
                 "ts": time.time(),
             }
             tmp = os.path.join(
@@ -223,6 +270,27 @@ class CommitLog:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi, as_of: int | None = None
+    ) -> tuple[DataFrame | None, int]:
+        """Snapshot read under ``col BETWEEN lo AND hi`` with manifest-stats
+        file skipping. Returns (dataframe over kept files only — caller
+        still applies the exact predicate, stats only prove non-overlap —
+        and the number of files skipped)."""
+        kept, skipped = self.live_tokens_pruned(col, lo, hi, as_of)
+        parts = [
+            spark.read.parquet(os.path.join(self._data_dir, token)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            for v, token in kept
+        ]
+        if not parts:
+            return None, skipped
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, skipped
 
     def read_changes(
         self, spark: SparkSession, since: int, until: int | None = None
