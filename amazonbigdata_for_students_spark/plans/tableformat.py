@@ -392,6 +392,97 @@ def acid_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_commitlog_stream",
+    oracle=f"""
+    SELECT 0 AS version, count(*) AS n_rows, {_dsum("c_acctbal")} AS sum_bal
+    FROM customer
+    UNION ALL
+    SELECT 1, count(*), {_dsum("c_acctbal + 100")}
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 2, count(*), {_dsum("c_acctbal - 50")}
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    tags=("S9", "S2", "T8"),
+)
+def src_commitlog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-log table as a STREAMING source — a from-scratch Spark 4
+    Python DataSource whose offsets ARE commit versions
+    (sources/commitlog_source.py): planning lists manifests (driver
+    metadata only), each executor task reads one delta dir via pyarrow and
+    ships Arrow batches to the JVM. The exactly-once property is driven
+    end to end: run 1 (availableNow + checkpoint) consumes versions 0-1;
+    version 2 is committed AFTER run 1 finishes; run 2 on the SAME
+    checkpoint must resume from the stored offset and process ONLY
+    version 2. Per-version row counts and decimal checksums accumulate
+    across both runs — a source that re-read v0/v1 after restart
+    (double-count) or skipped v2 hash-mismatches the batch oracle."""
+    import os
+
+    from ..sources import commitlog_source
+
+    commitlog_source.register(spark)
+    log = _fresh_log(sf_dir, "stream_src")
+    ckpt = os.path.join(log.path, "_ckpt")
+    base = _balances(spark, sf_dir)
+
+    deltas = [
+        base,
+        base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "bal", F.round(F.col("bal") + 100, 2)
+        ),
+        base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "bal", F.round(F.col("bal") - 50, 2)
+        ),
+    ]
+
+    def commit(delta: DataFrame) -> None:
+        staged = log.stage_dir()
+        delta.write.mode("overwrite").parquet(staged)
+        log.commit([staged], writer="stream_src")
+
+    commit(deltas[0])
+    commit(deltas[1])
+
+    acc: dict[int, tuple[int, object]] = {}  # version -> (n, decimal sum)
+
+    def drain(batch_df, _batch_id: int) -> None:
+        # bounded collect: one row per version in the batch (<= 3)
+        for r in (
+            batch_df.groupBy("_commit_version")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round("bal", 2).cast("decimal(38,2)")).alias("s"),
+            )
+            .collect()
+        ):
+            v = int(r["_commit_version"])
+            n0, s0 = acc.get(v, (0, 0))
+            acc[v] = (n0 + r["n"], s0 + r["s"])
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("commitlog")
+            .option("path", log.path)
+            .load()
+            .writeStream.foreachBatch(drain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # consumes versions 0 and 1
+    commit(deltas[2])  # lands AFTER the first run's offsets are checkpointed
+    run_once()  # must resume at the stored offset: version 2 only
+
+    return spark.createDataFrame(
+        [(v, n, float(s)) for v, (n, s) in sorted(acc.items())],
+        "version int, n_rows bigint, sum_bal double",
+    )
+
+
+@query(
     "acid_concurrent_merge",
     oracle=f"""
     SELECT c_mktsegment,
