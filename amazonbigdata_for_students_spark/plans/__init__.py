@@ -51,6 +51,13 @@ from . import tableformat  # noqa: E402  ACID table-format ops over the commit l
 #   vocab_induction, dedup_paragraphs, udtf_chunk_lateral,
 #   index_inverted_postings, lm_bigram_counts, mm_wav_decimate,
 #   corpus_build_pipeline_v2, engine_healthcheck
+# plus the queries registered AFTER the round-4 verdict (also no driver
+# verdict yet — fill the remaining round-6 slots from these):
+#   acid_time_travel, acid_change_feed, acid_compact_snapshot, acid_vacuum,
+#   acid_stats_pruning, acid_incremental_view, acid_concurrent_merge,
+#   src_commitlog_stream, graph_shortest_path, sql_lateral_join,
+#   sql_params_identifier, mix_domain_budget, curriculum_stage_assign,
+#   dsir_importance_score, vec_topk_mapinarrow
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- TPC-H remainder (relational core, never driver-checked) --
     "q6_forecast_revenue",          # pushed-filter scan + single agg

@@ -94,6 +94,66 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_lateral_join",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    """,
+    tags=("J1", "W1"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-outer-row top-2 customers by
+    balance, the SQL-standard spelling of per-group top-k. Catalyst
+    decorrelates the lateral subquery into a ranked window over a single
+    join (DomainJoin rewrite), so despite the correlated per-row
+    formulation the physical plan is the same one shuffle as
+    win_topn_per_group — nothing executes per outer row. The ORDER BY
+    carries a c_name tiebreak so both engines pick identical rows."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "sql_params_identifier",
+    oracle=f"""
+    SELECT event_type, count(*) AS n
+    FROM {EVENTS} e
+    WHERE value >= 0.5
+    GROUP BY event_type
+    """,
+    tags=("A1", "P2"),
+)
+def sql_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with the IDENTIFIER() clause — the
+    injection-safe templating surface a multi-tenant query service needs:
+    the table name binds through IDENTIFIER(:tbl) (validated as an
+    identifier, not spliced as text) and the threshold through a typed
+    named parameter, so one prepared statement serves every tenant/table
+    without string concatenation. Parameters are resolved before
+    analysis; the optimized plan is identical to the literal query —
+    pushed filter, partial agg, 5-group final."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        "SELECT event_type, count(*) AS n FROM IDENTIFIER(:tbl) "
+        "WHERE value >= :lo GROUP BY event_type",
+        args={"tbl": "events_t", "lo": 0.5},
+    )
+
+
 # --------------------------------------------------------------------------
 # Pivot / unpivot
 # --------------------------------------------------------------------------

@@ -218,3 +218,89 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+_BFS_MAX_HOPS = 6
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    bfs(node, dist) AS (
+      SELECT 'c' || min(c), 0 FROM pairs
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {_BFS_MAX_HOPS}
+    ),
+    sp AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT dist, count(*) AS n_nodes, min(node) AS first_node
+    FROM sp GROUP BY dist
+"""
+
+
+@query(
+    "graph_shortest_path",
+    oracle=_BFS_ORACLE,
+    tags=("J7", "A1"),
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths (unweighted, ≤6 hops) over the
+    customer<->supplier trading graph, from the minimum-custkey node —
+    the reachability/radius primitive under fraud-ring tracing and
+    supply-chain blast-radius queries. Frontier-expansion layout: each
+    hop is ONE frontier×edges join (shuffle carries only the frontier,
+    never the visited set's payload) plus an anti-join against the
+    visited table to keep the frontier monotone-shrinking; lineage is
+    truncated per hop with localCheckpoint, the same iterative discipline
+    as dedup_connected_components. Distances are pure integers, so the
+    per-hop histogram hash-matches DuckDB's recursive-CTE fixpoint
+    exactly. The source lookup is a 1-row aggregate fetch (bounded —
+    never scales with data). At 100 TB this is the textbook Pregel BFS:
+    per-round cost follows the frontier, which the 6-hop cap bounds, and
+    the visited set only ever participates in a key-only anti-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.concat(F.lit("c"), "c").alias("src"), F.concat(F.lit("s"), "s").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.concat(F.lit("s"), "s").alias("src"),
+                F.concat(F.lit("c"), "c").alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = pairs.agg(F.min("c").alias("m")).first()[0]  # 1-row fetch, bounded
+    visited = spark.createDataFrame([(f"c{src}", 0)], "node string, dist int")
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("dst")
+            .distinct()
+            .select(F.col("dst").alias("node"))
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count("*").alias("n_nodes"), F.min("node").alias("first_node")
+    )

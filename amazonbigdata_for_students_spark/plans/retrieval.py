@@ -281,3 +281,73 @@ def txt_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.sum("lp").cast("double").alias("total_logprob"),
     )
+
+
+@query(
+    "dsir_importance_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents),
+         u AS (SELECT doc_id, lang, unnest(toks) AS w FROM toks),
+         cnt AS (SELECT w, count(*) AS cb,
+                        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                 FROM u GROUP BY w),
+         tot AS (SELECT count(*) AS nb,
+                        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                        count(DISTINCT w) AS vs
+                 FROM u),
+         scored AS (
+           SELECT u.doc_id,
+                  CAST(round(ln((c.ct + 1.0) / (t.nt + t.vs)), 6) AS DECIMAL(18,6))
+                  - CAST(round(ln((c.cb + 1.0) / (t.nb + t.vs)), 6) AS DECIMAL(18,6)) AS lw
+           FROM u JOIN cnt c ON u.w = c.w, tot t
+         )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lw) AS DOUBLE) AS importance
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("U2", "A7", "F4"),
+)
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method): rate
+    every document by the log-likelihood ratio of a target-domain unigram
+    LM (here: the English slice) over the background LM of the whole
+    corpus, add-1 smoothed. Positive scores mean "looks like the target
+    domain"; downstream selection keeps the top mass. Both count tables
+    come out of ONE word-level aggregate (cb = background count,
+    ct = conditional target count via sum-of-flag — no second pass), and
+    the totals are a 1-row aggregate broadcast. Cross-engine float
+    discipline matches txt_perplexity_filter: each per-token ln is
+    quantized to decimal(18,6) before the exact decimal per-doc sum, so
+    aggregation order can never change the answer. At 100 TB the count
+    table is vocabulary-sized (Heaps' law), the token stream shuffles
+    only (word, doc_id) pairs, and the join strategy is left to AQE."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(TOKENS()).alias("w")
+    )
+    is_t = (F.col("lang") == "en").cast("long")
+    cnt = d.groupBy("w").agg(
+        F.count("*").alias("cb"), F.sum(is_t).alias("ct")
+    )
+    tot = d.agg(
+        F.count("*").alias("nb"),
+        F.sum(is_t).alias("nt"),
+        F.countDistinct("w").alias("vs"),
+    )
+    lw = F.round(
+        F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("vs"))), 6
+    ).cast("decimal(18,6)") - F.round(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("vs"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        # cnt is vocabulary-sized — strategy left to AQE, no forced broadcast
+        d.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))  # 1-row aggregate
+        .select("doc_id", lw.alias("lw"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lw").cast("double").alias("importance"),
+    )

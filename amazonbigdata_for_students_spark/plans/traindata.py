@@ -734,3 +734,173 @@ def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture + curriculum (the between-dedup-and-tokenizer stages)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 2_000  # target tokens per source domain
+_MIX_SEED = "mix42|"
+
+
+def _sql_u20(seed: str) -> str:
+    """DuckDB twin of the Spark 20-bit md5 draw: first 5 hex nibbles of
+    md5(seed | doc_id) assembled into an integer in [0, 2^20)."""
+    terms = [
+        f"CAST(strpos('{_HEX}', substring(md5('{seed}' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1 AS BIGINT) * {16 ** (5 - i)}"
+        for i in range(1, 6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "mix_domain_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+             {_sql_u20(_MIX_SEED)} AS u20
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens
+      FROM tok GROUP BY source
+    ),
+    plan AS (
+      SELECT source, n_docs, total_tokens,
+             CAST({_MIX_BUDGET} // total_tokens AS BIGINT) AS n_full_epochs,
+             CAST((({_MIX_BUDGET} % total_tokens) * 1000000) // total_tokens AS BIGINT) AS tail_rate_ppm
+      FROM tot
+    ),
+    kept AS (
+      SELECT t.source, p.n_docs, p.total_tokens, p.n_full_epochs, p.tail_rate_ppm,
+             CASE WHEN t.u20 * 1000000 < p.tail_rate_ppm * 1048576 THEN 1 ELSE 0 END AS k,
+             t.ntok
+      FROM tok t JOIN plan p USING (source)
+    )
+    SELECT source, n_docs, total_tokens, n_full_epochs, tail_rate_ppm,
+           CAST(sum(k) AS BIGINT) AS n_tail_docs,
+           CAST(n_full_epochs * total_tokens + sum(k * ntok) AS BIGINT) AS emitted_tokens
+    FROM kept
+    GROUP BY source, n_docs, total_tokens, n_full_epochs, tail_rate_ppm
+    """,
+    tags=("A7", "F8", "P2"),
+)
+def mix_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planner + sampler — the data-mixing step of a
+    corpus build (Pile/Dolma-style): every source domain gets a fixed
+    token budget; domains over budget are downsampled to hit it, domains
+    under budget are oversampled by whole epochs plus a fractional tail.
+    n_full_epochs = budget DIV total, tail_rate_ppm = the exact-integer
+    remainder rate, and the tail membership draw is the 20-bit md5 trick
+    (keep iff u20·10^6 < rate_ppm·2^20) — so the emitted token count per
+    domain is itself deterministic and hash-checked, not just expected in
+    distribution. Two shuffles total: the per-source token aggregate
+    (#domains rows — rejoined via AQE, which broadcasts it when small)
+    and the final per-source rollup; the draw is map-side md5. At 100 TB
+    the per-doc stream never shuffles on text, and re-runs or incremental
+    landings never flip a document's membership (hash-based, like
+    split_train_test)."""
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    u20 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_MIX_SEED), F.col("doc_id").cast("string"))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+    tok = d.select(
+        "source", F.size(TOKENS()).cast("long").alias("ntok"), u20.alias("u20")
+    )
+    plan = (
+        tok.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("total_tokens"))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"{_MIX_BUDGET} div total_tokens").alias("n_full_epochs"),
+            F.expr(
+                f"(({_MIX_BUDGET} % total_tokens) * 1000000) div total_tokens"
+            ).alias("tail_rate_ppm"),
+        )
+    )
+    kept = tok.join(plan, "source").withColumn(
+        "k", (F.col("u20") * 1_000_000 < F.col("tail_rate_ppm") * 1_048_576).cast("long")
+    )
+    return kept.groupBy(
+        "source", "n_docs", "total_tokens", "n_full_epochs", "tail_rate_ppm"
+    ).agg(
+        F.sum("k").alias("n_tail_docs"),
+        (
+            F.first("n_full_epochs") * F.first("total_tokens") + F.sum(F.col("k") * F.col("ntok"))
+        ).cast("long").alias("emitted_tokens"),
+    )
+
+
+_CUR_STAGES = 4
+_CUR_SEED = "cur7|"
+
+
+@query(
+    "curriculum_stage_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ntile({_CUR_STAGES}) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage,
+           md5('{_CUR_SEED}' || CAST(doc_id AS VARCHAR)) AS sort_key
+    FROM documents
+    """,
+    tags=("W4", "A7", "F8"),
+)
+def curriculum_stage_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging — assign every document to one of 4
+    easy-to-hard training stages by length score, with a deterministic
+    shuffle key for within-stage ordering at write time. The semantics
+    are exactly ntile(4) over (score, doc_id) — but a global ntile window
+    is a single-partition sort, so this computes the SAME assignment
+    distributively: a value-domain histogram of scores (bounded
+    cardinality, tiny), its running prefix sum, and a per-score-value
+    row_number give every doc its exact global rank without any global
+    sort; the closed-form ntile formula (first N%k buckets get one extra
+    row) converts rank to stage. The DuckDB oracle runs the literal
+    ntile() window, so the distributed decomposition is hash-checked
+    against the textbook definition. Within-stage order is delegated to
+    the md5 sort_key (consumer sorts/range-partitions at write) — no
+    per-stage window, no skewed 4-partition shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    # window over the value-domain histogram: rows = distinct scores, not docs
+    wv = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "n_chars", (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_before")
+    )
+    n_total = hist.agg(F.sum("cnt").alias("n_total"))
+    ranked = (
+        d.join(cum, "n_chars")
+        .crossJoin(F.broadcast(n_total))  # 1-row aggregate
+        .withColumn(
+            "grank",
+            F.col("cum_before")
+            + F.row_number().over(
+                W.partitionBy("n_chars").orderBy("doc_id")
+            ),
+        )
+    )
+    ranked = (
+        ranked.withColumn("b", F.expr(f"n_total div {_CUR_STAGES}"))
+        .withColumn("rem", F.col("n_total") % _CUR_STAGES)
+        .withColumn("cut", F.col("rem") * (F.col("b") + 1))
+    )
+    stage = (
+        F.when(F.col("b") == 0, F.col("grank"))
+        .when(F.col("grank") <= F.col("cut"), F.expr("(grank - 1) div (b + 1) + 1"))
+        .otherwise(F.expr("rem + (grank - 1 - cut) div b + 1"))
+    )
+    return ranked.select(
+        "doc_id",
+        stage.cast("long").alias("stage"),
+        F.md5(F.concat(F.lit(_CUR_SEED), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )

@@ -873,3 +873,70 @@ def vec_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(F.count("hit_id").cast("long").alias("n_hits"))
     )
+
+
+@query(
+    "vec_topk_mapinarrow",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("U5", "U1"),
+)
+def vec_topk_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-NATIVE formulation of brute-force cosine top-k —
+    mapInArrow hands each partition's RecordBatches straight to numpy
+    with zero pandas materialization, the cheapest possible
+    JVM→Python→JVM round trip (one contiguous buffer per batch each
+    way; the pandas_udf variant pays a Series wrap per column on top).
+    The list<float> column flattens to one contiguous float buffer and
+    reshapes to a (rows, dim) matrix for a single BLAS matmul per batch.
+    Rounding to 6 decimals happens JVM-side after the UDF (same
+    discipline as vec_cosine_topk_pandas), absorbing summation-order
+    last-bit drift, so all three formulations share one oracle;
+    TakeOrderedAndProject caps the result. This is the execution
+    strategy to reach for when per-vector scoring needs a real Python
+    model at 100 TB: Arrow batch size bounds executor Python memory and
+    the scan stays columnar end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]  # 1-row fetch, bounded
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+    qid = qrow.vec_id
+
+    def score(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("vec_id"))
+            emb = b.column(b.schema.get_field_index("embedding"))
+            n = len(b)
+            if n == 0:
+                continue
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(n, -1)
+            sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sims, pa.float64())], ["vec_id", "cos_sim"]
+            )
+
+    scored = (
+        e.filter(F.col("vec_id") != qid)
+        .select("vec_id", "embedding")
+        .mapInArrow(score, "vec_id long, cos_sim double")
+    )
+    return (
+        scored.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

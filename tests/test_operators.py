@@ -382,3 +382,72 @@ def test_fuzzy_join_pairs_are_truly_close(spark, sf_small):
         assert 0 <= r["dist"] <= 8
         assert (r["doc_a"], r["doc_b"]) not in seen
         seen.add((r["doc_a"], r["doc_b"]))
+
+
+def test_mapinarrow_cosine_matches_jvm_exact(spark, sf_small):
+    # The Arrow-native (no-pandas) path must rank identically to the JVM
+    # fold and the pandas_udf variant after 6-decimal rounding.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    jvm = REGISTRY["vec_cosine_topk"].fn(spark, sf_small).collect()
+    arw = REGISTRY["vec_topk_mapinarrow"].fn(spark, sf_small).collect()
+    assert [(r.vec_id, r.cos_sim) for r in jvm] == [(r.vec_id, r.cos_sim) for r in arw]
+
+
+def test_bfs_distances_are_valid_shortest_paths(spark, sf_small):
+    # Every hop-h frontier node must have at least one hop-(h-1) neighbor,
+    # and hop counts must cover the full reachable component (bipartite
+    # graph => customers on even hops, suppliers on odd).
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    rows = {r.dist: r for r in REGISTRY["graph_shortest_path"].fn(spark, sf_small).collect()}
+    assert rows[0].n_nodes == 1 and rows[0].first_node.startswith("c")
+    for d, r in rows.items():
+        prefix = "c" if d % 2 == 0 else "s"
+        assert r.first_node.startswith(prefix), (d, r.first_node)
+
+
+def test_curriculum_stages_are_balanced_ntile(spark, sf_small):
+    # Distributed decomposition must reproduce exact ntile bucket sizes:
+    # first N%k stages get one extra row; stages ordered easy->hard.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    out = REGISTRY["curriculum_stage_assign"].fn(spark, sf_small).collect()
+    n = len(out)
+    sizes = {}
+    for r in out:
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    base, rem = divmod(n, 4)
+    expect = {s: base + (1 if s <= rem else 0) for s in range(1, 5)}
+    assert sizes == expect
+
+
+def test_mix_domain_budget_conservation(spark, sf_small):
+    # Over-budget domains: 0 full epochs and emitted <= budget-ish
+    # (tail draw is exact-rate, so emitted tokens can't exceed total);
+    # under-budget domains: >=1 full epoch.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.plans.traindata import _MIX_BUDGET
+
+    for r in REGISTRY["mix_domain_budget"].fn(spark, sf_small).collect():
+        if r.total_tokens > _MIX_BUDGET:
+            assert r.n_full_epochs == 0
+            assert r.emitted_tokens <= r.total_tokens
+        else:
+            assert r.n_full_epochs >= 1
+            assert r.emitted_tokens >= r.n_full_epochs * r.total_tokens
+        assert 0 <= r.tail_rate_ppm < 1_000_000
+
+
+def test_dsir_separates_target_from_background(spark, sf_small):
+    # English documents (the target domain) must score higher on average
+    # than non-English ones — the whole point of the importance weight.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    scores = REGISTRY["dsir_importance_score"].fn(spark, sf_small)
+    langs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    rows = scores.join(langs, "doc_id").collect()
+    en = [r.importance / r.n_tokens for r in rows if r.lang == "en"]
+    other = [r.importance / r.n_tokens for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
