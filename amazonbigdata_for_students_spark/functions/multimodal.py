@@ -118,6 +118,18 @@ class PpmDecoder(Decoder):
             raise ValueError(f"PPM truncated: want {need} bytes, have {len(body)}")
         return width, height, int(sum(body[:need]))
 
+    def decode_ppm_raster(self, content: bytes) -> tuple[int, int, np.ndarray]:
+        """(width, height, raster) where raster is the full (h, w, 3)
+        uint8 RGB array — the entry point for patch/crop/resize ops that
+        need pixels, not just summary stats."""
+        width, height, _maxval, body = self._parse(content)
+        need = width * height * 3
+        if len(body) < need:
+            raise ValueError(f"PPM truncated: want {need} bytes, have {len(body)}")
+        return width, height, np.frombuffer(body[:need], dtype=np.uint8).reshape(
+            height, width, 3
+        )
+
     def decode_features(self, kind: str, mime: str, content: bytes, dim: int) -> np.ndarray:
         width, height, _maxval, body = self._parse(content)
         px = np.frombuffer(body[: width * height * 3], dtype=np.uint8)

@@ -57,7 +57,8 @@ from . import tableformat  # noqa: E402  ACID table-format ops over the commit l
 #   acid_stats_pruning, acid_incremental_view, acid_concurrent_merge,
 #   src_commitlog_stream, graph_shortest_path, sql_lateral_join,
 #   sql_params_identifier, mix_domain_budget, curriculum_stage_assign,
-#   dsir_importance_score, vec_topk_mapinarrow
+#   dsir_importance_score, vec_topk_mapinarrow, mm_patchify_vit,
+#   engine_observe_metrics, graph_kcore
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- TPC-H remainder (relational core, never driver-checked) --
     "q6_forecast_revenue",          # pushed-filter scan + single agg

@@ -1455,3 +1455,52 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "engine_observe_metrics",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+    FROM {EVENTS} e
+    WHERE event_type <> 'error'
+    """,
+    tags=("A3", "S8"),
+)
+def engine_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry via the Observation API — df.observe() attaches
+    named aggregate metrics to a production pass so data-quality counters
+    (row count, null count, checksum-style sums) come out of the SAME
+    scan the job already runs: zero extra passes, zero extra shuffles,
+    exactly the accumulator pattern a 100 TB ETL needs for its
+    row-accounting canary (the batch counterpart of
+    stream_progress_audit's numInputRows check). The observed metrics
+    are computed executor-side during the action and surfaced as one
+    driver-side row — bounded by the metric count, never by data. The
+    sum routes through decimal(38,6) (registry discipline) so the
+    cross-engine hash is exact; observe() forbids distinct aggregates,
+    which is precisely what keeps its overhead accumulator-cheap."""
+    from pyspark.sql import Observation
+
+    from .registry import dsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    obs = Observation("pipeline_audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        dsum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    # The "production job": a representative downstream aggregate whose
+    # action triggers metric collection; its own result is discarded —
+    # the metrics row is this query's product.
+    observed.groupBy("event_type").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_value"], float(m["sum_value"]), float(m["max_value"]))],
+        "n_rows long, n_null_value long, sum_value double, max_value double",
+    )

@@ -304,3 +304,94 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy("dist").agg(
         F.count("*").alias("n_nodes"), F.min("node").alias("first_node")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e{i - 1} UNION ALL SELECT v AS n FROM e{i - 1}
+      ) GROUP BY n
+    ),
+    e{i} AS (
+      SELECT u, v FROM e{i - 1}
+      WHERE u IN (SELECT n FROM d{i} WHERE d >= {_KCORE_K})
+        AND v IN (SELECT n FROM d{i} WHERE d >= {_KCORE_K})
+    )""")
+    r = _KCORE_ROUNDS
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_orderkey % 4 = 0
+    ),{",".join(steps)}
+    SELECT (SELECT count(*) FROM (SELECT u AS n FROM e{r} UNION SELECT v FROM e{r})) AS n_nodes,
+           (SELECT count(*) FROM e{r}) AS n_edges,
+           (SELECT count(*) FROM e{r}) = (SELECT count(*) FROM e{r - 1}) AS converged
+    """
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("J7", "A1"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3, 4 peeling rounds) over the supplier
+    co-supply graph — the dense-subgraph extraction behind community
+    seeds and spam-cluster mining. Each round drops every node of degree
+    < k and the edges touching it; surviving edges feed the next round
+    (the oracle unrolls the same 4 rounds, so truncation is part of the
+    checked contract, like graph_pagerank's 3 iterations — the converged
+    flag reports whether the peel had already reached its fixpoint).
+    Per-round cost is one degree aggregate plus two left-semi joins on
+    the survivor set — shuffles carry (node) and (u,v) keys only, never
+    payload, and lineage truncates per round. Peeling rounds needed in
+    practice is small (degeneracy ordering); at 100 TB each round is the
+    same bounded Pregel shape as the other iterative ops here."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = edges.count()
+    converged = False
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
+        edges = (
+            edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        cnt = edges.count()
+        converged = cnt == prev_count
+        prev_count = cnt
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    return nodes.agg(F.count("*").alias("n_nodes")).select(
+        "n_nodes",
+        F.lit(prev_count).cast("long").alias("n_edges"),
+        F.lit(converged).alias("converged"),
+    )

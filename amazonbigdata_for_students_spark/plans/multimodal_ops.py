@@ -464,3 +464,101 @@ def mm_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+_PATCH = 8  # ViT-style square patch edge, in pixels
+
+
+@query(
+    "mm_patchify_vit",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars > 0
+    ),
+    grid AS (
+      SELECT doc_id, text, n_chars, w, h, gy.py, gx.px
+      FROM img,
+           unnest(range(0, (h + {_PATCH - 1}) // {_PATCH})) AS gy(py),
+           unnest(range(0, (w + {_PATCH - 1}) // {_PATCH})) AS gx(px)
+    )
+    SELECT doc_id AS media_id,
+           CAST(py AS BIGINT) AS patch_row,
+           CAST(px AS BIGINT) AS patch_col,
+           CAST(least(h, (py + 1) * {_PATCH}) - py * {_PATCH} AS BIGINT)
+             * CAST(least(w, (px + 1) * {_PATCH}) - px * {_PATCH} AS BIGINT) AS n_px,
+           CAST(list_sum(flatten(list_transform(
+                  range(CAST(py * {_PATCH} AS INTEGER), CAST(least(h, (py + 1) * {_PATCH}) AS INTEGER)),
+                  y -> flatten(list_transform(
+                    range(CAST(px * {_PATCH} AS INTEGER), CAST(least(w, (px + 1) * {_PATCH}) AS INTEGER)),
+                    x -> list_transform(range(0, 3),
+                      c -> ord(substring(text, CAST((3 * (y * w + x) + c) % n_chars AS INTEGER) + 1, 1)))))))) AS BIGINT)
+             AS patch_sum
+    FROM grid
+    """,
+    tags=("U1", "U4", "F4"),
+)
+def mm_patchify_vit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style image patchification — the preprocessing row-expansion a
+    vision-transformer training pipeline runs: decode each image, split
+    the raster into {PATCH}x{PATCH} patches (edge patches truncated, like
+    torch.unfold with exact cover), emit one row per patch with its pixel
+    count and integer byte sum (the stand-in for the patch embedding —
+    the real projection slots into the same batch shape). Decoding goes
+    through the REAL stdlib PPM codec's full-raster path
+    (PpmDecoder.decode_ppm_raster) inside Arrow-batched mapInPandas;
+    per-patch sums are numpy slice reductions. The oracle recomputes
+    every patch sum from the text-tiling definition of the synthetic
+    raster, so a wrong stride, a mis-shaped reshape, or an edge-patch
+    off-by-one all hash-mismatch. At 100 TB this is the canonical decode
+    fan-out: rows multiply by the patch grid INSIDE the scan stage (no
+    shuffle added), Arrow batch size bounds executor memory, and the
+    byte-budget repartition upstream keeps partitions even."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("n_chars") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("patch_row", T.LongType()),
+            T.StructField("patch_col", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("patch_sum", T.LongType()),
+        ]
+    )
+    dec = multimodal.PpmDecoder()
+    p = _PATCH
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 64 + 1
+                h = int(n_chars) % 48 + 1
+                ppm = multimodal.synth_ppm(w, h, (text or "").encode("utf-8"))
+                pw, ph, raster = dec.decode_ppm_raster(ppm)
+                for py in range((ph + p - 1) // p):
+                    for px in range((pw + p - 1) // p):
+                        tile = raster[py * p : (py + 1) * p, px * p : (px + 1) * p, :]
+                        rows.append(
+                            (
+                                doc_id,
+                                py,
+                                px,
+                                tile.shape[0] * tile.shape[1],
+                                int(tile.sum(dtype=np.int64)),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "patch_row", "patch_col", "n_px", "patch_sum"]
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)

@@ -451,3 +451,39 @@ def test_dsir_separates_target_from_background(spark, sf_small):
     en = [r.importance / r.n_tokens for r in rows if r.lang == "en"]
     other = [r.importance / r.n_tokens for r in rows if r.lang != "en"]
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_patchify_covers_raster_exactly(spark, sf_small):
+    # Patches partition the raster: per-image patch sums must total the
+    # full-raster pixel sum from mm_ppm_stats, and pixel counts must
+    # total 3*w*h / 3 = w*h.
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    patches = (
+        REGISTRY["mm_patchify_vit"].fn(spark, sf_small)
+        .groupBy("media_id")
+        .agg(F.sum("patch_sum").alias("s"), F.sum("n_px").alias("npx"))
+        .collect()
+    )
+    stats = {r.media_id: r for r in REGISTRY["mm_ppm_stats"].fn(spark, sf_small).collect()}
+    assert set(p.media_id for p in patches) == set(stats)
+    for p in patches:
+        st = stats[p.media_id]
+        assert p.s == st.px_sum, p.media_id
+        assert p.npx == st.width * st.height
+
+
+def test_kcore_survivors_have_min_degree(spark, sf_small):
+    # In the peeled edge set every surviving node's degree must be >= k
+    # if the peel converged (fixpoint reached).
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.plans.graph import _KCORE_K
+
+    row = REGISTRY["graph_kcore"].fn(spark, sf_small).collect()[0]
+    assert row.n_nodes >= 0 and row.n_edges >= 0
+    if row.converged and row.n_nodes:
+        # a converged non-empty 3-core needs >= k+1 nodes and >= k(k+1)/2 edges
+        assert row.n_nodes >= _KCORE_K + 1
+        assert 2 * row.n_edges >= row.n_nodes * _KCORE_K
