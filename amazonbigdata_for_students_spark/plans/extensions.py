@@ -1504,3 +1504,84 @@ def engine_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_null_value"], float(m["sum_value"]), float(m["max_value"]))],
         "n_rows long, n_null_value long, sum_value double, max_value double",
     )
+
+
+@query(
+    "sql_collated_groupby",
+    oracle=f"""
+    SELECT lower(CASE WHEN user_id % 2 = 0 THEN upper(event_type) ELSE event_type END) AS etype,
+           count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY 1
+    """,
+    tags=("F2", "A1"),
+)
+def sql_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping — Spark 4 string collations: a mixed-case
+    feed (half the producers shout CLICK, half whisper click) grouped
+    under UTF8_LCASE, so case variants merge at the COMPARISON level
+    instead of by lossy eager normalization. The collated comparison runs
+    inside codegen (no UDF, no extra projection); the output key is
+    re-lowered only for a deterministic display form (which group
+    representative wins is engine-defined). The oracle models the
+    equivalence classes with lower() — same partition of the key space.
+    At scale, collation on the grouping key changes ONLY the hash/equality
+    function: shuffle volume and plan shape are identical to the binary
+    collation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        SELECT lower(k) AS etype, n FROM (
+          SELECT k, count(*) AS n FROM (
+            SELECT (CASE WHEN user_id % 2 = 0 THEN upper(event_type)
+                         ELSE event_type END) COLLATE UTF8_LCASE AS k
+            FROM events_t
+          ) GROUP BY k
+        )
+        """
+    )
+
+
+@query(
+    "sql_try_arithmetic",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN user_id % 3 <> 1 THEN 1 END) AS BIGINT) AS n_safe_div,
+           CAST(sum(CASE WHEN user_id % 3 = 1 THEN NULL
+                         ELSE CAST(value / (CAST(user_id % 3 AS DOUBLE) - 1.0) AS DECIMAL(38,6))
+                    END) AS DOUBLE) AS sum_div,
+           CAST(count(CASE WHEN user_id % 5 <> 0 THEN 1 END) AS BIGINT) AS n_parsed_ids
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("F4", "F6", "F5"),
+)
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (try_divide / try_cast) — ANSI mode's
+    production posture: arithmetic faults yield NULL instead of either
+    killing a 6-hour job (strict ANSI) or silently corrupting results
+    (legacy wraparound). Planted faults: every user_id%3==1 row divides
+    by zero; every user_id%5==0 row carries an unparseable 'N/A' id
+    string. try_* lets one pass both survive the faults AND account for
+    them (n_rows - n_safe_div = the fault count — the quarantine ledger,
+    same philosophy as src_corrupt_records). Denominators are -1/0/+1 so
+    the surviving quotients are exact; sums route through decimal. All
+    map-side expression work inside codegen; one aggregate shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    dirty_id = F.when(F.col("user_id") % 5 == 0, F.lit("N/A")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    div = F.expr("try_divide(value, CAST(user_id % 3 AS DOUBLE) - 1.0)")
+    parsed = F.expr(
+        "try_cast(CASE WHEN user_id % 5 = 0 THEN 'N/A' "
+        "ELSE CAST(user_id AS STRING) END AS BIGINT)"
+    )
+    return ev.select("event_type", div.alias("d"), parsed.alias("p")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("d").alias("n_safe_div"),
+        F.sum(F.col("d").cast("decimal(38,6)")).cast("double").alias("sum_div"),
+        F.count("p").alias("n_parsed_ids"),
+    )

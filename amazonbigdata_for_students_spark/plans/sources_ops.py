@@ -1612,3 +1612,54 @@ def engine_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# S2 variant — XML landing source (Spark 4 built-in XML, both directions)
+# --------------------------------------------------------------------------
+@query(
+    "src_xml_scan",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("S2", "S10"),
+)
+def src_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML landing zone — the third hierarchical wire shape after JSONL
+    and multiLine JSON, covering the B2B/legacy feeds (SOAP exports, SEPA,
+    HL7-adjacent dumps) that still arrive as XML. Spark 4's built-in XML
+    source is exercised in BOTH directions: the fixture is written
+    DISTRIBUTEDLY with df.write.format("xml") (rowTag framing, attribute
+    escaping — no driver collect, so the export scales with executors,
+    unlike a manual dump), then read back with an explicit schema and
+    aggregated. The oracle recomputes from the parquet source, so tag
+    round-tripping, numeric text round-trip (shortest-repr doubles), and
+    schema projection are all under the hash. Same parallelism caveat as
+    multiLine JSON: a row spans arbitrary text, so files split only at
+    row boundaries — fine for dimension drops, not the firehose."""
+    d, ready, fp = _cache_dir(sf_dir, "xml_scan", tables=("customer",))
+    out = os.path.join(d, "export")
+    if not ready:
+        cust = readers.load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+        cust.write.format("xml").option("rowTag", "customer").mode("overwrite").save(out)
+        _mark(d, fp)
+    sch = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "customer").schema(sch).load(out)
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("sum_acctbal"),
+    )

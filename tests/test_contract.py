@@ -97,3 +97,21 @@ def test_query_callables_run(spark, sf_small):
     for name in ("q1_pricing_summary", "win_topn_per_group", "txt_token_stats", "vec_cosine_topk"):
         df = qs[name](spark, sf_small)
         assert df.count() >= 0
+
+
+def test_cli_list_and_check(spark, capsys):
+    # The CLI surfaces the same registry: list needs no session; check
+    # runs the oracle compare in-process against the active session.
+    from amazonbigdata_for_students_spark import cli
+
+    assert cli.main(["list", "q1_"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "sql-oracle" in out
+
+    from .conftest import SF_SMALL
+
+    assert cli.main(["check", "q1_pricing_summary", "--sf", SF_SMALL]) == 0
+    out = capsys.readouterr().out
+    assert "1/1 match" in out
+
+    assert cli.main(["run", "no_such_query"]) == 2
