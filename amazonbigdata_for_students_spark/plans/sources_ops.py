@@ -1663,3 +1663,45 @@ def src_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("sum_acctbal"),
     )
+
+
+@query(
+    "src_file_metadata_audit",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("S6", "F8"),
+)
+def src_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-lineage audit via the hidden `_metadata` column — every
+    file-source row carries its physical provenance (file_path, size,
+    modification time) for free, no input_file_name() UDF and no extra
+    scan: the column materializes from the reader's own split info. The
+    fixture writes events hash-distributed on the partition column
+    (repartition(event_type) ⇒ exactly one writer task per value ⇒ one
+    file per partition directory — the deterministic layout the audit
+    pins), then the read-back groups rows by partition value and counts
+    DISTINCT _metadata.file_path per group. This is the at-scale recipe
+    for "which files fed this partition, and did small-file explosion
+    happen?" — the file count comes from metadata the scan already
+    holds, so auditing 100 TB adds zero I/O beyond the scan itself."""
+    d, ready, fp = _cache_dir(sf_dir, "file_metadata_audit", tables=("events",))
+    out = os.path.join(d, "by_type")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events")
+        (
+            ev.repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        _mark(d, fp)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
+    )

@@ -821,3 +821,56 @@ def stream_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "archive_windows bigint, alert_windows bigint, archive_rows bigint, "
         "sinks_consistent boolean",
     )
+
+
+@query(
+    "stream_state_inspect",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_in_state
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("T7", "S5"),
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state store itself as a queryable table — Spark 4's
+    `statestore` batch reader over a streaming checkpoint, the
+    production-debugging surface for "what does my stateful operator
+    actually hold right now?" (leaked keys, skewed state partitions,
+    watermark-eviction audits). A real file-stream count aggregation is
+    drained through a checkpoint first; then the CHECKPOINT — not the
+    sink — is read back and flattened, and the per-key aggregation
+    buffers must hash-match the batch answer: state content, not just
+    query output, is under the correctness gate. The reader streams
+    snapshot + delta files of each state partition in parallel (one task
+    per state partition — the same partitioning the store itself uses),
+    so inspecting TB-scale RocksDB state never funnels through the
+    driver. Aggregation-buffer field names are engine-internal, so the
+    projection introspects the value schema instead of hard-coding
+    them."""
+    import tempfile
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ck = tempfile.mkdtemp(prefix="state_inspect_ck_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        name = f"state_inspect_{next(_COUNTER)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ck)
+    buf_fields = st.schema["value"].dataType.names
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{buf_fields[0]}").cast("long").alias("n_in_state"),
+    )

@@ -487,3 +487,24 @@ def test_kcore_survivors_have_min_degree(spark, sf_small):
         # a converged non-empty 3-core needs >= k+1 nodes and >= k(k+1)/2 edges
         assert row.n_nodes >= _KCORE_K + 1
         assert 2 * row.n_edges >= row.n_nodes * _KCORE_K
+
+
+def test_state_inspect_matches_sink_and_metadata(spark, sf_small):
+    # The statestore reader must agree with the query's own sink, and the
+    # state-metadata reader must describe the aggregation operator.
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    state = {
+        r.event_type: r.n_in_state
+        for r in REGISTRY["stream_state_inspect"].fn(spark, sf_small).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert state == batch
