@@ -25,6 +25,27 @@ def _registry():
     return REGISTRY
 
 
+def _spark():
+    """Reuse an already-active session untouched, else build the tuned one.
+
+    Going through SparkSession.builder.getOrCreate() with our defaults
+    would APPLY those defaults to an existing session (getOrCreate sets
+    the builder's runtime confs on the session it returns) — the CLI
+    embedded in a host application must never clobber the host's
+    parallelism settings."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        from .session import configure_runtime
+
+        configure_runtime(s)
+        return s
+    from .session import get_spark
+
+    return get_spark()
+
+
 def cmd_list(args) -> int:
     reg = _registry()
     names = [n for n in reg if not args.filter or args.filter in n]
@@ -40,13 +61,11 @@ def cmd_list(args) -> int:
 
 
 def cmd_run(args) -> int:
-    from .session import get_spark
-
     reg = _registry()
     if args.query not in reg:
         print(f"unknown query: {args.query}", file=sys.stderr)
         return 2
-    spark = get_spark()
+    spark = _spark()
     df = reg[args.query].fn(spark, args.sf)
     df.show(args.show, truncate=False)
     print(f"[{args.query}] {df.count()} rows at {args.sf}")
@@ -54,19 +73,16 @@ def cmd_run(args) -> int:
 
 
 def cmd_explain(args) -> int:
-    from .session import get_spark
-
     reg = _registry()
     if args.query not in reg:
         print(f"unknown query: {args.query}", file=sys.stderr)
         return 2
-    spark = get_spark()
+    spark = _spark()
     reg[args.query].fn(spark, args.sf).explain("formatted")
     return 0
 
 
 def cmd_check(args) -> int:
-    from .session import get_spark
     from .testing import compare_query, duckdb_connect
 
     reg = _registry()
@@ -76,7 +92,7 @@ def cmd_check(args) -> int:
     if not names:
         print("no queries match", file=sys.stderr)
         return 2
-    spark = get_spark()
+    spark = _spark()
     con = duckdb_connect(args.sf)
     failed = 0
     try:

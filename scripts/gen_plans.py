@@ -99,6 +99,23 @@ SHOWCASE: dict[str, str] = {
         "feeding an Expand-fed HashAggregate); the exchanges carry only distinct "
         "groups and the 1-row final, then a map-only inline() unpivot."
     ),
+    "curriculum_stage_assign": (
+        "Exact ntile(4) WITHOUT a single-partition global window: the only "
+        "windows run over the value-domain histogram (distinct scores) and "
+        "per-score row_number partitions; the doc stream joins the tiny "
+        "cumulative frame and maps through the closed-form bucket formula."
+    ),
+    "dsir_importance_score": (
+        "Both language models come out of ONE word-level aggregate; the "
+        "vocabulary-sized count table joins back with NO forced broadcast "
+        "(AQE decides), totals ride a 1-row broadcast; per-token ln is "
+        "quantized to decimal before the order-independent per-doc sum."
+    ),
+    "sql_lateral_join": (
+        "The correlated LATERAL subquery is fully decorrelated: one ranked "
+        "window join (WindowGroupLimit bounds per-group state), nothing "
+        "executes per outer row — no nested-loop stage in the plan."
+    ),
 }
 
 

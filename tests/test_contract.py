@@ -110,8 +110,13 @@ def test_cli_list_and_check(spark, capsys):
 
     from .conftest import SF_SMALL
 
+    width_before = spark.conf.get("spark.sql.shuffle.partitions")
     assert cli.main(["check", "q1_pricing_summary", "--sf", SF_SMALL]) == 0
     out = capsys.readouterr().out
     assert "1/1 match" in out
+    # Embedded use must NOT clobber the host session's parallelism — a
+    # builder.getOrCreate() with our defaults would silently set 32 here
+    # (that leak once broke an AQE plan-shape test downstream).
+    assert spark.conf.get("spark.sql.shuffle.partitions") == width_before
 
     assert cli.main(["run", "no_such_query"]) == 2

@@ -399,3 +399,27 @@ def test_shuffle_hash_hint_materializes(spark, sf_small):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lateral_join_is_decorrelated(spark, sf_small):
+    """A correlated LATERAL top-k must compile to one ranked-window join
+    (WindowGroupLimit), never a per-outer-row nested loop."""
+    df = REGISTRY["sql_lateral_join"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_has_no_global_data_window(spark, sf_small):
+    """The distributed-ntile decomposition: any SinglePartition exchange
+    must sit over the value-domain histogram (aggregated rows), never
+    over the raw per-document stream."""
+    df = REGISTRY["curriculum_stage_assign"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    # the per-doc row_number window partitions by the score value
+    assert "windowspecdefinition(n_chars" in plan
+    # no ntile over an empty partition spec (the single-partition form)
+    assert "ntile" not in plan

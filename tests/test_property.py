@@ -35,3 +35,30 @@ def test_ppm_roundtrip_any_size(w, h, seed):
 def test_wav_roundtrip_any_shape(rate, ch, frames, seed):
     got = WavDecoder().decode_wav_stats(synth_wav(rate, ch, frames, seed))
     assert got == (rate, ch, (frames * 1000) // rate)
+
+
+@given(n=st.integers(min_value=1, max_value=5000), k=st.integers(min_value=1, max_value=16))
+@settings(max_examples=200, deadline=None)
+def test_closed_form_ntile_formula(n, k):
+    """curriculum_stage_assign's distributed decomposition relies on the
+    closed-form rank->bucket formula reproducing SQL ntile(k) exactly:
+    first n%k buckets get one extra row. Checked against the definition
+    for arbitrary (n, k) — including n < k, where ntile gives each of the
+    first n buckets exactly one row."""
+    base, rem = divmod(n, k)
+    # reference assignment per the SQL-standard ntile definition
+    expect = []
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        expect.extend([b] * size)
+    # the closed-form used in the Spark plan
+    cut = rem * (base + 1)
+    got = []
+    for r in range(1, n + 1):
+        if base == 0:
+            got.append(r)
+        elif r <= cut:
+            got.append((r - 1) // (base + 1) + 1)
+        else:
+            got.append(rem + (r - 1 - cut) // base + 1)
+    assert got == expect
