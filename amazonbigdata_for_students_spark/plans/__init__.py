@@ -60,7 +60,8 @@ from . import tableformat  # noqa: E402  ACID table-format ops over the commit l
 #   dsir_importance_score, vec_topk_mapinarrow, mm_patchify_vit,
 #   engine_observe_metrics, graph_kcore, src_xml_scan,
 #   sql_collated_groupby, sql_try_arithmetic, stream_state_inspect,
-#   src_file_metadata_audit, acid_describe_history
+#   src_file_metadata_audit, acid_describe_history, sql_recursive_cte,
+#   sql_pipe_syntax
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- TPC-H remainder (relational core, never driver-checked) --
     "q6_forecast_revenue",          # pushed-filter scan + single agg

@@ -1585,3 +1585,75 @@ def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d").cast("decimal(38,6)")).cast("double").alias("sum_div"),
         F.count("p").alias("n_parsed_ids"),
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(start_key, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT start_key, node // 2, depth + 1 FROM anc WHERE node > 0 AND depth < 10
+    )
+    SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS sum_nodes
+    FROM anc GROUP BY depth
+    """,
+    tags=("J7", "A1"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE in PURE Spark SQL (Spark 4.1's WITH RECURSIVE) — the
+    hierarchy-walking surface (org charts, BOM explosions, folder trees)
+    that previously required the DataFrame-loop pattern used by
+    dedup_connected_components/graph_shortest_path. Here: ancestor chains
+    of a seed customer set through the implicit binary-tree parent
+    relation (parent = key DIV 2), depth-bounded so UNION ALL recursion
+    terminates. Each recursion step is one incremental self-join on the
+    previous frontier — the engine materializes per-step results like the
+    manual loop, but the plan is declared in one statement. Integer
+    arithmetic throughout, so the per-depth rollup hash-matches DuckDB's
+    recursive fixpoint exactly. Depth guards are the at-scale discipline:
+    an unguarded cyclic recursion diverges in ANY engine."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(start_key, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 100 = 0
+          UNION ALL
+          SELECT start_key, node DIV 2, depth + 1 FROM anc WHERE node > 0 AND depth < 10
+        )
+        SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM anc GROUP BY depth
+        """
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    WHERE value >= 0.5
+    GROUP BY event_type
+    """,
+    tags=("A1", "P2"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operators, the GoogleSQL-pipes
+    surface): the same scan → filter → aggregate pipeline spelled as a
+    linear dataflow instead of inside-out SQL — the readability bridge
+    for users coming from DataFrame chains. Pipe stages are pure parse
+    sugar: the analyzed plan, pushdown, and partial→final aggregation
+    are identical to the classic form (the oracle IS the classic form),
+    so adopting pipes costs nothing at any scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        FROM events_t
+        |> WHERE value >= 0.5
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           GROUP BY event_type
+        """
+    )
