@@ -940,3 +940,101 @@ def vec_topk_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_BQ_CAND = 50  # hamming candidates fed to the exact rerank
+_BQ_K = 10
+
+
+@query(
+    "vec_binary_hamming_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         p AS (SELECT vec_id, v,
+                      list_reduce(list_transform(range(1, 33),
+                        i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
+                        (a, b) -> a | b) AS w0,
+                      list_reduce(list_transform(range(33, 65),
+                        i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END),
+                        (a, b) -> a | b) AS w1
+               FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+               FROM p ORDER BY vec_id LIMIT 1),
+         cand AS (
+           SELECT p.vec_id, p.v,
+                  CAST(bit_count(CAST(xor(p.w0, q.qw0) AS BIGINT))
+                       + bit_count(CAST(xor(p.w1, q.qw1) AS BIGINT)) AS BIGINT) AS hamming,
+                  q.qv
+           FROM p, q
+           WHERE p.vec_id <> q.qid
+           ORDER BY hamming, p.vec_id
+           LIMIT {_BQ_CAND}
+         )
+    SELECT vec_id, hamming,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM cand
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_BQ_K}
+    """,
+    tags=("U5", "F8"),
+)
+def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the 1-bit compression tier modern vector
+    stores put in front of everything else (256x smaller than float32):
+    sign-bit-pack each embedding into two int64 words (32 dims per word —
+    bit 63 shifts overflow portably), retrieve by Hamming distance
+    (bit_count of XOR — a handful of ALU ops per comparison, all inside
+    whole-stage codegen), then exactly rerank the top-{_BQ_CAND}
+    candidates by true cosine. Packing is map-only in the scan; the
+    Hamming scan touches 16 bytes per vector (the 100 TB property: the
+    candidate stage reads the packed column only, like PQ's ADC scan);
+    TakeOrderedAndProject caps candidates before the 50-row rerank. Both
+    stages and the tie-broken candidate cut are replicated exactly in
+    the SQL twin — retrieval AND rerank are hash-gated, not just
+    recall-thresholded."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def pack(lo: int):
+        # shiftleft needs a column-valued bit index — SQL form (the Python
+        # helper only accepts a literal int for numBits)
+        return F.expr(
+            f"aggregate(transform(slice(v, {lo}, 32),"
+            f" (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L)),"
+            f" 0L, (a, b) -> a | b)"
+        )
+
+    p = e.select("vec_id", "v", pack(1).alias("w0"), pack(33).alias("w1"))
+    q = (
+        p.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("long")
+    cand = (
+        p.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "v", "qv", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_CAND)
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.select("vec_id", "hamming", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_BQ_K)
+    )
