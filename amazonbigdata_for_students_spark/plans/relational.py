@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import load_table, register_views
 from .registry import davg, dsum, query
 
 # DuckDB twin of the events table: parquet stores ns timestamps which Spark
@@ -1574,4 +1574,101 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     return grid.join(actual, ["event_type", "hour"], "left").select(
         "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("E2",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — EXCEPT ALL (bag semantics): per-value multiplicities subtract
+    instead of collapsing, so a nation with 60 customers and 4 suppliers
+    keeps 56 rows — the shape for "remove one matched occurrence per
+    return event" reconciliation where DISTINCT would destroy counts.
+    Spark plans this as a single aggregate computing per-key count
+    deltas then a generate (no join): one shuffle on the value, output
+    bounded by the left multiset."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("E2",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — INTERSECT ALL (bag semantics): keeps min(multiplicity) per
+    value across the two inputs — the multiset overlap that audits "how
+    many paired occurrences exist", not just which values occur."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@query(
+    "sql_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer) AS n_customers,
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe))
+        AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS n_not_exists
+    """,
+    tags=("J2", "F5"),
+)
+def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned as a contract: when the
+    subquery produces even ONE NULL, `x NOT IN (...)` is never TRUE (x <>
+    NULL is UNKNOWN, and the conjunction stays UNKNOWN), so the filter
+    returns ZERO rows — while NOT EXISTS with an equality predicate
+    returns the real anti-set. Every engine implements this per the SQL
+    standard, and every data team gets burned by it once; this query
+    encodes both counts side by side (n_not_in = 0, n_not_exists = the
+    true complement) so the engines' agreement on the trap itself is
+    hash-gated. The planning consequence at scale: NOT IN over a nullable
+    key compiles to null-aware anti join (single-key broadcast or a
+    dreaded cartesian fallback), which is why pipelines should write
+    NOT EXISTS / left_anti — the reference's IP-blocklist filter (P3)
+    follows that rule."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT count(*) FROM customer) AS n_customers,
+          (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe))
+            AS n_not_in,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+            AS n_not_exists
+        """
     )
