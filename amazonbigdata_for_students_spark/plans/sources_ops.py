@@ -1705,3 +1705,69 @@ def src_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
     )
+
+
+_PLAN_AUDIT_QUERIES = (
+    # queries whose scans must show non-empty PushedFilters
+    ("q1_pricing_summary", True),
+    ("q6_forecast_revenue", True),
+    ("q3_shipping_priority", True),
+    # no filter expected to push on these; audited for join hygiene only
+    ("win_topn_per_group", False),
+    ("join_interval_buckets", False),
+)
+
+
+@query(
+    "engine_plan_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('q1_pricing_summary',   true, true, true),
+      ('q6_forecast_revenue',  true, true, true),
+      ('q3_shipping_priority', true, true, true),
+      ('win_topn_per_group',   true, true, true),
+      ('join_interval_buckets',true, true, true)
+    ) AS t(query_name, pushdown_ok, no_cartesian, no_row_python_udf)
+    """,
+    tags=("A3", "P2"),
+)
+def engine_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-shape governance as a QUERY — the engine audits its own
+    physical plans and returns the verdicts as data, so the same checks
+    tests/test_plan_shapes.py runs in CI can run inside any deployment
+    (a scheduled healthcheck on the production cluster, where a Spark
+    upgrade or a stats regression can silently flip a plan). Per audited
+    query: (1) pushdown_ok — scans carry non-empty PushedFilters where a
+    filter exists to push; (2) no_cartesian — no CartesianProduct or
+    BroadcastNestedLoopJoin anywhere (the nested-loop degeneration is
+    the classic 100 TB killer); (3) no_row_python_udf — no
+    BatchEvalPython node (row-at-a-time Python in a hot path;
+    Arrow-batched nodes are allowed). Plans are AQE-final (collected
+    first); the audit itself touches only plan STRINGS — bounded by
+    query count, never data."""
+    from .registry import REGISTRY as _REG
+
+    rows = []
+    for name, expect_pushdown in _PLAN_AUDIT_QUERIES:
+        df = _REG[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if expect_pushdown:
+            pushdown_ok = any(
+                "PushedFilters: [" in seg and not seg.lstrip().startswith("PushedFilters: []")
+                for seg in plan.split("\n")
+                if "PushedFilters" in seg
+            )
+        else:
+            pushdown_ok = True
+        rows.append(
+            (
+                name,
+                bool(pushdown_ok),
+                "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan,
+                "BatchEvalPython" not in plan,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "query_name string, pushdown_ok boolean, no_cartesian boolean, no_row_python_udf boolean"
+    )
