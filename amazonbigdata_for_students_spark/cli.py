@@ -67,8 +67,10 @@ def cmd_run(args) -> int:
         return 2
     spark = _spark()
     df = reg[args.query].fn(spark, args.sf)
-    df.show(args.show, truncate=False)
-    print(f"[{args.query}] {df.count()} rows at {args.sf}")
+    rows = df.collect()  # one execution: show() + count() would run it twice
+    preview = spark.createDataFrame(rows[: args.show], df.schema)
+    preview.show(args.show, truncate=False)
+    print(f"[{args.query}] {len(rows)} rows at {args.sf}")
     return 0
 
 
@@ -97,10 +99,14 @@ def cmd_check(args) -> int:
     failed = 0
     try:
         for n in names:
-            res = compare_query(spark, reg[n], args.sf, con)
-            status = "ok  " if res.ok else "FAIL"
-            print(f"{status} {n:34s} {res.detail}")
-            failed += 0 if res.ok else 1
+            try:
+                res = compare_query(spark, reg[n], args.sf, con)
+                ok, detail = res.ok, res.detail
+            except Exception as e:  # one broken query must not mask the rest
+                ok, detail = False, f"error: {type(e).__name__}: {e}"
+            status = "ok  " if ok else "FAIL"
+            print(f"{status} {n:34s} {detail}")
+            failed += 0 if ok else 1
     finally:
         con.close()
     print(f"\n{len(names) - failed}/{len(names)} match at {args.sf}")

@@ -331,10 +331,13 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = d.groupBy("w").agg(
         F.count("*").alias("cb"), F.sum(is_t).alias("ct")
     )
-    tot = d.agg(
-        F.count("*").alias("nb"),
-        F.sum(is_t).alias("nt"),
-        F.countDistinct("w").alias("vs"),
+    # All three totals are marginals of the vocabulary table — deriving
+    # them from cnt (nb = Σcb, nt = Σct, vs = |cnt|) reuses its exchange
+    # instead of re-exploding the whole token stream a second time.
+    tot = cnt.agg(
+        F.sum("cb").alias("nb"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("vs"),
     )
     lw = F.round(
         F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("vs"))), 6

@@ -1753,11 +1753,12 @@ def engine_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         if expect_pushdown:
-            pushdown_ok = any(
-                "PushedFilters: [" in seg and not seg.lstrip().startswith("PushedFilters: []")
-                for seg in plan.split("\n")
-                if "PushedFilters" in seg
-            )
+            # PushedFilters appears mid-line inside the FileScan node; a
+            # line-start check can never fire. Non-empty means "[" is
+            # followed by actual filter text somewhere in the plan.
+            import re
+
+            pushdown_ok = bool(re.search(r"PushedFilters: \[[^\]]", plan))
         else:
             pushdown_ok = True
         rows.append(
