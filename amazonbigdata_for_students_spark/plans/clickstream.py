@@ -564,3 +564,51 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purchases").cast("long").alias("total_purchases"),
         F.count(F.when(F.col("n_purchases") > 0, 1)).alias("n_converted"),
     )
+
+
+@query(
+    "clk_markov_transitions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM {EVENTS} e
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next FROM ordered WHERE prev IS NOT NULL
+    ),
+    cnt AS (SELECT prev, next, count(*) AS n FROM pairs GROUP BY prev, next)
+    SELECT prev, next, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev) AS BIGINT) AS p_ppm
+    FROM cnt
+    """,
+    tags=("W2", "A1"),
+)
+def clk_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the
+    "what do users do after X" model behind next-action prediction,
+    funnel repair, and bot fingerprinting (bots have degenerate
+    transition rows). One per-user lag window extracts consecutive
+    (prev→next) pairs, one map-side-combined groupBy counts them, and
+    the row-normalizing window runs over the #event_types² matrix —
+    constant-size regardless of corpus. Probabilities are exact-integer
+    parts-per-million (count·10⁶ DIV row_total), so the matrix
+    hash-matches cross-engine with no float accumulation anywhere. At
+    100 TB: the only data-sized stages are the user-keyed window and the
+    pair count; everything after is matrix-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("next"))
+    )
+    cnt = pairs.groupBy("prev", "next").agg(F.count("*").alias("n"))
+    return cnt.select(
+        "prev",
+        "next",
+        "n",
+        F.expr(
+            "CAST((n * 1000000) div sum(n) OVER (PARTITION BY prev) AS BIGINT)"
+        ).alias("p_ppm"),
+    )

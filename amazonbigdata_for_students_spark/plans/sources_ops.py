@@ -1772,3 +1772,56 @@ def engine_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_name string, pushdown_ok boolean, no_cartesian boolean, no_row_python_udf boolean"
     )
+
+
+@query(
+    "engine_cache_reuse",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM {EVENTS} e GROUP BY event_type
+    )
+    SELECT 'by_count' AS ranking, event_type FROM (
+      SELECT event_type, row_number() OVER (ORDER BY n DESC, event_type) AS r FROM agg
+    ) WHERE r = 1
+    UNION ALL
+    SELECT 'by_value', event_type FROM (
+      SELECT event_type, row_number() OVER (ORDER BY sum_value DESC, event_type) AS r FROM agg
+    ) WHERE r = 1
+    """,
+    tags=("S11", "A3"),
+)
+def engine_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit caching for multi-consumer pipelines — .cache() an
+    expensive intermediate that two downstream queries share, so the
+    scan+aggregate runs ONCE and both consumers read the in-memory
+    columnar relation (InMemoryTableScan in their plans; asserted by
+    tests/test_plan_shapes.py). This is the interactive-notebook and
+    serving-layer pattern: at 100 TB you cache the AGGREGATE (bounded,
+    types-sized), never the raw scan — a cache whose size scales with
+    the data evicts under pressure and silently recomputes, which is
+    worse than no cache. unpersist() releases executor memory
+    deterministically at the end instead of waiting for LRU."""
+    ev = readers.load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    agg = agg.cache()
+    try:
+        top_n = (
+            agg.orderBy(F.col("n").desc(), "event_type")
+            .limit(1)
+            .select(F.lit("by_count").alias("ranking"), "event_type")
+        )
+        top_v = (
+            agg.orderBy(F.col("sum_value").desc(), "event_type")
+            .limit(1)
+            .select(F.lit("by_value").alias("ranking"), "event_type")
+        )
+        out = top_n.unionByName(top_v)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        agg.unpersist()
+    return out

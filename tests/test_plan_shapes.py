@@ -423,3 +423,23 @@ def test_curriculum_has_no_global_data_window(spark, sf_small):
     assert "windowspecdefinition(n_chars" in plan
     # no ntile over an empty partition spec (the single-partition form)
     assert "ntile" not in plan
+
+
+def test_cache_reuse_reads_in_memory_relation(spark, sf_small):
+    """The cached aggregate must serve both consumers from the in-memory
+    columnar relation — the second consumer's plan reads
+    InMemoryTableScan, not a second FileScan+aggregate."""
+    import pyspark.sql.functions as F
+
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    agg = (
+        load_table(spark, sf_small, "events").groupBy("event_type").count().cache()
+    )
+    try:
+        agg.count()  # materialize
+        consumer = agg.orderBy(F.col("count").desc()).limit(1)
+        consumer.collect()
+        assert "InMemoryTableScan" in plan_of(consumer)
+    finally:
+        agg.unpersist()
