@@ -603,3 +603,53 @@ def acid_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdf.join(counts, "version").select(
         "version", "writer", "n_adds", "n_removes", "rows_added"
     )
+
+
+@query(
+    "acid_schema_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal,
+             CASE WHEN c_custkey % 2 = 0 THEN
+               CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END
+             END AS tier
+      FROM customer
+    )
+    SELECT coalesce(tier, 'legacy') AS tier,
+           count(*) AS n,
+           CAST(sum(CAST(bal AS DECIMAL(38,2))) AS DOUBLE) AS total_bal
+    FROM ev
+    GROUP BY 1
+    """,
+    tags=("S10", "S6"),
+)
+def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the commit log — the producer-upgrade story
+    for the table format: commit v0 writes (c_custkey, bal); commit v1's
+    producer has shipped a new `tier` column. The snapshot read merges
+    the generations (unionByName with null-fill — the mergeSchema
+    semantic applied at the LOG layer, so readers never break and no
+    rewrite of v0's files happens). Old rows surface as tier=NULL and
+    report as 'legacy' — exactly how a backfill-less column landing
+    behaves in Delta/Iceberg. The oracle recomputes both generations'
+    rows from the customer table, so the null-fill, the column
+    alignment, and the decimal totals are all hash-gated."""
+    log = _fresh_log(sf_dir, "schema_evolution")
+    base = _balances(spark, sf_dir)
+    v0 = base.filter(F.col("c_custkey") % 2 == 1)
+    v1 = base.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "tier", F.when(F.col("bal") >= 5000, "gold").otherwise("std")
+    )
+    for delta in (v0, v1):
+        staged = log.stage_dir()
+        delta.write.mode("overwrite").parquet(staged)
+        log.commit([staged], writer="schema_evolution")
+    snap = log.read(spark)
+    return (
+        snap.select(F.coalesce("tier", F.lit("legacy")).alias("tier"), "bal")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bal").cast("decimal(38,2)")).cast("double").alias("total_bal"),
+        )
+    )

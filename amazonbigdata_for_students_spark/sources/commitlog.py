@@ -268,7 +268,11 @@ class CommitLog:
             return None
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns = schema evolution on read: a commit
+            # that added a column null-fills it for other commits' rows
+            # instead of failing the snapshot — the mergeSchema semantic
+            # applied at the log layer.
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def read_pruned(
@@ -289,7 +293,11 @@ class CommitLog:
             return None, skipped
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns = schema evolution on read: a commit
+            # that added a column null-fills it for other commits' rows
+            # instead of failing the snapshot — the mergeSchema semantic
+            # applied at the log layer.
+            out = out.unionByName(p, allowMissingColumns=True)
         return out, skipped
 
     def read_changes(
@@ -314,7 +322,11 @@ class CommitLog:
             return None
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns = schema evolution on read: a commit
+            # that added a column null-fills it for other commits' rows
+            # instead of failing the snapshot — the mergeSchema semantic
+            # applied at the log layer.
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def compact(self, spark: SparkSession, key_cols: list[str]) -> int | None:
