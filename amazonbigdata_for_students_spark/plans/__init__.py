@@ -63,7 +63,8 @@ from . import tableformat  # noqa: E402  ACID table-format ops over the commit l
 #   src_file_metadata_audit, acid_describe_history, sql_recursive_cte,
 #   sql_pipe_syntax, vec_binary_hamming_topk, set_except_all,
 #   set_intersect_all, sql_not_in_null_trap, engine_plan_audit,
-#   clk_markov_transitions, engine_cache_reuse, acid_schema_evolution
+#   clk_markov_transitions, engine_cache_reuse, acid_schema_evolution,
+#   corpus_build_pipeline_v3
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- TPC-H remainder (relational core, never driver-checked) --
     "q6_forecast_revenue",          # pushed-filter scan + single agg

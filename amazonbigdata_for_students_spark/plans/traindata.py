@@ -869,27 +869,41 @@ def curriculum_stage_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 sort_key (consumer sorts/range-partitions at write) — no
     per-stage window, no skewed 4-partition shuffle."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    hist = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
-    # window over the value-domain histogram: rows = distinct scores, not docs
-    wv = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    staged = distributed_ntile(d, score="n_chars", id_col="doc_id", k=_CUR_STAGES)
+    return staged.select(
+        "doc_id",
+        "stage",
+        F.md5(F.concat(F.lit(_CUR_SEED), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+
+
+def distributed_ntile(df: DataFrame, score: str, id_col: str, k: int) -> DataFrame:
+    """Exact ntile(k) OVER (ORDER BY score, id) without a single-partition
+    global window: value-domain histogram + prefix sum (rows = distinct
+    scores), per-score-value row_number (distributed), and the
+    closed-form SQL-standard bucket formula (first N%k buckets get one
+    extra row — property-tested in tests/test_property.py). Returns the
+    input columns plus `stage` (1..k). The only single-partition work is
+    the histogram's cumulative window — bounded by score cardinality,
+    never by rows."""
+    hist = df.groupBy(score).agg(F.count("*").alias("cnt"))
+    wv = W.orderBy(score).rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select(
-        "n_chars", (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_before")
+        score, (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_before")
     )
     n_total = hist.agg(F.sum("cnt").alias("n_total"))
     ranked = (
-        d.join(cum, "n_chars")
+        df.join(cum, score)
         .crossJoin(F.broadcast(n_total))  # 1-row aggregate
         .withColumn(
             "grank",
             F.col("cum_before")
-            + F.row_number().over(
-                W.partitionBy("n_chars").orderBy("doc_id")
-            ),
+            + F.row_number().over(W.partitionBy(score).orderBy(id_col)),
         )
-    )
-    ranked = (
-        ranked.withColumn("b", F.expr(f"n_total div {_CUR_STAGES}"))
-        .withColumn("rem", F.col("n_total") % _CUR_STAGES)
+        .withColumn("b", F.expr(f"n_total div {k}"))
+        .withColumn("rem", F.col("n_total") % k)
         .withColumn("cut", F.col("rem") * (F.col("b") + 1))
     )
     stage = (
@@ -897,10 +911,110 @@ def curriculum_stage_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("grank") <= F.col("cut"), F.expr("(grank - 1) div (b + 1) + 1"))
         .otherwise(F.expr("rem + (grank - 1 - cut) div b + 1"))
     )
-    return ranked.select(
-        "doc_id",
-        stage.cast("long").alias("stage"),
-        F.md5(F.concat(F.lit(_CUR_SEED), F.col("doc_id").cast("string"))).alias(
-            "sort_key"
-        ),
+    return ranked.withColumn("stage", stage.cast("long")).drop(
+        "cum_before", "n_total", "grank", "b", "rem", "cut"
+    )
+
+
+@query(
+    "corpus_build_pipeline_v3",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    docs AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents d JOIN canon USING (doc_id)
+    ),
+    u AS (SELECT doc_id, lang, unnest(toks) AS w FROM docs),
+    cnt AS (SELECT w, count(*) AS cb,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+            FROM u GROUP BY w),
+    tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(ct) AS BIGINT) AS nt,
+                   count(*) AS vs
+            FROM cnt),
+    imp AS (
+      SELECT u.doc_id,
+             sum(CAST(round(ln((c.ct + 1.0) / (t.nt + t.vs)), 6) AS DECIMAL(18,6))
+                 - CAST(round(ln((c.cb + 1.0) / (t.nb + t.vs)), 6) AS DECIMAL(18,6))) AS lw,
+             count(*) AS n_tokens
+      FROM u JOIN cnt c ON u.w = c.w, tot t
+      GROUP BY u.doc_id
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars, i.n_tokens
+      FROM docs d JOIN imp i USING (doc_id)
+      WHERE i.lw >= 0
+    ),
+    staged AS (
+      SELECT lang, n_tokens,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+      FROM kept
+    )
+    SELECT CAST(stage AS BIGINT) AS stage,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+    FROM staged
+    GROUP BY stage
+    """,
+    tags=("U6", "U2", "A7", "W4"),
+)
+def corpus_build_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build composed from the ROUND-5 stages: exact dedup →
+    DSIR importance gate (keep documents whose target/background
+    log-likelihood ratio is non-negative — "looks like the target
+    domain", exact decimal compare so the gate boundary is
+    order-independent) → curriculum staging via the distributed-ntile
+    decomposition (no global window) → per-stage document/token/
+    target-share accounting. Like v1/v2 this is the proof the new
+    operators are PIPELINE STAGES: the DSIR scorer's count tables feed
+    straight off the deduped token stream (one explode, vocab-bounded
+    joins left to AQE), and the stage assignment reuses
+    distributed_ntile, the same helper curriculum_stage_assign
+    registers. The oracle chains the identical stages in SQL, ntile
+    spelled literally."""
+    from .text import TOKENS, _NORM
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = d.join(canon, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars", TOKENS().alias("toks")
+    )
+    u = docs.select("doc_id", "lang", F.explode("toks").alias("w"))
+    is_t = (F.col("lang") == "en").cast("long")
+    cnt = u.groupBy("w").agg(F.count("*").alias("cb"), F.sum(is_t).alias("ct"))
+    tot = cnt.agg(
+        F.sum("cb").alias("nb"), F.sum("ct").alias("nt"), F.count("*").alias("vs")
+    )
+    lw = F.round(
+        F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("vs"))), 6
+    ).cast("decimal(18,6)") - F.round(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("vs"))), 6
+    ).cast("decimal(18,6)")
+    imp = (
+        u.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lw.alias("lw"))
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("lw"), F.count("*").alias("n_tokens"))
+    )
+    kept = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(imp, "doc_id")
+        .filter(F.col("lw") >= 0)
+    )
+    staged = distributed_ntile(kept, score="n_chars", id_col="doc_id", k=4)
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
     )
