@@ -28,101 +28,121 @@ from . import tableformat  # noqa: E402  ACID table-format ops over the commit l
 # The driver's external correctness gate verifies a fixed-size prefix of the
 # registry (observed: first 50 entries of ``queries()``, insertion order).
 # Rounds 1-3 produced green driver rows set-covering all 68 SURVEY.md §2
-# operator ids; round 4's rotated window went 50/50 green. From round 4 on,
-# the window ROTATES: each round's prefix is filled with oracle-backed queries
-# that have never had a driver verdict, so external evidence accumulates over
-# the whole 206-query registry instead of re-verifying the same 50.
-# tests/test_contract.py::test_priority_prefix_covers_all_operators guards the
-# cumulative invariant (past green rows ∪ current window ⊇ all §2 ops).
+# operator ids; from round 4 on the window ROTATES: each round's prefix is
+# filled with oracle-backed queries that have never had a driver verdict, so
+# external evidence accumulates over the whole registry instead of
+# re-verifying the same 50. tests/test_contract.py guards the cumulative
+# invariant (past green rows ∪ current window ⊇ all §2 ops) and freshness.
 #
-# ROUND-5 WINDOW: 50 of the 84 queries with no driver verdict in r1-r4
-# (judge-computed list, VERDICT r4 item 1).
+# SELF-ROTATING (round 5+): the window is COMPUTED at import from the
+# CORRECTNESS_r*.json files the driver leaves in the repo root — the first
+# 50 entries of _ROTATION_ORDER that have no fully-green driver row yet.
+# When a round's gate lands, the next import (= next round) rotates
+# automatically; no manual list surgery, no stale-window red test. Once the
+# unseen pool is smaller than the window, the remainder pads with
+# already-green queries (re-verification, oldest-listed first).
 #
-# ROUND-6 QUEUE (the remaining 34 never-driver-checked queries — fill the
-# next rotation from exactly this list so round 6 doesn't have to recompute):
-#   win_first_last, win_first_last_value, array_functions, map_functions,
-#   pivot_event_counts, unpivot_stack, batch_session_window,
-#   salted_hot_key_agg, salted_hot_key_join, rollup_multires,
-#   agg_approx_percentiles, agg_exact_median, agg_hll_sketch_merge,
-#   agg_incremental_merge, agg_mode_exact, filter_by_quantile,
-#   histogram_values, skew_diagnose, quality_outlier_mad,
-#   txt_quality_score, txt_fingerprint, txt_pii_flag, txt_bpe_token_count,
-#   txt_repetition_stats, txt_winnow_fingerprints, txt_heavy_hitters,
-#   vocab_induction, dedup_paragraphs, udtf_chunk_lateral,
-#   index_inverted_postings, lm_bigram_counts, mm_wav_decimate,
-#   corpus_build_pipeline_v2, engine_healthcheck
-# plus the queries registered AFTER the round-4 verdict (also no driver
-# verdict yet — fill the remaining round-6 slots from these):
-#   acid_time_travel, acid_change_feed, acid_compact_snapshot, acid_vacuum,
-#   acid_stats_pruning, acid_incremental_view, acid_concurrent_merge,
-#   src_commitlog_stream, graph_shortest_path, sql_lateral_join,
-#   sql_params_identifier, mix_domain_budget, curriculum_stage_assign,
-#   dsir_importance_score, vec_topk_mapinarrow, mm_patchify_vit,
-#   engine_observe_metrics, graph_kcore, src_xml_scan,
-#   sql_collated_groupby, sql_try_arithmetic, stream_state_inspect,
-#   src_file_metadata_audit, acid_describe_history, sql_recursive_cte,
-#   sql_pipe_syntax, vec_binary_hamming_topk, set_except_all,
-#   set_intersect_all, sql_not_in_null_trap, engine_plan_audit,
-#   clk_markov_transitions, engine_cache_reuse, acid_schema_evolution,
-#   corpus_build_pipeline_v3
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- TPC-H remainder (relational core, never driver-checked) --
-    "q6_forecast_revenue",          # pushed-filter scan + single agg
-    "q10_returned_items",           # returned-item revenue top-N
-    "q12_priority_lines",           # shipmode conditional counts
-    "q14_promo_revenue",            # promo revenue ratio
-    "q15_top_supplier",             # view + scalar-max join
-    "q17_small_quantity_revenue",   # correlated avg-qty subquery
-    "q19_disjunctive_revenue",      # disjunctive predicate pushdown
-    "q21_waiting_supplier",         # multi-exists/anti-join
-    "q22_idle_customers",           # substring + NOT EXISTS
-    # -- SQL surface --
-    "sql_exists_subquery",          # EXISTS rewrite
-    "sql_scalar_subquery",          # scalar subquery in projection
-    "sql_grouping_sets",            # GROUPING SETS
-    "sql_scalar_udf",               # CREATE FUNCTION ... RETURN, inlined
-    # -- source/sink + layout plumbing --
-    "src_orc_roundtrip",            # ORC write/read parity
-    "src_python_datasource",        # Python DataSource V2 API
-    "src_schema_evolution_merge",   # mergeSchema evolution read
-    "src_json_multiline",           # multiline JSON documents
-    "join_bloom_prefilter",         # bloom-filter semi-join prefilter
-    "join_bucketed_colocated",      # bucketed co-located join (no shuffle)
-    "join_shuffle_hash_hint",       # SHUFFLE_HASH hint plan control
-    "json_variant_shred",           # semi-structured variant shredding
-    "compact_small_files",          # small-file compaction
-    "layout_zorder_cluster",        # z-order interleaved clustering
-    # -- streaming engine (round-4 ops, real readStream paths) --
-    "stream_checkpoint_restart",    # T8 checkpoint resume
-    "stream_dedup_within_watermark",# dropDuplicatesWithinWatermark
-    "stream_multi_sink_fanout",     # consistent multi-sink fan-out
-    "stream_rocksdb_state",         # RocksDB state-store backend
-    "stream_static_refresh",        # mid-stream static-side refresh
-    "stream_upsert_sink",           # keyed upsert sink (executor-side, r5)
-    # -- analytics over events --
-    "funnel_conversion",            # ordered funnel stages
-    "retention_cohorts",            # cohort retention matrix
-    "cdc_latest_by_key",            # CDC latest-per-key compaction
-    "scd2_user_history",            # SCD2 validity intervals
-    "clk_attribution_last_touch",   # last-touch attribution
-    "clk_trending_growth",          # window-over-window growth
-    "ab_test_analysis",             # deterministic A/B readout
-    "timeseries_gapfill",           # calendar spine gap-fill
-    # -- stats / text / vectors --
-    "agg_corr_stddev",              # corr + stddev aggregates
-    "agg_countmin_sketch",          # count-min sketch heavy hitters
-    "agg_group_median_exact",       # exact per-group median
-    "profile_table",                # column-profile summary
-    "dq_constraint_check",          # data-quality constraint audit
-    "txt_bm25_topk",                # BM25 ranked retrieval
-    "txt_perplexity_filter",        # bigram-LM perplexity filter
-    "txt_tfidf_topk",               # TF-IDF ranked retrieval
-    "vec_hard_negatives",           # hard-negative mining
-    "vec_matryoshka_truncate",      # matryoshka dim truncation
-    "vec_ann_recall_curve",         # IVF recall-vs-nprobe self-audit
-    "pack_sequences_greedy",        # greedy sequence packing
-    "er_resolve_entities",          # entity resolution w/ closure
+# _ROTATION_ORDER is the curated verification order: the judge-computed
+# round-5 list first (VERDICT r4 item 1), then the round-6 queue, then every
+# post-r4 addition; registry entries missing from the list append at the end
+# automatically, so new queries always enter the rotation.
+_ROTATION_ORDER: tuple[str, ...] = (
+    # -- round-5 window: TPC-H remainder / SQL surface / plumbing /
+    #    streaming / analytics / stats-text-vectors (judge-computed) --
+    "q6_forecast_revenue", "q10_returned_items", "q12_priority_lines",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_waiting_supplier", "q22_idle_customers",
+    "sql_exists_subquery", "sql_scalar_subquery", "sql_grouping_sets",
+    "sql_scalar_udf",
+    "src_orc_roundtrip", "src_python_datasource", "src_schema_evolution_merge",
+    "src_json_multiline", "join_bloom_prefilter", "join_bucketed_colocated",
+    "join_shuffle_hash_hint", "json_variant_shred", "compact_small_files",
+    "layout_zorder_cluster",
+    "stream_checkpoint_restart", "stream_dedup_within_watermark",
+    "stream_multi_sink_fanout", "stream_rocksdb_state", "stream_static_refresh",
+    "stream_upsert_sink",
+    "funnel_conversion", "retention_cohorts", "cdc_latest_by_key",
+    "scd2_user_history", "clk_attribution_last_touch", "clk_trending_growth",
+    "ab_test_analysis", "timeseries_gapfill",
+    "agg_corr_stddev", "agg_countmin_sketch", "agg_group_median_exact",
+    "profile_table", "dq_constraint_check", "txt_bm25_topk",
+    "txt_perplexity_filter", "txt_tfidf_topk", "vec_hard_negatives",
+    "vec_matryoshka_truncate", "vec_ann_recall_curve", "pack_sequences_greedy",
+    "er_resolve_entities",
+    # -- round-6 queue (the rest of the r1-r4 unseen set) --
+    "win_first_last", "win_first_last_value", "array_functions",
+    "map_functions", "pivot_event_counts", "unpivot_stack",
+    "batch_session_window", "salted_hot_key_agg", "salted_hot_key_join",
+    "rollup_multires", "agg_approx_percentiles", "agg_exact_median",
+    "agg_hll_sketch_merge", "agg_incremental_merge", "agg_mode_exact",
+    "filter_by_quantile", "histogram_values", "skew_diagnose",
+    "quality_outlier_mad", "txt_quality_score", "txt_fingerprint",
+    "txt_pii_flag", "txt_bpe_token_count", "txt_repetition_stats",
+    "txt_winnow_fingerprints", "txt_heavy_hitters", "vocab_induction",
+    "dedup_paragraphs", "udtf_chunk_lateral", "index_inverted_postings",
+    "lm_bigram_counts", "mm_wav_decimate", "corpus_build_pipeline_v2",
+    "engine_healthcheck",
+    # -- post-r4 additions, in landing order --
+    "acid_time_travel", "acid_change_feed", "acid_compact_snapshot",
+    "acid_vacuum", "acid_stats_pruning", "acid_incremental_view",
+    "acid_concurrent_merge", "src_commitlog_stream", "graph_shortest_path",
+    "sql_lateral_join", "sql_params_identifier", "mix_domain_budget",
+    "curriculum_stage_assign", "dsir_importance_score", "vec_topk_mapinarrow",
+    "mm_patchify_vit", "engine_observe_metrics", "graph_kcore",
+    "src_xml_scan", "sql_collated_groupby", "sql_try_arithmetic",
+    "stream_state_inspect", "src_file_metadata_audit", "acid_describe_history",
+    "sql_recursive_cte", "sql_pipe_syntax", "vec_binary_hamming_topk",
+    "set_except_all", "set_intersect_all", "sql_not_in_null_trap",
+    "engine_plan_audit", "clk_markov_transitions", "engine_cache_reuse",
+    "acid_schema_evolution", "corpus_build_pipeline_v3",
 )
+
+_WINDOW_SIZE = 50
+
+
+def driver_green_names() -> frozenset[str]:
+    """Query names with a fully-green row (rows+schema+hash, no err) in any
+    driver CORRECTNESS_r*.json — the cumulative external evidence set."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("err") is None
+                and row.get("hash_match", True)
+                and row.get("schema_match", True)
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
+def _compute_window(size: int = _WINDOW_SIZE, green=None) -> tuple[str, ...]:
+    green = driver_green_names() if green is None else frozenset(green)
+    order = [n for n in _ROTATION_ORDER if n in REGISTRY]
+    listed = set(order)
+    order += [n for n in REGISTRY if n not in listed]  # future additions
+    unseen = [n for n in order if n not in green]
+    window = unseen[:size]
+    if len(window) < size:  # pool exhausted: pad by re-verifying greens
+        pad = [n for n in order if n not in window]
+        window += pad[: size - len(window)]
+    return tuple(window)
+
+
+DRIVER_PRIORITY: tuple[str, ...] = _compute_window()
 
 
 def _reorder_registry() -> None:

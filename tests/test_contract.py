@@ -38,26 +38,11 @@ ALL_SURVEY_OPS = frozenset(
 
 
 def _driver_green_names():
-    """Query names with a fully-green row in any past driver CORRECTNESS file."""
-    import glob
-    import json
-    import os
+    """One implementation: the window computation and this test must agree
+    on what counts as evidence (ADVICE r4: fully green only)."""
+    from amazonbigdata_for_students_spark.plans import driver_green_names
 
-    names = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                # ADVICE r4: a row counts as evidence only if fully green —
-                # rows AND schema AND value-hash all matched, no error.
-                if (
-                    row.get("rows_match")
-                    and row.get("err") is None
-                    and row.get("hash_match", True)
-                    and row.get("schema_match", True)
-                ):
-                    names.add(name)
-    return names
+    return driver_green_names()
 
 
 def test_priority_prefix_covers_all_operators():
@@ -84,11 +69,20 @@ def test_priority_prefix_is_oracle_backed_and_fresh():
 
     from amazonbigdata_for_students_spark.plans import DRIVER_PRIORITY
 
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
     oracles = em.oracle_sql()
     missing = [n for n in DRIVER_PRIORITY if n not in oracles]
     assert not missing, f"window entries without oracle: {missing}"
-    repeats = [n for n in DRIVER_PRIORITY if n in _driver_green_names()]
-    assert len(repeats) <= 5, f"window wastes slots on already-green queries: {repeats}"
+    green = _driver_green_names()
+    repeats = [n for n in DRIVER_PRIORITY if n in green]
+    # Self-rotating window: repeats are allowed only once the unseen pool
+    # is smaller than the window (then padding re-verifies greens).
+    unseen_pool = sum(1 for n in REGISTRY if n not in green)
+    allowed = max(0, len(DRIVER_PRIORITY) - unseen_pool)
+    assert len(repeats) <= max(5, allowed), (
+        f"window wastes slots on already-green queries: {repeats}"
+    )
 
 
 def test_query_callables_run(spark, sf_small):
@@ -120,3 +114,28 @@ def test_cli_list_and_check(spark, capsys):
     assert spark.conf.get("spark.sql.shuffle.partitions") == width_before
 
     assert cli.main(["run", "no_such_query"]) == 2
+
+
+def test_window_rotation_mechanics():
+    """The self-rotating window must (a) skip queries with green evidence,
+    (b) follow the curated rotation order, and (c) pad with greens only
+    when the unseen pool is exhausted."""
+    from amazonbigdata_for_students_spark.plans import (
+        DRIVER_PRIORITY,
+        REGISTRY,
+        _ROTATION_ORDER,
+        _compute_window,
+    )
+
+    # (a)/(b): greening the current window's first 10 rotates them out and
+    # pulls the next 10 unseen entries in, preserving relative order.
+    base = _compute_window(green=set())
+    greened = set(base[:10])
+    rotated = _compute_window(green=greened)
+    assert not (set(rotated) & greened)
+    assert list(rotated[:40]) == list(base[10:])
+    # (c): with everything green, the window pads by re-verifying from the
+    # top of the rotation order.
+    full = _compute_window(green=set(REGISTRY))
+    assert len(full) == len(DRIVER_PRIORITY)
+    assert list(full) == [n for n in _ROTATION_ORDER if n in REGISTRY][: len(full)]
