@@ -508,3 +508,55 @@ def test_state_inspect_matches_sink_and_metadata(spark, sf_small):
         .collect()
     }
     assert state == batch
+
+
+def test_geo_radius_join_blocking_is_lossless(spark, sf_small):
+    # The 3x3 cell ring must have perfect recall: the blocked join's pair
+    # set equals the brute-force all-pairs answer at test scale.
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.plans.geo import _RADIUS_KM, _EARTH_KM
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    blocked = {
+        (r.user_a, r.user_b)
+        for r in REGISTRY["geo_radius_join"].fn(spark, sf_small).collect()
+    }
+    import hashlib
+    import math
+
+    users = [
+        r.user_id
+        for r in load_table(spark, sf_small, "events").select("user_id").distinct().collect()
+    ]
+
+    def u20(seed, uid):
+        return int(hashlib.md5(f"{seed}|{uid}".encode()).hexdigest()[:5], 16)
+
+    pos = {
+        u: (40.0 + 0.5 * (u20("lat", u) / 1048576.0), -74.0 + 0.5 * (u20("lon", u) / 1048576.0))
+        for u in users
+    }
+    brute = set()
+    us = sorted(users)
+    for i, a in enumerate(us):
+        la, lo = pos[a]
+        for b in us[i + 1 :]:
+            lb, lb2 = pos[b]
+            d = round(
+                2
+                * _EARTH_KM
+                * math.asin(
+                    math.sqrt(
+                        math.sin(math.radians(lb - la) / 2) ** 2
+                        + math.cos(math.radians(la))
+                        * math.cos(math.radians(lb))
+                        * math.sin(math.radians(lb2 - lo) / 2) ** 2
+                    )
+                ),
+                4,
+            )
+            if d <= _RADIUS_KM:
+                brute.add((a, b))
+    assert blocked == brute and len(brute) > 0
