@@ -1825,3 +1825,49 @@ def engine_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         agg.unpersist()
     return out
+
+
+@query(
+    "engine_ctas_analyze",
+    oracle=f"""
+    SELECT event_type, count(*) AS n FROM {EVENTS} e GROUP BY event_type
+    """,
+    tags=("S11", "A1"),
+)
+def engine_ctas_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + ANALYZE — the catalog/CBO surface: CREATE TABLE AS SELECT
+    materializes an aggregate into a managed parquet table, ANALYZE TABLE
+    COMPUTE STATISTICS writes row/byte counts into the catalog, and the
+    cost-based optimizer then has real cardinalities for join ordering
+    and pre-AQE broadcast decisions (on a cluster this is the nightly
+    stats job every warehouse runs — AQE fixes sizes at runtime, but CBO
+    needs stats at PLAN time for join reordering). The query reads the
+    table back and self-audits: the catalog's recorded row count (parsed
+    from DESCRIBE EXTENDED — a metadata read, no scan) must equal the
+    table's actual count; a stale-stats mismatch would hash-mismatch the
+    oracle through the row values themselves."""
+    import re as _re
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    ev.groupBy("event_type").agg(F.count("*").alias("n")).createOrReplaceTempView(
+        "_ctas_src"
+    )
+    spark.sql("DROP TABLE IF EXISTS engine_ctas_probe")
+    spark.sql(
+        "CREATE TABLE engine_ctas_probe USING parquet AS SELECT * FROM _ctas_src"
+    )
+    try:
+        spark.sql("ANALYZE TABLE engine_ctas_probe COMPUTE STATISTICS")
+        desc = spark.sql("DESCRIBE EXTENDED engine_ctas_probe").collect()
+        stats = next(r.data_type for r in desc if r.col_name == "Statistics")
+        m = _re.search(r"(\d+) rows", stats)
+        catalog_rows = int(m.group(1)) if m else -1
+        out = spark.table("engine_ctas_probe")
+        actual = out.count()
+        if catalog_rows != actual:  # stale/absent stats must be loud
+            raise RuntimeError(
+                f"catalog stats rowCount {catalog_rows} != actual {actual}"
+            )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS engine_ctas_probe")
