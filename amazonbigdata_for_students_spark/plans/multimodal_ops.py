@@ -562,3 +562,113 @@ def mm_patchify_vit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+@query(
+    "mm_image_ahash",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars > 0
+    ),
+    -- per-pixel byte lookup: byte(k) = ord(text[(k % n_chars) + 1])
+    blocks AS (
+      SELECT doc_id, w, h, bi.i AS by, bj.j AS bx,
+             (bi.i * h) // 8 AS y0, ((bi.i + 1) * h) // 8 AS y1,
+             (bj.j * w) // 8 AS x0, ((bj.j + 1) * w) // 8 AS x1,
+             text, n_chars
+      FROM img,
+           unnest(range(0, 8)) AS bi(i),
+           unnest(range(0, 8)) AS bj(j)
+    ),
+    bsum AS (
+      SELECT doc_id, by, bx,
+             CAST((y1 - y0) * (x1 - x0) * 3 AS BIGINT) AS n_b,
+             CAST(coalesce(list_sum(flatten(list_transform(
+               range(CAST(y0 AS INTEGER), CAST(y1 AS INTEGER)), y ->
+                 flatten(list_transform(range(CAST(x0 AS INTEGER), CAST(x1 AS INTEGER)), x ->
+                   list_transform(range(0, 3), c ->
+                     ord(substring(text, CAST((3 * (y * w + x) + c) % n_chars AS INTEGER) + 1, 1)))))))), 0) AS BIGINT) AS s_b
+      FROM blocks
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(sum(s_b) AS BIGINT) AS s_t,
+             CAST(sum(n_b) AS BIGINT) AS n_t
+      FROM bsum GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT b.doc_id, b.by, b.bx,
+             CASE WHEN b.n_b > 0 AND b.s_b * t.n_t > t.s_t * b.n_b THEN 1 ELSE 0 END AS bit
+      FROM bsum b JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           string_agg(CAST(bit AS VARCHAR), '' ORDER BY by, bx) AS ahash_bits,
+           CAST(sum(bit) AS BIGINT) AS n_bright
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tags=("U1", "F8", "U6"),
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (average hash) — the image-dedup
+    fingerprint a multimodal corpus build runs before training (near-dup
+    posters/thumbnails collapse to identical aHashes; pairs then go
+    through the SAME banded Hamming machinery as vec_binary_hamming_topk
+    and the SimHash dedups). Standard aHash: partition the raster into
+    an 8x8 block grid (variable block sizes via integer boundaries
+    i*h DIV 8 — exact for any dimensions), bit = block brighter than the
+    image mean. The mean comparison never touches floats: block_sum *
+    total_n > total_sum * block_n cross-multiplies in int64, so the
+    64-bit fingerprint is bit-identical across engines and the oracle
+    hash-gates every bit (emitted as the bit string, row-major). Decode
+    runs through the REAL stdlib PPM codec inside Arrow-batched
+    mapInPandas; per-block sums are numpy slice reductions. At 100 TB
+    this is a map-only scan fan-out — 64 small rows per image inside the
+    scan stage, then one per-image aggregate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("n_chars") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+            T.StructField("n_bright", T.LongType()),
+        ]
+    )
+    dec = multimodal.PpmDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 64 + 1
+                h = int(n_chars) % 48 + 1
+                ppm = multimodal.synth_ppm(w, h, (text or "").encode("utf-8"))
+                _, _, raster = dec.decode_ppm_raster(ppm)
+                r64 = raster.astype(np.int64)
+                s_t = int(r64.sum())
+                n_t = h * w * 3
+                bits = []
+                for by in range(8):
+                    y0, y1 = (by * h) // 8, ((by + 1) * h) // 8
+                    for bx in range(8):
+                        x0, x1 = (bx * w) // 8, ((bx + 1) * w) // 8
+                        blk = r64[y0:y1, x0:x1, :]
+                        n_b = blk.size
+                        s_b = int(blk.sum())
+                        bits.append(
+                            "1" if n_b > 0 and s_b * n_t > s_t * n_b else "0"
+                        )
+                rows.append((doc_id, "".join(bits), sum(c == "1" for c in bits)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash_bits", "n_bright"])
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
