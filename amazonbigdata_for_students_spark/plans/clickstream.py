@@ -612,3 +612,56 @@ def clk_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n * 1000000) div sum(n) OVER (PARTITION BY prev) AS BIGINT)"
         ).alias("p_ppm"),
     )
+
+
+@query(
+    "clk_anomaly_hours",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM {EVENTS} e GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*) AS k,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM hc GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           round((h.n - CAST(m.sx AS DOUBLE) / m.k)
+                 / sqrt((m.k * m.sxx - CAST(m.sx AS DOUBLE) * m.sx) / (m.k * (m.k - 1.0))), 6) AS z
+    FROM hc h JOIN m USING (event_type)
+    WHERE abs((h.n - CAST(m.sx AS DOUBLE) / m.k)
+              / sqrt((m.k * m.sxx - CAST(m.sx AS DOUBLE) * m.sx) / (m.k * (m.k - 1.0)))) >= 2.5
+    """,
+    tags=("A2", "F4"),
+)
+def clk_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly detection — hours whose event count sits ≥2.5
+    sample standard deviations from that event type's hourly mean (the
+    incident/bot-burst detector layered over the same hourly rollup the
+    alerting path uses). Determinism: the moments (Σn, Σn²) are exact
+    int64 sums of integer counts, and the z-score formula then uses only
+    IEEE-exact operations (+,-,*,/,sqrt are correctly rounded — no
+    transcendentals), so both engines produce bit-identical z values;
+    round(…,6) on the emitted column is belt-and-braces. Scale shape:
+    one events-sized aggregate (map-side combined), then everything runs
+    over hours×types rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    m = hc.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    z = (F.col("n") - F.col("sx").cast("double") / F.col("k")) / F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / (F.col("k") * (F.col("k") - F.lit(1.0)))
+    )
+    return (
+        hc.join(m, "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select("event_type", "hr", "n", F.round(z, 6).alias("z"))
+    )

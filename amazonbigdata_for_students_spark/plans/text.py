@@ -1098,3 +1098,64 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {{SQL_TOKENS}} AS toks FROM documents),
+         sh0 AS (SELECT doc_id, unnest(list_distinct({{_SHINGLES_SQL}})) AS shingle FROM toks),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                 HAVING count(*) > {{_DF_LIMIT_SQL}}),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2
+         )
+    SELECT doc_a AS doc_sub, doc_b AS doc_super,
+           CAST((n_common * 1000) // sa.n AS BIGINT) AS containment_pml
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE (n_common * 1000) // sa.n >= 600
+    """.format(
+        SQL_TOKENS=SQL_TOKENS,
+        _SHINGLES_SQL=_SHINGLES_SQL,
+        _DF_LIMIT_SQL=_DF_LIMIT_SQL,
+    ),
+    tags=("U6", "J7"),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — |A∩B| / |A| ≥ 0.6 over the same
+    deskewed shingle universe as the Jaccard pass. Containment is the
+    measure Jaccard misses: a short document quoted whole inside a long
+    one has tiny Jaccard (the union is huge) but containment ≈ 1 — the
+    quote-inclusion / boilerplate-envelope case every web-scale dedup
+    needs a directed pass for (Broder's original resemblance/containment
+    pair). Directed output: (doc_sub ⊂ doc_super). Same scale shape as
+    dedup_ngram_jaccard — rare-shingle candidate join, DF-capped
+    partitions — plus exact integer per-mille scoring ((n·1000) DIV |A|)
+    so the threshold and the emitted score hash-match with no float
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _deskewed_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_super"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    pml = F.expr("CAST((n_common * 1000) div n AS BIGINT)")
+    return (
+        pairs.join(sa, F.col("doc_sub") == F.col("sa.doc_id"))
+        .select("doc_sub", "doc_super", pml.alias("containment_pml"))
+        .filter(F.col("containment_pml") >= 600)
+    )
