@@ -209,3 +209,85 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_custkey").over(wfull).alias("richest_in_nation"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'signup' THEN ts END AS sig_ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM {EVENTS} e WHERE event_type IN ('purchase', 'signup')
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, is_p,
+             last_value(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+             first_value(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_p
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM merged
+    )
+    SELECT event_id,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_signup_ts
+    FROM w WHERE is_p = 1
+    """,
+    tags=("J9", "W2"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST mode (pandas merge_asof direction='nearest'):
+    each purchase pairs with its temporally closest signup per user —
+    before OR after — the sensor-alignment/attribution variant the
+    backward-only join_asof can't express. Same scalable composition:
+    union both streams, ONE user-keyed shuffle, then two frame-split
+    window passes over the same sort order (last non-null behind,
+    first non-null ahead) and an exact integer microsecond comparison
+    picks the closer side (ties prefer backward; same-timestamp signups
+    sort before purchases so at-or-before still wins). No range join, no
+    per-row candidate explosion — state per key is one timestamp each
+    direction, the 100 TB shape."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    merged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("sig_ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    order = [F.col("ts"), F.col("is_p")]
+    back_w = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd_w = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w = merged.select(
+        "event_id",
+        "ts",
+        "is_p",
+        F.last("sig_ts", ignorenulls=True).over(back_w).alias("back_ts"),
+        F.first("sig_ts", ignorenulls=True).over(fwd_w).alias("fwd_ts"),
+    )
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(
+            F.unix_micros("ts") - F.unix_micros("back_ts")
+            <= F.unix_micros("fwd_ts") - F.unix_micros("ts"),
+            F.col("back_ts"),
+        )
+        .otherwise(F.col("fwd_ts"))
+    )
+    return w.filter(F.col("is_p") == 1).select(
+        "event_id", nearest.alias("nearest_signup_ts")
+    )
