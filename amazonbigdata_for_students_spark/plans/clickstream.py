@@ -665,3 +665,52 @@ def clk_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) >= 2.5)
         .select("event_type", "hr", "n", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "clk_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM {EVENTS} e
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM ordered WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    cnt AS (SELECT path, count(*) AS n FROM paths GROUP BY path)
+    SELECT path, n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+    FROM cnt
+    QUALIFY rnk <= 20
+    """,
+    tags=("W2", "W1", "O2"),
+)
+def clk_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey path mining — the top 20 three-step behavior paths (the
+    Sankey/flow diagram feed, and the sequence-level complement to
+    clk_markov_transitions' pairwise matrix: a path like
+    view>click>purchase carries ordering signal no transition matrix
+    holds). One user-keyed window produces both lookaheads in a single
+    pass (two lead() offsets share the frame), the path count is a
+    map-side-combined aggregate over at most types³ distinct paths, and
+    TakeOrderedAndProject caps the result before the 20-row rank window.
+    Integer counts + lexicographic tiebreak: hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = ordered.filter(
+        F.col("e2").isNotNull() & F.col("e3").isNotNull()
+    ).select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    cnt = paths.groupBy("path").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), "path").limit(20)
+    rw = W.orderBy(F.col("n").desc(), "path")
+    return top.select("path", "n", F.row_number().over(rw).cast("long").alias("rnk"))

@@ -1657,3 +1657,42 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY event_type
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE value >= 10) AS n_big,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE day(ts) <= 7) AS DOUBLE)
+             AS sum_week1,
+           count(DISTINCT user_id) FILTER (WHERE value >= 10) AS n_big_users
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("A3", "F5"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard FILTER clause on aggregates — conditional
+    aggregation without CASE-WHEN contortions, and the idiomatic way to
+    compute many differently-filtered metrics in ONE pass (each FILTER
+    prunes that aggregate's input inside the same partial→final
+    HashAggregate; no extra scans, no joins between metric queries —
+    exactly how a 100 TB metrics rollup avoids N passes for N metrics).
+    Includes the tricky combination: DISTINCT + FILTER together. Spark
+    and DuckDB both implement the standard; decimal-routed sums keep the
+    hash exact."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE value >= 10) AS n_big,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE day(ts) <= 7) AS DOUBLE)
+                 AS sum_week1,
+               count(DISTINCT user_id) FILTER (WHERE value >= 10) AS n_big_users
+        FROM events_t
+        GROUP BY event_type
+        """
+    )
