@@ -1159,3 +1159,71 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_sub", "doc_super", pml.alias("containment_pml"))
         .filter(F.col("containment_pml") >= 600)
     )
+
+
+@query(
+    "txt_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://' ||
+             (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+             '.Example.COM:443/docs/' || lang || '/' || CAST(doc_id % 40 AS VARCHAR) ||
+             '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=x' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-z]+://([^/:?]+)', 1))
+             || regexp_extract(url, '://[^/?]+(/[^?]*)', 1)
+             || '?page=' || regexp_extract(url, '[?&]page=([^&]*)', 1) AS canonical_url
+      FROM raw
+    )
+    SELECT doc_id, canonical_url,
+           count(*) OVER (PARTITION BY canonical_url) AS n_same_url
+    FROM canon
+    """,
+    tags=("F2", "F8", "U6"),
+)
+def txt_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup pass of every web corpus
+    (CommonCrawl-style): lowercase the host, strip the default port,
+    drop tracking parameters (utm_*/ref), keep semantic ones — so
+    mixed-case hosts and tracking-tagged links that are REALLY the same
+    page collapse to one canonical key (n_same_url > 1 = the refetch
+    set). Spark side uses the built-in parse_url (HOST/PATH/QUERY
+    component extraction — JVM, no regex backtracking on the hot path);
+    the oracle re-derives every component from first principles with
+    regexes, so the two implementations cross-check each other.
+    Map-only except the canonical-key window; at 100 TB the dedup
+    groupBy on canonical_url replaces that window and the shuffle
+    carries only (url_hash, doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    host_raw = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    url = F.concat(
+        F.lit("https://"),
+        host_raw,
+        F.lit(".Example.COM:443/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=x"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?page="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")),
+    )
+    from pyspark.sql import Window as W
+
+    canon = with_url.select("doc_id", canonical.alias("canonical_url"))
+    win = W.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id", "canonical_url", F.count("*").over(win).alias("n_same_url")
+    )
