@@ -672,3 +672,89 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "ahash_bits", "n_bright"])
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+_FRAME_CHARS = 100  # chars per synthetic video frame
+_SCENE_DELTA = 200  # |signature diff| that counts as a cut
+
+
+@query(
+    "mm_scene_change",
+    oracle=f"""
+    WITH vid AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE doc_id % 3 = 2 AND n_chars > 0
+    ),
+    frames AS (
+      SELECT doc_id, f.k AS frame_idx,
+             CAST(list_sum(list_transform(
+               range(CAST(f.k * {_FRAME_CHARS} AS INTEGER),
+                     CAST(least(n_chars, (f.k + 1) * {_FRAME_CHARS}) AS INTEGER)),
+               i -> ord(substring(text, CAST(i AS INTEGER) + 1, 1)))) AS BIGINT) AS sig
+      FROM vid,
+           unnest(range(0, (n_chars + {_FRAME_CHARS - 1}) // {_FRAME_CHARS})) AS f(k)
+    ),
+    diffs AS (
+      SELECT doc_id, frame_idx, sig,
+             abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS d
+      FROM frames
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(CASE WHEN d > {_SCENE_DELTA} THEN 1 END) AS BIGINT) AS n_cuts
+    FROM diffs
+    GROUP BY doc_id
+    """,
+    tags=("U4", "W2", "F4"),
+)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change (shot-boundary) detection over the video modality —
+    the keyframe-selection step a video training pipeline runs before
+    expensive per-frame encoding: frame the byte stream into fixed-size
+    frames, one integer signature per frame (byte sum — the stand-in
+    for a perceptual frame feature), and flag cuts where the
+    frame-over-frame signature delta exceeds a threshold. The
+    row-multiplying frame expansion happens JVM-side inside the scan
+    stage (explode over sequence — no Python), the lag runs per-video
+    (frames-per-doc-sized window partitions, never global), and every
+    value is an exact int64 — frame grid, signatures, deltas, and cut
+    counts all hash-match. At 100 TB this is the same scan-stage
+    fan-out shape as mm_frame_sample, with state = one signature per
+    stream."""
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("n_chars") > 0)
+    )
+    n_frames = F.expr(f"(n_chars + {_FRAME_CHARS - 1}) div {_FRAME_CHARS}")
+    frames = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.aggregate(
+            F.transform(
+                F.sequence(
+                    F.col("frame_idx") * _FRAME_CHARS,
+                    F.least(
+                        F.col("n_chars"), (F.col("frame_idx") + 1) * _FRAME_CHARS
+                    )
+                    - 1,
+                ),
+                lambda i: F.ascii(F.col("text").substr(i + 1, F.lit(1))),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sig"),
+    )
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy("doc_id").orderBy("frame_idx")
+    diffs = frames.withColumn(
+        "d", F.abs(F.col("sig") - F.lag("sig").over(w))
+    )
+    return diffs.groupBy(F.col("doc_id").alias("media_id")).agg(
+        F.count("*").alias("n_frames"),
+        F.count(F.when(F.col("d") > _SCENE_DELTA, 1)).alias("n_cuts"),
+    )
