@@ -1696,3 +1696,51 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "sql_luhn_validate",
+    oracle=f"""
+    WITH ids AS (
+      SELECT event_id, lpad(CAST(user_id AS VARCHAR), 10, '0') || lpad(CAST(event_id % 100000 AS VARCHAR), 5, '0') AS acct
+      FROM {EVENTS} e WHERE event_id % 20 = 0
+    ),
+    digits AS (
+      SELECT event_id, acct, d.i AS pos,
+             CAST(substring(acct, CAST(len(acct) - d.i AS INTEGER), 1) AS BIGINT) AS dig
+      FROM ids, unnest(range(0, 15)) AS d(i)
+    ),
+    summed AS (
+      SELECT event_id, acct,
+             CAST(sum(CASE WHEN pos % 2 = 1
+                           THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9 ELSE dig * 2 END
+                           ELSE dig END) AS BIGINT) AS s
+      FROM digits GROUP BY event_id, acct
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(CASE WHEN s % 10 = 0 THEN 1 END) AS BIGINT) AS n_valid
+    FROM summed
+    """,
+    tags=("F2", "F6"),
+)
+def sql_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum validation at ingest — Spark 4's built-in luhn_check over
+    synthetic 15-digit account identifiers, cross-checked by an oracle
+    that implements the Luhn algorithm FROM FIRST PRINCIPLES (per-digit
+    expansion, double-every-second-from-the-right, subtract 9 above 9,
+    mod-10): the built-in and the textbook definition must agree on
+    every id, which is the strongest kind of oracle — two independent
+    implementations of the same spec. This is the dq_constraint_check
+    pattern applied to checksummed identifiers (card/IMEI/account
+    formats): a map-only validation scan whose pass/fail counts are the
+    quarantine ledger."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    acct = F.concat(
+        F.lpad(F.col("user_id").cast("string"), 10, "0"),
+        F.lpad((F.col("event_id") % 100000).cast("string"), 5, "0"),
+    )
+    checked = ev.select(acct.alias("acct"))
+    return checked.agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.expr("luhn_check(acct)"), 1)).alias("n_valid"),
+    )
