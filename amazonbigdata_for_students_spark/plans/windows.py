@@ -291,3 +291,48 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("is_p") == 1).select(
         "event_id", nearest.alias("nearest_signup_ts")
     )
+
+
+@query(
+    "win_rolling_revenue_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    keyed AS (
+      SELECT d, rev, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER (ORDER BY day_num
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS revenue_7d
+    FROM keyed
+    """,
+    tags=("W3", "A3", "F1"),
+)
+def win_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue — the dashboard KPI every commerce team
+    renders: pre-aggregate the fact stream to daily grain FIRST (one
+    map-side-combined shuffle; the window then runs over days, not
+    orders — the altitude trick that makes rolling KPIs scale: a
+    calendar of daily rows is bounded at any data volume, like the
+    value-domain histogram in distributed_ntile), then a RANGE frame
+    keyed on the integer epoch-day so date GAPS are handled correctly —
+    a missing day still counts as elapsed time, which the naive ROWS
+    BETWEEN 6 PRECEDING formulation silently gets wrong. Revenue sums
+    stay decimal end to end; only the emitted columns cast to double."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+        .withColumn("day_num", F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+    )
