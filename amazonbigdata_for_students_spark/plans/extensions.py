@@ -1744,3 +1744,39 @@ def sql_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_checked"),
         F.count(F.when(F.expr("luhn_check(acct)"), 1)).alias("n_valid"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+    SELECT coalesce(event_type, '<rollup>') AS etype,
+           coalesce(CAST(year(ts) AS BIGINT), -1) AS y,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(year(ts)) AS BIGINT) AS g_year,
+           count(*) AS n
+    FROM {EVENTS} e
+    GROUP BY ROLLUP (event_type, year(ts))
+    """,
+    tags=("A6", "F5"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation for rollup levels — the correctness
+    detail every super-aggregate report needs: a NULL grouping column is
+    ambiguous (is this row the rollup total, or the group whose VALUE is
+    NULL?), and coalesce-based labeling silently merges the two. The
+    GROUPING() flag (0 = real group, 1 = rolled up) is the standard's
+    answer, and downstream BI layers key on it. One Expand-fed aggregate
+    pass, same plan as agg_rollup — the flags are free metadata from the
+    grouping-set id, no extra shuffle."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<rollup>') AS etype,
+               coalesce(CAST(year(ts) AS BIGINT), -1L) AS y,
+               CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(year(ts)) AS BIGINT) AS g_year,
+               count(*) AS n
+        FROM events_t
+        GROUP BY ROLLUP (event_type, year(ts))
+        """
+    )
