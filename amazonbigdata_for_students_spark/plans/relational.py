@@ -1672,3 +1672,112 @@ def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey % 5 END AS k
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    b AS (
+      SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey % 5 END AS k,
+             count(*) AS n_b
+      FROM orders WHERE o_orderkey % 4 = 1
+      GROUP BY 1
+    )
+    SELECT coalesce(CAST(a.k AS VARCHAR), '<null>') AS k,
+           count(*) AS n_a,
+           CAST(min(b.n_b) AS BIGINT) AS n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+    tags=("J1", "F5"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the join a
+    CDC/merge pipeline needs when the business key is NULLABLE: plain
+    equality silently drops every NULL-keyed row (NULL = NULL is
+    UNKNOWN), so records whose key is legitimately absent never match
+    their counterpart and updates are lost. The null-safe operator makes
+    NULL a real join value while staying a HASH join (Spark plans <=> as
+    an equi-key, not a residual) — same shuffle, same plan shape, no
+    nested loop. Both sides plant NULLs on the same rule so the NULL
+    bucket's row accounting is part of the hash-gated answer."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey") % 5
+    )
+    a = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", key.alias("k")
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 4 == 1)
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    joined = a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("ka"), "n_b"
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("ka").cast("string"), F.lit("<null>")).alias("k")
+    ).agg(F.count("*").alias("n_a"), F.min("n_b").alias("n_b"))
+
+
+@query(
+    "win_gap_islands",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM {EVENTS} e
+    ),
+    keyed AS (
+      SELECT user_id, d,
+             CAST(d - DATE '1970-01-01' AS BIGINT)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS streak_start,
+           strftime(max(d), '%Y-%m-%d') AS streak_end,
+           count(*) AS n_days
+    FROM keyed
+    GROUP BY user_id, island
+    HAVING count(*) >= 3
+    """,
+    tags=("W2", "W3", "A1"),
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — consecutive-active-day streaks per user (the
+    engagement/retention streak metric, and the canonical SQL interview
+    classic done the scalable way): distinct active days, then the
+    epoch_day − row_number trick turns every maximal run of consecutive
+    days into a constant island key in ONE user-partitioned window pass
+    — no self-join, no recursive expansion. Streaks of ≥3 days emit
+    (start, end, length). All integer/date arithmetic — exact; windows
+    and aggregates all partition by user, the 100 TB shape."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    keyed = days.withColumn(
+        "island",
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+        - F.row_number().over(w),
+    )
+    return (
+        keyed.groupBy("user_id", "island")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .drop("island")
+    )
