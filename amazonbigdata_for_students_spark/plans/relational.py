@@ -1781,3 +1781,65 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 3)
         .drop("island")
     )
+
+
+@query(
+    "agg_trend_slope",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             count(*) AS y
+      FROM {EVENTS} e GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_per_day,
+           round((CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6) AS intercept
+    FROM m
+    """,
+    tags=("A3", "F4", "F1"),
+)
+def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type traffic trend line — least-squares slope of daily event
+    counts over time, the capacity-planning/regression-detection metric
+    (is click volume growing, and how fast?). The two-level shape keeps
+    it scale-free: the events-sized aggregate reduces to daily grain
+    first, then the regression moments (Σx, Σy, Σx², Σxy) accumulate
+    over DAYS — and because x is an epoch-day int and y an integer
+    count, every moment is an exact int64 sum, so the closed-form
+    slope/intercept doubles are IEEE-identical across engines (only
+    +,-,*,/ on exact integers; round(6) is belt-and-braces). The same
+    pattern extends to any metric: exact moments first, floats only in
+    the final closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
