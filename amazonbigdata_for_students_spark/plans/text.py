@@ -1100,6 +1100,186 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Number of single-row MinHash bands for the cohort candidate gate. Eight
+# md5-seeded components: two docs sharing any component become a candidate
+# pair. P(caught) = 1 - (1 - J)^8 where J is the pair's Jaccard over the
+# deskewed shingle universe — >= 0.996 at J = 0.5, which is where a 0.6-
+# containment pair with comparable sizes sits; the miss risk concentrates
+# in tiny-inside-huge pairs, the documented recall tradeoff of any LSH gate.
+_COHORT_BANDS = 8
+
+
+def _containment_signatures(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signatures over the deskewed shingle universe."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"c{s}|"), F.col("shingle")))).alias(f"s{s}")
+            for s in range(_COHORT_BANDS)
+        ]
+    )
+
+
+def _containment_bands(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band) rows — one per component."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{s}|"), F.col(f"s{s}"))
+                    for s in range(_COHORT_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+
+
+def _containment_auto_strategy(
+    sh: DataFrame, sigs: DataFrame | None = None, bands: DataFrame | None = None
+) -> str:
+    """Pick the cheaper candidate regime from two linear probes (see
+    _containment_pair_counts "auto"): dfcap's cost is the exact emission
+    of its equality join, Σ_shingle c·(c−1); cohort's is its band join's
+    emission Σ_band g·(g−1) charged (1 + avg shingles/doc) for the
+    verification fan-out. Bounded collects: one row of longs each."""
+    if sigs is None:
+        sigs = _containment_signatures(sh)
+    if bands is None:
+        bands = _containment_bands(sigs)
+    vol2 = F.sum(F.col("c") * (F.col("c") - F.lit(1)))
+    s_probe = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .agg(vol2.alias("vol"), F.sum("c").alias("rows"))
+        .collect()[0]
+    )
+    b_probe = (
+        bands.groupBy("band").agg(F.count("*").alias("c")).agg(vol2.alias("vol")).collect()[0]
+    )
+    n_docs = sigs.count()
+    avg_n = (s_probe["rows"] or 0) / max(n_docs, 1)
+    dfcap_cost = (s_probe["vol"] or 0) / 2  # undirected join emits each pair once
+    cohort_cost = (b_probe["vol"] or 0) * (1.0 + avg_n)
+    return "cohort" if cohort_cost < dfcap_cost else "dfcap"
+
+
+def _containment_pair_counts(sh: DataFrame, strategy: str = "dfcap") -> DataFrame:
+    """Undirected common-shingle counts over the deskewed shingle universe
+    ``sh``: one row per unordered pair, ``(lo, hi, n_common, n_lo, n_hi)``
+    with lo < hi and n_lo/n_hi the docs' deskewed shingle-set sizes —
+    the candidate stage of the containment dedup, with a SELECTABLE
+    generation regime (the VERDICT r5 cohort-gate item, resolved by
+    measurement):
+
+    * ``"dfcap"`` (default) — rare-shingle equality self-join on the
+      UNDIRECTED pair space (doc_a < doc_b). Halves the r5 directed
+      join's emission (VERDICT: "directed pairs double the candidate
+      space") with a hash-identical final result; doc sizes ride along on
+      the shingle rows (one doc_id-side join BEFORE pairing, 1 long wider)
+      so no post-join over the huge pair table is ever needed. EXACT.
+      Measured at dense sf1: pair stage 14 s vs 41 s directed.
+    * ``"cohort"`` — per-doc MinHash signatures (``_COHORT_BANDS``
+      single-row md5 bands) gate candidates to docs agreeing on >= 1
+      component; ONE verification join then counts common shingles for
+      just those pairs, so false positives never survive. Probabilistic
+      recall (see _COHORT_BANDS note). Selectable for corpora where the
+      operator owner trades recall for skew-bounded candidate groups.
+    * ``"auto"`` — two cheap LINEAR probes measure each regime's expected
+      candidate volume (dfcap: Σ_shingle c·(c−1)/2 emission; cohort:
+      Σ_band g·(g−1) charged (1 + avg shingles/doc) for verification
+      fan-out) and pick the smaller. Kept as a diagnostic, NOT the
+      default, because measurement settled the question: a pure
+      signature-collision-rate rule mispredicts (50k-word-vocab sf1:
+      collision 0.2% yet dfcap ran 6× faster — unique shingles make the
+      equality join near-empty), and the volume model shows why dfcap
+      dominates for EXACT semantics at every density: a pair's
+      band-collision probability IS its Jaccard J, so cohort's cost per
+      pair is ~8·J·(1+m) ≈ 4(1+J)× dfcap's n_common — and the one regime
+      where cohort's volume would win (tiny doc quoted in a huge one,
+      J→0) is exactly where LSH recall collapses. Probing two extra
+      aggregates per run to confirm a foregone conclusion is not 100 TB
+      behavior, hence dfcap by default.
+    """
+    if strategy == "auto":
+        strategy = _containment_auto_strategy(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_n = sh.join(sizes, "doc_id")  # (doc_id, shingle, n) — co-keyed join
+    a = sh_n.alias("a")
+    b = sh_n.alias("b")
+    if strategy == "dfcap":
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
+            .agg(
+                F.count("*").alias("n_common"),
+                # constant per group — min() just projects it through the agg
+                F.min("a.n").alias("n_lo"),
+                F.min("b.n").alias("n_hi"),
+            )
+        )
+    if strategy != "cohort":
+        raise ValueError(f"unknown containment strategy: {strategy}")
+    sigs = _containment_signatures(sh)
+    bands = _containment_bands(sigs)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("lo"), F.col("y.doc_id").alias("hi"))
+        .distinct()
+    )
+    return (
+        cand.join(a, F.col("lo") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("hi") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a.n").alias("n_lo"),
+            F.min("b.n").alias("n_hi"),
+        )
+    )
+
+
+def _containment_directed(pairs: DataFrame, threshold_pml: int = 600) -> DataFrame:
+    """Orient undirected pair counts into qualifying (doc_sub, doc_super,
+    containment_pml) rows. Both orientations are scored INSIDE one
+    projection and filtered before the explode materializes them, so the
+    huge pair table is traversed exactly once and only survivors widen."""
+    orient = F.array(
+        F.struct(
+            F.col("lo").alias("doc_sub"),
+            F.col("hi").alias("doc_super"),
+            F.expr("CAST((n_common * 1000) div n_lo AS BIGINT)").alias(
+                "containment_pml"
+            ),
+        ),
+        F.struct(
+            F.col("hi").alias("doc_sub"),
+            F.col("lo").alias("doc_super"),
+            F.expr("CAST((n_common * 1000) div n_hi AS BIGINT)").alias(
+                "containment_pml"
+            ),
+        ),
+    )
+    kept = F.filter(orient, lambda r: r["containment_pml"] >= F.lit(threshold_pml))
+    return (
+        pairs.select(F.explode(kept).alias("r"))
+        .select("r.doc_sub", "r.doc_super", "r.containment_pml")
+    )
+
+
 @query(
     "dedup_shingle_containment",
     oracle=f"""
@@ -1133,32 +1313,21 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one has tiny Jaccard (the union is huge) but containment ≈ 1 — the
     quote-inclusion / boilerplate-envelope case every web-scale dedup
     needs a directed pass for (Broder's original resemblance/containment
-    pair). Directed output: (doc_sub ⊂ doc_super). Same scale shape as
-    dedup_ngram_jaccard — rare-shingle candidate join, DF-capped
-    partitions — plus exact integer per-mille scoring ((n·1000) DIV |A|)
-    so the threshold and the emitted score hash-match with no float
-    anywhere."""
+    pair). Directed output: (doc_sub ⊂ doc_super). Candidate generation is
+    strategy-selectable (_containment_pair_counts): the default DF-capped
+    rare-shingle join pairs UNDIRECTED (doc_a < doc_b, half the r5
+    directed join's emission) with doc sizes riding on the shingle rows,
+    and both orientations are thresholded inside one projection before
+    exploding (_containment_directed) — so the pair table is built once,
+    aggregated once, and never re-joined. The MinHash-cohort gate + exact
+    verification join stays selectable, with measurements (BASELINE.md r6)
+    showing why it is not the default at any vocabulary density
+    (gen_sf.py --vocab generates the large-vocab corpus those measurements
+    used). Exact integer per-mille scoring ((n·1000) DIV |A|) so the
+    threshold and the emitted score hash-match with no float anywhere."""
     d = load_table(spark, sf_dir, "documents")
     sh = _deskewed_shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_super"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    pml = F.expr("CAST((n_common * 1000) div n AS BIGINT)")
-    return (
-        pairs.join(sa, F.col("doc_sub") == F.col("sa.doc_id"))
-        .select("doc_sub", "doc_super", pml.alias("containment_pml"))
-        .filter(F.col("containment_pml") >= 600)
-    )
+    return _containment_directed(_containment_pair_counts(sh))
 
 
 @query(

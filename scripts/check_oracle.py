@@ -2,7 +2,12 @@
 """Dev loop: run every registered query against its DuckDB oracle at sf0.01
 (the same comparison the driver's correctness gate performs). Usage:
 
-    python scripts/check_oracle.py [--parallel N] [query-name-substring ...]
+    python scripts/check_oracle.py [--parallel N] [--sf DIR] [query-name-substring ...]
+
+--sf DIR points the comparison at another scale-factor directory (e.g.
+.localdata/sf1 from gen_sf.py) — the round checklist's sf1 smoke runs the
+top scale-sensitive names there, catching latent scale bugs that sf0.01
+gating can hide (the r5 stream_static_refresh lesson).
 
 --parallel N runs side-effect-free queries through a thread pool of N
 workers sharing the SparkSession (concurrent job submission is supported;
@@ -55,11 +60,13 @@ def _needs_serial(q) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--parallel", type=int, default=1, metavar="N")
+    ap.add_argument("--sf", default=SF_DIR, metavar="DIR")
     ap.add_argument("filters", nargs="*")
     args = ap.parse_args()
 
+    sf_dir = args.sf
     spark = get_spark(cpus=8)
-    con = duckdb_connect(SF_DIR)
+    con = duckdb_connect(sf_dir)
     names = [
         n for n in REGISTRY if not args.filters or any(f in n for f in args.filters)
     ]
@@ -69,7 +76,7 @@ def main() -> int:
     def run_one(name: str, cursor) -> None:
         t0 = time.time()
         try:
-            res = compare_query(spark, REGISTRY[name], SF_DIR, cursor)
+            res = compare_query(spark, REGISTRY[name], sf_dir, cursor)
             results[name] = (res.ok, time.time() - t0, res.detail)
         except Exception as exc:  # noqa: BLE001 — dev tool, report and continue
             results[name] = (False, time.time() - t0, f"{type(exc).__name__}: {exc}")

@@ -85,9 +85,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=".localdata/sf1")
+    ap.add_argument(
+        "--vocab",
+        type=int,
+        default=len(VOCAB),
+        help="document vocabulary size; > %(default)s switches to synthetic "
+        "w<k> words — the large-vocabulary (real-web) regime where the "
+        "containment dedup's MinHash-cohort gate engages (low signature "
+        "collision), vs the default 30-word dense regime where it degenerates",
+    )
     args = ap.parse_args()
     sf = args.sf
     out = args.out
+    vocab_n = args.vocab
     os.makedirs(out, exist_ok=True)
     spark = get_spark(app_name="gen_sf")
     t_start = time.time()
@@ -231,6 +241,14 @@ def main() -> None:
                         F.element_at(
                             vocab_arr,
                             (F.pmod(F.xxhash64(F.col("_seed"), i, F.lit("dw")), F.lit(len(VOCAB))) + 1).cast("int"),
+                        )
+                        if vocab_n <= len(VOCAB)
+                        # synthetic large-vocab regime: w0..w<N-1>
+                        else F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.xxhash64(F.col("_seed"), i, F.lit("dw")), F.lit(vocab_n)
+                            ).cast("string"),
                         )
                     ),
                 ),
