@@ -30,7 +30,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.commitlog import CommitLog
+from ..sources.commitlog import CommitConflict, CommitLog, ConcurrentKeyConflict
 from ..sources.readers import load_table
 from .registry import query
 
@@ -651,5 +651,151 @@ def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("bal").cast("decimal(38,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+def merge_with_conflict_retry(
+    spark: SparkSession,
+    log: CommitLog,
+    key_cols: list[str],
+    derive,
+    writer: str,
+    max_txn_retries: int = 8,
+    post_read_hook=None,
+) -> tuple[int, int]:
+    """One MERGE transaction with Delta-style optimistic concurrency:
+    read the latest snapshot, ``derive(snapshot_df) -> delta`` against it,
+    commit with the snapshot's version + the delta's key footprint. On
+    ConcurrentKeyConflict — another writer committed overlapping keys
+    after our read — the stale staged delta is dropped and the WHOLE
+    transaction re-runs against the winner's snapshot (re-read +
+    re-derive), never blind-re-committed. Returns (version won,
+    n_conflicts suffered). Disjoint-key writers never conflict (footprint
+    boxes disjoint) and keep interleaving freely, so this adds zero
+    serialization to the acid_concurrent_merge scenario.
+
+    ``post_read_hook`` (first attempt only) runs after the snapshot version
+    is captured and before the commit — a test seam that lets two racing
+    transactions barrier on "both have read" so the conflict is
+    deterministic rather than timing-dependent."""
+    for n_conflicts in range(max_txn_retries):
+        snap = log.snapshot()
+        read_version = snap[-1][0] if snap else -1
+        current = log.read_latest_per_key(spark, key_cols)
+        if post_read_hook is not None and n_conflicts == 0:
+            post_read_hook()
+        delta = derive(current)
+        staged = log.stage_dir()
+        delta.write.mode("overwrite").parquet(staged)
+        ranges = log.stats_for(spark, staged, key_cols)
+        try:
+            won = log.commit(
+                [staged],
+                writer=writer,
+                read_version=read_version,
+                key_ranges=ranges,
+            )
+            return won, n_conflicts
+        except ConcurrentKeyConflict:
+            shutil.rmtree(staged, ignore_errors=True)  # stale — re-derive
+            continue
+    raise CommitConflict(
+        f"transaction {writer!r} conflicted {max_txn_retries} times"
+    )
+
+
+@query(
+    "acid_conflict_retry",
+    oracle=f"""
+    SELECT count(*) AS n_customers,
+           CAST(3 AS BIGINT) AS n_commits,
+           CAST(1 AS BIGINT) AS n_conflicts,
+           {_dsum("c_acctbal"
+                  " + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END"
+                  " + CASE WHEN c_custkey % 2 = 0 THEN 200 ELSE 0 END")} AS total_bal,
+           {_dsum("CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 300 END")} AS overlap_bal
+    FROM customer
+    """,
+    tags=("S6", "S7", "J6"),
+)
+def acid_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-key concurrent MERGE — the write-skew case blind re-commit
+    gets WRONG (VERDICT r5 item 6): two writers race read-modify-write
+    increments over OVERLAPPING key sets (A: +100 where key%3=0; B: +200
+    where key%2=0 — keys %6=0 are touched by both). Both transactions
+    derive from the base snapshot, race the commit CAS, and the loser's
+    declared key footprint overlaps the winner's manifest, so it gets
+    ConcurrentKeyConflict and re-derives against the winner's snapshot
+    (merge_with_conflict_retry) instead of re-committing its stale delta.
+    Increments commute, so the converged state is interleaving-independent
+    and an exact oracle pins it: every %6=0 key must carry BOTH bumps
+    (+300) — a lost update would shift overlap_bal — and exactly one
+    conflict retry must have happened (n_conflicts), with the log at
+    exactly 3 contiguous commits (base + two txns). Without the footprint
+    check this query's loser would silently overwrite the winner's bump
+    on the shared keys; the oracle would catch it every run."""
+    log = _fresh_log(sf_dir, "conflict_retry")
+    base = _balances(spark, sf_dir)
+    staged0 = log.stage_dir()
+    base.write.mode("overwrite").parquet(staged0)
+    log.commit([staged0], writer="base")
+
+    errors: list[Exception] = []
+    conflicts: list[int] = []
+    barrier = threading.Barrier(2)
+
+    def txn(modulus: int, bump: int, name: str) -> None:
+        try:
+            def derive(current: DataFrame) -> DataFrame:
+                return current.filter(F.col("c_custkey") % modulus == 0).withColumn(
+                    "bal", F.round(F.col("bal") + bump, 2)
+                )
+
+            # both transactions capture the base snapshot before either
+            # commits — the conflict happens every run, not just when the
+            # thread scheduler cooperates
+            _, n_conf = merge_with_conflict_retry(
+                spark,
+                log,
+                ["c_custkey"],
+                derive,
+                writer=name,
+                post_read_hook=barrier.wait,
+            )
+            conflicts.append(n_conf)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=txn, args=(3, 100, "txn_mod3")),
+        threading.Thread(target=txn, args=(2, 200, "txn_mod2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+    n_commits = len(log.snapshot())
+    n_conflicts = sum(conflicts)
+    return (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.lit(n_commits).cast("long").alias("n_commits"),
+            F.lit(n_conflicts).cast("long").alias("n_conflicts"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.sum(
+                F.when(
+                    F.col("c_custkey") % 6 == 0,
+                    F.round("bal", 2).cast("decimal(38,2)"),
+                )
+            )
+            .cast("double")
+            .alias("overlap_bal"),
         )
     )

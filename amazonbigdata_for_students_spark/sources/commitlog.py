@@ -56,6 +56,21 @@ class CommitConflict(RuntimeError):
     """Raised when a writer exhausts its optimistic-retry budget."""
 
 
+class ConcurrentKeyConflict(RuntimeError):
+    """Raised when a commit that declared its key footprint discovers a
+    commit by ANOTHER writer, newer than its read snapshot, whose footprint
+    overlaps — Delta's ConcurrentModificationException semantics. Blind
+    re-commit is only safe for disjoint keys (latest-per-key resolution is
+    commutative across keys); for a same-key race the loser's delta was
+    derived from a stale base, so it must re-read the winner's snapshot and
+    re-derive. The caller's retry loop does exactly that (see
+    merge_with_conflict_retry in plans/tableformat.py)."""
+
+    def __init__(self, winner_version: int, message: str) -> None:
+        super().__init__(message)
+        self.winner_version = winner_version
+
+
 class CommitLog:
     """Commit log for one table directory.
 
@@ -193,6 +208,40 @@ class CommitLog:
                 kept.append((v, t))
         return kept, skipped
 
+    @staticmethod
+    def _footprints_overlap(mine: dict | None, theirs: dict | None) -> bool:
+        """Conservative key-box intersection: a commit's footprint is
+        {col: [min, max]}; two footprints are disjoint iff some shared
+        column's intervals are disjoint (min/max boxes are disjoint iff
+        disjoint on >= 1 dimension). A missing footprint — a legacy commit,
+        or a compaction that rewrote every key — is assumed to overlap."""
+        if mine is None or theirs is None:
+            return True
+        for col, (lo, hi) in mine.items():
+            mm = theirs.get(col)
+            if mm is not None and (lo > mm[1] or hi < mm[0]):
+                return False
+        return True
+
+    def check_conflicts(self, read_version: int, key_ranges: dict | None) -> None:
+        """Raise ConcurrentKeyConflict if any commit newer than
+        ``read_version`` has an overlapping key footprint. O(#new commits)
+        metadata reads, no data touched. Deliberately does NOT exempt
+        commits by the same writer name: a second transaction under a
+        reused name must still see its predecessor, or it would re-commit a
+        delta derived from a pre-predecessor snapshot (a lost update)."""
+        for v in self._versions():
+            if v <= read_version:
+                continue
+            m = self.read_manifest(v)
+            if self._footprints_overlap(key_ranges, m.get("key_ranges")):
+                raise ConcurrentKeyConflict(
+                    v,
+                    f"commit {v} (writer={m.get('writer')!r}) touched keys "
+                    f"overlapping this transaction's footprint "
+                    f"{key_ranges}; re-read the snapshot and re-derive",
+                )
+
     def commit(
         self,
         adds: list[str],
@@ -202,6 +251,8 @@ class CommitLog:
         writer: str = "",
         stats: dict[str, dict] | None = None,
         max_retries: int = 64,
+        read_version: int | None = None,
+        key_ranges: dict | None = None,
     ) -> int | None:
         """Publish staged data dirs as the next version. Returns the version
         won, or None if ``batch_id`` was already committed (idempotent skip —
@@ -210,6 +261,16 @@ class CommitLog:
         Exactly one concurrent writer wins each version number; the loser
         re-reads the log (re-checking batch idempotence) and retries at the
         next version.
+
+        ``read_version`` + ``key_ranges`` opt into same-key conflict
+        detection (Delta's ConcurrentModificationException semantics): the
+        manifest records the commit's key footprint, and on EVERY attempt —
+        including the first, since another writer may have committed without
+        ever racing our version number — commits newer than ``read_version``
+        are checked for footprint overlap. Disjoint-key writers still
+        interleave freely (the acid_concurrent_merge scenario); a same-key
+        loser gets ConcurrentKeyConflict and must re-read + re-derive
+        instead of blind-re-committing a stale delta.
         """
         tokens = [os.path.basename(a.rstrip("/")) for a in adds]
         for _ in range(max_retries):
@@ -217,6 +278,8 @@ class CommitLog:
                 for t in tokens:  # retry of an applied batch: drop the dup
                     shutil.rmtree(os.path.join(self._data_dir, t), ignore_errors=True)
                 return None
+            if read_version is not None:
+                self.check_conflicts(read_version, key_ranges)
             versions = self._versions()
             next_v = versions[-1] + 1 if versions else 0
             manifest = {
@@ -232,6 +295,8 @@ class CommitLog:
                     os.path.basename(k.rstrip("/")): v
                     for k, v in (stats or {}).items()
                 },
+                # this commit's key footprint, for same-key conflict checks
+                "key_ranges": key_ranges,
                 "ts": time.time(),
             }
             tmp = os.path.join(

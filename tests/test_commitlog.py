@@ -143,3 +143,103 @@ def test_stream_upsert_sink_has_no_driver_collect(spark):
     src = inspect.getsource(batch_twins.stream_upsert_sink)
     assert ".collect()" not in src
     assert "CommitLog" in src
+
+
+# ---------------------------------------------------------------------------
+# Same-key conflict detection (VERDICT r5 item 6)
+
+
+def test_footprint_overlap_rules():
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    ov = CommitLog._footprints_overlap
+    assert ov({"k": [0, 10]}, {"k": [5, 20]})          # intervals intersect
+    assert not ov({"k": [0, 10]}, {"k": [11, 20]})     # disjoint on k
+    assert ov({"k": [0, 10]}, {"j": [50, 60]})         # no shared column
+    assert ov(None, {"k": [0, 10]})                    # undeclared footprint
+    assert ov({"k": [0, 10]}, None)                    # legacy manifest
+    # disjoint on ANY shared dimension proves box-disjointness
+    assert not ov({"k": [0, 10], "d": [1, 1]}, {"k": [0, 10], "d": [2, 2]})
+
+
+def test_same_key_commit_conflicts_and_disjoint_does_not(spark, tmp_path):
+    from amazonbigdata_for_students_spark.sources.commitlog import (
+        CommitLog,
+        ConcurrentKeyConflict,
+    )
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10), (2, 20), (9, 90)])
+    base_v = log.commit([s0], writer="base")  # legacy: no declared footprint
+    assert base_v == 0
+
+    # writer W read at version 0; meanwhile another commit lands on keys 1..2
+    s1 = _stage_rows(spark, log, [(1, 11)])
+    log.commit([s1], writer="other", read_version=0, key_ranges={"user_id": [1, 2]})
+
+    # W's delta overlaps (key 2) -> must be told to re-derive
+    s2 = _stage_rows(spark, log, [(2, 99)])
+    with pytest.raises(ConcurrentKeyConflict) as exc:
+        log.commit([s2], writer="w", read_version=0, key_ranges={"user_id": [2, 2]})
+    assert exc.value.winner_version == 1
+
+    # a disjoint-key writer with the same stale read version sails through
+    s3 = _stage_rows(spark, log, [(9, 91)])
+    assert (
+        log.commit([s3], writer="w2", read_version=0, key_ranges={"user_id": [9, 9]})
+        == 2
+    )
+
+    # conflicts against a LEGACY commit (no declared footprint) are assumed
+    with pytest.raises(ConcurrentKeyConflict):
+        s4 = _stage_rows(spark, log, [(100, 1)])
+        log.commit(
+            [s4], writer="w3", read_version=-1, key_ranges={"user_id": [100, 100]}
+        )
+
+
+def test_merge_with_conflict_retry_converges_on_same_key(spark, tmp_path):
+    # Two read-modify-write increments to the SAME key, serialized by the
+    # conflict check: the loser re-reads the winner's snapshot, so both
+    # bumps land (final v = 10 + 1 + 2). Blind re-commit would lose one.
+    import pyspark.sql.functions as F
+
+    from amazonbigdata_for_students_spark.plans.tableformat import (
+        merge_with_conflict_retry,
+    )
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10)])
+    log.commit([s0], writer="base")
+
+    errors: list[Exception] = []
+    confs: list[int] = []
+    barrier = threading.Barrier(2)
+
+    def bump(amount: int, name: str) -> None:
+        try:
+            _, n = merge_with_conflict_retry(
+                spark,
+                log,
+                ["user_id"],
+                lambda cur: cur.withColumn("v", F.col("v") + amount),
+                writer=name,
+                post_read_hook=barrier.wait,
+            )
+            confs.append(n)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [
+        threading.Thread(target=bump, args=(1, "plus1")),
+        threading.Thread(target=bump, args=(2, "plus2")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert sum(confs) == 1  # exactly one loser, exactly one re-derive
+    final = log.read_latest_per_key(spark, ["user_id"]).collect()
+    assert [(r.user_id, r.v) for r in final] == [(1, 13)]
