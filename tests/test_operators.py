@@ -690,3 +690,43 @@ def test_containment_unknown_strategy_raises(spark):
     df = spark.createDataFrame([(0, "a b c d e")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         T._containment_pair_counts(T._deskewed_shingles(df), strategy="nope")
+
+
+# ---------------------------------------------------------------------------
+# Salted geo radius join (VERDICT r5 item 4)
+
+
+def test_geo_salted_identical_pairs_and_bounded_groups(spark):
+    # sf0.01: cells hold 1..7 members, so _HOT_MEMBERS=4 exercises BOTH the
+    # salted (hot) and unsalted (cold) branches in one run
+    sf_dir = "/root/testdata/sf0.01"
+    from amazonbigdata_for_students_spark.plans import geo as G
+
+    plain = {
+        (r.user_a, r.user_b, r.dist_km)
+        for r in REGISTRY["geo_radius_join"].fn(spark, sf_dir).collect()
+    }
+    salted = {
+        (r.user_a, r.user_b, r.dist_km)
+        for r in REGISTRY["geo_radius_join_salted"].fn(spark, sf_dir).collect()
+    }
+    assert salted == plain and plain  # identical pairs, non-empty
+
+    # the fixture actually exercises the hot branch...
+    cells = G._user_cells(spark, sf_dir)
+    counts = cells.groupBy("cy", "cx").agg(F.count("*").alias("n"))
+    hot = counts.filter(F.col("n") > G._HOT_MEMBERS)
+    assert hot.count() >= 1
+
+    # ...and salting genuinely subdivides a hot cell's resident group:
+    # per-(cell, salt) group sizes stay under the unsalted hot-cell size.
+    hot_members = cells.join(hot.select("cy", "cx"), ["cy", "cx"]).withColumn(
+        "salt", F.pmod(F.xxhash64("user_id"), F.lit(G._N_SALTS)).cast("int")
+    )
+    unsalted_max = hot_members.groupBy("cy", "cx").count().agg(F.max("count")).collect()[0][0]
+    salted_max = (
+        hot_members.groupBy("cy", "cx", "salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert salted_max < unsalted_max
+    # with 8 salts the largest sub-group should be a small fraction
+    assert salted_max <= unsalted_max / 2
