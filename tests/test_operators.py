@@ -730,3 +730,53 @@ def test_geo_salted_identical_pairs_and_bounded_groups(spark):
     assert salted_max < unsalted_max
     # with 8 salts the largest sub-group should be a small fraction
     assert salted_max <= unsalted_max / 2
+
+
+# ---------------------------------------------------------------------------
+# Endpoint-backed spam classifier (VERDICT r5 item 5)
+
+
+def test_spam_endpoint_serves_and_matches_local(spark, sf_small):
+    from amazonbigdata_for_students_spark.functions import endpoint, spam
+
+    stub = endpoint.SpamEndpointStub()
+    url = stub.start()
+    try:
+        docs = load_table(spark, sf_small, "documents")
+        via_http = {
+            r.doc_id: r.is_spam
+            for r in endpoint.classify_endpoint(docs, url).collect()
+        }
+        assert stub.n_requests > 0  # the ENDPOINT served, not the fallback
+        local = {
+            r.doc_id: r.is_spam
+            for r in docs.select(
+                "doc_id", spam.is_spam_udf()(F.col("text")).alias("is_spam")
+            ).collect()
+        }
+        assert via_http == local and len(local) == docs.count()
+    finally:
+        stub.stop()
+
+
+def test_spam_endpoint_falls_back_when_stub_dead(spark, sf_small):
+    from amazonbigdata_for_students_spark.functions import endpoint, spam
+
+    stub = endpoint.SpamEndpointStub()
+    url = stub.start()
+    stub.stop()  # kill it BEFORE any scoring call
+    docs = load_table(spark, sf_small, "documents")
+    via_fallback = {
+        r.doc_id: r.is_spam
+        for r in endpoint.classify_endpoint(
+            docs, url, timeout=0.3, retries=1
+        ).collect()
+    }
+    assert stub.n_requests == 0  # nothing reached the dead endpoint
+    local = {
+        r.doc_id: r.is_spam
+        for r in docs.select(
+            "doc_id", spam.is_spam_udf()(F.col("text")).alias("is_spam")
+        ).collect()
+    }
+    assert via_fallback == local  # degraded path, identical labels
