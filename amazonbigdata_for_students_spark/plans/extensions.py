@@ -1780,3 +1780,126 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (event_type, year(ts))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality: distribution drift (PSI) between two feed windows
+# --------------------------------------------------------------------------
+_PSI_BINS = 15
+_PSI_W = 40.0  # bin width over value's Exp(mean 50) range, cap at bin 14
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, value, day(ts) AS d FROM {{EVENTS}} e),
+    base AS (SELECT event_type,
+                    least(CAST(floor(value / {{W}}) AS BIGINT), {{B}} - 1) AS bin,
+                    count(*) AS c
+             FROM ev WHERE d BETWEEN 1 AND 7 GROUP BY 1, 2),
+    curr AS (SELECT event_type,
+                    least(CAST(floor(value / {{W}}) AS BIGINT), {{B}} - 1) AS bin,
+                    least(CAST(floor(value * 1.5 / {{W}}) AS BIGINT), {{B}} - 1) AS sbin,
+                    count(*) AS c
+             FROM ev WHERE d BETWEEN 15 AND 21 GROUP BY 1, 2, 3),
+    currb AS (SELECT event_type, bin, sum(c) AS c FROM curr GROUP BY 1, 2),
+    currs AS (SELECT event_type, sbin AS bin, sum(c) AS c FROM curr GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, g.bin
+             FROM (SELECT DISTINCT event_type FROM ev) t,
+                  (SELECT unnest(range(0, {{B}})) AS bin) g),
+    tot AS (SELECT b.event_type,
+                   (SELECT sum(c) FROM base WHERE event_type = b.event_type) AS nb,
+                   (SELECT sum(c) FROM currb WHERE event_type = b.event_type) AS nc
+            FROM (SELECT DISTINCT event_type FROM ev) b),
+    terms AS (
+      SELECT g.event_type, g.bin,
+             (coalesce(base.c, 0) + 1.0) / (tot.nb + {{B}}) AS p,
+             (coalesce(currb.c, 0) + 1.0) / (tot.nc + {{B}}) AS q,
+             (coalesce(base.c, 0) + 1.0) / (tot.nb + {{B}}) AS ps_p,
+             (coalesce(currs.c, 0) + 1.0) / (tot.nc + {{B}}) AS ps_q
+      FROM grid g
+      JOIN tot ON tot.event_type = g.event_type
+      LEFT JOIN base ON base.event_type = g.event_type AND base.bin = g.bin
+      LEFT JOIN currb ON currb.event_type = g.event_type AND currb.bin = g.bin
+      LEFT JOIN currs ON currs.event_type = g.event_type AND currs.bin = g.bin
+    )
+    SELECT event_type,
+           CAST(max(tot.nb) AS BIGINT) AS n_base,
+           CAST(max(tot.nc) AS BIGINT) AS n_curr,
+           CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS psi_value,
+           CAST(sum(CAST(round((ps_p - ps_q) * ln(ps_p / ps_q), 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS psi_shifted,
+           CAST(sum(CAST(round((ps_p - ps_q) * ln(ps_p / ps_q), 6) AS DECIMAL(38,6)))
+                > 0.1 AS BOOLEAN) AS drifted
+    FROM terms JOIN tot USING (event_type)
+    GROUP BY event_type
+    """.format(EVENTS=EVENTS, B=_PSI_BINS, W=_PSI_W),
+    tags=("A3", "F4", "P2"),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via the Population Stability Index —
+    the standard production check that a feature feed still looks like
+    the training window (model-input drift alarms, the dq family's
+    statistical sibling to dq_constraint_check's hard constraints).
+    Per event_type, `value` is histogrammed into 15 fixed bins over a
+    base window (days 1-7) and a current window (days 15-21), both
+    Laplace-smoothed so empty bins stay finite, and
+    PSI = Σ (p−q)·ln(p/q). Two PSIs are emitted: the raw feed (stable by
+    construction — the generator is stationary — so PSI ≈ 0) and a
+    deliberately 1.5x-rescaled current window simulating a unit-change
+    regression upstream (drifts hard, >0.1) — both decision branches
+    exercised deterministically. Cross-engine exactness is the
+    perplexity pattern: identical integer counts → identical float
+    ratios, each transcendental term rounded to 6 decimals, summed
+    through decimal(38,6). One scan per window, bin-count-bounded state per
+    key — at 100 TB this is two aggregates and a 15-row grid join,
+    nothing data-sized moves."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.dayofmonth("ts").alias("d")
+    )
+    B, W = _PSI_BINS, _PSI_W
+
+    def binned(col):
+        return F.least(F.floor(col / W).cast("long"), F.lit(B - 1))
+
+    base = (
+        ev.filter(F.col("d").between(1, 7))
+        .groupBy("event_type", binned(F.col("value")).alias("bin"))
+        .agg(F.count("*").alias("cb"))
+    )
+    curr = ev.filter(F.col("d").between(15, 21))
+    currb = curr.groupBy(
+        "event_type", binned(F.col("value")).alias("bin")
+    ).agg(F.count("*").alias("cc"))
+    currs = curr.groupBy(
+        "event_type", binned(F.col("value") * 1.5).alias("bin")
+    ).agg(F.count("*").alias("cs"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(B).select(F.col("id").alias("bin"))
+    )
+    tot = (
+        base.groupBy("event_type")
+        .agg(F.sum("cb").alias("nb"))
+        .join(currb.groupBy("event_type").agg(F.sum("cc").alias("nc")), "event_type")
+    )
+    j = (
+        grid.join(base, ["event_type", "bin"], "left")
+        .join(currb, ["event_type", "bin"], "left")
+        .join(currs, ["event_type", "bin"], "left")
+        .join(F.broadcast(tot), "event_type")
+    )
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (F.col("nb") + B)
+    q = (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (F.col("nc") + B)
+    qs = (F.coalesce(F.col("cs"), F.lit(0)) + 1.0) / (F.col("nc") + B)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(38,6)")
+    sterm = F.round((p - qs) * F.log(p / qs), 6).cast("decimal(38,6)")
+    psi_s = F.sum(sterm)
+    return j.groupBy("event_type").agg(
+        F.max("nb").cast("long").alias("n_base"),
+        F.max("nc").cast("long").alias("n_curr"),
+        F.sum(term).cast("double").alias("psi_value"),
+        psi_s.cast("double").alias("psi_shifted"),
+        (psi_s > 0.1).alias("drifted"),
+    )

@@ -1843,3 +1843,73 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@query(
+    "timeseries_resample_ohlc",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bar,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM {{EVENTS}} e
+      WHERE day(ts) <= 7
+    )
+    SELECT event_type, bar,
+           CAST(max(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+           count(*) AS n_ticks,
+           CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY event_type, bar
+    """.format(EVENTS=EVENTS),
+    tags=("F1", "W1", "A3"),
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — resample an irregular event stream into hourly
+    bars with open (first value by time), high, low, close (last value by
+    time) and volume: the classic tick→candlestick operator under every
+    market-data and metrics pipeline, and the general "first/last by
+    timestamp within bucket" aggregation shape. The deterministic tie on
+    equal timestamps is (ts, event_id) — first/last must be total-ordered
+    or two engines legally disagree. Spark side: ONE window over
+    (type, hour) ordered by the tiebreak computes both row_numbers (the
+    descending rank is frame-free arithmetic off count(*) — no second
+    sort), then a hash aggregate; at 100 TB this is a single shuffle on
+    the bar key, and the window state is per-bar bounded."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") <= 7)
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    w = W.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "bar",
+        "value",
+        F.row_number().over(w).alias("rn_open"),
+        (F.count("*").over(W.partitionBy("event_type", "bar"))
+         - F.row_number().over(w) + 1).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("volume"),
+    )

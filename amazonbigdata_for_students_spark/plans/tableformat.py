@@ -799,3 +799,80 @@ def acid_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_bal"),
         )
     )
+
+
+@query(
+    "acid_row_delete",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 9 <> 0
+    ),
+    v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 18 = 0 THEN c_acctbal + 500 ELSE c_acctbal END
+               AS c_acctbal
+      FROM customer
+      WHERE c_custkey % 9 <> 0 OR c_custkey % 18 = 0
+    )
+    SELECT 0 AS version, count(*) AS n_rows, {_dsum("c_acctbal")} AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 1, count(*), {_dsum("c_acctbal")} FROM v1
+    UNION ALL
+    SELECT 2, count(*), {_dsum("c_acctbal")} FROM v2
+    """,
+    tags=("S6", "S9", "E3"),
+)
+def acid_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the commit log — the GDPR/right-to-be-forgotten
+    primitive every lakehouse table needs: a delete is a TOMBSTONE delta
+    (key + _deleted=true), committed like any other version, never a
+    rewrite of base files. Resolution stays the one latest-per-key window
+    (the tombstone is just the newest row for its key), with a final
+    filter dropping tombstoned keys; schema evolution on read null-fills
+    _deleted for pre-delete commits, so old snapshots need no rewrite.
+    Three audited states: v0 base, v1 after DELETE (keys %9=0 gone), v2
+    after re-insert (keys %18=0 return with bal+500 — proving a tombstone
+    is not a permanent ban, just another version to out-rank). Time
+    travel keeps working across the delete: the v0 read still shows every
+    row from the SAME files the delete never touched. At 100 TB a delete
+    commit is key-sized (tombstones only); the physical purge is
+    compact()+vacuum(), exactly Delta's delete-then-OPTIMIZE story."""
+    log = _fresh_log(sf_dir, "row_delete")
+    base = _balances(spark, sf_dir)
+
+    def put(df: DataFrame, writer: str) -> None:
+        staged = log.stage_dir()
+        df.write.mode("overwrite").parquet(staged)
+        log.commit([staged], writer=writer)
+
+    put(base.withColumn("_deleted", F.lit(False)), "base")
+    # v1: tombstones only — key-sized, no data rewrite
+    put(
+        base.filter(F.col("c_custkey") % 9 == 0).select(
+            "c_custkey", F.lit(None).cast("double").alias("bal"),
+            F.lit(True).alias("_deleted"),
+        ),
+        "delete",
+    )
+    # v2: re-insert half the deleted keys at bal+500
+    put(
+        base.filter(F.col("c_custkey") % 18 == 0).select(
+            "c_custkey", F.round(F.col("bal") + 500, 2).alias("bal"),
+            F.lit(False).alias("_deleted"),
+        ),
+        "reinsert",
+    )
+
+    def state(v: int) -> DataFrame:
+        resolved = log.read_latest_per_key(spark, ["c_custkey"], as_of=v)
+        alive = resolved.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return alive.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        ).select("version", "n_rows", "total_bal")
+
+    return state(0).unionByName(state(1)).unionByName(state(2))

@@ -1018,3 +1018,107 @@ def corpus_build_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
     )
+
+
+_HRW_N1 = 8  # shard count before the reshard
+_HRW_N2 = 9  # ... and after
+
+
+@query(
+    "shard_rendezvous_stability",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT doc_id FROM documents),
+    s8 AS (
+      SELECT doc_id, s AS shard8
+      FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)) DESC, s) AS rn
+        FROM keys, (SELECT unnest(range(0, {_HRW_N1})) AS s)
+      ) WHERE rn = 1
+    ),
+    s9 AS (
+      SELECT doc_id, s AS shard9
+      FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)) DESC, s) AS rn
+        FROM keys, (SELECT unnest(range(0, {_HRW_N2})) AS s)
+      ) WHERE rn = 1
+    ),
+    j AS (SELECT s8.doc_id, shard8, shard9 FROM s8 JOIN s9 USING (doc_id)),
+    per AS (SELECT shard8, count(*) AS c FROM j GROUP BY 1)
+    SELECT (SELECT count(*) FROM j) AS n_keys,
+           (SELECT count(*) FROM j WHERE shard8 <> shard9) AS n_moved,
+           (SELECT CAST((count(*) FILTER (shard8 <> shard9)) * 1000 // count(*) AS BIGINT) FROM j)
+             AS moved_pml,
+           (SELECT count(*) FROM j WHERE shard8 <> shard9 AND shard9 <> {_HRW_N2 - 1})
+             AS n_moved_wrong,
+           (SELECT max(c) FROM per) AS max_shard_n,
+           (SELECT min(c) FROM per) AS min_shard_n
+    """,
+    tags=("F8", "A1"),
+)
+def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding + a reshard-stability
+    audit — how a corpus build assigns documents to output shards so that
+    GROWING the shard count moves only the minimum set of keys (unlike
+    `key % N`, which reshuffles almost everything): shard(key) =
+    argmax over shards s of md5(key|s). md5 hex compares identically in
+    both engines, so the argmax — and therefore every assignment — is
+    hash-exact with no float anywhere. The audit joins the N=8 and N=9
+    assignments and checks HRW's two defining properties as data: every
+    moved key moved TO the new shard (n_moved_wrong = 0 — monotonicity:
+    adding a shard can only steal wins, never re-rank losers among
+    themselves) and the moved fraction ≈ 1/9 (moved_pml, exact integer
+    per-mille). Map-only per key (the 8/9-way argmax is a per-row
+    transform; the window in the oracle is DuckDB's formulation — Spark
+    computes it with array higher-order functions, no shuffle until the
+    audit aggregate), so at 100 TB assignment cost is one pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
+
+    def hrw(n: int) -> F.Column:
+        # argmax by (md5 hex, shard) — a per-row fold over a literal array:
+        # stays in codegen, no explode, no shuffle
+        cands = F.array(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit("|"), F.lit(str(s))
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+        # array_max over (h, s) structs = lexicographic (md5 DESC tie s):
+        # matches the oracle's ORDER BY md5 DESC, s via struct compare —
+        # md5 collisions across distinct inputs do not occur in practice,
+        # and the s tiebreak makes even that case deterministic.
+        return F.array_max(cands)["s"]
+
+    j = docs.select(
+        "doc_id", hrw(_HRW_N1).alias("shard8"), hrw(_HRW_N2).alias("shard9")
+    )
+    per = j.groupBy("shard8").agg(F.count("*").alias("c"))
+    moved = F.sum((F.col("shard8") != F.col("shard9")).cast("long"))
+    audit = j.agg(
+        F.count("*").alias("n_keys"),
+        moved.alias("n_moved"),
+        F.expr(
+            f"CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) * 1000 "
+            f"div count(*) AS BIGINT)"
+        ).alias("moved_pml"),
+        F.sum(
+            (
+                (F.col("shard8") != F.col("shard9"))
+                & (F.col("shard9") != _HRW_N2 - 1)
+            ).cast("long")
+        ).alias("n_moved_wrong"),
+    )
+    spread = per.agg(
+        F.max("c").alias("max_shard_n"), F.min("c").alias("min_shard_n")
+    )
+    return audit.crossJoin(spread)
