@@ -714,3 +714,76 @@ def clk_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.col("n").desc(), "path").limit(20)
     rw = W.orderBy(F.col("n").desc(), "path")
     return top.select("path", "n", F.row_number().over(rw).cast("long").alias("rnk"))
+
+
+@query(
+    "clk_attribution_linear",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS cts, event_id AS cid FROM {{EVENTS}} e
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts AS pts, value FROM {{EVENTS}} e
+      WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT c.cts, p.value,
+             count(*) OVER (PARTITION BY p.user_id, p.pts) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.cts < p.pts
+       AND c.cts >= p.pts - INTERVAL 1 DAY
+    )
+    SELECT date_trunc('hour', cts) AS click_hour,
+           count(*) AS n_credits,
+           CAST(sum(CAST(round(value / n_touch, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS attributed_value
+    FROM credits
+    GROUP BY 1
+    """.format(EVENTS=EVENTS),
+    tags=("J8", "W3", "A3"),
+)
+def clk_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the other canonical attribution
+    model next to clk_attribution_last_touch: a purchase's value splits
+    EQUALLY over every click in its 1-day lookback, so upper-funnel
+    touches get credit last-touch erases. Unlike last-touch this is
+    inherently a fan-out (one purchase credits many clicks), so the
+    single-window trick cannot apply; the scalable shape is the
+    user-keyed equi-join with a range residual — both sides shuffle once
+    on user_id, the per-user click×purchase product is bounded by a
+    user's own activity, and the touch count comes from one window over
+    the join output (no second join). Per-credit amounts round to 6
+    decimals before the decimal-sum rollup, so the split revenue is
+    hash-exact cross-engine. (purchase ts is unique per user in this
+    feed; a composite (pts, event_id) partition key is the general
+    form.)"""
+    from .registry import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    credits = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("cts") < F.col("pts"))
+        & (
+            F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))
+            <= 86_400_000_000
+        ),
+    ).select(purchases.user_id, "pts", "value", "cts")
+    n_touch = F.count("*").over(W.partitionBy("user_id", "pts"))
+    per_credit = credits.select(
+        "cts", F.round(F.col("value") / n_touch, 6).alias("credit")
+    )
+    return per_credit.groupBy(
+        F.date_trunc("hour", "cts").alias("click_hour")
+    ).agg(
+        F.count("*").alias("n_credits"),
+        dsum("credit").alias("attributed_value"),
+    )

@@ -1852,9 +1852,10 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised deterministically. Cross-engine exactness is the
     perplexity pattern: identical integer counts → identical float
     ratios, each transcendental term rounded to 6 decimals, summed
-    through decimal(38,6). One scan per window, bin-count-bounded state per
-    key — at 100 TB this is two aggregates and a 15-row grid join,
-    nothing data-sized moves."""
+    through decimal(38,6). ONE scan of the fact table total: both
+    windows and both binnings fold into a compact (type, window, bin,
+    shifted-bin) cube first; every downstream count is cube-sized —
+    at 100 TB nothing data-sized moves after the scan."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", F.dayofmonth("ts").alias("d")
     )
@@ -1863,19 +1864,40 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     def binned(col):
         return F.least(F.floor(col / W).cast("long"), F.lit(B - 1))
 
-    base = (
-        ev.filter(F.col("d").between(1, 7))
-        .groupBy("event_type", binned(F.col("value")).alias("bin"))
-        .agg(F.count("*").alias("cb"))
+    # ONE scan of events: a compact (type, window, raw-bin, shifted-bin)
+    # cube — at most |types|·2·B·B rows — from which every per-window bin
+    # count and total derives. The naive form (separate base/curr/shifted
+    # aggregates + a distinct-types pass) scans the fact table 4x; at
+    # 100 TB that is 4x the IO for identical output. localCheckpoint
+    # pins the tiny cube so the three derived aggregates reuse it instead
+    # of re-triggering the scan.
+    cube = (
+        ev.filter(F.col("d").between(1, 7) | F.col("d").between(15, 21))
+        .groupBy(
+            "event_type",
+            F.col("d").between(1, 7).alias("is_base"),
+            binned(F.col("value")).alias("bin"),
+            binned(F.col("value") * 1.5).alias("sbin"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    curr = ev.filter(F.col("d").between(15, 21))
-    currb = curr.groupBy(
-        "event_type", binned(F.col("value")).alias("bin")
-    ).agg(F.count("*").alias("cc"))
-    currs = curr.groupBy(
-        "event_type", binned(F.col("value") * 1.5).alias("bin")
-    ).agg(F.count("*").alias("cs"))
-    types = ev.select("event_type").distinct()
+    base = (
+        cube.filter("is_base")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("cb"))
+    )
+    currb = (
+        cube.filter(~F.col("is_base"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("cc"))
+    )
+    currs = (
+        cube.filter(~F.col("is_base"))
+        .groupBy("event_type", F.col("sbin").alias("bin"))
+        .agg(F.sum("c").alias("cs"))
+    )
+    types = cube.select("event_type").distinct()
     grid = types.crossJoin(
         spark.range(B).select(F.col("id").alias("bin"))
     )
@@ -1902,4 +1924,123 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("double").alias("psi_value"),
         psi_s.cast("double").alias("psi_shifted"),
         (psi_s > 0.1).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct-count + set intersection
+# --------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = 16 ** 12  # hash prefix domain: first 12 hex digits of md5
+
+
+@query(
+    "agg_kmv_intersection",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    ka AS (SELECT h FROM ranked WHERE event_type = 'click' AND rn <= {_KMV_K}),
+    kb AS (SELECT h FROM ranked WHERE event_type = 'purchase' AND rn <= {_KMV_K}),
+    uni AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+    ),
+    u AS (SELECT h FROM uni WHERE rn <= {_KMV_K}),
+    uk AS (SELECT (CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) * 17592186044416 + CAST(strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT) * 1099511627776 + CAST(strpos('0123456789abcdef', substring(h, 3, 1)) - 1 AS BIGINT) * 68719476736 + CAST(strpos('0123456789abcdef', substring(h, 4, 1)) - 1 AS BIGINT) * 4294967296 + CAST(strpos('0123456789abcdef', substring(h, 5, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substring(h, 6, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substring(h, 7, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substring(h, 8, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substring(h, 9, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substring(h, 10, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substring(h, 11, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substring(h, 12, 1)) - 1 AS BIGINT) * 1) AS v FROM uni WHERE rn = {_KMV_K}),
+    overlap AS (
+      SELECT count(*) AS c FROM u
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    est AS (
+      SELECT CAST(({_KMV_K} - 1) * {_KMV_SPACE} // uk.v AS BIGINT) AS est_union,
+             overlap.c AS n_overlap
+      FROM uk, overlap
+    ),
+    truth AS (
+      SELECT count(*) AS n_inter_true FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           n_overlap,
+           est_union AS n_union_est,
+           CAST(n_overlap * est_union // {_KMV_K} AS BIGINT) AS n_inter_est,
+           n_inter_true
+    FROM est, truth
+    """.format(_KMV_K=_KMV_K, _KMV_SPACE=_KMV_SPACE),
+    tags=("A5", "F8", "E2"),
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch — the mergeable distinct-count sketch
+    that, unlike HLL, also supports SET OPERATIONS: keep the k smallest
+    md5 hashes per set; the union sketch is the k smallest of the merged
+    sketches; Jaccard is estimated by the overlap fraction inside the
+    union sketch and intersection cardinality by J x union estimate
+    (Beyer et al.'s unbiased (k-1)/v_k estimator, integer-exact here via
+    the 2^48 hash-prefix domain — no float anywhere, so both engines
+    agree bit-for-bit on every estimate). Audited against the exact
+    distinct intersection computed alongside. Scale shape: per-set top-k
+    ranking is a window Spark rewrites to WindowGroupLimit (partial top-k
+    map-side — only k rows per set survive any shuffle), sketch algebra
+    is k-row arithmetic, and sketches from disjoint partitions/days merge
+    associatively — the same property the HLL/count-min family here
+    exploits, plus intersection."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hashes = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    topk = hashes.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    ka = topk.filter(F.col("event_type") == "click").select("h")
+    kb = topk.filter(F.col("event_type") == "purchase").select("h")
+    uni = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    uk = uni.filter(F.col("rn") == _KMV_K).select(
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("long").alias("v")
+    )
+    overlap = (
+        uni.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    truth = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("n_inter_true"))
+    )
+    return (
+        uk.crossJoin(overlap)
+        .crossJoin(truth)
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr(
+                f"CAST(({_KMV_K} - 1) * {_KMV_SPACE} div v AS BIGINT)"
+            ).alias("n_union_est"),
+            F.expr(
+                f"CAST(n_overlap * (({_KMV_K} - 1) * {_KMV_SPACE} div v) "
+                f"div {_KMV_K} AS BIGINT)"
+            ).alias("n_inter_est"),
+            F.col("n_inter_true").cast("long").alias("n_inter_true"),
+        )
     )
