@@ -443,3 +443,38 @@ def test_cache_reuse_reads_in_memory_relation(spark, sf_small):
         assert "InMemoryTableScan" in plan_of(consumer)
     finally:
         agg.unpersist()
+
+
+def test_kmv_sketch_uses_window_group_limit(spark, sf_small):
+    """The per-set top-k ranking must compile to WindowGroupLimit (partial
+    top-k before the shuffle) — only k rows per set survive any exchange,
+    the property that makes the sketch mergeable at scale."""
+    df = REGISTRY["agg_kmv_intersection"].fn(spark, sf_small)
+    df.collect()
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_ohlc_resample_single_exchange(spark, sf_small):
+    """The bar window and the bar aggregate share (event_type, bar)
+    partitioning — the whole query is ONE hash exchange over the scan;
+    a second exchange means the agg stopped reusing the window's
+    clustering."""
+    import re
+
+    df = REGISTRY["timeseries_resample_ohlc"].fn(spark, sf_small)
+    df.collect()
+    # AQE's toString appends an "Initial Plan" section — count only the
+    # final adaptive plan or every exchange double-counts
+    final = plan_of(df).split("Initial Plan")[0]
+    n_ex = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_ex == 1, f"expected 1 hash exchange, plan has {n_ex}"
+
+
+def test_geo_salted_broadcasts_hot_set_no_bnlj(spark, sf_small):
+    """The hot-cell set joins as a broadcast (it is grid-bounded), and the
+    salted equi-join must never degrade to a nested-loop join."""
+    df = REGISTRY["geo_radius_join_salted"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoop" not in plan
