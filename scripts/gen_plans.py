@@ -111,6 +111,31 @@ SHOWCASE: dict[str, str] = {
         "(AQE decides), totals ride a 1-row broadcast; per-token ln is "
         "quantized to decimal before the order-independent per-doc sum."
     ),
+    "dedup_shingle_containment": (
+        "Undirected rare-shingle pair join (doc_a < doc_b, half the directed "
+        "emission) with doc sizes riding the shingle rows; both orientations "
+        "thresholded inside one projection BEFORE the explode — the pair table "
+        "is built once, aggregated once, never re-joined."
+    ),
+    "geo_radius_join_salted": (
+        "Hot-cell set joins as BroadcastHashJoin (grid-bounded); the salted "
+        "(cy, cx, salt) equi-join must never degrade to a nested-loop join; "
+        "per-task candidate groups bounded by the salt fan-out."
+    ),
+    "timeseries_resample_ohlc": (
+        "ONE hash exchange total: the (type, bar) window and the bar aggregate "
+        "share clustering, so OHLC costs a single shuffle over the scan."
+    ),
+    "agg_kmv_intersection": (
+        "WindowGroupLimit under the per-set ranking: only k rows per set "
+        "survive any exchange — the sketch property that makes it mergeable; "
+        "sketch algebra is k-row arithmetic on 1-row-broadcast joins."
+    ),
+    "dq_drift_psi": (
+        "ONE FileScan of events for both windows and both binnings (the "
+        "compact cube aggregate); everything downstream is cube-sized — "
+        "grid join, smoothing, and the decimal-summed PSI terms."
+    ),
     "sql_lateral_join": (
         "The correlated LATERAL subquery is fully decorrelated: one ranked "
         "window join (WindowGroupLimit bounds per-group state), nothing "
