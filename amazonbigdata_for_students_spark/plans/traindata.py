@@ -1122,3 +1122,71 @@ def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_shard_n"), F.min("c").alias("min_shard_n")
     )
     return audit.crossJoin(spread)
+
+
+_ARES_K = 64
+_ARES_U20 = "(" + " + ".join(
+    f"CAST(strpos('{_HEX}', substring(md5('ares|' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1 AS BIGINT) * {16 ** (5 - i)}"
+    for i in range(1, 6)
+) + ")"
+
+
+@query(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow(({_ARES_U20} + 1) / 1048576.0, 1.0 / n_chars), 9) AS draw_key
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    top AS (
+      SELECT doc_id, n_chars, draw_key
+      FROM keyed
+      ORDER BY draw_key DESC, doc_id
+      LIMIT {_ARES_K}
+    )
+    SELECT doc_id, n_chars, draw_key,
+           row_number() OVER (ORDER BY draw_key DESC, doc_id) AS rank
+    FROM top
+    """,
+    tags=("F8", "O2"),
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling without replacement — Efraimidis-Spirakis
+    A-ES, the one-pass distributed algorithm for "sample K docs with
+    probability proportional to length" (data-mixing draws, eval-set
+    carving): each doc gets key u^(1/w) (u = md5-seeded uniform, w =
+    n_chars) and the global top-K keys ARE the weighted sample — no
+    rejection loop, no sequential scan, mergeable across partitions by
+    construction (top-K of top-Ks). Determinism discipline: u comes from
+    the same 20-bit md5 draw in both engines (never an RNG), the
+    transcendental pow rounds to 9 decimals before ranking, and doc_id
+    breaks ties, so sample membership AND order hash-match. The Spark
+    plan is TakeOrderedAndProject: per-partition top-K, K rows per
+    partition to the driver stage — at 100 TB the shuffle carries
+    K x partitions rows, never the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u20 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ares|"), F.col("doc_id").cast("string"))), 1, 5
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.pow((u20 + 1) / F.lit(1048576.0), 1.0 / F.col("n_chars")), 9
+        ).alias("draw_key"),
+    )
+    top = keyed.orderBy(F.col("draw_key").desc(), "doc_id").limit(_ARES_K)
+    return top.select(
+        "doc_id",
+        "n_chars",
+        "draw_key",
+        F.row_number()
+        .over(W.orderBy(F.col("draw_key").desc(), "doc_id"))
+        .alias("rank"),
+    )

@@ -1038,3 +1038,87 @@ def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_BQ_K)
     )
+
+
+@query(
+    "vec_mips_transform",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    m AS (SELECT max(nrm) AS mx FROM n),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n ORDER BY vec_id LIMIT 1),
+    scored AS (
+      SELECT n.vec_id,
+             round(list_dot_product(n.v, q.qv), 6) AS dot,
+             round(list_dot_product(n.v, q.qv) / (q.qnrm * m.mx), 6) AS aug_cos
+      FROM n, q, m
+      WHERE n.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT vec_id, dot, aug_cos,
+             row_number() OVER (ORDER BY aug_cos DESC, vec_id) AS rk_aug,
+             row_number() OVER (ORDER BY dot DESC, vec_id) AS rk_dot
+      FROM scored
+    )
+    SELECT vec_id, dot, aug_cos, rk_aug AS rank,
+           CAST(rk_aug = rk_dot AS BOOLEAN) AS mips_rank_preserved
+    FROM ranked
+    WHERE rk_aug <= 10
+    ORDER BY rk_aug
+    """,
+    tags=("U5", "F4"),
+)
+def vec_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation reduction
+    (Bachrach et al. / the standard MIPS→cosine trick recsys retrieval
+    uses): append sqrt(M² − ‖x‖²) to every item vector (M = max norm)
+    and 0 to the query — every augmented item then has norm exactly M,
+    so cosine against the augmented query is dot/(‖q‖·M), MONOTONE in
+    the raw inner product, and any cosine-ANN index (the IVF/LSH/PQ
+    family here) serves inner-product queries unchanged. The query
+    emits the top-10 by augmented cosine alongside the raw dot and a
+    per-row mips_rank_preserved audit (rank by aug_cos == rank by dot —
+    the reduction's defining property, checked as data, same tie-break).
+    Float discipline: both scores round to 6 before ranking; M is a max
+    of identical doubles. Scale shape: one 1-row norm-max aggregate, one
+    broadcast of (query, M), then the same TakeOrderedAndProject scan as
+    vec_cosine_topk — no shuffle of the embedding table."""
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    m = e.agg(F.max("nrm").alias("mx"))
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("v"), F.col("qv")), 6).alias("dot"),
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("qnrm") * F.col("mx")), 6
+            ).alias("aug_cos"),
+        )
+    )
+    rk_aug = F.row_number().over(W.orderBy(F.col("aug_cos").desc(), "vec_id"))
+    rk_dot = F.row_number().over(W.orderBy(F.col("dot").desc(), "vec_id"))
+    ranked = scored.select(
+        "vec_id", "dot", "aug_cos", rk_aug.alias("rank"), rk_dot.alias("rk_dot")
+    )
+    return (
+        ranked.filter(F.col("rank") <= 10)
+        .select(
+            "vec_id",
+            "dot",
+            "aug_cos",
+            "rank",
+            (F.col("rank") == F.col("rk_dot")).alias("mips_rank_preserved"),
+        )
+    )

@@ -874,3 +874,155 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col(f"value.{buf_fields[0]}").cast("long").alias("n_in_state"),
     )
+
+
+@query(
+    "stream_atomic_two_table_sink",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(3 AS BIGINT) AS n_commits,
+           true AS atomic_pairs,
+           true AS tables_consistent
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("T8", "S6", "S7"),
+)
+def stream_atomic_two_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once fan-out to TWO tables with CROSS-TABLE atomicity — the
+    sink contract foreachBatch alone cannot give you (write A, crash,
+    write B = a reader sees A without B) and single-table formats
+    (Delta/Iceberg) cannot express at all: because a CommitLog manifest
+    carries a LIST of adds, both tables' micro-batch deltas publish in
+    ONE manifest CAS — a reader at any version sees both tables advanced
+    by exactly the same batch prefix, never one without the other. Each
+    micro-batch computes two aggregate deltas (hourly counts + per-type
+    totals) from the same raw rows, stages both executor-side, and
+    commits them together under the batchId (idempotence from the log,
+    as stream_upsert_sink). The audit is structural AND data-level:
+    every manifest must carry exactly 2 adds (atomic_pairs) and the two
+    tables' event totals must agree (tables_consistent) — a torn pair or
+    a dropped half shifts one side and fails both the flag and the
+    per-type decimal checksums against the single-pass batch oracle."""
+    import os
+    import shutil
+
+    from ..plans.registry import dsum
+    from ..plans.sources_ops import _cache_dir, _mark
+    from ..sources import readers
+    from ..sources.commitlog import CommitLog
+
+    # same 3-file replay fixture as stream_upsert_sink (shared cache key)
+    d, ready, fp = _cache_dir(sf_dir, "upsert_jsonl")
+    out = os.path.join(d, "batches")
+    if not ready:
+        ev = readers.load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.dayofmonth("ts").alias("_day"),
+        )
+        os.makedirs(out, exist_ok=True)
+        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            staging = os.path.join(d, f"_stage_{i}")
+            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                1
+            ).write.mode("overwrite").json(staging)
+            part = next(
+                f
+                for f in sorted(os.listdir(staging))
+                if f.startswith("part-") and f.endswith(".json")
+            )
+            target = os.path.join(out, f"b{i}.json")
+            os.rename(os.path.join(staging, part), target)
+            shutil.rmtree(staging)
+            t = 1_700_000_000 + i
+            os.utime(target, times=(t, t))
+        _mark(d, fp)
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .json(out)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+    sink_path = os.path.join(d, "two_table_sink")
+    shutil.rmtree(sink_path, ignore_errors=True)
+    log = CommitLog(sink_path)
+
+    # both logical tables share one physical row shape (tbl, k, n, sv):
+    # the discriminator column is what lets one snapshot read serve both
+    def fanout(batch_df, batch_id: int):
+        if batch_id in log.committed_batch_ids():
+            return
+        batch_df.persist()
+        try:
+            hourly = batch_df.groupBy(
+                F.lit("hourly").alias("tbl"),
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("k"),
+            ).agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+            bytype = batch_df.groupBy(
+                F.lit("bytype").alias("tbl"), F.col("event_type").alias("k")
+            ).agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+            staged_a = log.stage_dir()
+            hourly.write.mode("overwrite").parquet(staged_a)
+            staged_b = log.stage_dir()
+            bytype.write.mode("overwrite").parquet(staged_b)
+            # ONE manifest, two adds: the cross-table atomicity point
+            log.commit(
+                [staged_a, staged_b],
+                batch_id=batch_id,
+                writer="stream_atomic_two_table_sink",
+            )
+        finally:
+            batch_df.unpersist()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fanout)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    snap = log.snapshot()
+    atomic_pairs = bool(snap) and all(len(m.get("adds", ())) == 2 for _, m in snap)
+    table = log.read(spark)
+    assert table is not None, "two-table sink committed nothing"
+    # additive deltas resolve by SUM per (tbl, k) — decimal-exact
+    resolved = table.groupBy("tbl", "k").agg(
+        F.sum("n").alias("n"), F.sum(F.col("sv").cast("decimal(38,6)")).alias("sv")
+    )
+    totals = resolved.groupBy("tbl").agg(F.sum("n").alias("tot"))
+    t = {r["tbl"]: r["tot"] for r in totals.collect()}  # bounded: 2 rows
+    consistent = len(t) == 2 and t.get("hourly") == t.get("bytype")
+    return (
+        resolved.filter(F.col("tbl") == "bytype")
+        .select(
+            F.col("k").alias("event_type"),
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+            F.lit(len(snap)).cast("long").alias("n_commits"),
+            F.lit(atomic_pairs).alias("atomic_pairs"),
+            F.lit(consistent).alias("tables_consistent"),
+        )
+    )
