@@ -876,3 +876,66 @@ def acid_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "total_bal")
 
     return state(0).unionByName(state(1)).unionByName(state(2))
+
+
+@query(
+    "acid_restore_version",
+    oracle=f"""
+    SELECT 'post_restore' AS probe, count(*) AS n_rows,
+           {_dsum(_BAL_V1)} AS total_bal, CAST(4 AS BIGINT) AS n_commits
+    FROM customer
+    UNION ALL
+    SELECT 'history_intact', count(*), {_dsum(_BAL_V2)}, CAST(4 AS BIGINT)
+    FROM customer
+    """,
+    tags=("S6", "S9"),
+)
+def acid_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF — the rollback primitive (Delta
+    RESTORE): undoing a bad commit is a NEW commit whose adds are the
+    target version's live token set and whose removes retire everything
+    newer — pure metadata (zero data copied; the old files were never
+    deleted), append-only history (the bad version stays time-travelable
+    for audit — 'history_intact' reads v2 AFTER the restore and still
+    sees the undone state), and instantly atomic like any other manifest
+    CAS. On the three-commit balances fixture: restore to v1 makes the
+    head state exactly v1's resolved balances (the v2 wave undone) while
+    the log grows to 4 commits. The restore commit is conflict-checked
+    like any writer (read_version + no footprint: restoring conflicts
+    with ANY interleaved commit, which must not be silently undone)."""
+    log = _build_three_commits(spark, sf_dir, "restore_version")
+    target_v = 1
+    # metadata-only set difference: retire tokens newer than the target,
+    # re-add tokens the interim retired (none here — that case needs the
+    # manifest to re-record original add-versions so per-key resolution
+    # ordering among re-added files survives, the Delta RESTORE+OPTIMIZE
+    # interaction; out of scope for this fixture and asserted absent)
+    target_live = {t for _, t in log.live_tokens(as_of=target_v)}
+    head_live = {t for _, t in log.live_tokens()}
+    assert target_live <= head_live, "restore past a compaction: re-adds needed"
+    read_version = log.snapshot()[-1][0]
+    data_dir = log._data_dir
+    log.commit(
+        [],
+        removes=[f"{data_dir}/{t}" for t in sorted(head_live - target_live)],
+        writer="restore",
+        read_version=read_version,
+        key_ranges=None,
+    )
+
+    def audit(df: DataFrame, probe: str, n_commits: int) -> DataFrame:
+        return df.agg(
+            F.lit(probe).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.lit(n_commits).cast("long").alias("n_commits"),
+        ).select("probe", "n_rows", "total_bal", "n_commits")
+
+    n_commits = len(log.snapshot())
+    head = log.read_latest_per_key(spark, ["c_custkey"])
+    v2 = log.read_latest_per_key(spark, ["c_custkey"], as_of=2)
+    return audit(head, "post_restore", n_commits).unionByName(
+        audit(v2, "history_intact", n_commits)
+    )

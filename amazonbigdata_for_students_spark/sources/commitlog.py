@@ -234,6 +234,10 @@ class CommitLog:
             if v <= read_version:
                 continue
             m = self.read_manifest(v)
+            if m.get("rearrange"):
+                # compaction: a physical rewrite with identical logical
+                # state — a delta derived before it is still valid after it
+                continue
             if self._footprints_overlap(key_ranges, m.get("key_ranges")):
                 raise ConcurrentKeyConflict(
                     v,
@@ -253,6 +257,7 @@ class CommitLog:
         max_retries: int = 64,
         read_version: int | None = None,
         key_ranges: dict | None = None,
+        rearrange: bool = False,
     ) -> int | None:
         """Publish staged data dirs as the next version. Returns the version
         won, or None if ``batch_id`` was already committed (idempotent skip —
@@ -285,6 +290,7 @@ class CommitLog:
             manifest = {
                 "version": next_v,
                 "adds": tokens,
+                "rearrange": rearrange,
                 "removes": [
                     os.path.basename(r.rstrip("/")) for r in (removes or [])
                 ],
@@ -394,7 +400,9 @@ class CommitLog:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def compact(self, spark: SparkSession, key_cols: list[str]) -> int | None:
+    def compact(
+        self, spark: SparkSession, key_cols: list[str], max_txn_retries: int = 8
+    ) -> int | None:
         """OPTIMIZE: rewrite the current live delta set as ONE resolved
         base (latest-per-key), committed atomically with remove-actions
         retiring every input delta. Readers before the commit see the
@@ -402,20 +410,40 @@ class CommitLog:
         both (the swap is the one manifest link). Returns the compaction
         commit version.
 
-        Assumes no writer commits between the snapshot and the compaction
-        commit: an interleaved delta would keep its data (it is not in
-        ``removes``) but lose the per-key version race to the younger base.
-        A production compactor adds the standard conflict check — after
-        winning version N, verify no commit landed in between, else abort
-        and retry (Delta/Iceberg do exactly this)."""
-        live = self.live_tokens()
-        merged = self.read_latest_per_key(spark, key_cols)
-        if merged is None:
-            return None
-        staged = self.stage_dir()
-        merged.write.mode("overwrite").parquet(staged)
-        return self.commit(
-            [staged], removes=[t for _, t in live], writer="compact"
+        Interleaved-writer safe (the check r5 documented as missing, now
+        wired through check_conflicts): the compaction commit declares NO
+        key footprint — it rewrites every key, so ANY commit landing after
+        its read snapshot conflicts — and on ConcurrentKeyConflict the
+        whole rewrite re-runs against the fresh snapshot. Without this, an
+        interleaved delta would survive in ``removes``-untouched form but
+        lose the per-key version race to the younger compacted base — a
+        silently vanished update. Same abort-and-retry loop as
+        Delta/Iceberg's OPTIMIZE."""
+        for _ in range(max_txn_retries):
+            snap = self.snapshot()
+            if not snap:
+                return None
+            read_version = snap[-1][0]
+            live = self.live_tokens(as_of=read_version)
+            merged = self.read_latest_per_key(spark, key_cols, as_of=read_version)
+            if merged is None:
+                return None
+            staged = self.stage_dir()
+            merged.write.mode("overwrite").parquet(staged)
+            try:
+                return self.commit(
+                    [staged],
+                    removes=[t for _, t in live],
+                    writer="compact",
+                    read_version=read_version,
+                    key_ranges=None,  # a rewrite of ALL keys conflicts with any
+                    rearrange=True,  # ...but changes no logical state itself
+                )
+            except ConcurrentKeyConflict:
+                shutil.rmtree(staged, ignore_errors=True)  # stale — re-resolve
+                continue
+        raise CommitConflict(
+            f"compaction conflicted {max_txn_retries} times at {self.path}"
         )
 
     def read_latest_per_key(

@@ -243,3 +243,74 @@ def test_merge_with_conflict_retry_converges_on_same_key(spark, tmp_path):
     assert sum(confs) == 1  # exactly one loser, exactly one re-derive
     final = log.read_latest_per_key(spark, ["user_id"]).collect()
     assert [(r.user_id, r.v) for r in final] == [(1, 13)]
+
+
+def test_compact_retries_over_interleaved_writer(spark, tmp_path, monkeypatch):
+    # A delta committed between the compactor's snapshot and its commit
+    # must SURVIVE compaction (the r5-documented race): the conflict check
+    # aborts the stale rewrite and the retry folds the new delta in.
+    from amazonbigdata_for_students_spark.sources import commitlog as cl
+
+    log = cl.CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10), (2, 20)])
+    log.commit([s0], writer="base")
+
+    # interleave: the racer lands AFTER the compactor snapshots, BEFORE it
+    # commits — injected deterministically via the commit seam
+    real_commit = cl.CommitLog.commit
+    fired = {"done": False}
+
+    def racing_commit(self, adds, **kw):
+        if kw.get("writer") == "compact" and not fired["done"]:
+            fired["done"] = True
+            s = _stage_rows(spark, self, [(2, 99)])
+            real_commit(self, [s], writer="racer", key_ranges={"user_id": [2, 2]})
+        return real_commit(self, adds, **kw)
+
+    monkeypatch.setattr(cl.CommitLog, "commit", racing_commit)
+    v = log.compact(spark, ["user_id"])
+    assert v is not None
+    final = {r.user_id: r.v for r in log.read_latest_per_key(spark, ["user_id"]).collect()}
+    assert final == {1: 10, 2: 99}  # the racer's update survived
+    # the compacted base is the ONLY live data (racer's delta retired too)
+    assert len(log.live_tokens()) == 1
+
+
+def test_writers_do_not_conflict_with_compaction(spark, tmp_path):
+    # Compaction changes no logical state, so a delta derived BEFORE it
+    # commits cleanly after it (the rearrange exemption).
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10), (2, 20)])
+    log.commit([s0], writer="base")
+    read_version = 0
+    assert log.compact(spark, ["user_id"]) == 1
+    s1 = _stage_rows(spark, log, [(1, 11)])
+    # read_version predates the compaction; still no conflict
+    assert (
+        log.commit([s1], writer="w", read_version=read_version,
+                   key_ranges={"user_id": [1, 1]})
+        == 2
+    )
+    final = {r.user_id: r.v for r in log.read_latest_per_key(spark, ["user_id"]).collect()}
+    assert final == {1: 11, 2: 20}
+
+
+def test_two_table_sink_never_shows_torn_pair(spark, tmp_path):
+    # Crash between staging table A and committing the pair: a reader sees
+    # NEITHER (staged dirs are invisible), never A without B.
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "t"))
+    a = _stage_rows(spark, log, [(1, 1)], schema="k bigint, n bigint")
+    b = _stage_rows(spark, log, [(2, 2)], schema="k bigint, n bigint")
+    log.commit([a, b], writer="pair0", batch_id=0)
+    # batch 1 crashes mid-flight: A staged, commit never happens
+    _stage_rows(spark, log, [(3, 3)], schema="k bigint, n bigint")
+    snap = log.read(spark)
+    ks = sorted(r.k for r in snap.collect())
+    assert ks == [1, 2]  # the committed PAIR, nothing torn
+    assert all(len(m.get("adds", ())) == 2 for _, m in log.snapshot())
+    # vacuum sweeps the orphaned half safely
+    assert len(log.vacuum()) == 1
