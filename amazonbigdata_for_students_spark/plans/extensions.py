@@ -2044,3 +2044,50 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_inter_true").cast("long").alias("n_inter_true"),
         )
     )
+
+
+@query(
+    "sql_create_function",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_urgent_lines,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS disc_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("F4", "U3", "A3"),
+)
+def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN expr`) —
+    reusable business logic that lives in the CATALOG, not in Python: the
+    scalar body is inlined by the analyzer into the calling plan, so it
+    codegens like any expression (zero UDF overhead — the fastest kind of
+    UDF is the one the optimizer dissolves). A scalar function
+    (discounted price) and a predicate function (urgency test) register
+    once and drive a revenue rollup; the oracle inlines the same bodies,
+    proving the catalog indirection changes nothing about the result. At
+    100 TB this matters because the predicate STILL pushes down and the
+    expression STILL whole-stage-codegens — neither survives a Python
+    UDF."""
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_urgent(pri STRING) "
+        "RETURNS BOOLEAN RETURN pri = '1-URGENT'"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_urgent_lines,
+               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS disc_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE is_urgent(o_orderpriority)
+        GROUP BY l_returnflag
+        """
+    )

@@ -1912,3 +1912,47 @@ def engine_ctas_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql("DROP TABLE IF EXISTS engine_ctas_probe")
+
+
+@query(
+    "src_rate_stream_scan",
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 500)) AS value)
+    SELECT value % 5 AS lane,
+           count(*) AS n,
+           CAST(sum(value) AS BIGINT) AS sum_value,
+           CAST(min(value) AS BIGINT) AS first_value,
+           CAST(max(value) AS BIGINT) AS last_value
+    FROM r
+    GROUP BY 1
+    """,
+    tags=("S2", "T1"),
+)
+def src_rate_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate-micro-batch source — Spark's DETERMINISTIC synthetic
+    stream (unlike `rate`, whose rows depend on wall-clock): with a
+    pinned startTimestamp every run produces the identical (timestamp,
+    value) sequence, which makes it the right generator for streaming
+    smoke tests, backpressure experiments, and throughput calibration
+    runs that must be reproducible — the load-generator leg of the
+    reference's firehose testing, without a cluster. 500 rows over 4
+    partitions drain under availableNow; values are the contract (a
+    gapless 0..499 sequence regardless of partitioning), audited per
+    value%5 lane with exact sums. Any dropped/duplicated row in the
+    source-to-sink path shifts a lane checksum."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = stream.groupBy((F.col("value") % 5).alias("lane")).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("first_value"),
+        F.max("value").alias("last_value"),
+    )
+    from ..streaming.batch_twins import _drain
+
+    return _drain(agg, "rate_stream", mode="complete")
