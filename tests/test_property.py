@@ -62,3 +62,64 @@ def test_closed_form_ntile_formula(n, k):
         else:
             got.append(rem + (r - 1 - cut) // base + 1)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-6 primitives: commit-footprint algebra and rendezvous hashing
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a_lo=st.integers(-100, 100), a_len=st.integers(0, 50),
+    b_lo=st.integers(-100, 100), b_len=st.integers(0, 50),
+)
+def test_footprint_overlap_matches_interval_math(a_lo, a_len, b_lo, b_len):
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    a = {"k": [a_lo, a_lo + a_len]}
+    b = {"k": [b_lo, b_lo + b_len]}
+    expected = not (a["k"][0] > b["k"][1] or a["k"][1] < b["k"][0])
+    got = CommitLog._footprints_overlap(a, b)
+    assert got == expected
+    assert got == CommitLog._footprints_overlap(b, a)  # symmetric
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True),
+    n=st.integers(2, 12),
+)
+def test_rendezvous_hashing_is_monotone_under_growth(keys, n):
+    # HRW's defining property, pure-Python twin of the registered query's
+    # md5-argmax: growing N -> N+1 shards only ever moves keys TO the new
+    # shard; keys that stay, stay put. Any violation breaks the minimal-
+    # movement contract the shard_rendezvous_stability oracle audits.
+    import hashlib
+
+    def shard(key: int, n_shards: int) -> int:
+        return max(
+            range(n_shards),
+            key=lambda s: (hashlib.md5(f"{key}|{s}".encode()).hexdigest(), s),
+        )
+
+    before = {k: shard(k, n) for k in keys}
+    after = {k: shard(k, n + 1) for k in keys}
+    for k in keys:
+        assert after[k] == before[k] or after[k] == n
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    u=st.integers(1, 1_048_576),
+    w_small=st.integers(1, 500),
+    w_big=st.integers(501, 5_000),
+)
+def test_ares_key_is_monotone_in_weight(u, w_small, w_big):
+    # Efraimidis-Spirakis keys u^(1/w): for the SAME uniform draw, a larger
+    # weight always yields a larger key — the property that makes top-K a
+    # weighted sample. (Rounded to 9 decimals as the query does; equal
+    # rounded keys are allowed only when u is at the domain edge.)
+    uu = u / 1_048_576.0
+    k_small = round(uu ** (1.0 / w_small), 9)
+    k_big = round(uu ** (1.0 / w_big), 9)
+    assert k_big >= k_small
