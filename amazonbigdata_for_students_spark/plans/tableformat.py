@@ -939,3 +939,259 @@ def acid_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(head, "post_restore", n_commits).unionByName(
         audit(v2, "history_intact", n_commits)
     )
+
+
+@query(
+    "acid_shallow_clone",
+    oracle=f"""
+    SELECT 'clone_at_fork' AS probe, count(*) AS n_rows,
+           {_dsum(_BAL_V2)} AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 'clone_mutated', count(*),
+           {_dsum("CASE WHEN c_custkey % 3 = 0 THEN " + _BAL_V2.replace("CASE", "(CASE") + ") + 777 ELSE " + _BAL_V2 + " END")}
+    FROM customer
+    UNION ALL
+    SELECT 'source_untouched', count(*), {_dsum(_BAL_V2)}
+    FROM customer
+    """,
+    tags=("S6", "S11"),
+)
+def acid_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE — fork a table for experimentation without copying a
+    byte (Delta CLONE): the clone's one commit hard-links the source's
+    live files, so a 100 TB table clones in O(live files) metadata ops.
+    Three audited states prove the contract end-to-end: the clone equals
+    the source at the fork (including per-key upsert resolution — the
+    clone pins per-token resolution ranks, so v2's -50 wave still beats
+    v1's +100 wave on keys divisible by 70); a write to the clone (+777
+    on keys %3=0) shows up in the clone; and the SOURCE still resolves
+    to its pre-fork state — fork isolation, checked by decimal checksum.
+    sources/commitlog.py:clone_into documents the negative-rank
+    resolution trick that keeps cloned history below future clone-side
+    commits."""
+    src = _build_three_commits(spark, sf_dir, "clone_src")
+    clone = src.clone_into(
+        os.path.join(os.path.dirname(src.path), "clone_dst")
+    )
+    # destructive re-run guard: _build_three_commits freshens the source,
+    # but the clone dir must be fresh too
+    # (clone_into created it; if a previous run left one, rebuild)
+    if len(clone.snapshot()) != 1:
+        shutil.rmtree(clone.path, ignore_errors=True)
+        clone = src.clone_into(clone.path)
+
+    def audit(log: CommitLog, probe: str) -> DataFrame:
+        return (
+            log.read_latest_per_key(spark, ["c_custkey"])
+            .agg(
+                F.lit(probe).alias("probe"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .select("probe", "n_rows", "total_bal")
+        )
+
+    at_fork = audit(clone, "clone_at_fork")
+    # mutate the CLONE only: +777 on keys %3=0
+    delta = (
+        clone.read_latest_per_key(spark, ["c_custkey"])
+        .filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("bal", F.round(F.col("bal") + 777, 2))
+    )
+    staged = clone.stage_dir()
+    delta.write.mode("overwrite").parquet(staged)
+    clone.commit([staged], writer="clone_mutator")
+    return (
+        at_fork.unionByName(audit(clone, "clone_mutated"))
+        .unionByName(audit(src, "source_untouched"))
+    )
+
+
+@query(
+    "acid_log_checkpoint",
+    oracle=f"""
+    SELECT 'as_of_5' AS probe, count(*) AS n_rows,
+           {_dsum("CASE WHEN c_custkey % 10 <= 4 THEN c_acctbal + 1000*((c_custkey % 10)+1) ELSE c_acctbal END")} AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 'as_of_10_ck', count(*),
+           {_dsum("c_acctbal + 1000*((c_custkey % 10)+1)")}
+    FROM customer
+    UNION ALL
+    SELECT 'latest', count(*),
+           {_dsum("c_acctbal - 7*(11 + (c_custkey % 5))")}
+    FROM customer
+    UNION ALL
+    SELECT 'replay_cost', CAST(5 AS BIGINT), 10.0
+    """,
+    tags=("S6", "S9", "S11"),
+)
+def acid_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest CHECKPOINT — O(#commits since checkpoint) snapshot loads
+    instead of O(#commits ever) (Delta's ``_last_checkpoint`` /
+    Iceberg metadata-snapshot pattern; sources/commitlog.py:write_checkpoint).
+    Fixture: 16 commits (base + 10 disjoint '+1000*i' waves keyed on
+    c_custkey%10, checkpoint at head=10, then 5 overwrite waves '-7*j'
+    keyed on c_custkey%5). Four audited probes prove the checkpoint is a
+    pure accelerator, never a semantic fork:
+
+    * ``as_of_5`` — time travel BELOW the checkpoint must ignore it (a
+      newer checkpoint has folded in commits this reader must not see);
+    * ``as_of_10_ck`` — a read AT the checkpoint replays zero manifests
+      yet reproduces the exact rolled-up state, per-key resolution intact;
+    * ``latest`` — checkpoint + 5-manifest suffix replay; the second-pass
+      waves must still out-rank checkpoint-carried versions per key;
+    * ``replay_cost`` — the metadata probe itself: latest reads start at
+      checkpoint_version=10 and replay exactly 5 manifests. A reader that
+      silently fell back to full replay (or found no checkpoint) fails
+      this row, so the fast path is asserted, not assumed.
+
+    At 100 TB this is the difference between a bounded metadata read per
+    query and a log replay that grows with table age; the checkpoint file
+    is derived state, so losing a write race or deleting it costs speed,
+    never correctness (torn-pair reasoning in the unit tests)."""
+    log = _fresh_log(sf_dir, "log_checkpoint")
+    base = _balances(spark, sf_dir)
+
+    def put(df: DataFrame) -> None:
+        staged = log.stage_dir()
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        log.commit([staged], writer="ckpt_fixture")
+
+    put(base)
+    for i in range(1, 11):
+        put(
+            base.filter(F.col("c_custkey") % 10 == i - 1).withColumn(
+                "bal", F.round(F.col("bal") + 1000 * i, 2)
+            )
+        )
+    ck = log.write_checkpoint()
+    if ck != 10:  # fixture invariant, loud if the protocol drifts
+        raise RuntimeError(f"expected checkpoint at 10, got {ck}")
+    for j in range(11, 16):
+        put(
+            base.filter(F.col("c_custkey") % 5 == j - 11).withColumn(
+                "bal", F.round(F.col("bal") - 7 * j, 2)
+            )
+        )
+
+    def audit(probe: str, as_of: int | None = None) -> DataFrame:
+        return (
+            log.read_latest_per_key(spark, ["c_custkey"], as_of=as_of)
+            .agg(
+                F.lit(probe).alias("probe"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .select("probe", "n_rows", "total_bal")
+        )
+
+    cost = log.snapshot_load_cost()
+    cost_row = spark.range(1).select(
+        F.lit("replay_cost").alias("probe"),
+        F.lit(cost["manifests_replayed"]).cast("long").alias("n_rows"),
+        F.lit(float(cost["checkpoint_version"])).alias("total_bal"),
+    )
+    return (
+        audit("as_of_5", as_of=5)
+        .unionByName(audit("as_of_10_ck", as_of=10))
+        .unionByName(audit("latest"))
+        .unionByName(cost_row)
+    )
+
+
+@query(
+    "acid_replace_where",
+    oracle=f"""
+    WITH b AS (SELECT (count(*) // 4) AS q FROM customer),
+    r AS (
+        SELECT q + q // 4 AS lo, q + q // 2 AS ins_hi,
+               q + 3 * (q // 4) - 1 AS hi
+        FROM b
+    )
+    SELECT 'final' AS probe, count(*) AS n_rows,
+           {_dsum("CASE WHEN c_custkey BETWEEN r.lo AND r.ins_hi THEN 1234.56 WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END")} AS total_bal
+    FROM customer, r
+    WHERE NOT (c_custkey > r.ins_hi AND c_custkey <= r.hi)
+    UNION ALL
+    SELECT 'files', CAST(3 AS BIGINT), 2.0
+    """,
+    tags=("S6", "S9", "S11"),
+)
+def acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere — predicate-scoped atomic overwrite with file-level
+    pruning (sources/commitlog.py:replace_where). Fixture: four
+    key-clustered quartile files (committed WITH c_custkey stats) plus one
+    full-span '%10 -> +100' update wave; then ONE transaction deletes
+    c_custkey in [lo, hi] (a sub-range of quartile 2) and inserts
+    replacement rows (bal=1234.56) covering only [lo, ins_hi].
+
+    The audit pins all four contracts at once: (a) 'files' proves the
+    stats plan — exactly 3 quartile files carried forward UNREAD, exactly
+    2 files rewritten (quartile 2 + the full-span wave); (b) replaced keys
+    resolve to 1234.56 even where the wave had touched them (the
+    replacement commits at head version, out-ranking the wave's pinned
+    rank); (c) keys in (ins_hi, hi] are GONE (delete leg); (d) out-of-
+    range keys are bit-identical — survivors of the two rewritten files
+    keep their ORIGINAL resolution versions via add_versions, so the wave
+    still beats quartile bases per key. A rewrite that re-ranked
+    survivors at commit version would flip (d); one that skipped the
+    observe guard would let a stray replacement row corrupt (c)."""
+    n = load_table(spark, sf_dir, "customer").count()  # bounded: one scalar
+    q = n // 4
+    lo, ins_hi, hi = q + q // 4, q + q // 2, q + 3 * (q // 4) - 1
+    log = _fresh_log(sf_dir, "replace_where")
+    base = _balances(spark, sf_dir)
+    for qi in range(4):
+        k_lo = qi * q
+        k_hi = (qi + 1) * q - 1 if qi < 3 else n - 1
+        staged = log.stage_dir()
+        part = base.filter(F.col("c_custkey").between(k_lo, k_hi)).coalesce(1)
+        part.write.mode("overwrite").parquet(staged)
+        log.commit(
+            [staged],
+            writer="quartile",
+            stats={staged: log.stats_for(spark, staged, ["c_custkey"])},
+        )
+    staged = log.stage_dir()
+    wave = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("bal", F.round(F.col("bal") + 100, 2))
+        .coalesce(1)
+    )
+    wave.write.mode("overwrite").parquet(staged)
+    log.commit(
+        [staged],
+        writer="wave",
+        stats={staged: log.stats_for(spark, staged, ["c_custkey"])},
+    )
+
+    replacement = (
+        base.filter(F.col("c_custkey").between(lo, ins_hi))
+        .withColumn("bal", F.lit(1234.56))
+        .coalesce(1)
+    )
+    res = log.replace_where(spark, "c_custkey", lo, hi, replacement)
+
+    final = (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .agg(
+            F.lit("final").alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select("probe", "n_rows", "total_bal")
+    )
+    files_row = spark.range(1).select(
+        F.lit("files").alias("probe"),
+        F.lit(res["carried"]).cast("long").alias("n_rows"),
+        F.lit(float(res["rewritten"])).alias("total_bal"),
+    )
+    return final.unionByName(files_row)

@@ -31,7 +31,9 @@ correct kernel:
   exactly-once contract survives a driver restart.
 
 At 100 TB the log stays tiny (one small JSON per commit — the data volume
-lives in parquet), reads are O(#commits) metadata operations, and the
+lives in parquet), snapshot loads are O(#commits since the last
+checkpoint) metadata operations (``write_checkpoint`` folds the replayed
+state into one file, Delta's ``_last_checkpoint`` pattern), and the
 snapshot union is the same latest-per-key window MERGE compiles to anyway.
 On object stores without atomic rename/link (S3), the same protocol runs
 against a put-if-absent primitive (S3 conditional PUT, DynamoDB lock table);
@@ -49,6 +51,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 _COMMITS = "_commits"
+_CHECKPOINTS = "_checkpoints"
 _DATA = "data"
 
 
@@ -82,11 +85,16 @@ class CommitLog:
     A data directory is visible iff some manifest names it in ``adds``.
     """
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, checkpoint_interval: int | None = None) -> None:
         self.path = path
         self._commits_dir = os.path.join(path, _COMMITS)
+        self._checkpoints_dir = os.path.join(path, _CHECKPOINTS)
         self._data_dir = os.path.join(path, _DATA)
+        # auto-checkpoint cadence: every N commits the winning writer also
+        # writes a checkpoint (Delta's default is every 10). None = manual.
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self._commits_dir, exist_ok=True)
+        os.makedirs(self._checkpoints_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
 
     # -- staging ----------------------------------------------------------
@@ -113,41 +121,168 @@ class CommitLog:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def snapshot(self) -> list[tuple[int, dict]]:
-        """(version, manifest) for the contiguous committed prefix.
+    def _contiguous_head(self) -> int:
+        """Highest version v such that 0..v are ALL committed (-1 if none).
 
         Contiguity is the torn-read guard: version N is only readable once
         every version < N is readable, so a reader racing a writer sees a
         clean prefix of history, never a gap. (With link-based CAS gaps
         cannot occur; the check costs nothing and makes the invariant
-        explicit.)
+        explicit.) Costs one listdir of small names — no manifest reads.
         """
-        snap = []
+        head = -1
         for i, v in enumerate(self._versions()):
             if v != i:
                 break
-            snap.append((v, self.read_manifest(v)))
-        return snap
+            head = v
+        return head
 
-    def committed_batch_ids(self) -> set:
+    def snapshot(self, after: int = -1) -> list[tuple[int, dict]]:
+        """(version, manifest) for the contiguous committed prefix,
+        restricted to versions > ``after``. The default replays the whole
+        log; checkpoint-aware readers pass ``after=checkpoint_version`` so
+        only the post-checkpoint suffix is read — that is the entire point
+        of checkpointing: O(#commits since checkpoint) manifest reads, not
+        O(#commits ever)."""
+        head = self._contiguous_head()
+        return [
+            (v, self.read_manifest(v)) for v in range(after + 1, head + 1)
+        ]
+
+    # -- checkpoints (O(1) snapshot load, Delta's _last_checkpoint) -------
+    def write_checkpoint(self) -> int | None:
+        """Aggregate the replayed state at the current head into ONE file:
+        live (resolution_version, token) pairs, committed batch ids, and
+        column stats for live tokens. Readers then load the newest
+        checkpoint <= their as-of version and replay only the manifests
+        after it. The checkpoint is DERIVED data — any writer may (re)write
+        it, losing a filename race is harmless (same prefix -> same bytes),
+        and deleting it only costs speed, never correctness. Returns the
+        checkpointed version (None for an empty log). At 100 TB / millions
+        of commits this is what keeps snapshot construction flat; paired
+        with manifest retention (drop manifests older than the checkpoint
+        horizon minus the CDC retention window) the log never grows
+        unboundedly — retention is deliberately not automated here so
+        time-travel tests keep full history."""
+        head = self._contiguous_head()
+        if head < 0:
+            return None
+        # one bounded replay of the prefix <= head: a commit racing in at
+        # head+1 mid-checkpoint must not leak into a checkpoint STAMPED head
+        prefix = [(v, m) for v, m in self.snapshot() if v <= head]
+        adds: list[tuple[int, str]] = []
+        removed: set[str] = set()
+        batch_ids: set = set()
+        stats_by_token: dict[str, dict] = {}
+        for v, m in prefix:
+            av = m.get("add_versions") or {}
+            adds.extend((av.get(t, v), t) for t in m.get("adds", ()))
+            removed.update(m.get("removes", ()))
+            if m.get("batch_id") is not None:
+                batch_ids.add(m["batch_id"])
+            for t, s in (m.get("stats") or {}).items():
+                if s:
+                    stats_by_token[t] = s
+        live = [(v, t) for v, t in adds if t not in removed]
+        live_set = {t for _, t in live}
+        state = {
+            "version": head,
+            "live": [[v, t] for v, t in live],
+            "batch_ids": sorted(batch_ids, key=str),
+            "stats": {
+                t: s for t, s in stats_by_token.items() if t in live_set
+            },
+        }
+        path = os.path.join(self._checkpoints_dir, f"{head:012d}.json")
+        tmp = os.path.join(
+            self._checkpoints_dir, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # put-if-absent; a racing twin wrote the same
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        return head
+
+    def _latest_checkpoint(
+        self, as_of: int | None = None
+    ) -> tuple[int, dict] | None:
+        """Newest checkpoint at version <= ``as_of`` (or the newest at all).
+        A checkpoint NEWER than as_of is useless for that read — it has
+        already folded in commits the reader must not see."""
+        best = -1
+        for name in os.listdir(self._checkpoints_dir):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            try:
+                v = int(name[: -len(".json")])
+            except ValueError:
+                continue
+            if (as_of is None or v <= as_of) and v > best:
+                best = v
+        if best < 0:
+            return None
+        with open(
+            os.path.join(self._checkpoints_dir, f"{best:012d}.json")
+        ) as f:
+            return best, json.load(f)
+
+    def snapshot_load_cost(self, as_of: int | None = None) -> dict:
+        """Metadata-efficiency probe: which checkpoint a read at ``as_of``
+        would start from and how many manifests it still replays."""
+        ck = self._latest_checkpoint(as_of)
+        start = ck[0] if ck else -1
+        head = self._contiguous_head()
+        if as_of is not None:
+            head = min(head, as_of)
         return {
-            m.get("batch_id")
-            for _, m in self.snapshot()
-            if m.get("batch_id") is not None
+            "checkpoint_version": start,
+            "manifests_replayed": max(0, head - start),
         }
 
-    def live_tokens(self, as_of: int | None = None) -> list[tuple[int, str]]:
+    def committed_batch_ids(self) -> set:
+        ck = self._latest_checkpoint()
+        start = ck[0] if ck else -1
+        ids = set(ck[1].get("batch_ids", ())) if ck else set()
+        ids.update(
+            m.get("batch_id")
+            for _, m in self.snapshot(after=start)
+            if m.get("batch_id") is not None
+        )
+        ids.discard(None)
+        return ids
+
+    def live_tokens(
+        self, as_of: int | None = None, use_checkpoint: bool = True
+    ) -> list[tuple[int, str]]:
         """(add_version, token) pairs visible at ``as_of`` (default: latest):
         every token added by a commit <= as_of and not named in a later
         commit's ``removes`` <= as_of. Remove-actions are how compaction
         retires superseded deltas without rewriting history — the same
-        add/remove file-action model as Delta's log."""
-        adds: list[tuple[int, str]] = []
+        add/remove file-action model as Delta's log. Resolution starts from
+        the newest checkpoint <= as_of when one exists and replays only the
+        manifests after it; removes replayed after the checkpoint still
+        retire checkpoint-carried tokens (compaction-after-checkpoint)."""
+        ck = self._latest_checkpoint(as_of) if use_checkpoint else None
+        start = ck[0] if ck else -1
+        adds: list[tuple[int, str]] = (
+            [(int(v), t) for v, t in ck[1]["live"]] if ck else []
+        )
         removed: set[str] = set()
-        for v, m in self.snapshot():
+        for v, m in self.snapshot(after=start):
             if as_of is not None and v > as_of:
                 break
-            adds.extend((v, t) for t in m.get("adds", ()))
+            # add_versions: a commit may pin per-token RESOLUTION versions
+            # different from its own (clone_into uses negative ranks so a
+            # cloned history resolves below every future commit while
+            # preserving its internal per-key order)
+            av = m.get("add_versions") or {}
+            adds.extend((av.get(t, v), t) for t in m.get("adds", ()))
             removed.update(m.get("removes", ()))
         return [(v, t) for v, t in adds if t not in removed]
 
@@ -195,8 +330,9 @@ class CommitLog:
         ``col BETWEEN lo AND hi``: a file is skipped iff its manifest stats
         prove [min, max] cannot intersect [lo, hi]. Files without stats for
         ``col`` are conservatively kept."""
-        stats_by_token: dict[str, dict] = {}
-        for _, m in self.snapshot():
+        ck = self._latest_checkpoint(as_of)
+        stats_by_token: dict[str, dict] = dict(ck[1].get("stats", {})) if ck else {}
+        for _, m in self.snapshot(after=ck[0] if ck else -1):
             for t in m.get("adds", ()):
                 stats_by_token[t] = m.get("stats", {}).get(t, {})
         kept, skipped = [], 0
@@ -258,6 +394,7 @@ class CommitLog:
         read_version: int | None = None,
         key_ranges: dict | None = None,
         rearrange: bool = False,
+        add_versions: dict[str, int] | None = None,
     ) -> int | None:
         """Publish staged data dirs as the next version. Returns the version
         won, or None if ``batch_id`` was already committed (idempotent skip —
@@ -303,6 +440,7 @@ class CommitLog:
                 },
                 # this commit's key footprint, for same-key conflict checks
                 "key_ranges": key_ranges,
+                "add_versions": add_versions,
                 "ts": time.time(),
             }
             tmp = os.path.join(
@@ -314,6 +452,12 @@ class CommitLog:
                 os.fsync(f.fileno())  # durable BEFORE visible
             try:
                 os.link(tmp, self._manifest_path(next_v))  # atomic CAS
+                if (
+                    self.checkpoint_interval
+                    and (next_v + 1) % self.checkpoint_interval == 0
+                ):
+                    # winner pays the (derived, race-safe) checkpoint cost
+                    self.write_checkpoint()
                 return next_v
             except FileExistsError:
                 continue  # lost the race — re-read log, retry next version
@@ -399,6 +543,138 @@ class CommitLog:
             # applied at the log layer.
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def clone_into(self, dst_path: str) -> "CommitLog":
+        """SHALLOW CLONE (Delta CLONE semantics): a new table whose single
+        commit references the source's CURRENT live data via hard links —
+        zero bytes copied, O(live files) metadata. The two tables then
+        evolve independently: a write to either is invisible to the other,
+        and either side's vacuum only unlinks its own directory entries
+        (hard links keep the shared bytes alive for the other table).
+        Per-key resolution order survives the clone: the clone commit pins
+        each token's resolution version to ``rank - k`` (negative,
+        order-preserving), so cloned history resolves below any FUTURE
+        clone-side commit (version >= 1) while upserts inside the cloned
+        set still out-rank each other exactly as they did at the source.
+        (Time travel on the clone starts at the clone point — commit-by-
+        commit source history does not transfer, same as Delta.)"""
+        dst = CommitLog(dst_path)
+        live = self.live_tokens()  # already (resolution_version, token)
+        live.sort()
+        adds, add_versions = [], {}
+        for rank, (_, token) in enumerate(live):
+            sdir = os.path.join(self._data_dir, token)
+            ddir = dst.stage_dir(token)
+            os.makedirs(ddir, exist_ok=True)
+            for fname in os.listdir(sdir):
+                os.link(os.path.join(sdir, fname), os.path.join(ddir, fname))
+            adds.append(ddir)
+            add_versions[token] = rank - len(live)
+        dst.commit(adds, writer="clone", add_versions=add_versions)
+        return dst
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        replacement: DataFrame | None,
+        max_txn_retries: int = 8,
+    ) -> dict:
+        """Predicate-scoped atomic overwrite (Delta ``replaceWhere``): in ONE
+        commit, every live row with ``col BETWEEN lo AND hi`` is deleted and
+        ``replacement`` (which must satisfy the predicate — validated with a
+        zero-extra-job ``observe`` on the staging write) is inserted.
+        ``replacement=None`` is DELETE WHERE.
+
+        File-level plan: manifest stats split the live set — a file whose
+        [min, max] cannot intersect [lo, hi] is CARRIED FORWARD untouched
+        (never read, never rewritten, not even named in the commit); only
+        overlapping files are rewritten, each to a new token holding its
+        surviving out-of-range rows with ``add_versions`` pinning the
+        ORIGINAL resolution version, so cross-file per-key resolution is
+        bit-identical to before the rewrite. At 100 TB with key-clustered
+        files this touches O(files overlapping the predicate), not O(table)
+        — the same reason Delta's replaceWhere is the partition-overwrite
+        workhorse. The driver-side loop is over file TOKENS (metadata,
+        bounded by live-file count); each rewrite is a distributed job.
+
+        Concurrency: the commit declares footprint {col: [lo, hi]} against
+        its read snapshot — disjoint-range writers interleave freely, a
+        same-range race aborts and re-derives (ConcurrentKeyConflict loop,
+        as compact). Returns {"version", "rewritten", "carried"}.
+        """
+        from pyspark.sql import Observation
+
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        for _ in range(max_txn_retries):
+            read_version = self._contiguous_head()
+            ck = self._latest_checkpoint(read_version)
+            stats_by_token: dict[str, dict] = (
+                dict(ck[1].get("stats", {})) if ck else {}
+            )
+            for v, m in self.snapshot(after=ck[0] if ck else -1):
+                if v > read_version:
+                    break
+                for t, s in (m.get("stats") or {}).items():
+                    stats_by_token[t] = s
+            overlapping, carried = [], 0
+            for v, t in self.live_tokens(as_of=read_version):
+                mm = stats_by_token.get(t, {}).get(col)
+                if mm is not None and (mm[0] > hi or mm[1] < lo):
+                    carried += 1  # provably disjoint: not read, not rewritten
+                else:
+                    overlapping.append((v, t))
+            adds, removes, add_versions, staged_dirs = [], [], {}, []
+            for v, t in overlapping:
+                survivors = spark.read.parquet(
+                    os.path.join(self._data_dir, t)
+                ).filter(~pred)
+                staged = self.stage_dir()
+                survivors.write.mode("overwrite").parquet(staged)
+                staged_dirs.append(staged)
+                adds.append(staged)
+                add_versions[os.path.basename(staged)] = v
+                removes.append(t)
+            if replacement is not None:
+                obs = Observation()
+                staged = self.stage_dir()
+                replacement.observe(
+                    obs,
+                    F.sum(F.when(~pred, 1).otherwise(0)).alias("violations"),
+                    F.count(F.lit(1)).alias("n"),
+                ).write.mode("overwrite").parquet(staged)
+                staged_dirs.append(staged)
+                if (obs.get["violations"] or 0) > 0:
+                    for d in staged_dirs:
+                        shutil.rmtree(d, ignore_errors=True)
+                    raise ValueError(
+                        f"replaceWhere replacement violates {col} BETWEEN "
+                        f"{lo} AND {hi}: {obs.get['violations']} rows outside"
+                    )
+                adds.append(staged)  # resolves at commit version: wins range
+            try:
+                won = self.commit(
+                    adds,
+                    removes=removes,
+                    writer="replace_where",
+                    read_version=read_version,
+                    key_ranges={col: [lo, hi]},
+                    add_versions=add_versions or None,
+                )
+                return {
+                    "version": won,
+                    "rewritten": len(overlapping),
+                    "carried": carried,
+                }
+            except ConcurrentKeyConflict:
+                for d in staged_dirs:  # stale rewrite — re-derive
+                    shutil.rmtree(d, ignore_errors=True)
+                continue
+        raise CommitConflict(
+            f"replace_where conflicted {max_txn_retries} times at {self.path}"
+        )
 
     def compact(
         self, spark: SparkSession, key_cols: list[str], max_txn_retries: int = 8

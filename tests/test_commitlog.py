@@ -314,3 +314,150 @@ def test_two_table_sink_never_shows_torn_pair(spark, tmp_path):
     assert all(len(m.get("adds", ())) == 2 for _, m in log.snapshot())
     # vacuum sweeps the orphaned half safely
     assert len(log.vacuum()) == 1
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark, tmp_path):
+    import os
+
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    src = CommitLog(str(tmp_path / "src"))
+    s0 = _stage_rows(spark, src, [(1, 10), (2, 20)])
+    src.commit([s0], writer="base")
+    s1 = _stage_rows(spark, src, [(2, 21)])  # upsert: key 2 -> 21
+    src.commit([s1], writer="upsert")
+
+    clone = src.clone_into(str(tmp_path / "dst"))
+    # zero-copy: every cloned parquet file is a hard link (st_nlink == 2)
+    for _, token in clone.live_tokens():
+        d = os.path.join(clone._data_dir, token)
+        assert all(os.stat(os.path.join(d, f)).st_nlink == 2 for f in os.listdir(d))
+    # per-key resolution survived the clone: the upsert still wins
+    assert {(r.user_id, r.v) for r in clone.read_latest_per_key(spark, ["user_id"]).collect()} == {(1, 10), (2, 21)}
+
+    # fork isolation both ways
+    sc = _stage_rows(spark, clone, [(1, 99)])
+    clone.commit([sc], writer="clone_write")
+    assert {(r.user_id, r.v) for r in clone.read_latest_per_key(spark, ["user_id"]).collect()} == {(1, 99), (2, 21)}
+    assert {(r.user_id, r.v) for r in src.read_latest_per_key(spark, ["user_id"]).collect()} == {(1, 10), (2, 21)}
+
+    # vacuum on the source must not break the clone (hard links persist)
+    src_extra = _stage_rows(spark, src, [(3, 30)])  # staged, never committed
+    src.vacuum()
+    assert {(r.user_id, r.v) for r in clone.read_latest_per_key(spark, ["user_id"]).collect()} == {(1, 99), (2, 21)}
+
+
+def test_checkpoint_equivalence_cost_and_idempotence(spark, tmp_path):
+    """A checkpoint is a pure accelerator: identical live sets at every
+    as-of (including below the checkpoint, where it must be IGNORED),
+    compaction replayed after it still retires checkpoint-carried tokens,
+    and batch-id idempotence reads through it."""
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(5):
+        s = _stage_rows(spark, log, [(i % 3, 100 + i)])
+        log.commit([s], batch_id=i, writer="w")
+    assert log.write_checkpoint() == 4
+    assert log.snapshot_load_cost() == {
+        "checkpoint_version": 4,
+        "manifests_replayed": 0,
+    }
+
+    # post-checkpoint: one more upsert, then compaction (removes ALL prior
+    # tokens incl. checkpoint-carried ones)
+    s5 = _stage_rows(spark, log, [(2, 999)])
+    log.commit([s5], batch_id=5, writer="w")
+    assert log.compact(spark, ["user_id"]) is not None
+    assert log.snapshot_load_cost() == {
+        "checkpoint_version": 4,
+        "manifests_replayed": 2,
+    }
+
+    for as_of in (None, 0, 2, 4, 5, 6):
+        fast = sorted(log.live_tokens(as_of))
+        slow = sorted(log.live_tokens(as_of, use_checkpoint=False))
+        assert fast == slow, f"checkpoint fork at as_of={as_of}"
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {0: 103, 1: 104, 2: 999}
+
+    # below-checkpoint time travel ignores the checkpoint entirely
+    assert log.snapshot_load_cost(as_of=2) == {
+        "checkpoint_version": -1,
+        "manifests_replayed": 3,
+    }
+
+    # batch idempotence must read THROUGH the checkpoint (ids 0..4 live
+    # only in checkpointed history for a fast-path reader)
+    log2 = CommitLog(str(tmp_path / "t"))
+    dup = _stage_rows(spark, log2, [(0, -1)])
+    assert log2.commit([dup], batch_id=3) is None
+
+    # checkpoint is derived state: deleting it costs speed, not answers
+    import shutil
+
+    shutil.rmtree(log.path + "/_checkpoints")
+    log3 = CommitLog(str(tmp_path / "t"))
+    got3 = {
+        r["user_id"]: r["v"]
+        for r in log3.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got3 == got
+
+
+def test_checkpoint_auto_interval_and_stats_pruning(spark, tmp_path):
+    """checkpoint_interval auto-writes on every Nth commit; manifest-stats
+    file skipping keeps working when stats ride in from the checkpoint."""
+    log = CommitLog(str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(7):
+        s = _stage_rows(spark, log, [(i * 10, i)])
+        log.commit(
+            [s], writer="w", stats={s: log.stats_for(spark, s, ["user_id"])}
+        )
+    cks = sorted(os.listdir(os.path.join(str(tmp_path / "t"), "_checkpoints")))
+    assert cks == ["000000000002.json", "000000000005.json"]
+
+    # pruning from checkpoint-carried stats: only files overlapping
+    # user_id BETWEEN 0 AND 20 are kept (files hold 0,10,...,60)
+    kept, skipped = log.live_tokens_pruned("user_id", 0, 20)
+    assert len(kept) == 3 and skipped == 4
+    df, skipped2 = log.read_pruned(spark, "user_id", 0, 20)
+    assert skipped2 == 4
+    assert sorted(r["user_id"] for r in df.collect()) == [0, 10, 20]
+
+
+def test_replace_where_delete_only_pruning_and_guard(spark, tmp_path):
+    """DELETE WHERE leg: stats-disjoint files are untouched (same tokens
+    stay live), overlapping files are rewritten with their ORIGINAL
+    resolution version pinned, and the replacement-predicate guard
+    rejects out-of-range rows atomically (nothing committed)."""
+    log = CommitLog(str(tmp_path / "t"))
+    for lo in (0, 100):  # two key-clustered files with stats
+        s = _stage_rows(spark, log, [(lo + i, lo + i) for i in range(5)])
+        log.commit([s], stats={s: log.stats_for(spark, s, ["user_id"])})
+    s = _stage_rows(spark, log, [(2, 222)])  # upsert wave over file 1
+    log.commit([s], stats={s: log.stats_for(spark, s, ["user_id"])})
+
+    before_live = dict((t, v) for v, t in log.live_tokens())
+
+    # guard: replacement rows outside [0, 3] must abort the whole txn
+    bad = spark.createDataFrame([(50, 1)], "user_id bigint, v bigint")
+    with pytest.raises(ValueError):
+        log.replace_where(spark, "user_id", 0, 3, bad)
+    assert log._contiguous_head() == 2  # nothing committed
+
+    res = log.replace_where(spark, "user_id", 0, 3, None)  # pure delete
+    assert (res["rewritten"], res["carried"]) == (2, 1)
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {4: 4, **{100 + i: 100 + i for i in range(5)}}
+
+    # the disjoint file kept its token AND version; rewritten survivors
+    # are pinned at their originals (versions 0 and 2 still present)
+    after = dict((t, v) for v, t in log.live_tokens())
+    carried_tokens = set(before_live) & set(after)
+    assert len(carried_tokens) == 1
+    assert sorted(after.values()) == [0, 1, 2]
