@@ -27,6 +27,40 @@ _IDF_SCALE = 10_000
 _TOP_K = 10
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_hit, score_q) for the fixed term query — the
+    integer-quantized BM25 core shared by txt_bm25_topk and the RRF
+    fusion leg (algebra documented on txt_bm25_topk)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("a_tokens")
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    term_score = F.expr(
+        f"(((2 * (n_docs - df) + 1) * {_IDF_SCALE}) div (2 * df + 1))"
+        " * (22 * tf * a_tokens)"
+        " div (10 * a_tokens * tf + 3 * a_tokens + 9 * dl * n_docs)"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(term_score).cast("long").alias("score_q"),
+        )
+    )
+
+
 @query(
     "txt_bm25_topk",
     oracle=f"""
@@ -71,35 +105,9 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode's groupBy, so corpus size only enters through the scan. At
     trillion-token scale widen the BIGINTs to decimal(38,0); the floor
     algebra is unchanged."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", TOKENS().alias("toks")
-    )
-    dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("a_tokens")
-    )
-    tf = (
-        dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*_QUERY_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    term_score = F.expr(
-        f"(((2 * (n_docs - df) + 1) * {_IDF_SCALE}) div (2 * df + 1))"
-        " * (22 * tf * a_tokens)"
-        " div (10 * a_tokens * tf + 3 * a_tokens + 9 * dl * n_docs)"
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms_hit"),
-            F.sum(term_score).cast("long").alias("score_q"),
-        )
-    )
-    top = scored.orderBy(F.desc("score_q"), "doc_id").limit(_TOP_K)
+    top = _bm25_scored(spark, sf_dir).orderBy(
+        F.desc("score_q"), "doc_id"
+    ).limit(_TOP_K)
     rank = F.row_number().over(W.orderBy(F.desc("score_q"), "doc_id"))
     return top.select(
         rank.cast("long").alias("rank"), "doc_id", "n_terms_hit", "score_q"
@@ -353,4 +361,148 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("lw").cast("double").alias("importance"),
+    )
+
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+_LEG_K = 20
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl, {SQL_TOKENS} AS toks
+                FROM documents),
+         stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens
+                   FROM dl),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+                WHERE tok IN ({_SQL_TERMS})
+                GROUP BY doc_id, dl, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(sum(
+                    (((2 * (s.n_docs - f.df) + 1) * {_IDF_SCALE}) // (2 * f.df + 1))
+                    * (22 * t.tf * s.a_tokens)
+                    // (10 * s.a_tokens * t.tf + 3 * s.a_tokens + 9 * t.dl * s.n_docs)
+                  ) AS BIGINT) AS score_q
+           FROM tf t JOIN dfreq f USING (tok), stats s
+           GROUP BY t.doc_id),
+         lex AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank
+           FROM scored
+           QUALIFY lex_rank <= {_LEG_K}),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         vec AS (
+           SELECT e.vec_id AS doc_id,
+                  CAST(row_number() OVER (
+                    ORDER BY round(list_dot_product(e.v, q.qv)
+                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                      e.vec_id) AS BIGINT) AS vec_rank
+           FROM e, q
+           QUALIFY vec_rank <= {_LEG_K}),
+         fused AS (
+           SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                  COALESCE(l.lex_rank, 0) AS lex_rank,
+                  COALESCE(v.vec_rank, 0) AS vec_rank,
+                  COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_K} + v.vec_rank), 0) AS rrf_scaled
+           FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, lex_rank, vec_rank, rrf_scaled
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+    tags=("U2", "U5", "O2", "J6"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009,
+    public method; the standard lexical+vector fusion in RAG stacks):
+    BM25 top-20 over documents (the integer-quantized _bm25_scored core)
+    and cosine top-20 over embeddings (query = lowest-vec_id row,
+    doc_id==vec_id row correspondence) are fused by
+    score(d) = Σ_legs 1/(60 + rank_leg(d)), kept exact cross-engine as
+    BIGINT floor division {_RRF_SCALE}//(60+rank). Plan shape: each leg
+    is an independent TakeOrderedAndProject top-k (never a global sort);
+    the fusion is a full outer join of two ≤20-row lists — driver-light,
+    executor-cheap, and the legs scale independently (the vector leg
+    swaps to any vec_ann_* index without touching the fusion). Absent
+    legs rank as 0 with zero contribution — a doc found by ONE leg can
+    still beat a doc ranked low by both, which is the whole point of
+    RRF."""
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(_LEG_K)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_q"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("nrm") * F.col("qnrm"))
+    vec_top = (
+        e.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_LEG_K)
+    )
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), "doc_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    contrib = (
+        F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0))
+        + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + vec_rank)"), F.lit(0))
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0).cast("long")).alias("vec_rank"),
+            contrib.cast("long").alias("rrf_scaled"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf_scaled"), "doc_id").limit(10)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("rrf_scaled"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        "rrf_scaled",
     )

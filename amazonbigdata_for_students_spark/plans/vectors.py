@@ -1122,3 +1122,120 @@ def vec_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") == F.col("rk_dot")).alias("mips_rank_preserved"),
         )
     )
+
+
+_SEM_K = 8
+_SEM_TAU = 0.30
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_SEM_K}),
+         assign AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_dot_product(e.v, c.cv)
+                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid) AS rn
+           FROM e, c),
+         cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT a.cid, a.vec_id
+           FROM cell a JOIN cell b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id
+           WHERE round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 >= {_SEM_TAU})
+    SELECT cell.cid,
+           count(*) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(d.vec_id), 0) AS BIGINT) AS drop_checksum
+    FROM cell LEFT JOIN dropped d
+      ON cell.cid = d.cid AND cell.vec_id = d.vec_id
+    GROUP BY cell.cid
+    """,
+    tags=("U5", "U6"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster the embedding space coarsely, then search for
+    near-duplicates ONLY within each cluster — the clustering turns the
+    O(N²) all-pairs problem into Σ O(|cluster|²) with the shuffle keyed
+    on cluster id. Here the coarse quantizer is the deterministic
+    {_SEM_K}-seed cosine assignment (identical idiom to vec_ann_ivf_topk,
+    so the whole pipeline is SQL-expressible and exactly oracled; a
+    k-means quantizer plugs into the same seam). Within a cluster, a
+    vector is DROPPED iff a lower-vec_id member sits at cosine >= tau
+    ({_SEM_TAU}) — the deterministic keep-one rule (the paper keeps a
+    random representative per epsilon-group; lowest-id is the
+    hash-checkable variant). Output is the per-cluster census: members,
+    drops, and a drop-id checksum so a single misclassified drop flips
+    the hash.
+
+    100 TB design: K scales with N (K ≈ N/target_cluster_size) so
+    |cluster| stays bounded and the within-cluster pairwise join is
+    bounded work per shuffle partition; megaclusters get the salted
+    re-blocking treatment (join_fuzzy_blocked's hierarchy). The paper's
+    centroid-distance shortcut (rank members by distance-to-centroid,
+    compare only adjacent ranks) drops the within-cluster cost to
+    O(|cluster| log |cluster|) at a measured recall cost — same seam,
+    selectable, not default."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    c = e.orderBy("vec_id").limit(_SEM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).desc(),
+            F.col("cid"),
+        )
+    )
+    cell = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    pair_sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(pair_sim >= _SEM_TAU)
+        .select(F.col("a.cid").alias("cid"), F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1).cast("long"))
+    )
+    return (
+        cell.select("cid", "vec_id")
+        .join(dropped, ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNotNull(), F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("drop_checksum"),
+        )
+    )
