@@ -1913,3 +1913,107 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("volume"),
     )
+
+
+_ITP_SCALE = 1_000_000
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+             count(*) AS n
+      FROM {EVENTS} e GROUP BY 1, 2),
+    span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM cells GROUP BY 1),
+    grid AS (SELECT s.event_type, g.h
+             FROM span s, unnest(generate_series(s.lo, s.hi)) AS g(h)),
+    j AS (SELECT g.event_type, g.h, c.n
+          FROM grid g LEFT JOIN cells c USING (event_type, h)),
+    w AS (SELECT event_type, h, n,
+      last_value(n IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn,
+      last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+      first_value(n IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nn,
+      first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+      FROM j)
+    SELECT event_type, h,
+           CASE WHEN n IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind,
+           CAST(CASE WHEN n IS NOT NULL THEN n * {_ITP_SCALE}
+                ELSE pn * {_ITP_SCALE}
+                     + (((nn - pn) * {_ITP_SCALE} * (h - ph)) // (nh - ph))
+                END AS BIGINT) AS n_scaled
+    FROM w
+    """,
+    tags=("F1", "W3", "J6"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps — gapfill's sibling for
+    metrics where zero-filling is WRONG (a sensor that didn't report is
+    not a sensor that read zero). Per event type: hourly counts on an
+    epoch-hour grid; interior gap cells get
+    prev + (next-prev)·(h-prev_h)/(next_h-prev_h), kept exact
+    cross-engine by scaling to BIGINT and floor-dividing (both engines
+    truncate toward zero — verified). Neighbor discovery is two
+    IGNORE NULLS window frames (last non-null before / first non-null
+    after) over the type partition — one shuffle on event_type, no
+    self-join, no per-gap probing. Every gap is interior by construction
+    (the grid spans each type's own [min, max]), so the arithmetic is
+    total. At scale the window partitions by series key — millions of
+    independent series parallelize; a single monster series falls back
+    to the range-bucketed variant (win_rolling_revenue_7d's pattern)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    span = cells.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select("event_type", F.explode(F.sequence("lo", "hi")).alias("h"))
+    j = grid.join(cells, ["event_type", "h"], "left")
+    wprev = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wnext = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    marked_h = F.when(F.col("n").isNotNull(), F.col("h"))
+    w = (
+        j.withColumn("pn", F.last("n", ignorenulls=True).over(wprev))
+        .withColumn("ph", F.last(marked_h, ignorenulls=True).over(wprev))
+        .withColumn("nn", F.first("n", ignorenulls=True).over(wnext))
+        .withColumn("nh", F.first(marked_h, ignorenulls=True).over(wnext))
+    )
+    interp = F.expr(
+        f"pn * {_ITP_SCALE} + (((nn - pn) * {_ITP_SCALE} * (h - ph)) div (nh - ph))"
+    )
+    return w.select(
+        "event_type",
+        "h",
+        F.when(F.col("n").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
+        F.when(F.col("n").isNotNull(), F.col("n") * _ITP_SCALE)
+        .otherwise(interp)
+        .cast("long")
+        .alias("n_scaled"),
+    )

@@ -405,3 +405,143 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH gmax AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
+    agg AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE), g.maxd) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(38,2))) AS mon
+      FROM orders, gmax g
+      GROUP BY o_custkey, g.maxd),
+    scored AS (
+      SELECT custkey, recency_days, frequency,
+             CAST(mon AS DOUBLE) AS monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY mon DESC, custkey) AS BIGINT) AS m_score
+      FROM agg)
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+    FROM scored
+    """,
+    tags=("A3", "W4", "F1"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    operator: recency (days since last order, measured against the
+    corpus max date so the result is time-travel stable), frequency
+    (order count), monetary (decimal-exact revenue sum), each cut into
+    ntile(5) quintiles with a custkey tie-break so bucket boundaries
+    are deterministic in both engines; segment = RFM digit code
+    (1=best R by construction here). One shuffle: the per-customer
+    aggregate; the three quintile windows are unpartitioned rank scans
+    over the CUSTOMER-sized aggregate (dimension-sized, not fact-
+    sized) — at 100 TB the fact scan reduces first, and if even the
+    customer aggregate outgrows one reducer the ntile swaps for a
+    percentile-bucket join (filter_by_quantile's pattern) with the
+    same output contract. Monetary ranks on the exact decimal, not
+    the double, so distributed sum order can't flip a boundary."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    glob = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    agg = (
+        o.crossJoin(F.broadcast(glob))
+        .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+        .agg(
+            F.datediff(F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("mon"),
+        )
+        .drop("maxd")
+    )
+    r_score = F.ntile(5).over(W.orderBy(F.asc("recency_days"), "custkey"))
+    f_score = F.ntile(5).over(W.orderBy(F.desc("frequency"), "custkey"))
+    m_score = F.ntile(5).over(W.orderBy(F.desc("mon"), "custkey"))
+    scored = agg.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("mon").cast("double").alias("monetary"),
+        r_score.cast("long").alias("r_score"),
+        f_score.cast("long").alias("f_score"),
+        m_score.cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+_BASKET_TOP = 20
+
+
+@query(
+    "basket_copurchase_pairs",
+    oracle=f"""
+    WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+      FROM dp a JOIN dp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank,
+           part_a, part_b, n_orders
+    FROM pairs
+    QUALIFY rank <= {_BASKET_TOP}
+    """,
+    tags=("J7", "A1", "O2"),
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining — the frequent-pair core of
+    association-rule analysis: parts appearing in the same order,
+    counted across orders, top-{_BASKET_TOP}. The pair generation is a
+    self-equi-join on the ORDER key of the per-order distinct part set,
+    so the blow-up is bounded by basket size squared (max basket here
+    is 13 parts -> <=78 pairs per order), never corpus-sized; the pair
+    count shuffles on (part_a, part_b) with map-side combine, and the
+    top-k is TakeOrderedAndProject. At 100 TB the one hazard is a
+    mega-basket (a B2B order with 10^4 parts -> 10^8 pairs): cap or
+    salt baskets above a size threshold before pairing — the same
+    bound-the-block rule every pairwise stage in this repo follows
+    (dedup_jaccard_prefix's DF cap, geo_radius_join_salted's hot
+    cells)."""
+    from pyspark.sql import Window as W
+
+    dp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = dp.alias("a")
+    b = dp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(_BASKET_TOP)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("n_orders"), "part_a", "part_b"))
+        .cast("long")
+        .alias("rank"),
+        "part_a",
+        "part_b",
+        "n_orders",
+    )
