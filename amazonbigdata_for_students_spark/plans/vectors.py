@@ -1125,6 +1125,7 @@ def vec_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_K = 8
+_SEM_TARGET = 256  # target cluster size: K = max(_SEM_K, N // _SEM_TARGET)
 _SEM_TAU = 0.30
 
 
@@ -1133,7 +1134,8 @@ _SEM_TAU = 0.30
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_SEM_K}),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+               LIMIT greatest({_SEM_K}, (SELECT count(*) FROM e) // {_SEM_TARGET})),
          assign AS (
            SELECT e.vec_id, e.v, c.cid,
                   row_number() OVER (
@@ -1166,7 +1168,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates ONLY within each cluster — the clustering turns the
     O(N²) all-pairs problem into Σ O(|cluster|²) with the shuffle keyed
     on cluster id. Here the coarse quantizer is the deterministic
-    {_SEM_K}-seed cosine assignment (identical idiom to vec_ann_ivf_topk,
+    max({_SEM_K}, N/{_SEM_TARGET})-seed cosine assignment — K grows
+    with the corpus so cluster size (and the quadratic) stays pinned at
+    ~{_SEM_TARGET} members (identical idiom to vec_ann_ivf_topk,
     so the whole pipeline is SQL-expressible and exactly oracled; a
     k-means quantizer plugs into the same seam). Within a cluster, a
     vector is DROPPED iff a lower-vec_id member sits at cosine >= tau
@@ -1189,7 +1193,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    c = e.orderBy("vec_id").limit(_SEM_K).select(
+    # K scales with N so |cluster| stays ~_SEM_TARGET and the within-
+    # cluster quadratic is bounded work per partition; the count is one
+    # bounded driver scalar (the same seam replace_where uses)
+    k = max(_SEM_K, e.count() // _SEM_TARGET)
+    c = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),

@@ -123,3 +123,71 @@ def test_ares_key_is_monotone_in_weight(u, w_small, w_big):
     k_small = round(uu ** (1.0 / w_small), 9)
     k_big = round(uu ** (1.0 / w_big), 9)
     assert k_big >= k_small
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["add", "add_pinned", "remove", "checkpoint"]),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    batch_every=st.integers(min_value=0, max_value=3),
+)
+def test_checkpoint_fastpath_equals_full_replay(ops, batch_every):
+    """Checkpoint algebra: for ANY interleaving of adds, removes,
+    version-pinned adds (clone semantics), and checkpoints, the
+    checkpoint fast path must produce the SAME live set as full log
+    replay at EVERY as-of version — including as-of values below,
+    at, and above each checkpoint — and committed_batch_ids must read
+    through checkpoints. The manifests are metadata-only here (tokens
+    never get data dirs), which is exactly the layer checkpointing
+    rewrites."""
+    import tempfile
+
+    from amazonbigdata_for_students_spark.sources.commitlog import CommitLog
+
+    with tempfile.TemporaryDirectory() as d:
+        log = CommitLog(d)
+        counter = 0
+        all_tokens: list[str] = []
+        n_commits = 0
+        for kind, arg in ops:
+            if kind == "checkpoint":
+                ck = log.write_checkpoint()
+                assert (ck is None) == (n_commits == 0)
+                continue
+            if kind == "remove":
+                if not all_tokens:
+                    continue
+                victims = all_tokens[arg % len(all_tokens) :][:2]
+                log.commit([], removes=victims)
+                n_commits += 1
+                continue
+            toks = [f"t{counter + i}" for i in range(1 + arg % 3)]
+            counter += len(toks)
+            all_tokens.extend(toks)
+            av = None
+            if kind == "add_pinned":
+                av = {t: -(i + 1) for i, t in enumerate(toks)}
+            bid = n_commits if batch_every and n_commits % batch_every == 0 else None
+            log.commit(toks, add_versions=av, batch_id=bid)
+            n_commits += 1
+
+        head = log._contiguous_head()
+        for as_of in [None, *range(head + 1)]:
+            fast = sorted(log.live_tokens(as_of))
+            slow = sorted(log.live_tokens(as_of, use_checkpoint=False))
+            assert fast == slow, f"fork at as_of={as_of}"
+
+        # batch ids must survive checkpoint folding for a fresh reader
+        fresh = CommitLog(d)
+        expect = {
+            m["batch_id"]
+            for _, m in log.snapshot()
+            if m.get("batch_id") is not None
+        }
+        assert fresh.committed_batch_ids() == expect
