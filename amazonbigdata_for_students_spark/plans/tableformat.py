@@ -1195,3 +1195,94 @@ def acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(res["rewritten"])).alias("total_bal"),
     )
     return final.unionByName(files_row)
+
+
+_BAL_V2_PLUS9 = (
+    "CASE WHEN c_custkey % 3 = 0 THEN (" + _BAL_V2 + ") + 9 ELSE " + _BAL_V2 + " END"
+)
+
+
+@query(
+    "acid_log_retention",
+    oracle=f"""
+    SELECT 'latest' AS probe, count(*) AS n_rows,
+           {_dsum(_BAL_V2_PLUS9)} AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 'as_of_checkpoint', count(*), {_dsum(_BAL_V2)}
+    FROM customer
+    UNION ALL
+    SELECT 'below_horizon_refused', CAST(1 AS BIGINT), 0.0
+    UNION ALL
+    SELECT 'metadata', CAST(3 AS BIGINT), 4.0
+    """,
+    tags=("S6", "S9"),
+)
+def acid_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log + data retention — what keeps a long-lived table O(retention
+    window) instead of O(table age) (sources/commitlog.py:vacuum,
+    prune_manifests). Fixture: the three-commit balance evolution, then
+    OPTIMIZE (v3 rewrites the live set, retiring the three deltas),
+    checkpoint at 3, a '+9 on %3 keys' wave at v4 — then retention:
+    ``vacuum(retention_as_of=3)`` sweeps exactly the 3 tokens whose
+    remove-action is at/below the horizon, and ``prune_manifests(4)``
+    deletes manifests 0-3 (legal only because the checkpoint folded
+    them). The probes pin all four contracts: 'latest' (full current
+    state, exact decimal checksum), 'as_of_checkpoint' (time travel TO
+    the horizon still exact, served from the checkpoint + zero pruned
+    manifests), 'below_horizon_refused' (time travel BELOW the horizon
+    raises ManifestsPruned — loud refusal, never a silent partial
+    replay), and 'metadata' (swept=3 / pruned=4 — the retention actually
+    happened; a vacuum that over- or under-sweeps flips this row)."""
+    log = _build_three_commits(spark, sf_dir, "log_retention")
+    log.compact(spark, ["c_custkey"])  # v3: rearrange, removes the 3 deltas
+    if log.write_checkpoint() != 3:
+        raise RuntimeError("fixture drift: expected checkpoint at 3")
+    delta = (
+        log.read_latest_per_key(spark, ["c_custkey"])
+        .filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("bal", F.round(F.col("bal") + 9, 2))
+    )
+    staged = log.stage_dir()
+    delta.write.mode("overwrite").parquet(staged)
+    log.commit([staged], writer="wave9")  # v4
+
+    swept = len(log.vacuum(retention_as_of=3))
+    pruned = len(log.prune_manifests(keep_from=4))
+
+    def audit(probe: str, as_of: int | None = None) -> DataFrame:
+        return (
+            log.read_latest_per_key(spark, ["c_custkey"], as_of=as_of)
+            .agg(
+                F.lit(probe).alias("probe"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .select("probe", "n_rows", "total_bal")
+        )
+
+    from ..sources.commitlog import ManifestsPruned
+
+    try:
+        log.read_latest_per_key(spark, ["c_custkey"], as_of=2)
+        refused = 0
+    except ManifestsPruned:
+        refused = 1
+    meta = spark.range(1).select(
+        F.lit("below_horizon_refused").alias("probe"),
+        F.lit(refused).cast("long").alias("n_rows"),
+        F.lit(0.0).alias("total_bal"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("metadata").alias("probe"),
+            F.lit(swept).cast("long").alias("n_rows"),
+            F.lit(float(pruned)).alias("total_bal"),
+        )
+    )
+    return (
+        audit("latest")
+        .unionByName(audit("as_of_checkpoint", as_of=3))
+        .unionByName(meta)
+    )

@@ -59,6 +59,13 @@ class CommitConflict(RuntimeError):
     """Raised when a writer exhausts its optimistic-retry budget."""
 
 
+class ManifestsPruned(RuntimeError):
+    """Raised when a read needs manifests below the log-retention horizon
+    (pruned by ``prune_manifests``): time travel / CDC / full replay into
+    the pruned prefix is refused loudly, never silently replayed over a
+    hole."""
+
+
 class ConcurrentKeyConflict(RuntimeError):
     """Raised when a commit that declared its key footprint discovers a
     commit by ANOTHER writer, newer than its read snapshot, whose footprint
@@ -122,7 +129,11 @@ class CommitLog:
             return json.load(f)
 
     def _contiguous_head(self) -> int:
-        """Highest version v such that 0..v are ALL committed (-1 if none).
+        """Highest readable version (-1 if none): every version from the
+        replay base up to it is committed. The base is 0 for an unpruned
+        log; after ``prune_manifests`` the base is the newest checkpoint
+        (whose existence pruning requires), so a retained suffix
+        [keep_from, head] stays fully readable.
 
         Contiguity is the torn-read guard: version N is only readable once
         every version < N is readable, so a reader racing a writer sees a
@@ -130,12 +141,25 @@ class CommitLog:
         cannot occur; the check costs nothing and makes the invariant
         explicit.) Costs one listdir of small names — no manifest reads.
         """
-        head = -1
-        for i, v in enumerate(self._versions()):
-            if v != i:
+        versions = self._versions()
+        base = 0
+        ck_v = -1
+        if not versions or versions[0] != 0:
+            # pruned prefix (or checkpoint-only log): anchor on the
+            # newest checkpoint, which prune_manifests guarantees exists
+            ck = self._latest_checkpoint()
+            ck_v = ck[0] if ck else -1
+            if not versions:
+                return ck_v
+            if versions[0] > ck_v + 1:
+                return ck_v  # a gap no checkpoint covers: suffix unreadable
+            base = versions[0]
+        head = base - 1
+        for i, v in enumerate(versions):
+            if v != base + i:
                 break
             head = v
-        return head
+        return max(head, ck_v)
 
     def snapshot(self, after: int = -1) -> list[tuple[int, dict]]:
         """(version, manifest) for the contiguous committed prefix,
@@ -143,11 +167,19 @@ class CommitLog:
         log; checkpoint-aware readers pass ``after=checkpoint_version`` so
         only the post-checkpoint suffix is read — that is the entire point
         of checkpointing: O(#commits since checkpoint) manifest reads, not
-        O(#commits ever)."""
+        O(#commits ever). Raises ManifestsPruned if the requested range
+        reaches below the log-retention horizon."""
         head = self._contiguous_head()
-        return [
-            (v, self.read_manifest(v)) for v in range(after + 1, head + 1)
-        ]
+        have = set(self._versions())
+        out = []
+        for v in range(after + 1, head + 1):
+            if v not in have:
+                raise ManifestsPruned(
+                    f"manifest {v} pruned by log retention at {self.path}; "
+                    f"reads below the retention horizon are unavailable"
+                )
+            out.append((v, self.read_manifest(v)))
+        return out
 
     # -- checkpoints (O(1) snapshot load, Delta's _last_checkpoint) -------
     def write_checkpoint(self) -> int | None:
@@ -167,13 +199,24 @@ class CommitLog:
         head = self._contiguous_head()
         if head < 0:
             return None
-        # one bounded replay of the prefix <= head: a commit racing in at
-        # head+1 mid-checkpoint must not leak into a checkpoint STAMPED head
-        prefix = [(v, m) for v, m in self.snapshot() if v <= head]
+        # bounded replay of (base, head]: starts from the previous
+        # checkpoint when one exists (mandatory once manifests below it
+        # are pruned); a commit racing in at head+1 mid-checkpoint must
+        # not leak into a checkpoint STAMPED head
+        base = self._latest_checkpoint()
         adds: list[tuple[int, str]] = []
         removed: set[str] = set()
         batch_ids: set = set()
         stats_by_token: dict[str, dict] = {}
+        start = -1
+        if base is not None:
+            start, state = base
+            adds = [(int(v), t) for v, t in state["live"]]
+            batch_ids = set(state.get("batch_ids", ()))
+            stats_by_token = dict(state.get("stats", {}))
+        prefix = [
+            (v, m) for v, m in self.snapshot(after=start) if v <= head
+        ]
         for v, m in prefix:
             av = m.get("add_versions") or {}
             adds.extend((av.get(t, v), t) for t in m.get("adds", ()))
@@ -286,20 +329,67 @@ class CommitLog:
             removed.update(m.get("removes", ()))
         return [(v, t) for v, t in adds if t not in removed]
 
-    def vacuum(self) -> list[str]:
-        """Delete data directories no live OR historical manifest needs:
-        staged-but-never-committed dirs (crashed writers) and dirs retired
-        by a remove-action. Returns the removed tokens. (A production
-        vacuum applies a retention window so as-of reads older than the
-        horizon keep working and in-flight writers are not swept; this
-        dev-harness version uses retention zero for determinism.)"""
-        live = {t for _, t in self.live_tokens()}
+    def vacuum(self, retention_as_of: int | None = None) -> list[str]:
+        """Delete data directories no retained snapshot needs. Default
+        (retention zero): keep only the CURRENT live set — staged-but-
+        never-committed dirs (crashed writers) and dirs retired by a
+        remove-action are swept. With ``retention_as_of=h``, every
+        snapshot at version >= h stays readable: a token whose live
+        interval [add_version, remove_version) intersects [h, head] is
+        kept — i.e. tokens are swept only once their remove-action is at
+        or below the horizon. That is Delta's retention window expressed
+        in versions instead of wall-clock (deterministic for tests; a
+        production deployment maps its retention duration to the oldest
+        version inside it via manifest timestamps). Returns the swept
+        tokens."""
+        keep: set[str] = set()
+        removed_at: dict[str, int] = {}
+        try:
+            manifests = self.snapshot()
+        except ManifestsPruned:
+            # log retention already bounded history: everything below the
+            # checkpoint is unreadable, so its non-live tokens are sweepable
+            # regardless of the horizon
+            ck = self._latest_checkpoint()
+            keep = {t for _, t in ck[1]["live"]}
+            manifests = self.snapshot(after=ck[0])
+        for v, m in manifests:
+            keep.update(m.get("adds", ()))
+            for t in m.get("removes", ()):
+                removed_at[t] = v
+        for t, rv in removed_at.items():
+            if retention_as_of is None or rv <= retention_as_of:
+                keep.discard(t)
         swept = []
         for token in sorted(os.listdir(self._data_dir)):
-            if token not in live:
+            if token not in keep:
                 shutil.rmtree(os.path.join(self._data_dir, token))
                 swept.append(token)
         return swept
+
+    def prune_manifests(self, keep_from: int) -> list[int]:
+        """Log retention: delete manifest files for versions < ``keep_from``
+        once a checkpoint at version >= keep_from - 1 has folded their
+        state (refused otherwise — pruning below the newest checkpoint
+        would orphan every reader). After pruning, snapshot loads and
+        reads at as-of >= the checkpoint work exactly as before (they
+        never touch the pruned prefix); time travel and CDC BELOW
+        ``keep_from`` raise a clean error instead of silently replaying a
+        hole — retention bounds history, it must never corrupt it. This
+        plus ``write_checkpoint`` is what keeps a long-lived table's log
+        O(retention window), not O(table age). Returns pruned versions."""
+        ck = self._latest_checkpoint()
+        if ck is None or ck[0] < keep_from - 1:
+            raise ValueError(
+                f"cannot prune manifests below {keep_from}: newest "
+                f"checkpoint is {ck[0] if ck else None}; checkpoint first"
+            )
+        pruned = []
+        for v in self._versions():
+            if v < keep_from:
+                os.unlink(self._manifest_path(v))
+                pruned.append(v)
+        return pruned
 
     # -- commit (optimistic CAS) ------------------------------------------
     def stats_for(self, spark: SparkSession, staged: str, cols: list[str]) -> dict:
@@ -422,8 +512,10 @@ class CommitLog:
                 return None
             if read_version is not None:
                 self.check_conflicts(read_version, key_ranges)
-            versions = self._versions()
-            next_v = versions[-1] + 1 if versions else 0
+            # head-based, not listdir-max: on a retention-pruned log the
+            # next version continues AFTER the checkpoint, never back-fills
+            # the pruned prefix
+            next_v = self._contiguous_head() + 1
             manifest = {
                 "version": next_v,
                 "adds": tokens,
@@ -524,8 +616,10 @@ class CommitLog:
         Remove-actions are metadata-only (compaction), so adds are the
         complete change stream for an upsert table."""
         parts = []
-        for v, m in self.snapshot():
-            if v <= since or (until is not None and v > until):
+        # replay only (since, head] — CDC below a pruned horizon raises
+        # ManifestsPruned instead of silently emitting a partial stream
+        for v, m in self.snapshot(after=since):
+            if until is not None and v > until:
                 continue
             for token in m.get("adds", ()):
                 parts.append(
@@ -696,10 +790,9 @@ class CommitLog:
         silently vanished update. Same abort-and-retry loop as
         Delta/Iceberg's OPTIMIZE."""
         for _ in range(max_txn_retries):
-            snap = self.snapshot()
-            if not snap:
+            read_version = self._contiguous_head()
+            if read_version < 0:
                 return None
-            read_version = snap[-1][0]
             live = self.live_tokens(as_of=read_version)
             merged = self.read_latest_per_key(spark, key_cols, as_of=read_version)
             if merged is None:

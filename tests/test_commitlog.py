@@ -461,3 +461,66 @@ def test_replace_where_delete_only_pruning_and_guard(spark, tmp_path):
     carried_tokens = set(before_live) & set(after)
     assert len(carried_tokens) == 1
     assert sorted(after.values()) == [0, 1, 2]
+
+
+def test_log_retention_vacuum_window_and_manifest_pruning(spark, tmp_path):
+    """Retention story end-to-end: versioned vacuum keeps every snapshot
+    at/above the horizon readable; prune_manifests bounds the log to
+    O(retention) with reads below the horizon refused LOUDLY; commits,
+    checkpoints, and vacuum all keep working on the pruned log."""
+    from amazonbigdata_for_students_spark.sources.commitlog import (
+        ManifestsPruned,
+    )
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10), (2, 20)])
+    log.commit([s0])
+    s1 = _stage_rows(spark, log, [(2, 21)])
+    log.commit([s1])
+    assert log.compact(spark, ["user_id"]) == 2  # removes s0, s1
+
+    # horizon 1: the compaction's removes (v2) are ABOVE it -> keep both,
+    # and the as-of-1 snapshot still reads exactly
+    assert log.vacuum(retention_as_of=1) == []
+    got1 = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"], as_of=1).collect()
+    }
+    assert got1 == {1: 10, 2: 21}
+
+    # horizon 2: removes now inside the window -> swept
+    assert len(log.vacuum(retention_as_of=2)) == 2
+
+    assert log.write_checkpoint() == 2
+    s3 = _stage_rows(spark, log, [(3, 30)])
+    log.commit([s3])
+
+    # prune below keep_from=3 (checkpoint at 2 covers it); refuse beyond
+    with pytest.raises(ValueError):
+        log.prune_manifests(keep_from=10)
+    assert log.prune_manifests(keep_from=3) == [0, 1, 2]
+
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30}
+    # at-the-checkpoint time travel still works; below it raises loudly
+    assert log.read_latest_per_key(spark, ["user_id"], as_of=2) is not None
+    with pytest.raises(ManifestsPruned):
+        log.read_latest_per_key(spark, ["user_id"], as_of=1)
+    assert log.read_changes(spark, since=2) is not None
+    with pytest.raises(ManifestsPruned):
+        log.read_changes(spark, since=0)
+
+    # the pruned log still commits (version continues after the head,
+    # never back-fills), checkpoints, and vacuums
+    s4 = _stage_rows(spark, log, [(4, 40)])
+    assert log.commit([s4]) == 4
+    assert log.write_checkpoint() == 4
+    assert log.vacuum() == []
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30, 4: 40}
