@@ -203,8 +203,22 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.size(TOKENS()).alias("n_tokens"))
-        .repartitionByRange(8, "doc_id")
-        .withColumn("_part", F.spark_partition_id())
+    )
+    return token_budget_shards(d, _SHARD_BUDGET).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
+def token_budget_shards(
+    d: DataFrame, budget: int, parts: int = 8
+) -> DataFrame:
+    """Distributed two-pass exclusive-prefix-sum sharding (the body
+    shard_by_token_budget documents; shared with the corpus pipeline):
+    shard = floor(prefix_sum(n_tokens in doc_id order) / budget) without
+    a global window. Input needs (doc_id, n_tokens, *extra); adds
+    ``shard``."""
+    d = d.repartitionByRange(parts, "doc_id").withColumn(
+        "_part", F.spark_partition_id()
     )
     # pass 1: per-partition subtotal -> exclusive offset per partition.
     # The offsets frame is #partitions rows — broadcast-sized at ANY data
@@ -219,11 +233,8 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(F.broadcast(offsets), "_part")
         .withColumn("_run", F.coalesce(F.sum("n_tokens").over(w_run), F.lit(0)))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor((F.col("_run") + F.col("offset")) / _SHARD_BUDGET).alias("shard"),
-        )
+        .withColumn("shard", F.floor((F.col("_run") + F.col("offset")) / budget))
+        .drop("_part", "_run", "offset", "sub")
     )
 
 
@@ -1189,4 +1200,105 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.col("draw_key").desc(), "doc_id"))
         .alias("rank"),
+    )
+
+
+@query(
+    "corpus_build_pipeline_v4",
+    oracle="""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    e AS (
+      SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings em JOIN canon c ON em.vec_id = c.doc_id
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+      LIMIT greatest(8, (SELECT count(*) FROM e) // 256)
+    ),
+    assign AS (
+      SELECT e.vec_id, e.v, s.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, s.cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))), 6) DESC,
+                 s.cid) AS rn
+      FROM e, seeds s
+    ),
+    cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+    ),
+    kept AS (
+      SELECT c.doc_id FROM canon c LEFT JOIN dropped d ON c.doc_id = d.vec_id
+      WHERE d.vec_id IS NULL
+    ),
+    t AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents d JOIN kept k USING (doc_id)
+    ),
+    sharded AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 4000) AS BIGINT) AS shard
+      FROM t
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+    FROM sharded
+    GROUP BY shard
+    """,
+    tags=("U5", "U6", "U2", "W3", "A7"),
+)
+def corpus_build_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build composed from the ROUND-6 stages: exact dedup →
+    SEMANTIC dedup (SemDeDup cosine clusters over the survivors'
+    embeddings, vectors.semantic_cells_drops — K scales with the
+    survivor count, so the within-cluster quadratic stays ~256-member
+    blocks) → token-budget sharding via the distributed two-pass prefix
+    sum (token_budget_shards, no global window) → per-shard document /
+    token / target-language accounting. Documents without an embedding
+    row pass the semantic stage untouched (the drop set only ever names
+    vectors it scored), so the text leg never loses data to a missing
+    modality — the multimodal-join discipline every mixed pipeline
+    needs. The oracle chains the identical stages in SQL with the
+    single-window prefix sum spelled literally."""
+    from .text import _NORM, TOKENS
+    from .vectors import _as_double, _dot, semantic_cells_drops
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(canon, F.col("vec_id") == F.col("doc_id"), "left_semi")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    _, dropped = semantic_cells_drops(e)
+    kept = canon.join(
+        dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    t = d.join(kept, "doc_id", "left_semi").select(
+        "doc_id", "lang", F.size(TOKENS()).alias("n_tokens")
+    )
+    sharded = token_budget_shards(t, _SHARD_BUDGET)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
     )

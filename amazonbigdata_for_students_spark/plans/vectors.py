@@ -1126,6 +1126,53 @@ def vec_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_K = 8
 _SEM_TARGET = 256  # target cluster size: K = max(_SEM_K, N // _SEM_TARGET)
+
+
+def semantic_cells_drops(e: DataFrame, tau: float = 0.30):
+    """SemDeDup core shared by dedup_semantic_clusters and the corpus
+    pipeline: coarse cosine-seed clustering (K = max(_SEM_K,
+    N/_SEM_TARGET), one bounded driver scalar for the count) then
+    within-cluster lower-id dominance at ``tau``. ``e`` must carry
+    (vec_id, v, nrm). Returns (cell: vec_id/v/nrm/cid,
+    dropped: cid/vec_id/is_dropped)."""
+    from pyspark.sql import Window as W
+
+    k = max(_SEM_K, e.count() // _SEM_TARGET)
+    c = e.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).desc(),
+            F.col("cid"),
+        )
+    )
+    cell = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    pair_sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(pair_sim >= tau)
+        .select(F.col("a.cid").alias("cid"), F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1).cast("long"))
+    )
+    return cell, dropped
 _SEM_TAU = 0.30
 
 
@@ -1193,46 +1240,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    # K scales with N so |cluster| stays ~_SEM_TARGET and the within-
-    # cluster quadratic is bounded work per partition; the count is one
-    # bounded driver scalar (the same seam replace_where uses)
-    k = max(_SEM_K, e.count() // _SEM_TARGET)
-    c = e.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(
-            F.round(
-                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
-            ).desc(),
-            F.col("cid"),
-        )
-    )
-    cell = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cid")
-    )
-    a, b = cell.alias("a"), cell.alias("b")
-    pair_sim = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(pair_sim >= _SEM_TAU)
-        .select(F.col("a.cid").alias("cid"), F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1).cast("long"))
-    )
+    cell, dropped = semantic_cells_drops(e)
     return (
         cell.select("cid", "vec_id")
         .join(dropped, ["cid", "vec_id"], "left")
