@@ -1286,3 +1286,78 @@ def acid_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("as_of_checkpoint", as_of=3))
         .unionByName(meta)
     )
+
+
+@query(
+    "acid_bloom_pruning",
+    oracle="""
+    WITH n AS (SELECT count(*) AS cnt FROM customer),
+    probe AS (SELECT cnt // 2 + 3 AS k FROM n)
+    SELECT 'point_present' AS probe, CAST(1 AS BIGINT) AS n_rows,
+           CAST(CAST(round(c.c_acctbal, 2) AS DECIMAL(38,2)) AS DOUBLE) AS val
+    FROM customer c, probe p
+    WHERE c.c_custkey = p.k
+    UNION ALL
+    SELECT 'point_absent', CAST(0 AS BIGINT), 4.0
+    """,
+    tags=("S6", "S9", "S11"),
+)
+def acid_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level BLOOM file skipping for point lookups
+    (sources/commitlog.py:bloom_for/read_point — Delta's bloom index
+    lifted to the commit log, so the skip decision reads ZERO parquet
+    footers). Fixture: four key-clustered quartile files, each committed
+    with a bloom over c_custkey sized ~24 bits/key (<1% FP). Probes:
+
+    * 'point_present' — a key in quartile 3: found with the exact
+      balance (no false negatives, ever — the bloom contract), value
+      pinned by the SQL twin;
+    * 'point_absent' — a key beyond the domain: zero rows AND all four
+      files bloom-skipped. A false positive would read (not corrupt) a
+      file; at the fixture's fill ratio the all-skip outcome is stable
+      at every tested SF, and a hash flip here means the bloom math
+      drifted, which is exactly what the probe is for.
+
+    Blooms ride the manifest 'stats' channel, so checkpoints fold them
+    automatically and read_point's probe hashes via a 1-row JVM job —
+    the build and probe can never disagree on xxhash64."""
+    n = load_table(spark, sf_dir, "customer").count()  # bounded scalar
+    q = n // 4
+    per_file = q + (n - 3 * q)  # largest quartile
+    bits = ((per_file * 24 + 63) // 64) * 64
+    log = _fresh_log(sf_dir, "bloom_pruning")
+    base = _balances(spark, sf_dir)
+    for qi in range(4):
+        k_lo = qi * q
+        k_hi = (qi + 1) * q - 1 if qi < 3 else n - 1
+        staged = log.stage_dir()
+        base.filter(F.col("c_custkey").between(k_lo, k_hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        log.commit(
+            [staged],
+            writer="quartile",
+            stats={
+                staged: {
+                    **log.stats_for(spark, staged, ["c_custkey"]),
+                    **log.bloom_for(spark, staged, "c_custkey", bits=bits),
+                }
+            },
+        )
+
+    present_key = n // 2 + 3
+    df_p, _ = log.read_point(spark, "c_custkey", present_key)
+    present = df_p.agg(
+        F.lit("point_present").alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.round("bal", 2).cast("decimal(38,2)")).cast("double").alias("val"),
+    ).select("probe", "n_rows", "val")
+
+    df_a, skipped_a = log.read_point(spark, "c_custkey", n + 17)
+    n_found = 0 if df_a is None else df_a.count()
+    absent = spark.range(1).select(
+        F.lit("point_absent").alias("probe"),
+        F.lit(n_found).cast("long").alias("n_rows"),
+        F.lit(float(skipped_a)).alias("val"),
+    )
+    return present.unionByName(absent)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..sources.readers import load_table
 from .registry import query
 from .relational import EVENTS
+from .vectors import sem_sql_ctes
 
 _HEX = "0123456789abcdef"
 
@@ -216,10 +217,30 @@ def token_budget_shards(
     shard_by_token_budget documents; shared with the corpus pipeline):
     shard = floor(prefix_sum(n_tokens in doc_id order) / budget) without
     a global window. Input needs (doc_id, n_tokens, *extra); adds
-    ``shard``."""
-    d = d.repartitionByRange(parts, "doc_id").withColumn(
-        "_part", F.spark_partition_id()
-    )
+    ``shard``.
+
+    The range bucket ``_part`` is a PURE FUNCTION of doc_id (fixed-width
+    buckets over the one-row min/max aggregate), never
+    ``repartitionByRange + spark_partition_id()``: this DataFrame is
+    consumed by TWO branches (subtotals and the main window), each
+    re-executing the subtree, and repartitionByRange picks boundaries by
+    SAMPLING — over a nondeterministically-ordered child (any join
+    upstream), the two executions can sample different boundaries, so
+    branch A's _part and branch B's _part silently disagree and the
+    offsets land on the wrong buckets (caught at sf1 by the
+    corpus_build_pipeline_v4 oracle: same rows, same tokens, wrong shard
+    spread). Id-gap skew only costs bucket balance, never correctness —
+    ordered buckets are the only requirement."""
+    row = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]  # bounded: one 2-scalar aggregate
+    span = max(1, hi - lo + 1)
+    d = d.withColumn(
+        "_part",
+        F.least(
+            F.lit(parts - 1),
+            F.expr(f"(CAST(doc_id AS BIGINT) - {lo}) * {parts} div {span}").cast("int"),
+        ),
+    ).repartition(parts, "_part")
     # pass 1: per-partition subtotal -> exclusive offset per partition.
     # The offsets frame is #partitions rows — broadcast-sized at ANY data
     # scale, which is the whole point of the two-pass shape.
@@ -1205,38 +1226,19 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_build_pipeline_v4",
-    oracle="""
+    oracle=f"""
     WITH canon AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
       GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
     ),
-    e AS (
-      SELECT em.vec_id, list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v
+    src AS (
+      SELECT em.vec_id, em.embedding
       FROM embeddings em JOIN canon c ON em.vec_id = c.doc_id
     ),
-    seeds AS (
-      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
-      LIMIT greatest(8, (SELECT count(*) FROM e) // 256)
-    ),
-    assign AS (
-      SELECT e.vec_id, e.v, s.cid,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_dot_product(e.v, s.cv)
-                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))), 6) DESC,
-                 s.cid) AS rn
-      FROM e, seeds s
-    ),
-    cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
-    dropped AS (
-      SELECT DISTINCT a.vec_id
-      FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id
-      WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
-    ),
+    {sem_sql_ctes("src")},
     kept AS (
-      SELECT c.doc_id FROM canon c LEFT JOIN dropped d ON c.doc_id = d.vec_id
+      SELECT c2.doc_id FROM canon c2 LEFT JOIN dropped d ON c2.doc_id = d.vec_id
       WHERE d.vec_id IS NULL
     ),
     t AS (
@@ -1274,7 +1276,7 @@ def corpus_build_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. The oracle chains the identical stages in SQL with the
     single-window prefix sum spelled literally."""
     from .text import _NORM, TOKENS
-    from .vectors import _as_double, _dot, semantic_cells_drops
+    from .vectors import _as_double, semantic_cells_drops
 
     d = load_table(spark, sf_dir, "documents")
     canon = (
@@ -1287,7 +1289,6 @@ def corpus_build_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .join(canon, F.col("vec_id") == F.col("doc_id"), "left_semi")
         .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     _, dropped = semantic_cells_drops(e)
     kept = canon.join(

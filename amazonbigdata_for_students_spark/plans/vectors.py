@@ -1126,79 +1126,119 @@ def vec_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_K = 8
 _SEM_TARGET = 256  # target cluster size: K = max(_SEM_K, N // _SEM_TARGET)
+_SEM_SCALE = 1024  # embedding quantization: q = floor(x*1024 + 0.5)
+_SEM_TAU = 0.30  # enforced as the exact rational 100*dot^2 >= 9*na2*nb2
 
 
-def semantic_cells_drops(e: DataFrame, tau: float = 0.30):
+def sem_sql_ctes(src: str) -> str:
+    """DuckDB CTE block (eq/c/assign/cell/dropped) for the INTEGER-EXACT
+    SemDeDup pipeline over ``src`` rows (vec_id, embedding) — the SQL
+    twin of semantic_cells_drops, shared by dedup_semantic_clusters and
+    corpus_build_pipeline_v4 so the two oracles cannot drift."""
+    return f"""
+    eq0 AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {_SEM_SCALE} + 0.5) AS BIGINT)) AS q
+            FROM {src}),
+    eq AS (SELECT vec_id, q,
+             CAST(list_sum([q[i]*q[i] for i in generate_series(1, len(q))]) AS BIGINT) AS na2
+           FROM eq0),
+    c AS (SELECT vec_id AS cid, q AS cq FROM eq ORDER BY vec_id
+          LIMIT greatest({_SEM_K}, (SELECT count(*) FROM eq) // {_SEM_TARGET})),
+    assign AS (
+      SELECT eq.vec_id, eq.q, eq.na2, c.cid,
+             row_number() OVER (
+               PARTITION BY eq.vec_id
+               ORDER BY CAST(list_sum([(eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i])
+                          for i in generate_series(1, len(eq.q))]) AS BIGINT) ASC,
+                 c.cid) AS rn
+      FROM eq, c),
+    cell AS (SELECT vec_id, q, na2, cid FROM assign WHERE rn = 1),
+    pair AS (
+      SELECT a.cid, a.vec_id,
+             CAST(list_sum([a.q[i]*b.q[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS dot,
+             a.na2 AS na2a, b.na2 AS na2b
+      FROM cell a JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+    dropped AS (SELECT DISTINCT cid, vec_id FROM pair
+                WHERE dot > 0 AND 100 * dot * dot >= 9 * na2a * na2b)
+    """
+
+
+def semantic_cells_drops(e: DataFrame):
     """SemDeDup core shared by dedup_semantic_clusters and the corpus
-    pipeline: coarse cosine-seed clustering (K = max(_SEM_K,
-    N/_SEM_TARGET), one bounded driver scalar for the count) then
-    within-cluster lower-id dominance at ``tau``. ``e`` must carry
-    (vec_id, v, nrm). Returns (cell: vec_id/v/nrm/cid,
+    pipeline, INTEGER-EXACT end to end so the result can never flip on a
+    float last-bit at any scale (the sf1 lesson: ~20k clustered vectors
+    put thousands of pairs within double-rounding distance of a cosine
+    threshold). Embeddings quantize to q = floor(x*1024 + 0.5) — an
+    exact function of the float bits — then assignment is BIGINT
+    squared-euclidean argmin to the K = max(_SEM_K, N/_SEM_TARGET)
+    lowest-id seeds (one bounded driver scalar for the count) and the
+    drop rule cos >= 0.3 becomes the exact rational test
+    dot > 0 AND 100*dot^2 >= 9*|a|^2*|b|^2 on the quantized ints.
+    BIGINT headroom: dim * (scale*|x|)^2 must stay under 2^31 so
+    100*dot^2 fits — dim 64 at |x|<=2 is safe. ``e`` must carry
+    (vec_id, v[array<double>]). Returns (cell: vec_id/q/na2/cid,
     dropped: cid/vec_id/is_dropped)."""
     from pyspark.sql import Window as W
 
-    k = max(_SEM_K, e.count() // _SEM_TARGET)
-    c = e.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    quant = F.transform(
+        F.col("v"), lambda x: F.floor(x * _SEM_SCALE + F.lit(0.5)).cast("long")
+    )
+    eq = e.select("vec_id", quant.alias("q")).withColumn(
+        "na2", idot(F.col("q"), F.col("q"))
+    )
+    k = max(_SEM_K, eq.count() // _SEM_TARGET)
+    c = eq.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(
-            F.round(
-                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
-            ).desc(),
-            F.col("cid"),
-        )
+        W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid"))
     )
     cell = (
-        e.crossJoin(F.broadcast(c))
+        eq.crossJoin(F.broadcast(c))
+        .withColumn("_d2", d2)
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cid")
+        .select("vec_id", "q", "na2", "cid")
     )
     a, b = cell.alias("a"), cell.alias("b")
-    pair_sim = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
     dropped = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(pair_sim >= tau)
+        .withColumn("_dot", idot(F.col("a.q"), F.col("b.q")))
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(100) * F.col("_dot") * F.col("_dot")
+                >= F.lit(9) * F.col("a.na2") * F.col("b.na2")
+            )
+        )
         .select(F.col("a.cid").alias("cid"), F.col("a.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(1).cast("long"))
     )
     return cell, dropped
-_SEM_TAU = 0.30
 
 
 @query(
     "dedup_semantic_clusters",
     oracle=f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
-               LIMIT greatest({_SEM_K}, (SELECT count(*) FROM e) // {_SEM_TARGET})),
-         assign AS (
-           SELECT e.vec_id, e.v, c.cid,
-                  row_number() OVER (
-                    PARTITION BY e.vec_id
-                    ORDER BY round(list_dot_product(e.v, c.cv)
-                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-                      c.cid) AS rn
-           FROM e, c),
-         cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
-         dropped AS (
-           SELECT DISTINCT a.cid, a.vec_id
-           FROM cell a JOIN cell b
-             ON a.cid = b.cid AND b.vec_id < a.vec_id
-           WHERE round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                 >= {_SEM_TAU})
+    WITH {sem_sql_ctes("embeddings")}
     SELECT cell.cid,
            count(*) AS n_members,
            CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
@@ -1214,18 +1254,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     method): cluster the embedding space coarsely, then search for
     near-duplicates ONLY within each cluster — the clustering turns the
     O(N²) all-pairs problem into Σ O(|cluster|²) with the shuffle keyed
-    on cluster id. Here the coarse quantizer is the deterministic
-    max({_SEM_K}, N/{_SEM_TARGET})-seed cosine assignment — K grows
-    with the corpus so cluster size (and the quadratic) stays pinned at
-    ~{_SEM_TARGET} members (identical idiom to vec_ann_ivf_topk,
-    so the whole pipeline is SQL-expressible and exactly oracled; a
-    k-means quantizer plugs into the same seam). Within a cluster, a
-    vector is DROPPED iff a lower-vec_id member sits at cosine >= tau
-    ({_SEM_TAU}) — the deterministic keep-one rule (the paper keeps a
-    random representative per epsilon-group; lowest-id is the
-    hash-checkable variant). Output is the per-cluster census: members,
-    drops, and a drop-id checksum so a single misclassified drop flips
-    the hash.
+    on cluster id. The whole pipeline is INTEGER-EXACT
+    (semantic_cells_drops: quantize -> BIGINT euclidean argmin to
+    max({_SEM_K}, N/{_SEM_TARGET}) lowest-id seeds -> exact rational
+    cosine test), so it is SQL-expressible, exactly oracled, AND immune
+    to float-last-bit flips at any scale; a k-means quantizer plugs into
+    the same seam. Within a cluster, a vector is DROPPED iff a
+    lower-vec_id member sits at quantized cosine >= {_SEM_TAU} — the
+    deterministic keep-one rule (the paper keeps a random representative
+    per epsilon-group; lowest-id is the hash-checkable variant). Output
+    is the per-cluster census: members, drops, and a drop-id checksum so
+    a single misclassified drop flips the hash.
 
     100 TB design: K scales with N (K ≈ N/target_cluster_size) so
     |cluster| stays bounded and the within-cluster pairwise join is
@@ -1235,10 +1274,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare only adjacent ranks) drops the within-cluster cost to
     O(|cluster| log |cluster|) at a measured recall cost — same seam,
     selectable, not default."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
     )
     cell, dropped = semantic_cells_drops(e)
     return (

@@ -413,6 +413,121 @@ class CommitLog:
 
         return {c: [norm(row[f"min_{c}"]), norm(row[f"max_{c}"])] for c in cols}
 
+    def bloom_for(
+        self,
+        spark: SparkSession,
+        staged: str,
+        col: str,
+        bits: int = 16384,
+        hashes: int = 3,
+    ) -> dict:
+        """Per-file bloom filter over ``col`` for point-lookup file
+        skipping (Delta's bloom filter index / Parquet bloom, lifted to
+        the MANIFEST so pruning is decided from the log before any file
+        opens). Built JVM-side: xxhash64(col, seed) positions -> one
+        bit_or aggregate; only bits//64 longs reach the driver. Returned
+        as a ``{"bloom:<col>": {...}}`` entry the caller merges into the
+        commit's ``stats`` dict — riding the stats channel means
+        checkpoints fold blooms with zero extra plumbing. Size ``bits``
+        to ~16-24x the file's distinct keys for a sub-1% false-positive
+        rate; a false positive only costs one extra file read, never a
+        wrong answer (no false negatives by construction)."""
+        words = bits // 64
+        src = spark.read.parquet(staged)
+        # xxhash64 is TYPE-dependent: record the column's dtype so the
+        # probe literal hashes as the same type (int32 vs int64 literals
+        # would otherwise produce disjoint positions -> false negatives)
+        dtype = dict(src.dtypes)[col]
+        pos = [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits)).cast("long")
+            for i in range(hashes)
+        ]
+        rows = (
+            src.select(F.explode(F.array(*pos)).alias("p"))
+            .select(
+                (F.col("p") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(1L, cast(p % 64 AS int))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("bits"))
+            .collect()  # bounded: <= bits/64 longs, metadata-sized
+        )
+        arr = [0] * words
+        for r in rows:
+            arr[r["w"]] = r["bits"]
+        return {f"bloom:{col}": {"bits": bits, "k": hashes, "dtype": dtype, "words": arr}}
+
+    def _bloom_positions(
+        self, spark: SparkSession, value, bits: int, hashes: int, dtype: str
+    ) -> list[int]:
+        """Probe positions for ``value`` — one 1-row local job, so the
+        probe uses EXACTLY the JVM xxhash64 the build used (no Python
+        reimplementation to drift)."""
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(value).cast(dtype), F.lit(i)), F.lit(bits))
+                    .cast("long")
+                    .alias(f"p{i}")
+                    for i in range(hashes)
+                ]
+            )
+            .collect()[0]
+        )
+        return [row[f"p{i}"] for i in range(hashes)]
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        as_of: int | None = None,
+    ) -> tuple[DataFrame | None, int]:
+        """Point lookup ``col = value`` with bloom file skipping: a live
+        file is read only if its bloom (when present) has all probe bits
+        set. Returns (dataframe over kept files filtered to the exact
+        predicate, n_files_skipped). Files without a bloom for ``col``
+        are conservatively read. At 100 TB a keyed point read touches
+        O(1) files instead of O(live files) — the difference between a
+        lookup and a scan."""
+        ck = self._latest_checkpoint(as_of)
+        stats_by_token: dict[str, dict] = (
+            dict(ck[1].get("stats", {})) if ck else {}
+        )
+        for _, m in self.snapshot(after=ck[0] if ck else -1):
+            for t, s in (m.get("stats") or {}).items():
+                stats_by_token[t] = s
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+        kept, skipped = [], 0
+        for v, t in self.live_tokens(as_of):
+            bloom = stats_by_token.get(t, {}).get(f"bloom:{col}")
+            if bloom is not None:
+                key = (bloom["bits"], bloom["k"], bloom.get("dtype", "bigint"))
+                if key not in pos_cache:
+                    pos_cache[key] = self._bloom_positions(spark, value, *key)
+                words = bloom["words"]
+                mask = (1 << 64) - 1  # JSON longs are signed; test unsigned
+                if not all(
+                    (words[p // 64] & mask) >> (p % 64) & 1
+                    for p in pos_cache[key]
+                ):
+                    skipped += 1
+                    continue
+            kept.append((v, t))
+        parts = [
+            spark.read.parquet(os.path.join(self._data_dir, token)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            for v, token in kept
+        ]
+        if not parts:
+            return None, skipped
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out.filter(F.col(col) == F.lit(value)), skipped
+
     def live_tokens_pruned(
         self, col: str, lo, hi, as_of: int | None = None
     ) -> tuple[list[tuple[int, str]], int]:

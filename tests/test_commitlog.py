@@ -524,3 +524,37 @@ def test_log_retention_vacuum_window_and_manifest_pruning(spark, tmp_path):
         for r in log.read_latest_per_key(spark, ["user_id"]).collect()
     }
     assert got == {1: 10, 2: 21, 3: 30, 4: 40}
+
+
+def test_bloom_point_lookup_skips_and_never_false_negatives(spark, tmp_path):
+    """Bloom file skipping: present keys are ALWAYS found (no false
+    negatives), absent keys skip every bloomed file at the fixture fill
+    ratio, files without a bloom are conservatively read, and string
+    keys probe with the column's own dtype (the xxhash64 type trap)."""
+    log = CommitLog(str(tmp_path / "t"))
+    for lo in (0, 1000):
+        s = _stage_rows(spark, log, [(lo + i, lo + i) for i in range(20)])
+        log.commit(
+            [s], stats={s: log.bloom_for(spark, s, "user_id", bits=1024)}
+        )
+    s = _stage_rows(spark, log, [(77, 77)])  # no bloom: must always be read
+    log.commit([s])
+
+    df, skipped = log.read_point(spark, "user_id", 1007)
+    assert [r["user_id"] for r in df.collect()] == [1007]
+    assert skipped == 1  # file 1 bloom-skipped; no-bloom file kept
+
+    df, skipped = log.read_point(spark, "user_id", 555555)
+    assert skipped == 2 and df.count() == 0
+
+    # string-keyed bloom: probe literal must hash as string, not int
+    slog = CommitLog(str(tmp_path / "s"))
+    st = slog.stage_dir()
+    spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "name string, v bigint"
+    ).coalesce(1).write.parquet(st)
+    slog.commit([st], stats={st: slog.bloom_for(spark, st, "name", bits=1024)})
+    df, skipped = slog.read_point(spark, "name", "k7")
+    assert [r["v"] for r in df.collect()] == [7] and skipped == 0
+    df, skipped = slog.read_point(spark, "name", "absent")
+    assert df is None and skipped == 1

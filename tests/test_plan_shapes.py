@@ -178,7 +178,13 @@ def test_token_sharding_avoids_global_window(spark, sf_small):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     # the doc-level window is partitioned by _part, never a global sort
     assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
-    assert "rangepartitioning(doc_id" in plan  # pass-2 locality comes from range partitioning
+    # pass-2 locality comes from hash partitioning on the DETERMINISTIC
+    # id-range bucket (_part is a pure function of doc_id; sampling-based
+    # rangepartitioning is banned here — two executions of the subtree can
+    # sample different boundaries and decouple the offsets branch from the
+    # window branch, the corpus_build_pipeline_v4 sf1 regression)
+    assert "hashpartitioning(_part" in plan
+    assert "rangepartitioning(doc_id" not in plan
 
 
 def test_wholestage_codegen_on_hot_path(spark, sf_small):
