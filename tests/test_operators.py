@@ -808,3 +808,38 @@ def test_graph_iteration_job_budget(spark, name, max_jobs):
     finally:
         sc.setJobGroup("", "")
     assert n_jobs <= max_jobs, f"{name} ran {n_jobs} jobs (budget {max_jobs})"
+
+
+def test_token_budget_shards_matches_sequential_truth(spark):
+    """Randomized equivalence guard for the two-pass prefix-sum sharder:
+    for id spaces with gaps, skew, and sizes straddling the bucket count,
+    the distributed result must equal the sequential prefix-sum truth —
+    and stay identical when the input arrives as a join output (the sf1
+    regression path: a nondeterministically-ordered child must not be
+    able to decouple the offsets branch from the window branch)."""
+    import random
+
+    from amazonbigdata_for_students_spark.plans.traindata import (
+        token_budget_shards,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.choice([3, 17, 200, 1000])
+        ids = rng.sample(range(0, 10 * n + 1), n)  # gappy, unordered
+        rows = [(i, rng.randint(0, 300)) for i in ids]
+        budget = rng.choice([50, 400, 1000])
+        truth, run = {}, 0
+        for i, tok in sorted(rows):
+            truth[i] = run // budget
+            run += tok
+        base = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        # route through a join so the child's row order is plan-dependent
+        keys = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        d = base.join(keys, "doc_id", "left_semi").repartition(7)
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in token_budget_shards(d, budget).collect()
+        }
+        assert got == truth, f"trial {trial}: n={n} budget={budget}"
