@@ -2091,3 +2091,77 @@ def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("A1", "O1"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB shared SQL
+    surface): group on every non-aggregate select item and order on the
+    whole select list without restating columns — pure parse sugar that
+    analyzes to the identical grouped aggregate + sort, so pushdown and
+    partial aggregation are untouched. The convenience matters at the
+    ad-hoc-analytics layer this engine's SQL views serve (readers.
+    register_views); nothing changes at scale because nothing changes in
+    the plan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_t"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_t
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle=f"""
+    SELECT event_type, metric, val
+    FROM (
+      SELECT event_type,
+             CAST(min(value) AS DOUBLE) AS vmin,
+             CAST(max(value) AS DOUBLE) AS vmax,
+             CAST(count(*) AS DOUBLE) AS vcount
+      FROM {{EVENTS}} e
+      GROUP BY event_type
+    ) UNPIVOT (val FOR metric IN (vmin, vmax, vcount))
+    """.format(EVENTS=EVENTS),
+    tags=("E1", "F7"),
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (wide -> long), the inverse of PIVOT and the
+    declarative twin of unpivot_stack's stack() expression: per-type
+    min/max/count metrics fold into (metric, val) rows inside the FROM
+    clause. Spark analyzes UNPIVOT to the same Expand node stack()
+    lowers to — one pass over the (already dimension-sized) aggregate,
+    output rows = groups x metrics, no shuffle beyond the aggregate's
+    own. min/max/count are float-exact picks so the long form
+    hash-matches without a decimal detour."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    return spark.sql(
+        """
+        SELECT event_type, metric, val
+        FROM (
+          SELECT event_type,
+                 CAST(min(value) AS DOUBLE) AS vmin,
+                 CAST(max(value) AS DOUBLE) AS vmax,
+                 CAST(count(*) AS DOUBLE) AS vcount
+          FROM events_t
+          GROUP BY event_type
+        ) UNPIVOT (val FOR metric IN (vmin, vmax, vcount))
+        """
+    )

@@ -558,3 +558,42 @@ def test_bloom_point_lookup_skips_and_never_false_negatives(spark, tmp_path):
     assert [r["v"] for r in df.collect()] == [7] and skipped == 0
     df, skipped = slog.read_point(spark, "name", "absent")
     assert df is None and skipped == 1
+
+
+def test_concurrent_writers_with_auto_checkpoint_races(spark, tmp_path):
+    """4 threads x 6 commits with checkpoint_interval=3: version CAS
+    serializes winners, auto-checkpoints race benignly (derived state,
+    link put-if-absent), and the final log replays to exactly the 24
+    distinct rows with fast path == full replay."""
+    path = str(tmp_path / "t")
+    errs = []
+
+    def writer(wid: int):
+        try:
+            log = CommitLog(path, checkpoint_interval=3)
+            for i in range(6):
+                key = wid * 100 + i
+                s = _stage_rows(spark, log, [(key, key)])
+                log.commit([s], writer=f"w{wid}")
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+    log = CommitLog(path)
+    assert log._contiguous_head() == 23  # 24 commits, every version won once
+    cks = os.listdir(os.path.join(path, "_checkpoints"))
+    assert len(cks) >= 1  # at least the interval checkpoints landed
+    fast = sorted(log.live_tokens())
+    slow = sorted(log.live_tokens(use_checkpoint=False))
+    assert fast == slow
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {w * 100 + i: w * 100 + i for w in range(4) for i in range(6)}
