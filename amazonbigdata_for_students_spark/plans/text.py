@@ -1396,3 +1396,136 @@ def txt_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.select(
         "doc_id", "canonical_url", F.count("*").over(win).alias("n_same_url")
     )
+
+
+_BPE_ITERS = 6
+
+
+def _bpe_oracle_sql(iters: int = _BPE_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of tokenizer_train_bpe: each iteration is
+    three CTEs (weighted pair counts, argmax merge, re-segmentation), so
+    the oracle replays the EXACT training loop rather than spot-checking
+    one pass."""
+    parts = [
+        f"words AS (SELECT tok AS word, count(*) AS freq FROM"
+        f" (SELECT unnest({SQL_TOKENS}) AS tok FROM documents) GROUP BY tok)",
+        "seg0 AS (SELECT word, freq,"
+        " [word[i] for i in generate_series(1, len(word))] AS seg FROM words)",
+    ]
+    finals = []
+    for k in range(1, iters + 1):
+        parts.append(f"""pairs{k} AS (
+          SELECT s.a AS a, s.b AS b, CAST(sum(freq) AS BIGINT) AS n
+          FROM (SELECT freq, unnest([{{'a': seg[i], 'b': seg[i+1]}}
+                       for i in generate_series(1, len(seg)-1)]) AS s
+                FROM seg{k-1})
+          GROUP BY s.a, s.b)""")
+        parts.append(
+            f"best{k} AS (SELECT a, b, n FROM pairs{k} WHERE a <> b"
+            f" ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""seg{k} AS (
+          SELECT word, freq,
+                 list_filter([CASE WHEN i < len(seg) AND seg[i] = bst.a AND seg[i+1] = bst.b
+                                     THEN seg[i] || seg[i+1]
+                                   WHEN i > 1 AND seg[i-1] = bst.a AND seg[i] = bst.b
+                                     THEN NULL
+                                   ELSE seg[i] END
+                              for i in generate_series(1, len(seg))],
+                             x -> x IS NOT NULL) AS seg
+          FROM seg{k-1}, best{k} bst)""")
+        finals.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, a AS sym_a, b AS sym_b,"
+            f" n AS pair_n FROM best{k}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query("tokenizer_train_bpe", oracle=_bpe_oracle_sql(), tags=("U2", "A7", "F7"))
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (Sennrich et al. 2016, public method) — learn
+    the first {n} byte-pair merges, not just apply a fixed tokenizer
+    (txt_bpe_token_count's job): iteratively count adjacent-symbol pairs
+    weighted by word frequency, merge the argmax pair corpus-wide,
+    repeat. The classic scale property holds: training runs on the
+    WORD-FREQUENCY table (vocabulary-sized, Heaps' law), so the corpus
+    only enters through the initial token count; each iteration is one
+    map-side-combined pair aggregate + a 1-row driver argmax (the same
+    per-iteration scalar every iterative algorithm pays) + a map-only
+    array rewrite, lineage truncated per round with localCheckpoint.
+
+    Determinism: integer pair counts with (count DESC, pair lexicographic)
+    tie-break; self-pairs (a = b) are excluded from selection so merge
+    matches can never overlap and greedy-leftmost equals match-all — the
+    re-segmentation is one branch-free array transform with no sequential
+    dependency (the property that makes the rewrite embarrassingly
+    parallel AND lets the SQL twin unroll the loop exactly). The learned
+    table (step 6 merges 'm'+'er' — a merge OF a merge) proves the
+    iteration is real, not one frequency pass."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TOKENS()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    segs = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for k in range(1, _BPE_ITERS + 1):
+        pair = F.explode(
+            F.expr(
+                "CASE WHEN size(seg) >= 2 THEN"
+                " transform(sequence(1, size(seg)-1),"
+                "   i -> struct(seg[i-1] AS a, seg[i] AS b))"
+                " ELSE array() END"
+            )
+        )
+        counts = (
+            segs.select("freq", pair.alias("p"))
+            .select("freq", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = (
+            counts.filter(F.col("a") != F.col("b"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()  # 1-row driver argmax per iteration, by design
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((k, a, b, n))
+        al, bl = F.lit(a), F.lit(b)
+        sz = F.size("seg")
+
+        def sym(i):
+            return F.element_at("seg", i)
+
+        merged = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), sz),
+                lambda i: F.when(
+                    (i < sz) & (sym(i) == al) & (sym(i + 1) == bl),
+                    F.concat(sym(i), sym(i + 1)),
+                )
+                .when(
+                    (i > F.lit(1)) & (sym(i - 1) == al) & (sym(i) == bl),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(sym(i)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        # truncate lineage so iteration k+1's aggregate reads a flat plan
+        segs = segs.withColumn("seg", merged).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "step long, sym_a string, sym_b string, pair_n long"
+    )
