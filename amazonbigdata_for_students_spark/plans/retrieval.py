@@ -395,14 +395,16 @@ _LEG_K = 20
                   CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank
            FROM scored
            QUALIFY lex_rank <= {_LEG_K}),
-         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         e AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
                FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         q AS (SELECT vec_id AS qid, qv AS qq FROM e ORDER BY vec_id LIMIT 1),
          vec AS (
            SELECT e.vec_id AS doc_id,
                   CAST(row_number() OVER (
-                    ORDER BY round(list_dot_product(e.v, q.qv)
-                          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                    ORDER BY CAST(list_sum([e.qv[i] * q.qq[i]
+                               for i in generate_series(1, len(e.qv))]) AS BIGINT) DESC,
                       e.vec_id) AS BIGINT) AS vec_rank
            FROM e, q
            QUALIFY vec_rank <= {_LEG_K}),
@@ -424,8 +426,10 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009,
     public method; the standard lexical+vector fusion in RAG stacks):
     BM25 top-20 over documents (the integer-quantized _bm25_scored core)
-    and cosine top-20 over embeddings (query = lowest-vec_id row,
-    doc_id==vec_id row correspondence) are fused by
+    and quantized inner-product top-20 over embeddings (MIPS leg — the
+    q=floor(x*1024+0.5) BIGINT-dot discipline from semantic_cells_drops,
+    so the ranking can never flip on a float last-bit cross-engine;
+    query = lowest-vec_id row, doc_id==vec_id correspondence) are fused by
     score(d) = Σ_legs 1/(60 + rank_leg(d)), kept exact cross-engine as
     BIGINT floor division {_RRF_SCALE}//(60+rank). Plan shape: each leg
     is an independent TakeOrderedAndProject top-k (never a global sort);
@@ -447,38 +451,29 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lex_rank"),
     )
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
     )
-    q = e.orderBy("vec_id").limit(1).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
-    )
-    sim = F.aggregate(
-        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
-        F.lit(0.0),
+    q = e.orderBy("vec_id").limit(1).select(F.col("qv").alias("qq"))
+    score = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    ) / (F.col("nrm") * F.col("qnrm"))
+    )
     vec_top = (
         e.crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("doc_id"), F.round(sim, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "doc_id")
+        .select(F.col("vec_id").alias("doc_id"), score.alias("ip"))
+        .orderBy(F.desc("ip"), "doc_id")
         .limit(_LEG_K)
     )
     vec = vec_top.select(
         "doc_id",
         F.row_number()
-        .over(W.orderBy(F.desc("cos_sim"), "doc_id"))
+        .over(W.orderBy(F.desc("ip"), "doc_id"))
         .cast("long")
         .alias("vec_rank"),
     )

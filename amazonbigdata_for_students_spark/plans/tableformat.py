@@ -971,15 +971,12 @@ def acid_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution trick that keeps cloned history below future clone-side
     commits."""
     src = _build_three_commits(spark, sf_dir, "clone_src")
-    clone = src.clone_into(
-        os.path.join(os.path.dirname(src.path), "clone_dst")
-    )
-    # destructive re-run guard: _build_three_commits freshens the source,
-    # but the clone dir must be fresh too
-    # (clone_into created it; if a previous run left one, rebuild)
-    if len(clone.snapshot()) != 1:
-        shutil.rmtree(clone.path, ignore_errors=True)
-        clone = src.clone_into(clone.path)
+    # _build_three_commits freshens the source; the clone dir must be
+    # fresh too (a stale destination from a prior run would absorb the
+    # clone as just another commit)
+    dst_path = os.path.join(os.path.dirname(src.path), "clone_dst")
+    shutil.rmtree(dst_path, ignore_errors=True)
+    clone = src.clone_into(dst_path)
 
     def audit(log: CommitLog, probe: str) -> DataFrame:
         return (
@@ -1323,7 +1320,7 @@ def acid_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build and probe can never disagree on xxhash64."""
     n = load_table(spark, sf_dir, "customer").count()  # bounded scalar
     q = n // 4
-    per_file = q + (n - 3 * q)  # largest quartile
+    per_file = n - 3 * q  # largest quartile (the last one takes the remainder)
     bits = ((per_file * 24 + 63) // 64) * 64
     log = _fresh_log(sf_dir, "bloom_pruning")
     base = _balances(spark, sf_dir)

@@ -233,6 +233,8 @@ def token_budget_shards(
     ordered buckets are the only requirement."""
     row = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
     lo, hi = row["lo"], row["hi"]  # bounded: one 2-scalar aggregate
+    if lo is None:  # empty input: nothing to shard
+        return d.withColumn("shard", F.lit(0).cast("long"))
     span = max(1, hi - lo + 1)
     d = d.withColumn(
         "_part",
@@ -1294,8 +1296,13 @@ def corpus_build_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = canon.join(
         dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
     )
-    t = d.join(kept, "doc_id", "left_semi").select(
-        "doc_id", "lang", F.size(TOKENS()).alias("n_tokens")
+    t = (
+        d.join(kept, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.size(TOKENS()).alias("n_tokens"))
+        # materialize once: downstream the sharder consumes t from THREE
+        # plans (min/max collect, subtotal branch, window branch) and
+        # each would otherwise re-execute the dedup + semantic subtree
+        .localCheckpoint(eager=False)
     )
     sharded = token_budget_shards(t, _SHARD_BUDGET)
     return sharded.groupBy("shard").agg(

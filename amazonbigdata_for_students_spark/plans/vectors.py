@@ -1191,8 +1191,12 @@ def semantic_cells_drops(e: DataFrame):
     quant = F.transform(
         F.col("v"), lambda x: F.floor(x * _SEM_SCALE + F.lit(0.5)).cast("long")
     )
-    eq = e.select("vec_id", quant.alias("q")).withColumn(
-        "na2", idot(F.col("q"), F.col("q"))
+    eq = (
+        e.select("vec_id", quant.alias("q"))
+        .withColumn("na2", idot(F.col("q"), F.col("q")))
+        # materialize once: count(), the seed limit, and the cell build
+        # would each re-execute e's (possibly join-heavy) subtree
+        .localCheckpoint(eager=False)
     )
     k = max(_SEM_K, eq.count() // _SEM_TARGET)
     c = eq.orderBy("vec_id").limit(k).select(
@@ -1212,6 +1216,9 @@ def semantic_cells_drops(e: DataFrame):
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("vec_id", "q", "na2", "cid")
+        # consumed by both sides of the pair self-join AND the caller's
+        # census — checkpoint so the N x K assignment runs once
+        .localCheckpoint(eager=False)
     )
     a, b = cell.alias("a"), cell.alias("b")
     dropped = (

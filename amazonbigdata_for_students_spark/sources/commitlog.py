@@ -201,36 +201,39 @@ class CommitLog:
             return None
         # bounded replay of (base, head]: starts from the previous
         # checkpoint when one exists (mandatory once manifests below it
-        # are pruned); a commit racing in at head+1 mid-checkpoint must
-        # not leak into a checkpoint STAMPED head
-        base = self._latest_checkpoint()
-        adds: list[tuple[int, str]] = []
-        removed: set[str] = set()
+        # are pruned). The base MUST be capped at <= head: a racing
+        # writer can land commits AND a newer checkpoint between our
+        # head read and this replay, and folding that newer state into a
+        # checkpoint STAMPED head would corrupt every time-travel read
+        # at <= head (and double-apply the replayed suffix).
+        base = self._latest_checkpoint(as_of=head)
+        live: dict[str, int] = {}
         batch_ids: set = set()
         stats_by_token: dict[str, dict] = {}
         start = -1
         if base is not None:
             start, state = base
-            adds = [(int(v), t) for v, t in state["live"]]
+            live = {t: int(v) for v, t in state["live"]}
             batch_ids = set(state.get("batch_ids", ()))
             stats_by_token = dict(state.get("stats", {}))
         prefix = [
             (v, m) for v, m in self.snapshot(after=start) if v <= head
         ]
         for v, m in prefix:
+            for t in m.get("removes", ()):
+                live.pop(t, None)
             av = m.get("add_versions") or {}
-            adds.extend((av.get(t, v), t) for t in m.get("adds", ()))
-            removed.update(m.get("removes", ()))
+            for t in m.get("adds", ()):
+                live[t] = av.get(t, v)
             if m.get("batch_id") is not None:
                 batch_ids.add(m["batch_id"])
             for t, s in (m.get("stats") or {}).items():
                 if s:
                     stats_by_token[t] = s
-        live = [(v, t) for v, t in adds if t not in removed]
-        live_set = {t for _, t in live}
+        live_set = set(live)
         state = {
             "version": head,
-            "live": [[v, t] for v, t in live],
+            "live": [[v, t] for t, v in live.items()],
             "batch_ids": sorted(batch_ids, key=str),
             "stats": {
                 t: s for t, s in stats_by_token.items() if t in live_set
@@ -313,21 +316,27 @@ class CommitLog:
         retire checkpoint-carried tokens (compaction-after-checkpoint)."""
         ck = self._latest_checkpoint(as_of) if use_checkpoint else None
         start = ck[0] if ck else -1
-        adds: list[tuple[int, str]] = (
-            [(int(v), t) for v, t in ck[1]["live"]] if ck else []
+        # ORDERED action replay (the Delta log semantic): a remove kills
+        # only what is live at that point; a LATER re-add of the same
+        # token revives it. A global removed-set would make replay
+        # order-insensitive — and silently disagree with any checkpoint
+        # taken between the remove and the re-add.
+        live: dict[str, int] = (
+            {t: int(v) for v, t in ck[1]["live"]} if ck else {}
         )
-        removed: set[str] = set()
         for v, m in self.snapshot(after=start):
             if as_of is not None and v > as_of:
                 break
+            for t in m.get("removes", ()):
+                live.pop(t, None)
             # add_versions: a commit may pin per-token RESOLUTION versions
             # different from its own (clone_into uses negative ranks so a
             # cloned history resolves below every future commit while
             # preserving its internal per-key order)
             av = m.get("add_versions") or {}
-            adds.extend((av.get(t, v), t) for t in m.get("adds", ()))
-            removed.update(m.get("removes", ()))
-        return [(v, t) for v, t in adds if t not in removed]
+            for t in m.get("adds", ()):
+                live[t] = av.get(t, v)
+        return [(v, t) for t, v in live.items()]
 
     def vacuum(self, retention_as_of: int | None = None) -> list[str]:
         """Delete data directories no retained snapshot needs. Default
@@ -354,9 +363,13 @@ class CommitLog:
             keep = {t for _, t in ck[1]["live"]}
             manifests = self.snapshot(after=ck[0])
         for v, m in manifests:
-            keep.update(m.get("adds", ()))
             for t in m.get("removes", ()):
                 removed_at[t] = v
+            for t in m.get("adds", ()):
+                keep.add(t)
+                # a re-add after a remove reopens the token's live
+                # interval: only its LAST action decides sweepability
+                removed_at.pop(t, None)
         for t, rv in removed_at.items():
             if retention_as_of is None or rv <= retention_as_of:
                 keep.discard(t)
@@ -495,7 +508,9 @@ class CommitLog:
         stats_by_token: dict[str, dict] = (
             dict(ck[1].get("stats", {})) if ck else {}
         )
-        for _, m in self.snapshot(after=ck[0] if ck else -1):
+        for v, m in self.snapshot(after=ck[0] if ck else -1):
+            if as_of is not None and v > as_of:
+                break  # a time-travel read must not see FUTURE blooms
             for t, s in (m.get("stats") or {}).items():
                 stats_by_token[t] = s
         pos_cache: dict[tuple[int, int], list[int]] = {}
@@ -537,7 +552,9 @@ class CommitLog:
         ``col`` are conservatively kept."""
         ck = self._latest_checkpoint(as_of)
         stats_by_token: dict[str, dict] = dict(ck[1].get("stats", {})) if ck else {}
-        for _, m in self.snapshot(after=ck[0] if ck else -1):
+        for v, m in self.snapshot(after=ck[0] if ck else -1):
+            if as_of is not None and v > as_of:
+                break  # time travel must not prune from FUTURE stats
             for t in m.get("adds", ()):
                 stats_by_token[t] = m.get("stats", {}).get(t, {})
         kept, skipped = [], 0

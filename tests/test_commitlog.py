@@ -597,3 +597,53 @@ def test_concurrent_writers_with_auto_checkpoint_races(spark, tmp_path):
         for r in log.read_latest_per_key(spark, ["user_id"]).collect()
     }
     assert got == {w * 100 + i: w * 100 + i for w in range(4) for i in range(6)}
+
+
+def test_readd_after_remove_revives_token(spark, tmp_path):
+    """Ordered action replay: add t -> remove t -> checkpoint -> re-add t
+    must leave t LIVE on both the checkpoint fast path and full replay
+    (a global removed-set would kill the re-add on full replay and
+    diverge from any checkpoint taken in between); vacuum honors the
+    LAST action, so the revived token is never swept."""
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10)])
+    token = os.path.basename(s0)
+    log.commit([s0])
+    log.commit([], removes=[token])
+    assert log.write_checkpoint() == 1
+    log.commit([token])  # re-add the same token name
+
+    fast = sorted(log.live_tokens())
+    slow = sorted(log.live_tokens(use_checkpoint=False))
+    assert fast == slow == [(2, token)]
+    assert log.vacuum() == []  # revived: must not be swept
+    got = {r["user_id"]: r["v"] for r in log.read_latest_per_key(spark, ["user_id"]).collect()}
+    assert got == {1: 10}
+
+
+def test_write_checkpoint_base_capped_at_head(spark, tmp_path):
+    """A checkpoint stamped version H must be derived ONLY from commits
+    <= H even when a NEWER checkpoint exists (the mid-checkpoint racing-
+    writer interleaving): simulated by pinning the head read below an
+    existing checkpoint and asserting the resulting checkpoint state
+    equals full replay at that version."""
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(9):
+        s = _stage_rows(spark, log, [(i % 2, i)])
+        log.commit([s])
+    assert log.write_checkpoint() == 8  # the "newer" checkpoint
+
+    stalled = CommitLog(str(tmp_path / "t"))
+    stalled._contiguous_head = lambda: 5  # head read before the race
+    assert stalled.write_checkpoint() == 5
+
+    fresh = CommitLog(str(tmp_path / "t"))
+    ck5 = fresh._latest_checkpoint(as_of=5)
+    assert ck5 is not None and ck5[0] == 5
+    truth = sorted(fresh.live_tokens(as_of=5, use_checkpoint=False))
+    assert sorted((int(v), t) for v, t in ck5[1]["live"]) == truth
+    # and reads between the two checkpoints replay without duplication
+    for as_of in (5, 6, 7, 8, None):
+        fast = sorted(fresh.live_tokens(as_of))
+        slow = sorted(fresh.live_tokens(as_of, use_checkpoint=False))
+        assert fast == slow, f"as_of={as_of}"

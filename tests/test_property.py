@@ -167,6 +167,15 @@ def test_checkpoint_fastpath_equals_full_replay(ops, batch_every):
                 log.commit([], removes=victims)
                 n_commits += 1
                 continue
+            if kind == "readd":
+                # re-add a possibly-removed existing token: ORDERED replay
+                # semantics say the re-add revives it (the checkpoint-vs-
+                # full-replay divergence class)
+                if not all_tokens:
+                    continue
+                log.commit([all_tokens[arg % len(all_tokens)]])
+                n_commits += 1
+                continue
             toks = [f"t{counter + i}" for i in range(1 + arg % 3)]
             counter += len(toks)
             all_tokens.extend(toks)
