@@ -1401,7 +1401,7 @@ def txt_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ITERS = 6
 
 
-def _bpe_oracle_sql(iters: int = _BPE_ITERS) -> str:
+def _bpe_oracle_parts(iters: int = _BPE_ITERS):
     """Unrolled-CTE DuckDB twin of tokenizer_train_bpe: each iteration is
     three CTEs (weighted pair counts, argmax merge, re-segmentation), so
     the oracle replays the EXACT training loop rather than spot-checking
@@ -1438,11 +1438,18 @@ def _bpe_oracle_sql(iters: int = _BPE_ITERS) -> str:
             f"SELECT CAST({k} AS BIGINT) AS step, a AS sym_a, b AS sym_b,"
             f" n AS pair_n FROM best{k}"
         )
+    return parts, finals
+
+
+def _bpe_oracle_sql(iters: int = _BPE_ITERS) -> str:
+    parts, finals = _bpe_oracle_parts(iters)
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-@query("tokenizer_train_bpe", oracle=_bpe_oracle_sql(), tags=("U2", "A7", "F7"))
-def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared training core: returns (merges list, final segmentation
+    DataFrame) — tokenizer_train_bpe reports the merge table,
+    tokenizer_apply_bpe aggregates the resulting subword corpus."""
     """BPE merge TRAINING (Sennrich et al. 2016, public method) — learn
     the first {n} byte-pair merges, not just apply a fixed tokenizer
     (txt_bpe_token_count's job): iteratively count adjacent-symbol pairs
@@ -1526,6 +1533,80 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate lineage so iteration k+1's aggregate reads a flat plan
         segs = segs.withColumn("seg", merged).localCheckpoint(eager=False)
 
+    return merges, segs
+
+
+@query("tokenizer_train_bpe", oracle=_bpe_oracle_sql(), tags=("U2", "A7", "F7"))
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (Sennrich et al. 2016, public method) — learn
+    the first merges, not just apply a fixed tokenizer
+    (txt_bpe_token_count's job): iteratively count adjacent-symbol pairs
+    weighted by word frequency, merge the argmax pair corpus-wide,
+    repeat (_bpe_train). The classic scale property holds: training runs
+    on the WORD-FREQUENCY table (vocabulary-sized, Heaps' law), so the
+    corpus only enters through the initial token count; each iteration
+    is one map-side-combined pair aggregate + a 1-row driver argmax (the
+    same per-iteration scalar every iterative algorithm pays) + a
+    map-only array rewrite, lineage truncated per round with
+    localCheckpoint.
+
+    Determinism: integer pair counts with (count DESC, pair
+    lexicographic) tie-break; self-pairs (a = b) are excluded from
+    selection so merge matches can never overlap and greedy-leftmost
+    equals match-all — the re-segmentation is one branch-free array
+    transform with no sequential dependency (the property that makes the
+    rewrite embarrassingly parallel AND lets the SQL twin unroll the
+    loop exactly). The learned table (step 6 merges 'm'+'er' — a merge
+    OF a merge) proves the iteration is real, not one frequency pass."""
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step long, sym_a string, sym_b string, pair_n long"
+    )
+
+
+_BPE_TOP = 20
+
+
+@query(
+    "tokenizer_apply_bpe",
+    oracle="WITH "
+    + ",\n".join(_bpe_oracle_parts()[0])
+    + f"""
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, symbol) AS BIGINT) AS rank,
+           symbol, n
+    FROM (SELECT s AS symbol, CAST(sum(freq) AS BIGINT) AS n
+          FROM (SELECT freq, unnest(seg) AS s FROM seg{_BPE_ITERS})
+          GROUP BY s)
+    QUALIFY rank <= {_BPE_TOP}
+    """,
+    tags=("U2", "A7", "F7"),
+)
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges — the train->apply round trip that
+    makes the trainer a usable tokenizer component: after _bpe_train's
+    final re-segmentation, every word in the (vocabulary-sized,
+    frequency-weighted) word table is a sequence of learned subword
+    symbols; this reports the top-{_BPE_TOP} subwords by weighted corpus
+    occurrences. Multi-character symbols ranking above bare characters
+    in the output is the visible proof the merges composed. One
+    explode + one map-side-combined aggregate over the vocabulary
+    table; the corpus itself was only ever scanned once, for the word
+    counts. The oracle replays the full unrolled training loop and then
+    the same weighted subword census."""
+    _, segs = _bpe_train(spark, sf_dir)
+    from pyspark.sql import Window as PW
+
+    counts = (
+        segs.select("freq", F.explode("seg").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "symbol").limit(_BPE_TOP)
+    return top.select(
+        F.row_number()
+        .over(PW.orderBy(F.desc("n"), "symbol"))
+        .cast("long")
+        .alias("rank"),
+        "symbol",
+        "n",
     )
