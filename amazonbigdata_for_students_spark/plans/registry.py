@@ -72,6 +72,20 @@ def dsum(col: Column | str) -> Column:
     return F.sum(c.cast("decimal(38,6)")).cast("double")
 
 
+def dsum2(col: Column | str) -> Column:
+    """dsum for FACT-WIDE money totals: round the exact decimal sum to 2
+    decimals before the double cast. Rationale: once |sum| exceeds
+    ~9e9, the 6-decimal scaled integer passes 2^53 and the decimal ->
+    double conversion itself rounds — and Spark (Java BigDecimal, one
+    correctly-rounded step) and DuckDB (int128 / scale, two steps) can
+    land one ulp apart (observed at sf3 on q1/join_large_facts). At 2
+    decimals the scaled integer stays exactly representable to ~9e13, so
+    both engines cast identically. Oracle twin:
+    CAST(round(sum(CAST(x AS DECIMAL(38,6))), 2) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(38,6)")), 2).cast("double")
+
+
 def davg(col: Column | str) -> Column:
     """Order-independent double mean: exact decimal sum / count."""
     c = F.col(col) if isinstance(col, str) else col

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table, register_views
-from .registry import davg, dsum, query
+from .registry import davg, dsum, dsum2, query
 
 # DuckDB twin of the events table: parquet stores ns timestamps which Spark
 # truncates to micros — truncate the oracle identically.
@@ -30,9 +30,9 @@ EVENTS = "(SELECT * REPLACE (CAST(date_trunc('microseconds', ts) AS TIMESTAMP) A
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
@@ -56,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dsum2("l_extendedprice").alias("sum_base_price"),
+            dsum2(disc_price).alias("sum_disc_price"),
+            dsum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
             (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
             (dsum("l_discount") / F.count("*")).alias("avg_disc"),
@@ -465,7 +465,7 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -483,7 +483,7 @@ def join_large_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_lines"), dsum(disc_price).alias("revenue"))
+        .agg(F.count("*").alias("n_lines"), dsum2(disc_price).alias("revenue"))
     )
 
 
