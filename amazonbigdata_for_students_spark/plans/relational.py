@@ -34,7 +34,7 @@ EVENTS = "(SELECT * REPLACE (CAST(date_trunc('microseconds', ts) AS TIMESTAMP) A
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -60,7 +60,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2(disc_price).alias("sum_disc_price"),
             dsum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum2("l_extendedprice") / F.count("*")).alias("avg_price"),
             (dsum("l_discount") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
