@@ -67,10 +67,14 @@ def cmd_run(args) -> int:
         return 2
     spark = _spark()
     df = reg[args.query].fn(spark, args.sf)
-    rows = df.collect()  # one execution: show() + count() would run it twice
+    # collect only the preview: a pair-emitting query at sf1+ can return
+    # millions of rows, and pulling them all to the driver for a 20-row
+    # peek is the exact collect() antipattern the operators avoid
+    rows = df.limit(args.show + 1).collect()
     preview = spark.createDataFrame(rows[: args.show], df.schema)
     preview.show(args.show, truncate=False)
-    print(f"[{args.query}] {len(rows)} rows at {args.sf}")
+    more = "+" if len(rows) > args.show else ""
+    print(f"[{args.query}] {min(len(rows), args.show)}{more} rows shown at {args.sf}")
     return 0
 
 

@@ -1871,11 +1871,19 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB that is 4x the IO for identical output. localCheckpoint
     # pins the tiny cube so the three derived aggregates reuse it instead
     # of re-triggering the scan.
+    # win is NULL for rows outside both windows — they contribute nothing
+    # to any bin count but keep their event_type in the cube, so the type
+    # grid covers EVERY type in the feed (a type absent from one or both
+    # windows must surface with a NULL psi, exactly as the oracle's
+    # full-table DISTINCT does — not silently vanish), still in ONE scan.
+    win = (
+        F.when(F.col("d").between(1, 7), F.lit("b"))
+        .when(F.col("d").between(15, 21), F.lit("c"))
+    )
     cube = (
-        ev.filter(F.col("d").between(1, 7) | F.col("d").between(15, 21))
-        .groupBy(
+        ev.groupBy(
             "event_type",
-            F.col("d").between(1, 7).alias("is_base"),
+            win.alias("win"),
             binned(F.col("value")).alias("bin"),
             binned(F.col("value") * 1.5).alias("sbin"),
         )
@@ -1883,17 +1891,17 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     base = (
-        cube.filter("is_base")
+        cube.filter(F.col("win") == "b")
         .groupBy("event_type", "bin")
         .agg(F.sum("c").alias("cb"))
     )
     currb = (
-        cube.filter(~F.col("is_base"))
+        cube.filter(F.col("win") == "c")
         .groupBy("event_type", "bin")
         .agg(F.sum("c").alias("cc"))
     )
     currs = (
-        cube.filter(~F.col("is_base"))
+        cube.filter(F.col("win") == "c")
         .groupBy("event_type", F.col("sbin").alias("bin"))
         .agg(F.sum("c").alias("cs"))
     )
@@ -1901,16 +1909,16 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = types.crossJoin(
         spark.range(B).select(F.col("id").alias("bin"))
     )
-    tot = (
-        base.groupBy("event_type")
-        .agg(F.sum("cb").alias("nb"))
-        .join(currb.groupBy("event_type").agg(F.sum("cc").alias("nc")), "event_type")
+    tot = base.groupBy("event_type").agg(F.sum("cb").alias("nb")).join(
+        currb.groupBy("event_type").agg(F.sum("cc").alias("nc")),
+        "event_type",
+        "full",  # a type in one window only keeps a NULL total -> NULL psi
     )
     j = (
         grid.join(base, ["event_type", "bin"], "left")
         .join(currb, ["event_type", "bin"], "left")
         .join(currs, ["event_type", "bin"], "left")
-        .join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(tot), "event_type", "left")
     )
     p = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (F.col("nb") + B)
     q = (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (F.col("nc") + B)

@@ -514,7 +514,7 @@ def acid_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.commit([staged0], writer="base")
 
     errors: list[Exception] = []
-    barrier = threading.Barrier(2)
+    barrier = threading.Barrier(2, timeout=120)  # a crashed sibling must FAIL the query, not hang it
 
     def writer(parity: int, bump: int, name: str) -> None:
         try:
@@ -600,8 +600,15 @@ def acid_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_commit_version").cast("long").alias("version"))
         .agg(F.count("*").alias("rows_added"))
     )
-    return hdf.join(counts, "version").select(
-        "version", "writer", "n_adds", "n_removes", "rows_added"
+    # LEFT join: a metadata-only commit (removes-only RESTORE, an empty
+    # delta) has no tagged rows, but an audit log that silently omits
+    # rollback commits is worse than useless — report rows_added=0
+    return hdf.join(counts, "version", "left").select(
+        "version",
+        "writer",
+        "n_adds",
+        "n_removes",
+        F.coalesce("rows_added", F.lit(0)).cast("long").alias("rows_added"),
     )
 
 
@@ -743,7 +750,7 @@ def acid_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     errors: list[Exception] = []
     conflicts: list[int] = []
-    barrier = threading.Barrier(2)
+    barrier = threading.Barrier(2, timeout=120)  # a crashed sibling must FAIL the query, not hang it
 
     def txn(modulus: int, bump: int, name: str) -> None:
         try:

@@ -1159,10 +1159,7 @@ def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ARES_K = 64
-_ARES_U20 = "(" + " + ".join(
-    f"CAST(strpos('{_HEX}', substring(md5('ares|' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1 AS BIGINT) * {16 ** (5 - i)}"
-    for i in range(1, 6)
-) + ")"
+_ARES_U20 = _sql_u20("ares|")
 
 
 @query(

@@ -572,12 +572,21 @@ class CommitLog:
         {col: [min, max]}; two footprints are disjoint iff some shared
         column's intervals are disjoint (min/max boxes are disjoint iff
         disjoint on >= 1 dimension). A missing footprint — a legacy commit,
-        or a compaction that rewrote every key — is assumed to overlap."""
+        or a compaction that rewrote every key — is assumed to overlap.
+        A None BOUND (empty delta, or an all-NULL key column — min/max
+        skip NULLs, and latest-per-key resolution treats NULL as a real
+        key group) proves nothing about that column, so it is skipped:
+        conservative overlap, never a type error and never a falsely-
+        disjoint NULL-keyed race."""
         if mine is None or theirs is None:
             return True
         for col, (lo, hi) in mine.items():
             mm = theirs.get(col)
-            if mm is not None and (lo > mm[1] or hi < mm[0]):
+            if mm is None or lo is None or hi is None:
+                continue
+            if mm[0] is None or mm[1] is None:
+                continue
+            if lo > mm[1] or hi < mm[0]:
                 return False
         return True
 
@@ -592,9 +601,16 @@ class CommitLog:
             if v <= read_version:
                 continue
             m = self.read_manifest(v)
-            if m.get("rearrange"):
+            if m.get("rearrange") and key_ranges is not None:
                 # compaction: a physical rewrite with identical logical
-                # state — a delta derived before it is still valid after it
+                # state — a DATA delta derived before it is still valid
+                # after it. The exemption applies ONLY to transactions
+                # that declared a key footprint: a full-rewrite
+                # transaction (key_ranges=None — another compaction, a
+                # RESTORE) computed its removes from the PHYSICAL token
+                # set, which the interleaved rearrange just changed, so
+                # blind-committing would leave the new base un-retired
+                # (duplicated rows) — it must abort and re-derive.
                 continue
             if self._footprints_overlap(key_ranges, m.get("key_ranges")):
                 raise ConcurrentKeyConflict(

@@ -647,3 +647,67 @@ def test_write_checkpoint_base_capped_at_head(spark, tmp_path):
         fast = sorted(fresh.live_tokens(as_of))
         slow = sorted(fresh.live_tokens(as_of, use_checkpoint=False))
         assert fast == slow, f"as_of={as_of}"
+
+
+def test_racing_full_rewrites_conflict_and_none_bounds_are_safe(spark, tmp_path):
+    """(a) A full-rewrite transaction (key_ranges=None: compaction,
+    RESTORE) must CONFLICT with an interleaved rearrange commit — its
+    removes were computed from a physical token set the rearrange just
+    changed; blind-committing would leave the new base un-retired and
+    duplicate the table. (b) None footprint bounds (empty delta /
+    all-NULL key column) are conservative overlap, never a TypeError
+    that would poison the log."""
+    from amazonbigdata_for_students_spark.sources.commitlog import (
+        ConcurrentKeyConflict,
+    )
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10), (2, 20)])
+    log.commit([s0])
+    s1 = _stage_rows(spark, log, [(2, 21)])
+    log.commit([s1])
+
+    # simulate compaction B that read at v1, while compaction A lands v2
+    stale_read = log._contiguous_head()
+    stale_live = [t for _, t in log.live_tokens()]
+    assert log.compact(spark, ["user_id"]) == 2  # "A" wins
+
+    staged = _stage_rows(spark, log, [(1, 10), (2, 21)])
+    with pytest.raises(ConcurrentKeyConflict):
+        log.commit(
+            [staged],
+            removes=stale_live,
+            read_version=stale_read,
+            key_ranges=None,  # full rewrite: rearrange is NOT exempt
+            rearrange=True,
+        )
+    # the table still reads exactly once per key (no duplicated base)
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {1: 10, 2: 21}
+
+    # (b) an EMPTY delta's stats footprint is [None, None] — committing it
+    # must work, and later conflict checks against it must not TypeError
+    empty = _stage_rows(spark, log, [], )
+    ranges = log.stats_for(spark, empty, ["user_id"])
+    assert ranges == {"user_id": [None, None]}
+    assert log.commit(
+        [empty], read_version=log._contiguous_head(), key_ranges=ranges
+    ) is not None
+    s2 = _stage_rows(spark, log, [(3, 30)])
+    # conservative: the None-bounds commit counts as OVERLAPPING — a
+    # clean ConcurrentKeyConflict (the caller re-derives), never TypeError
+    with pytest.raises(ConcurrentKeyConflict):
+        log.commit(
+            [s2],
+            read_version=log._contiguous_head() - 1,
+            key_ranges={"user_id": [3, 3]},
+        )
+    # and committing against the CURRENT head still works fine
+    assert log.commit(
+        [s2],
+        read_version=log._contiguous_head(),
+        key_ranges={"user_id": [3, 3]},
+    ) is not None
