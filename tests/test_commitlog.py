@@ -711,3 +711,43 @@ def test_racing_full_rewrites_conflict_and_none_bounds_are_safe(spark, tmp_path)
         read_version=log._contiguous_head(),
         key_ranges={"user_id": [3, 3]},
     ) is not None
+
+
+def test_replace_where_matches_brute_force_on_random_logs(spark, tmp_path):
+    """Randomized equivalence: for seeded random commit histories (with
+    stats) and random predicates, replace_where's final state must equal
+    the brute-force recompute (delete range, insert replacement) applied
+    to the pre-transaction snapshot — regardless of how many files were
+    carried vs rewritten."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        log = CommitLog(str(tmp_path / f"t{trial}"))
+        n_commits = rng.randint(2, 4)
+        for _ in range(n_commits):
+            lo = rng.randint(0, 80)
+            rows = [(lo + i, rng.randint(0, 999)) for i in range(rng.randint(1, 12))]
+            st = _stage_rows(spark, log, rows)
+            log.commit([st], stats={st: log.stats_for(spark, st, ["user_id"])})
+
+        before = {
+            r["user_id"]: r["v"]
+            for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+        }
+        p_lo = rng.randint(0, 60)
+        p_hi = p_lo + rng.randint(0, 30)
+        ins = [(k, -k) for k in range(p_lo, p_hi + 1) if rng.random() < 0.5]
+        repl = (
+            spark.createDataFrame(ins, "user_id bigint, v bigint") if ins else None
+        )
+        res = log.replace_where(spark, "user_id", p_lo, p_hi, repl)
+        assert res["rewritten"] + res["carried"] == n_commits
+
+        expect = {k: v for k, v in before.items() if not (p_lo <= k <= p_hi)}
+        expect.update(dict(ins))
+        got = {
+            r["user_id"]: r["v"]
+            for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+        }
+        assert got == expect, f"trial {trial} pred [{p_lo},{p_hi}]"
