@@ -96,6 +96,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "set_except_all", "set_intersect_all", "sql_not_in_null_trap",
     "engine_plan_audit", "clk_markov_transitions", "engine_cache_reuse",
     "acid_schema_evolution", "corpus_build_pipeline_v3",
+    "dedup_span_ngrams",
 )
 
 _WINDOW_SIZE = 50

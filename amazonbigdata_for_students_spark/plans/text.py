@@ -993,6 +993,129 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = 8  # span length in tokens (Lee et al. use 50 on web text; the
+# synthetic docs average ~54 tokens, so 8 keeps the span/doc ratio comparable)
+
+
+@query(
+    "dedup_span_ngrams",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+    sl AS (
+      SELECT doc_id,
+             [{{'s': i - 1,
+                'span': array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')}}
+              for i in generate_series(1, len(toks) - {_SPAN_W - 1})] AS spanlist
+      FROM b WHERE n_tokens >= {_SPAN_W}
+    ),
+    flat AS (
+      SELECT doc_id, CAST(sp.s AS BIGINT) AS s, sp.span AS span
+      FROM (SELECT doc_id, unnest(spanlist) AS sp FROM sl)
+    ),
+    dups AS (SELECT span FROM flat GROUP BY span HAVING count(*) > 1),
+    dsp AS (SELECT doc_id, s FROM flat WHERE span IN (SELECT span FROM dups)),
+    isl AS (
+      SELECT doc_id, s,
+             max(s + {_SPAN_W}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dsp
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             sum(greatest(0, (s + {_SPAN_W}) - greatest(s, coalesce(prev_end, 0)))) AS covered
+      FROM isl GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           greatest(b.n_tokens - {_SPAN_W - 1}, 0) AS n_spans,
+           CAST(coalesce(cov.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CAST(coalesce(cov.covered, 0) AS BIGINT)
+                 / greatest(b.n_tokens, 1), 6) AS dup_token_ratio
+    FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id
+    """,
+    tags=("U6", "F7", "W3"),
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every W-token sliding
+    window is a span; spans occurring more than once corpus-wide are
+    duplicates, and each document reports how many of its token positions
+    are covered by at least one duplicated span (interval union via a
+    running-max window — no position explosion). This is the pass that
+    catches partially-copied text that document- and paragraph-level
+    dedup both miss.
+
+    Scale: spans shuffle once on the span key for the corpus-wide count
+    (map-side partial agg collapses within-partition repeats), then once
+    more for the doc_id-partitioned coverage window — both keyed, no
+    all-pairs stage. At 100 TB the span key would be xxhash64(span)
+    (8 bytes instead of ~50, collision rate ~N²/2⁶⁴ — negligible and
+    one-sided toward over-deletion); here spans stay exact strings so the
+    DuckDB twin is bit-identical. Interval-union coverage is O(spans) per
+    doc, not O(spans × W)."""
+    from pyspark.sql import Window as PW
+
+    W = _SPAN_W
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", TOKENS().alias("toks")).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n_tokens")
+    )
+    spans = (
+        base.where(F.col("n_tokens") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - W),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.concat_ws(
+                            " ", F.slice("toks", (i + 1).cast("int"), W)
+                        ).alias("span"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.s").alias("s"), F.col("sp.span").alias("span"))
+    )
+    dup_spans = (
+        spans.groupBy("span").agg(F.count("*").alias("c")).where("c > 1").select("span")
+    )
+    dsp = spans.join(dup_spans, "span", "left_semi").select("doc_id", "s")
+    prev = PW.partitionBy("doc_id").orderBy("s").rowsBetween(PW.unboundedPreceding, -1)
+    cov = (
+        dsp.withColumn("prev_end", F.max(F.col("s") + W).over(prev))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (F.col("s") + W)
+                    - F.greatest("s", F.coalesce("prev_end", F.lit(0).cast("long"))),
+                )
+            ).alias("covered"),
+        )
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (W - 1), F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0).cast("long")).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0).cast("long"))
+                / F.greatest("n_tokens", F.lit(1).cast("long")),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
 @query(
     "er_resolve_entities",
     oracle="""

@@ -843,3 +843,31 @@ def test_token_budget_shards_matches_sequential_truth(spark):
             for r in token_budget_shards(d, budget).collect()
         }
         assert got == truth, f"trial {trial}: n={n} budget={budget}"
+
+
+def test_span_dedup_interval_union_coverage(spark, tmp_path):
+    """Crafted corpus: doc 1 and doc 2 share a 10-token run (=> three
+    overlapping duplicated 8-spans each); doc 3 is unique. Coverage must be
+    the interval UNION (10 tokens), not the sum of span lengths (24)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, shared + " kilo lima mike november oscar papa quebec"),
+        (2, "romeo sierra tango " + shared),
+        (3, "uniform victor whiskey xray yankee zulu one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_span_ngrams"].fn(spark, str(tmp_path)).collect()
+    }
+    # 10 shared tokens => starts 0..2 of the run are duplicated 8-spans.
+    assert out[1]["n_dup_spans"] == 3 and out[2]["n_dup_spans"] == 3
+    assert out[1]["covered_tokens"] == 10  # union, not 3*8
+    assert out[2]["covered_tokens"] == 10
+    assert out[3]["n_dup_spans"] == 0 and out[3]["covered_tokens"] == 0
+    assert out[1]["n_spans"] == out[1]["n_tokens"] - 7
+    assert abs(out[2]["dup_token_ratio"] - round(10 / out[2]["n_tokens"], 6)) < 1e-9
