@@ -96,7 +96,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "set_except_all", "set_intersect_all", "sql_not_in_null_trap",
     "engine_plan_audit", "clk_markov_transitions", "engine_cache_reuse",
     "acid_schema_evolution", "corpus_build_pipeline_v3",
-    "dedup_span_ngrams",
+    "dedup_span_ngrams", "timeseries_ewma", "agg_skew_kurtosis",
+    "clk_pattern_funnel",
 )
 
 _WINDOW_SIZE = 50

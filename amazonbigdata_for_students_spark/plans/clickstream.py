@@ -787,3 +787,57 @@ def clk_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_credits"),
         dsum("credit").alias("attributed_value"),
     )
+
+
+@query(
+    "clk_pattern_funnel",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM {EVENTS} e GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           len(regexp_extract_all(journey, 'vc*p')) AS n_view_to_purchase,
+           regexp_matches(journey, 's.*v.*c.*p') AS has_full_journey
+    FROM seq
+    """,
+    tags=("A8", "F2", "W1"),
+)
+def clk_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MATCH_RECOGNIZE analog — complex-event patterns as regex over
+    the per-user journey string. Each user's events compress to one char
+    per event (c/e/p/s/v), time-ordered with an event_id tiebreak; then
+    `vc*p` counts non-overlapping view->clicks->purchase funnels (both
+    engines scan left-to-right, non-overlapping — identical counts for
+    backtrack-free patterns) and `s.*v.*c.*p` flags the signup-to-purchase
+    full journey. One shuffle on user_id; the journey string is bounded by
+    events-per-user (for unbounded histories, window per session first —
+    clk_sessionize — and pattern-match per session). The regex runs on a
+    string thousands of times smaller than the events it summarizes, so
+    the scan cost is the groupBy, not the match."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all("journey", F.lit("vc*p"), F.lit(0))).cast("long").alias(
+            "n_view_to_purchase"
+        ),
+        F.col("journey").rlike("s.*v.*c.*p").alias("has_full_journey"),
+    )

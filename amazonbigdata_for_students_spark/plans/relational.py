@@ -2017,3 +2017,135 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("n_scaled"),
     )
+
+
+@query(
+    "timeseries_ewma",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS q
+      FROM {EVENTS} e
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_events,
+             list(q ORDER BY ts, event_id) AS qs
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(qs, (acc, x) -> (3 * acc + x) // 4) AS ewma_cents,
+           round(list_reduce(qs, (acc, x) -> (3 * acc + x) // 4) / 100.0, 2)
+             AS ewma_value
+    FROM g
+    """,
+    tags=("W3", "F7", "A3"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series (alpha = 1/4):
+    e_t = (3*e_{t-1} + x_t) div 4 over the time-ordered event stream —
+    the smoothing primitive behind anomaly baselines and trend monitors.
+    EWMA is inherently sequential per key, so it folds a per-key ordered
+    array (collect_list + array_sort by (ts, event_id) — unique tiebreak,
+    then aggregate()): one shuffle on the series key, fold runs inside
+    codegen, no iteration or driver loop. Values quantize to integer
+    cents first so the truncating-division recurrence is EXACT and
+    engine-independent (both Spark `div` and DuckDB `//` truncate toward
+    zero — no float accumulation drift). At 100 TB the per-key array is
+    bounded by series length; monster series would chunk via the
+    segmented-fold pattern (fold chunks, then fold chunk results with
+    carried state) — the recurrence is associative-composable because
+    each step is an affine map x -> (3x + q) div 4 over a bounded range.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("q"),
+    )
+    g = q.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "q"))).alias("ss"),
+    )
+    fold = F.expr(
+        "aggregate(slice(transform(ss, s -> s.q), 2, size(ss) - 1), "
+        "transform(ss, s -> s.q)[0], (acc, x) -> (3L * acc + x) div 4L)"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        fold.alias("ewma_cents"),
+        F.round(fold / 100.0, 2).alias("ewma_value"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           round(mean, 6) AS mean_qty,
+           round(sqrt(m2), 6) AS stddev_pop,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness_pop,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+    tags=("A3", "F4"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments (population skewness / excess kurtosis)
+    from exact power sums. The built-in skewness()/kurtosis() disagree
+    BETWEEN engines on bias correction (sample vs population), so this
+    computes sum(x^k) k=1..4 through decimal(38,6) (exact — l_quantity
+    is integer-valued 1..50, x^4 <= 6.25e6) and derives the moments in
+    double with the IDENTICAL expression tree on both sides: every
+    +,-,*,/,sqrt is correctly rounded per IEEE-754, so equal exact
+    inputs give bit-equal outputs before the final round(6). One
+    map-side-combined groupBy — the moment sums are trivially mergeable,
+    which is also why this works as a partial->final aggregation at any
+    scale (and as an incremental/streaming accumulator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((qd * qd).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((qd * qd * qd).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((qd * qd * qd * qd).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    # Mirror the oracle's expression tree exactly (no algebraic reshuffle):
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - F.lit(3) * mean * (F.col("s2") / F.col("n")) + F.lit(2) * mean * mean * mean
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4) * mean * (F.col("s3") / F.col("n"))
+        + F.lit(6) * mean * mean * (F.col("s2") / F.col("n"))
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    m = s.select("l_returnflag", "n", mean.alias("mean"), m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round("mean", 6).alias("mean_qty"),
+        F.round(F.sqrt("m2"), 6).alias("stddev_pop"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6).alias("skewness_pop"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias("excess_kurtosis"),
+    )
