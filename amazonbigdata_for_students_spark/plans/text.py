@@ -997,36 +997,92 @@ _SPAN_W = 8  # span length in tokens (Lee et al. use 50 on web text; the
 # synthetic docs average ~54 tokens, so 8 keeps the span/doc ratio comparable)
 
 
+def span_cov_sql_ctes(src: str, w: int = _SPAN_W) -> str:
+    """DuckDB CTE chain computing duplicated-span coverage for a source
+    CTE ``src(doc_id, n_tokens, toks)``. Final CTE: ``span_cov(doc_id,
+    n_dup_spans, covered)`` — docs with no duplicated span are absent
+    (callers coalesce to 0). Twin of :func:`span_coverage`."""
+    return f"""sp_sl AS (
+      SELECT doc_id,
+             [{{'s': i - 1,
+                'span': array_to_string(toks[i:i+{w - 1}], ' ')}}
+              for i in generate_series(1, len(toks) - {w - 1})] AS spanlist
+      FROM {src} WHERE n_tokens >= {w}
+    ),
+    sp_flat AS (
+      SELECT doc_id, CAST(sp.s AS BIGINT) AS s, sp.span AS span
+      FROM (SELECT doc_id, unnest(spanlist) AS sp FROM sp_sl)
+    ),
+    sp_dups AS (SELECT span FROM sp_flat GROUP BY span HAVING count(*) > 1),
+    sp_dsp AS (SELECT doc_id, s FROM sp_flat
+               WHERE span IN (SELECT span FROM sp_dups)),
+    sp_isl AS (
+      SELECT doc_id, s,
+             max(s + {w}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM sp_dsp
+    ),
+    span_cov AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             sum(greatest(0, (s + {w}) - greatest(s, coalesce(prev_end, 0)))) AS covered
+      FROM sp_isl GROUP BY doc_id
+    )"""
+
+
+def span_coverage(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """(doc_id, n_tokens, toks) -> (doc_id, n_dup_spans, covered):
+    corpus-wide duplicated W-token spans, per-doc interval-union token
+    coverage. Spark twin of :func:`span_cov_sql_ctes`; scale notes on
+    the registered dedup_span_ngrams query."""
+    from pyspark.sql import Window as PW
+
+    spans = (
+        docs.where(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - w),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.concat_ws(
+                            " ", F.slice("toks", (i + 1).cast("int"), w)
+                        ).alias("span"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.s").alias("s"), F.col("sp.span").alias("span"))
+    )
+    dup_spans = (
+        spans.groupBy("span").agg(F.count("*").alias("c")).where("c > 1").select("span")
+    )
+    dsp = spans.join(dup_spans, "span", "left_semi").select("doc_id", "s")
+    prev = PW.partitionBy("doc_id").orderBy("s").rowsBetween(PW.unboundedPreceding, -1)
+    return (
+        dsp.withColumn("prev_end", F.max(F.col("s") + w).over(prev))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (F.col("s") + w)
+                    - F.greatest("s", F.coalesce("prev_end", F.lit(0).cast("long"))),
+                )
+            ).alias("covered"),
+        )
+    )
+
+
 @query(
     "dedup_span_ngrams",
     oracle=rf"""
     WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
     b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
-    sl AS (
-      SELECT doc_id,
-             [{{'s': i - 1,
-                'span': array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')}}
-              for i in generate_series(1, len(toks) - {_SPAN_W - 1})] AS spanlist
-      FROM b WHERE n_tokens >= {_SPAN_W}
-    ),
-    flat AS (
-      SELECT doc_id, CAST(sp.s AS BIGINT) AS s, sp.span AS span
-      FROM (SELECT doc_id, unnest(spanlist) AS sp FROM sl)
-    ),
-    dups AS (SELECT span FROM flat GROUP BY span HAVING count(*) > 1),
-    dsp AS (SELECT doc_id, s FROM flat WHERE span IN (SELECT span FROM dups)),
-    isl AS (
-      SELECT doc_id, s,
-             max(s + {_SPAN_W}) OVER (
-               PARTITION BY doc_id ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM dsp
-    ),
-    cov AS (
-      SELECT doc_id, count(*) AS n_dup_spans,
-             sum(greatest(0, (s + {_SPAN_W}) - greatest(s, coalesce(prev_end, 0)))) AS covered
-      FROM isl GROUP BY doc_id
-    )
+    {span_cov_sql_ctes('b')},
+    cov AS (SELECT doc_id, n_dup_spans, covered FROM span_cov)
     SELECT b.doc_id, b.n_tokens,
            greatest(b.n_tokens - {_SPAN_W - 1}, 0) AS n_spans,
            CAST(coalesce(cov.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
@@ -1055,50 +1111,12 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided toward over-deletion); here spans stay exact strings so the
     DuckDB twin is bit-identical. Interval-union coverage is O(spans) per
     doc, not O(spans × W)."""
-    from pyspark.sql import Window as PW
-
     W = _SPAN_W
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", TOKENS().alias("toks")).select(
         "doc_id", "toks", F.size("toks").cast("long").alias("n_tokens")
     )
-    spans = (
-        base.where(F.col("n_tokens") >= W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - W),
-                    lambda i: F.struct(
-                        i.alias("s"),
-                        F.concat_ws(
-                            " ", F.slice("toks", (i + 1).cast("int"), W)
-                        ).alias("span"),
-                    ),
-                )
-            ).alias("sp"),
-        )
-        .select("doc_id", F.col("sp.s").alias("s"), F.col("sp.span").alias("span"))
-    )
-    dup_spans = (
-        spans.groupBy("span").agg(F.count("*").alias("c")).where("c > 1").select("span")
-    )
-    dsp = spans.join(dup_spans, "span", "left_semi").select("doc_id", "s")
-    prev = PW.partitionBy("doc_id").orderBy("s").rowsBetween(PW.unboundedPreceding, -1)
-    cov = (
-        dsp.withColumn("prev_end", F.max(F.col("s") + W).over(prev))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_dup_spans"),
-            F.sum(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    (F.col("s") + W)
-                    - F.greatest("s", F.coalesce("prev_end", F.lit(0).cast("long"))),
-                )
-            ).alias("covered"),
-        )
-    )
+    cov = span_coverage(base, W)
     return (
         base.join(cov, "doc_id", "left")
         .select(

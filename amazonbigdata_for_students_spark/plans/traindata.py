@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..sources.readers import load_table
 from .registry import query
 from .relational import EVENTS
+from .text import span_cov_sql_ctes
 from .vectors import sem_sql_ctes
 
 _HEX = "0123456789abcdef"
@@ -1299,6 +1300,109 @@ def corpus_build_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once: downstream the sharder consumes t from THREE
         # plans (min/max collect, subtotal branch, window branch) and
         # each would otherwise re-execute the dedup + semantic subtree
+        .localCheckpoint(eager=False)
+    )
+    sharded = token_budget_shards(t, _SHARD_BUDGET)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
+    )
+
+
+@query(
+    "corpus_build_pipeline_v5",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    b AS (
+      SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT d.doc_id, d.lang,
+               list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents d JOIN canon USING (doc_id)
+      )
+    ),
+    {span_cov_sql_ctes("b")},
+    spankept AS (
+      SELECT b.doc_id, b.lang, b.n_tokens
+      FROM b LEFT JOIN span_cov sc USING (doc_id)
+      WHERE coalesce(sc.covered, 0) * 5 <= b.n_tokens
+    ),
+    src AS (
+      SELECT em.vec_id, em.embedding
+      FROM embeddings em JOIN spankept k ON em.vec_id = k.doc_id
+    ),
+    {sem_sql_ctes("src")},
+    kept AS (
+      SELECT s2.doc_id, s2.lang, s2.n_tokens
+      FROM spankept s2 LEFT JOIN dropped dr ON s2.doc_id = dr.vec_id
+      WHERE dr.vec_id IS NULL
+    ),
+    sharded AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {_SHARD_BUDGET}) AS BIGINT) AS shard
+      FROM kept
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+    FROM sharded
+    GROUP BY shard
+    """,
+    tags=("U5", "U6", "U2", "W3", "A7", "F7"),
+)
+def corpus_build_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v4 plus the round's SPAN-level boilerplate gate: exact dedup →
+    duplicated-span coverage filter (drop docs whose duplicated-span
+    token coverage exceeds 20% — the RefinedWeb/Gopher-style repetition
+    rule, exact via integer cross-multiplication covered*5 <= n_tokens,
+    no float ratio) → SemDeDup semantic dedup over the survivors'
+    embeddings → two-pass token-budget sharding → per-shard accounting.
+    Each stage only ever shrinks the id set, so the composition shares
+    v4's scale shape: every join is keyed (doc_id / span digest / cell),
+    the only global structure is the #partitions-row offsets frame, and
+    the span stage's corpus-wide count naturally runs over the
+    post-exact-dedup survivors — dedup ordering matters (exact first
+    makes span counts reflect distinct content, not storage copies)."""
+    from .text import _NORM, TOKENS, span_coverage
+    from .vectors import _as_double, semantic_cells_drops
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    b = (
+        d.join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang", TOKENS().alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    cov = span_coverage(b)
+    spankept = (
+        b.join(cov, "doc_id", "left")
+        .where(F.coalesce("covered", F.lit(0).cast("long")) * 5 <= F.col("n_tokens"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(spankept, F.col("vec_id") == F.col("doc_id"), "left_semi")
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    _, dropped = semantic_cells_drops(e)
+    t = (
+        spankept.join(
+            dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        # materialize once: the sharder consumes this from three plans
         .localCheckpoint(eager=False)
     )
     sharded = token_budget_shards(t, _SHARD_BUDGET)
