@@ -97,7 +97,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "engine_plan_audit", "clk_markov_transitions", "engine_cache_reuse",
     "acid_schema_evolution", "corpus_build_pipeline_v3",
     "dedup_span_ngrams", "timeseries_ewma", "agg_skew_kurtosis",
-    "clk_pattern_funnel", "corpus_build_pipeline_v5",
+    "clk_pattern_funnel", "corpus_build_pipeline_v5", "stream_ewma_anomaly",
 )
 
 _WINDOW_SIZE = 50

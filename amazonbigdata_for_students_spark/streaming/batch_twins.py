@@ -1034,3 +1034,110 @@ def stream_atomic_two_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(consistent).alias("tables_consistent"),
         )
     )
+
+
+@query(
+    "stream_ewma_anomaly",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS q
+      FROM {EVENTS} e
+    ),
+    g AS (
+      SELECT user_id, list(q ORDER BY ts, event_id) AS qs
+      FROM q GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, CAST(len(qs) AS BIGINT) AS n_events,
+             list_reduce(
+               list_transform(qs, x -> {{'e': x,
+                                         'n': CAST(1 AS BIGINT),
+                                         'a': CAST(0 AS BIGINT)}}),
+               -- field ORDER is load-bearing: DuckDB 1.0 list_reduce
+               -- evaluates struct fields sequentially over a reused
+               -- accumulator vector on long lists, so a field must not
+               -- read an acc.* value an EARLIER field already wrote
+               -- (writing 'e' first silently corrupted acc.e in the 'a'
+               -- check past ~40 elements). Order a -> n -> e has no
+               -- read-after-write hazard.
+               (acc, x) -> {{'a': acc.a + (CASE WHEN acc.n >= 3
+                                                 AND x.e > 2 * acc.e
+                                           THEN 1 ELSE 0 END),
+                             'n': acc.n + 1,
+                             'e': (3 * acc.e + x.e) // 4}}) AS st
+      FROM g
+    )
+    SELECT user_id, n_events, st.e AS ewma_cents, st.a AS n_anomalies
+    FROM r
+    """,
+    tags=("T5", "T7"),
+)
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA anomaly detector — the streaming twin of
+    timeseries_ewma. Per user, GroupState carries (ewma_cents, n, n_anomalies);
+    each micro-batch folds its rows in (ts, event_id) order onto the carried
+    state with the exact integer recurrence e = (3e + q) div 4, flagging an
+    anomaly when an event exceeds 2x the running baseline after a 3-event
+    warmup. Quantization to cents happens in Spark expressions BEFORE the
+    Python fold (Python/numpy round is half-to-even; SQL round is not), so
+    the recurrence is integer-exact and engine-independent. Emits a running
+    snapshot per batch (update mode); the final per-user row (max n_events)
+    is the batch oracle's answer. State is a 3-long tuple per user — at
+    100 TB state volume is #users * 24 bytes, and the fold is O(batch rows)
+    with no shuffle beyond the groupBy key."""
+    from pyspark.sql import Window as PW
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("q"),
+    )
+
+    def fold_ewma(key, pdfs, state):
+        import pandas as pd  # executor-side
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            e, n, a = state.get
+        else:
+            e, n, a = None, 0, 0
+        for q in rows["q"].to_numpy():
+            q = int(q)
+            if e is None:
+                e, n = q, 1
+                continue
+            if n >= 3 and q > 2 * e:
+                a += 1
+            # int() truncates toward zero like SQL div; operands are >= 0
+            e = (3 * e + q) // 4
+            n += 1
+        state.update((e, n, a))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_cents": [e],
+                "n_anomalies": [a],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_events long, ewma_cents long, n_anomalies long"
+    )
+    snap = keyed.groupBy("user_id").applyInPandasWithState(
+        fold_ewma,
+        outputStructType=out_schema,
+        stateStructType="e long, n long, a long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _drain(snap, "stream_ewma", mode="update")
+    w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
