@@ -758,3 +758,143 @@ def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.count(F.when(F.col("d") > _SCENE_DELTA, 1)).alias("n_cuts"),
     )
+
+
+# Fixed-point Goertzel constants: 2*cos(2*pi*k/64) in Q14. Computed once at
+# import and baked into BOTH the executor closure and the oracle SQL text,
+# so engine libm differences cannot appear — the recurrence itself is pure
+# BIGINT with truncating division (verified identical in Spark and DuckDB).
+import math as _math
+
+_GZ_N = 64  # analysis window (frames)
+_GZ_C_LOW = round(2 * _math.cos(2 * _math.pi * 4 / _GZ_N) * 16384)  # bin 4
+_GZ_C_HIGH = round(2 * _math.cos(2 * _math.pi * 13 / _GZ_N) * 16384)  # bin 13
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division — SQL div/// semantics, NOT Python //."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b > 0) else -q
+
+
+@query(
+    "mm_goertzel_tone",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE doc_id % 3 = 2 AND n_chars > 0
+    ),
+    s AS (
+      SELECT doc_id, [ascii(c) for c in string_split(text, '')] AS b,
+             CAST(least(n_chars, {_GZ_N}) AS BIGINT) AS n
+      FROM d
+    ),
+    x AS (
+      SELECT doc_id, n,
+             [CAST(b[(2*(k-1)) % len(b) + 1]
+                   + 256 * b[(2*(k-1)+1) % len(b) + 1] AS BIGINT)
+              for k in generate_series(1, n)] AS xs
+      FROM s
+    ),
+    st AS (
+      SELECT doc_id, n, xs, CAST(1 AS BIGINT) AS t,
+             xs[1] AS s1a, CAST(0 AS BIGINT) AS s2a,
+             xs[1] AS s1b, CAST(0 AS BIGINT) AS s2b
+      FROM x
+      UNION ALL
+      SELECT doc_id, n, xs, t + 1,
+             xs[t+1] + ({_GZ_C_LOW} * s1a) // 16384 - s2a, s1a,
+             xs[t+1] + ({_GZ_C_HIGH} * s1b) // 16384 - s2b, s1b
+      FROM st WHERE t < n
+    ),
+    fin AS (SELECT * FROM st WHERE t = n)
+    SELECT doc_id AS media_id, n AS n_samples,
+           s1a*s1a + s2a*s2a - (({_GZ_C_LOW} * s1a) // 16384) * s2a AS p_low,
+           s1b*s1b + s2b*s2b - (({_GZ_C_HIGH} * s1b) // 16384) * s2b AS p_high,
+           CASE WHEN s1a*s1a + s2a*s2a - (({_GZ_C_LOW} * s1a) // 16384) * s2a
+                  >= s1b*s1b + s2b*s2b - (({_GZ_C_HIGH} * s1b) // 16384) * s2b
+                THEN 'low' ELSE 'high' END AS dominant_band
+    FROM fin
+    """,
+    tags=("U1", "U4", "F4"),
+)
+def mm_goertzel_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral tone detection on the audio lane — fixed-point Goertzel
+    (the DSP kernel behind DTMF/pilot-tone detectors) over the first 64
+    PCM frames of each synthesized mono WAV, through the REAL stdlib
+    codec: synth -> wave-decode -> integer recurrence
+    s_t = x_t + (c*s_{{t-1}}) div 2^14 - s_{{t-2}} for two Q14-quantized
+    bins, then band powers and the dominant band. Everything after the
+    decode is BIGINT arithmetic with truncate-toward-zero division, so
+    the result is bit-exact across engines and across re-execution — the
+    determinism discipline any sampled-media fingerprint needs at scale.
+    The oracle rebuilds the identical sample stream from the documents
+    bytes (PCM tiles the UTF-8 text; printable-ASCII corpus, so
+    char ascii == byte) and runs the same recurrence as a 64-step
+    recursive CTE. Arrow-batched mapInPandas; per-doc cost is O(64) —
+    scan-bound at any scale, no shuffle at all."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("n_chars") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("p_low", T.LongType()),
+            T.StructField("p_high", T.LongType()),
+            T.StructField("dominant_band", T.StringType()),
+        ]
+    )
+    c_low, c_high, N = _GZ_C_LOW, _GZ_C_HIGH, _GZ_N
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                wav = multimodal.synth_wav(
+                    sample_rate=8000,
+                    n_channels=1,
+                    n_frames=int(n_chars),
+                    seed_bytes=(text or "").encode("utf-8"),
+                )
+                with wave.open(io.BytesIO(wav), "rb") as r:
+                    frames = r.getnframes()
+                    pcm = np.frombuffer(r.readframes(frames), dtype="<i2")
+                xs = [int(v) for v in pcm[:N]]
+                s1a = s2a = s1b = s2b = 0
+                for i, v in enumerate(xs):
+                    if i == 0:
+                        s1a = s1b = v
+                        continue
+                    na = v + _tdiv(c_low * s1a, 16384) - s2a
+                    nb = v + _tdiv(c_high * s1b, 16384) - s2b
+                    s2a, s1a = s1a, na
+                    s2b, s1b = s1b, nb
+                p_low = s1a * s1a + s2a * s2a - _tdiv(c_low * s1a, 16384) * s2a
+                p_high = s1b * s1b + s2b * s2b - _tdiv(c_high * s1b, 16384) * s2b
+                rows.append(
+                    (
+                        doc_id,
+                        len(xs),
+                        p_low,
+                        p_high,
+                        "low" if p_low >= p_high else "high",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "p_low", "p_high", "dominant_band"],
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
