@@ -501,3 +501,79 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_rank",
         "rrf_scaled",
     )
+
+
+@query(
+    "lm_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
+         cnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+         pre AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+                        count(*) AS n1p
+                 FROM cnt GROUP BY w1),
+         contw AS (SELECT w2, count(*) AS ncont FROM cnt GROUP BY w2),
+         tot AS (SELECT count(*) AS ntypes FROM cnt)
+    SELECT c.w1, c.w2, CAST(c.c AS BIGINT) AS n_bigram,
+           CAST(((greatest(4 * c.c - 3, 0) * t.ntypes
+                  + 3 * p.n1p * w.ncont) * 1000000)
+                // (4 * p.cw1 * t.ntypes) AS BIGINT) AS p_kn_micro
+    FROM cnt c
+    JOIN pre p USING (w1)
+    JOIN contw w USING (w2)
+    CROSS JOIN tot t
+    """,
+    tags=("A1", "A3", "F7", "J1"),
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    makes n-gram LMs usable (and the scoring table behind perplexity
+    filtering / contamination scoring of training corpora). Discount
+    D = 3/4 is an exact rational, so the whole estimate reduces to one
+    integer formula over four count tables:
+
+        P(w2|w1) = max(c-D,0)/cw1 + D*N1+(w1,.)/cw1 * Pcont(w2)
+        p_kn_micro = ((max(4c-3,0)*Ntypes + 3*N1p*Ncont) * 1e6)
+                       div (4*cw1*Ntypes)
+
+    — numerator/denominator over the common denominator 4*cw1*Ntypes,
+    truncating div, zero floats anywhere. The count tables are all
+    vocabulary-bounded (prefix marginals, continuation counts, type
+    total), so after the one corpus-wide bigram count every join is a
+    broadcast of vocab-sized sides; at web scale the longs promote to
+    decimal(38,0) before the products (the 1e6 scale keeps sf3 inside
+    int64 with >100x headroom, measured in the docstring's own terms:
+    4 * corpus_bigrams * Ntypes * 1e6)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    cnt = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    pre = cnt.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw1"), F.count("*").alias("n1p")
+    )
+    contw = cnt.groupBy("w2").agg(F.count("*").alias("ncont"))
+    tot = cnt.agg(F.count("*").alias("ntypes"))
+    return (
+        cnt.join(pre, "w1")
+        .join(contw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_bigram"),
+            F.expr(
+                "((greatest(4 * c - 3, 0L) * ntypes + 3 * n1p * ncont) * 1000000L)"
+                " div (4 * cw1 * ntypes)"
+            ).cast("long").alias("p_kn_micro"),
+        )
+    )

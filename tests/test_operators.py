@@ -871,3 +871,33 @@ def test_span_dedup_interval_union_coverage(spark, tmp_path):
     assert out[3]["n_dup_spans"] == 0 and out[3]["covered_tokens"] == 0
     assert out[1]["n_spans"] == out[1]["n_tokens"] - 7
     assert abs(out[2]["dup_token_ratio"] - round(10 / out[2]["n_tokens"], 6)) < 1e-9
+
+
+def test_kneser_ney_mass_conserves_over_full_vocab(spark):
+    """KN semantics (not just cross-engine parity): per prefix w1, the
+    observed-pair probabilities PLUS the lambda(w1)*Pcont(w2) completion
+    over unseen continuations must total 1, up to 1 micro of truncation
+    per pair (each pair's probability floors once)."""
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    rows = REGISTRY["lm_kneser_ney_bigram"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no bigrams"
+    from collections import defaultdict
+
+    cw1, n1p, ncont, obs = defaultdict(int), defaultdict(int), defaultdict(int), {}
+    for r in rows:
+        cw1[r.w1] += r.n_bigram
+        n1p[r.w1] += 1
+        ncont[r.w2] += 1
+        obs[(r.w1, r.w2)] = r.p_kn_micro
+        assert 0 <= r.p_kn_micro <= 1_000_000
+    ntypes = len(rows)
+    w2s = list(ncont)
+    for w1 in cw1:
+        total = sum(p for (a, _), p in obs.items() if a == w1)
+        for w2 in w2s:
+            if (w1, w2) not in obs:
+                total += (3 * n1p[w1] * ncont[w2] * 1_000_000) // (
+                    4 * cw1[w1] * ntypes
+                )
+        assert 1_000_000 - ntypes <= total <= 1_000_000, (w1, total)
