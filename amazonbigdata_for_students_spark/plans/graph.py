@@ -408,3 +408,85 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(prev_count).cast("long").alias("n_edges"),
         F.lit(converged).alias("converged"),
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    its = "".join(
+        f""",
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT e.dst AS node, l.lbl, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN l{i - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.lbl
+      ) WHERE rn = 1
+    )"""
+        for i in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+    WITH {_EDGES_SQL},
+    l0 AS (SELECT src AS node, src AS lbl FROM deg)
+    {its}
+    SELECT lbl AS community, count(*) AS n_members, min(node) AS exemplar
+    FROM l{_LPA_ITERS}
+    GROUP BY lbl
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("J7", "A1", "W1"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds)
+    over the customer<->supplier trading graph: every node starts as its
+    own label; each round it adopts the label most frequent among its
+    neighbors, ties broken by smallest label — a total, deterministic
+    rule, so the unrolled DuckDB fixpoint matches bit-for-bit (no
+    float scores, no random tie-breaks, and a FIXED round count rather
+    than convergence detection, because synchronous LPA can 2-cycle on
+    bipartite graphs). Per round: one src-keyed join, one
+    (dst, lbl)-keyed count with map-side combine, one per-dst window for
+    the argmax — the same Pregel layout as graph_pagerank, with
+    edges+degrees localCheckpointed once and reused. Output is
+    community-level (label, size, exemplar), vocabulary-bounded by the
+    community count."""
+    from pyspark.sql import Window as PW
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), "c").alias("src"), F.concat(F.lit("s"), "s").alias("dst")
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), "s").alias("src"), F.concat(F.lit("c"), "c").alias("dst")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    w = PW.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members"), F.min("node").alias("exemplar")
+    )
