@@ -1365,3 +1365,87 @@ def acid_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(skipped_a)).alias("val"),
     )
     return present.unionByName(absent)
+
+
+@query(
+    "acid_write_audit_publish",
+    oracle=f"""
+    SELECT 'bad' AS candidate,
+           (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
+             AS n_violations,
+           false AS published,
+           (SELECT count(*) FROM customer) AS n_rows,
+           (SELECT {_dsum("c_acctbal")} FROM customer) AS total_bal
+    UNION ALL
+    SELECT 'good', 0, true,
+           (SELECT count(*) FROM customer),
+           (SELECT {_dsum(_BAL_V1)} FROM customer)
+    """,
+    tags=("S6", "S9", "P2"),
+)
+def acid_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the lakehouse release gate (Iceberg's WAP /
+    Delta's staging-branch pattern): a writer STAGES its delta in the
+    log's data dir without committing, audits the INCOMING rows (the
+    expectations-on-new-data contract: pre-existing state is already
+    published and is not re-litigated), and only a clean audit reaches
+    ``commit`` — a dirty candidate is unstaged and the log is untouched,
+    so readers can never observe un-audited data even transiently.
+
+    Two candidates run in order against a base snapshot: a BAD delta
+    (forces bal = -100000 on every c_custkey % 5 = 0 — trips the
+    domain-floor expectation once per such key) and a GOOD delta
+    (the canonical v1 wave, +100 on % 10 = 0). Output: per candidate,
+    its violation count, whether it published, and the table state its
+    attempt left behind — the bad row must show the PRISTINE base totals
+    (rejection leaked nothing) and the good row the v1 totals. Audit
+    verdicts are bounded scalar aggregates (one count per expectation);
+    everything else is the usual keyed snapshot read."""
+    log = _fresh_log(sf_dir, "wap")
+    base = _balances(spark, sf_dir)
+    staged = log.stage_dir()
+    base.write.mode("overwrite").parquet(staged)
+    log.commit([staged], writer="base")
+
+    def wap_attempt(delta: DataFrame, name: str) -> tuple[bool, int]:
+        stage = log.stage_dir()
+        delta.write.mode("overwrite").parquet(stage)
+        # expectations: balances above the domain floor (TPC-H acctbal
+        # >= -999.99, so < -1000 is corrupt), unique merge key — scored on
+        # the staged rows only; published history is not re-audited.
+        # Scalar audit verdicts only — no data rows reach the driver.
+        viol = delta.agg(
+            F.sum((F.col("bal") < -1000).cast("long")).alias("neg"),
+            (F.count("*") - F.countDistinct("c_custkey")).alias("dups"),
+        ).collect()[0]
+        n_viol = int(viol["neg"] or 0) + int(viol["dups"] or 0)
+        if n_viol == 0:
+            log.commit([stage], writer=name)
+            return True, n_viol
+        shutil.rmtree(stage, ignore_errors=True)  # unstage: log untouched
+        return False, n_viol
+
+    bad = base.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "bal", F.lit(-100000.0)  # corrupt: far below the domain floor
+    )
+    good = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "bal", F.round(F.col("bal") + 100, 2)
+    )
+    out = None
+    for name, delta in (("bad", bad), ("good", good)):
+        ok, n_viol = wap_attempt(delta, name)
+        state = log.read_latest_per_key(spark, ["c_custkey"]).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round("bal", 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        row = state.select(
+            F.lit(name).alias("candidate"),
+            F.lit(n_viol).cast("long").alias("n_violations"),
+            F.lit(ok).alias("published"),
+            "n_rows",
+            "total_bal",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
