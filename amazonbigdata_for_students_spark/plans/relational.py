@@ -2149,3 +2149,74 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6).alias("skewness_pop"),
         F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "timeseries_holt_trend",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS q
+      FROM {EVENTS} e
+    ),
+    g AS (
+      SELECT user_id, list(q ORDER BY ts, event_id) AS qs
+      FROM q GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, qs, CAST(1 AS BIGINT) AS t,
+             qs[1] AS l, CAST(0 AS BIGINT) AS b
+      FROM g
+      UNION ALL
+      SELECT user_id, qs, t + 1,
+             (qs[t+1] + 3 * (l + b)) // 4,
+             (((qs[t+1] + 3 * (l + b)) // 4) - l + 3 * b) // 4
+      FROM st WHERE t < len(qs)
+    ),
+    fin AS (SELECT user_id, t AS n_events, l, b FROM st WHERE t = len(qs))
+    SELECT user_id, n_events,
+           l AS level_cents, b AS trend_cents,
+           l + b AS forecast_cents
+    FROM fin
+    """,
+    tags=("W3", "F7", "A3"),
+)
+def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double-exponential smoothing (level + trend, alpha = beta =
+    1/4) per series — EWMA's sibling that tracks drift instead of
+    flattening it; the final (level, trend) pair gives the 1-step-ahead
+    forecast l + b. Same sequential-fold shape as timeseries_ewma — one
+    shuffle on the series key, then an aggregate() fold inside codegen
+    over the (ts, event_id)-sorted array — but with a TWO-field state,
+    which is exactly the case where DuckDB's list_reduce struct
+    accumulator is unsafe (field-order evaluation over a reused vector),
+    so the oracle unrolls the recurrence as a recursive CTE instead:
+      l' = (x + 3(l+b)) div 4,  b' = (l' - l + 3b) div 4
+    — all BIGINT on quantized cents, truncating div, engine-exact. The
+    Spark fold keeps the struct accumulator (Catalyst's aggregate() acc
+    is a value, not a reused buffer)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("q"),
+    )
+    g = q.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "q"))).alias("ss"),
+    )
+    fold = F.expr(
+        "aggregate(slice(transform(ss, s -> s.q), 2, size(ss) - 1), "
+        "named_struct('l', transform(ss, s -> s.q)[0], 'b', 0L), "
+        "(acc, x) -> named_struct("
+        "  'l', (x + 3L * (acc.l + acc.b)) div 4L, "
+        "  'b', (((x + 3L * (acc.l + acc.b)) div 4L) - acc.l + 3L * acc.b) div 4L))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        fold["l"].alias("level_cents"),
+        fold["b"].alias("trend_cents"),
+        (fold["l"] + fold["b"]).alias("forecast_cents"),
+    )
