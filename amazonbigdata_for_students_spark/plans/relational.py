@@ -2082,14 +2082,17 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_skew_kurtosis",
     oracle="""
-    WITH s AS (
+    WITH qt AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-             CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
-      FROM lineitem GROUP BY l_returnflag
+             CAST(sum(q) AS DOUBLE) AS s1,
+             CAST(sum(q * q) AS DOUBLE) AS s2,
+             CAST(sum(q * q * q) AS DOUBLE) AS s3,
+             CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+      FROM qt GROUP BY l_returnflag
     ),
     m AS (
       SELECT l_returnflag, n,
@@ -2113,22 +2116,28 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher central moments (population skewness / excess kurtosis)
     from exact power sums. The built-in skewness()/kurtosis() disagree
     BETWEEN engines on bias correction (sample vs population), so this
-    computes sum(x^k) k=1..4 through decimal(38,6) (exact — l_quantity
-    is integer-valued 1..50, x^4 <= 6.25e6) and derives the moments in
-    double with the IDENTICAL expression tree on both sides: every
-    +,-,*,/,sqrt is correctly rounded per IEEE-754, so equal exact
-    inputs give bit-equal outputs before the final round(6). One
+    computes sum(x^k) k=1..4 in pure BIGINT (exact — l_quantity is
+    integer-valued 1..50, x^4 <= 6.25e6; int64 sums stay under 2^53
+    through ~sf400, where the int->double cast is exact in BOTH engines
+    — decimal(38,6) was NOT safe here: DuckDB's wide-decimal->double
+    cast mis-rounds above ~1e10 while Spark's is correctly rounded) and
+    derives the moments in double with the IDENTICAL expression tree on
+    both sides: every +,-,*,/,sqrt is correctly rounded per IEEE-754, so
+    equal exact inputs give bit-equal outputs before the final round(6).
+    One
     map-side-combined groupBy — the moment sums are trivially mergeable,
     which is also why this works as a partial->final aggregation at any
     scale (and as an incremental/streaming accumulator)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qd = F.col("l_quantity")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    qd = F.col("q")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(qd.cast("decimal(38,6)")).cast("double").alias("s1"),
-        F.sum((qd * qd).cast("decimal(38,6)")).cast("double").alias("s2"),
-        F.sum((qd * qd * qd).cast("decimal(38,6)")).cast("double").alias("s3"),
-        F.sum((qd * qd * qd * qd).cast("decimal(38,6)")).cast("double").alias("s4"),
+        F.sum(qd).cast("double").alias("s1"),
+        F.sum(qd * qd).cast("double").alias("s2"),
+        F.sum(qd * qd * qd).cast("double").alias("s3"),
+        F.sum(qd * qd * qd * qd).cast("double").alias("s4"),
     )
     # Mirror the oracle's expression tree exactly (no algebraic reshuffle):
     mean = F.col("s1") / F.col("n")

@@ -1054,6 +1054,11 @@ def span_coverage(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
             ).alias("sp"),
         )
         .select("doc_id", F.col("sp.s").alias("s"), F.col("sp.span").alias("span"))
+        # materialize once: the corpus-wide count (partial-agg exchange)
+        # and the semi-join probe (plain exchange) cannot share a reused
+        # exchange, so without this the explode-every-W-gram stage — the
+        # dominant cost — runs twice
+        .localCheckpoint(eager=False)
     )
     dup_spans = (
         spans.groupBy("span").agg(F.count("*").alias("c")).where("c > 1").select("span")
@@ -1113,8 +1118,11 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, not O(spans × W)."""
     W = _SPAN_W
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", TOKENS().alias("toks")).select(
-        "doc_id", "toks", F.size("toks").cast("long").alias("n_tokens")
+    base = (
+        d.select("doc_id", TOKENS().alias("toks"))
+        .select("doc_id", "toks", F.size("toks").cast("long").alias("n_tokens"))
+        # consumed by span_coverage AND the final left join — tokenize once
+        .localCheckpoint(eager=False)
     )
     cov = span_coverage(base, W)
     return (

@@ -1385,6 +1385,8 @@ def corpus_build_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(canon, "doc_id", "left_semi")
         .select("doc_id", "lang", TOKENS().alias("toks"))
         .withColumn("n_tokens", F.size("toks").cast("long"))
+        # consumed by span_coverage and spankept — dedup+tokenize once
+        .localCheckpoint(eager=False)
     )
     cov = span_coverage(b)
     spankept = (

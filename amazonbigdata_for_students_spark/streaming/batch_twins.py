@@ -1085,7 +1085,18 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot per batch (update mode); the final per-user row (max n_events)
     is the batch oracle's answer. State is a 3-long tuple per user — at
     100 TB state volume is #users * 24 bytes, and the fold is O(batch rows)
-    with no shuffle beyond the groupBy key."""
+    with no shuffle beyond the groupBy key.
+
+    ORDERING CONTRACT: rows sort by (ts, event_id) WITHIN a batch, so the
+    fold is exact iff each user's events arrive in nondecreasing event
+    time ACROSS batches — true for the driver's single-file layout (one
+    availableNow batch) and for time-partitioned ingestion (file-per-hour
+    replay), but NOT for a hash-partitioned multi-file table drained with
+    maxFilesPerTrigger. Out-of-order cross-batch delivery needs a
+    watermark-bounded reorder buffer in state (hold rows above the
+    watermark, fold only the settled prefix) — documented, not
+    implemented; the sibling window/session twins get this for free from
+    the engine's own watermark handling, a sequential fold does not."""
     from pyspark.sql import Window as PW
     from pyspark.sql.streaming.state import GroupStateTimeout
 
