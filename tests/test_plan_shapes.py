@@ -484,3 +484,42 @@ def test_geo_salted_broadcasts_hot_set_no_bnlj(spark, sf_small):
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_kneser_ney_vocab_sides_broadcast(spark, sf_small):
+    """The prefix-marginal / continuation / type-total tables are all
+    vocabulary-bounded; after the one corpus-wide bigram count they must
+    join as broadcasts, never as extra fact-sized shuffles, and nothing
+    may degrade to a nested-loop join (the ntypes side is a 1-row
+    cross join, which Spark plans as BNLJ on a literal — allowed only
+    for that single-row side)."""
+    df = REGISTRY["lm_kneser_ney_bigram"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    # the only allowed nested-loop is the 1-row ntypes cross join
+    assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pattern_funnel_single_shuffle(spark, sf_small):
+    """Journey assembly is one user_id-keyed aggregation: exactly one
+    data exchange (plus AQE reads), and the regex scoring is a map-only
+    projection over the aggregated rows."""
+    import re
+
+    df = REGISTRY["clk_pattern_funnel"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+
+
+def test_span_dedup_partial_agg_before_span_shuffle(spark, sf_small):
+    """The corpus-wide span count must partial-aggregate map-side before
+    its exchange (the span stage is the dominant shuffle), and the
+    coverage window must key on doc_id — no global window."""
+    df = REGISTRY["dedup_span_ngrams"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Window" in plan
+    assert "WindowExec: No Partition Defined" not in plan
