@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
-from .registry import query
+from .registry import REGISTRY, query
 
 def TOKENS():
     """Spark-side tokens column (array<string>); lazy because Column
@@ -1030,13 +1030,22 @@ def span_cov_sql_ctes(src: str, w: int = _SPAN_W) -> str:
     )"""
 
 
-def span_coverage(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+def span_coverage(
+    docs: DataFrame, w: int = _SPAN_W, hash_spans: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, toks) -> (doc_id, n_dup_spans, covered):
     corpus-wide duplicated W-token spans, per-doc interval-union token
     coverage. Spark twin of :func:`span_cov_sql_ctes`; scale notes on
-    the registered dedup_span_ngrams query."""
+    the registered dedup_span_ngrams query. ``hash_spans`` switches the
+    shuffle key from the ~(5*w)-char span string to its xxhash64 — the
+    100 TB path (8-byte keys; collision odds ~N^2/2^64, one-sided
+    toward over-deletion)."""
     from pyspark.sql import Window as PW
 
+    span_text = lambda i: F.concat_ws(" ", F.slice("toks", (i + 1).cast("int"), w))  # noqa: E731
+    span_key = (
+        (lambda i: F.xxhash64(span_text(i))) if hash_spans else span_text
+    )
     spans = (
         docs.where(F.col("n_tokens") >= w)
         .select(
@@ -1044,12 +1053,7 @@ def span_coverage(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - w),
-                    lambda i: F.struct(
-                        i.alias("s"),
-                        F.concat_ws(
-                            " ", F.slice("toks", (i + 1).cast("int"), w)
-                        ).alias("span"),
-                    ),
+                    lambda i: F.struct(i.alias("s"), span_key(i).alias("span")),
                 )
             ).alias("sp"),
         )
@@ -1124,22 +1128,53 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by span_coverage AND the final left join — tokenize once
         .localCheckpoint(eager=False)
     )
-    cov = span_coverage(base, W)
-    return (
-        base.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.greatest(F.col("n_tokens") - (W - 1), F.lit(0).cast("long")).alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
-            F.coalesce("covered", F.lit(0).cast("long")).alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered", F.lit(0).cast("long"))
-                / F.greatest("n_tokens", F.lit(1).cast("long")),
-                6,
-            ).alias("dup_token_ratio"),
-        )
+    return _span_report(base, span_coverage(base, W), W)
+
+
+def _span_report(base: DataFrame, cov: DataFrame, w: int) -> DataFrame:
+    """Shared final projection of the two span-dedup variants."""
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - (w - 1), F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce("covered", F.lit(0).cast("long")).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered", F.lit(0).cast("long"))
+            / F.greatest("n_tokens", F.lit(1).cast("long")),
+            6,
+        ).alias("dup_token_ratio"),
     )
+
+
+@query(
+    "dedup_span_ngrams_hashed",
+    oracle=None,  # bound below to the exact-string twin's SQL
+    tags=("U6", "F7", "F8"),
+)
+def dedup_span_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path dedup_span_ngrams' docstring promises, registered:
+    identical semantics with the corpus-wide span shuffle keyed on
+    xxhash64(span) — 8 bytes per key instead of a ~40-char string, which
+    at web scale is the difference between shuffling the corpus and
+    shuffling a fingerprint of it. The oracle is the EXACT-STRING SQL
+    twin: on a deterministic corpus the hashed run either reproduces it
+    bit-for-bit or a collision merged two distinct spans (odds
+    ~N^2/2^64 ≈ 1e-11 here; and a collision only ever OVER-counts
+    duplication — the safe failure direction for a dedup gate). The
+    green oracle row is therefore also a standing no-collision proof at
+    every tested SF."""
+    W = _SPAN_W
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", TOKENS().alias("toks"))
+        .select("doc_id", "toks", F.size("toks").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    return _span_report(base, span_coverage(base, W, hash_spans=True), W)
+
+
+REGISTRY["dedup_span_ngrams_hashed"].oracle = REGISTRY["dedup_span_ngrams"].oracle
 
 
 @query(
