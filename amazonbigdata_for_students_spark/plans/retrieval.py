@@ -61,10 +61,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "txt_bm25_topk",
-    oracle=f"""
-    WITH dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl, {SQL_TOKENS} AS toks
+# The BM25 CTE chain, shared verbatim by txt_bm25_topk and txt_ndcg_eval
+# so the scorer under evaluation cannot drift from the scorer evaluated.
+_BM25_SQL_CTES = f"""dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl, {SQL_TOKENS} AS toks
                 FROM documents),
          stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens
                    FROM dl),
@@ -82,7 +81,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // (10 * s.a_tokens * t.tf + 3 * s.a_tokens + 9 * t.dl * s.n_docs)
                   ) AS BIGINT) AS score_q
            FROM tf t JOIN dfreq f USING (tok), stats s
-           GROUP BY t.doc_id)
+           GROUP BY t.doc_id)"""
+
+
+@query(
+    "txt_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES}
     SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
            doc_id, n_terms_hit, score_q
     FROM scored
@@ -575,5 +580,97 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "((greatest(4 * c - 3, 0L) * ntypes + 3 * n1p * ncont) * 1000000L)"
                 " div (4 * cw1 * ntypes)"
             ).cast("long").alias("p_kn_micro"),
+        )
+    )
+
+
+# NDCG log2 discounts in Q20: D_i = round(2^20 / log2(i+1)), computed once
+# at import and baked as literals into BOTH engines (same constants, so
+# libm never enters the comparison) — the Goertzel-constant discipline.
+import math as _math
+
+_NDCG_DISC = tuple(round(2**20 / _math.log2(i + 1)) for i in range(1, _TOP_K + 1))
+_SQL_DISC = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC))
+
+
+@query(
+    "txt_ndcg_eval",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES},
+    rel AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS rel FROM tf GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= {_TOP_K}
+    ),
+    ideal AS (
+      SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rnk
+      FROM rel QUALIFY rnk <= {_TOP_K}
+    ),
+    disc AS (SELECT * FROM (VALUES {_SQL_DISC}) AS v(rnk, d)),
+    dcg AS (SELECT CAST(sum(r.rel * disc.d) AS BIGINT) AS dcg_q
+            FROM top t JOIN rel r USING (doc_id) JOIN disc ON disc.rnk = t.rnk),
+    idcg AS (SELECT CAST(sum(i.rel * disc.d) AS BIGINT) AS idcg_q
+             FROM ideal i JOIN disc ON disc.rnk = i.rnk)
+    SELECT {_TOP_K} AS k, dcg_q, idcg_q,
+           (dcg_q * 1000000) // idcg_q AS ndcg_micro
+    FROM dcg, idcg
+    """,
+    tags=("O2", "A3", "F4"),
+)
+def txt_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — NDCG@k of the BM25 ranking against a
+    graded relevance label (total query-term occurrences per doc), the
+    eval leg that closes the retrieval loop (index -> score -> measure).
+    Discounts 1/log2(i+1) are Q20 integers computed once at import and
+    baked into both engines, so DCG, ideal-DCG, and their ratio are pure
+    BIGINT — an eval metric that itself passes a bit-exact oracle, which
+    matters because a flaky eval is worse than no eval. The ranking under
+    test and the SQL twin share one scorer definition (_bm25_scored /
+    _BM25_SQL_CTES), so the metric can never quietly evaluate a different
+    ranker than the one served. Cost: the BM25 plan plus two k-row
+    ranked heads and a k-row discount join — evaluation rides the
+    scorer's own shuffles."""
+    scored = _bm25_scored(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
+    rel = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("rel"))
+    )
+    disc_arr = F.array(*[F.lit(int(x)) for x in _NDCG_DISC])
+    top = (
+        scored.orderBy(F.desc("score_q"), "doc_id")
+        .limit(_TOP_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score_q"), "doc_id"))
+            .alias("rnk"),
+        )
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(_TOP_K)
+        .select(
+            "rel",
+            F.row_number().over(W.orderBy(F.desc("rel"), "doc_id")).alias("rnk"),
+        )
+    )
+    dcg = (
+        top.join(rel, "doc_id")
+        .select((F.col("rel") * F.element_at(disc_arr, F.col("rnk"))).alias("g"))
+        .agg(F.sum("g").cast("long").alias("dcg_q"))
+    )
+    idcg = ideal.select(
+        (F.col("rel") * F.element_at(disc_arr, F.col("rnk"))).alias("g")
+    ).agg(F.sum("g").cast("long").alias("idcg_q"))
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            F.lit(_TOP_K).alias("k"),
+            "dcg_q",
+            "idcg_q",
+            F.expr("(dcg_q * 1000000L) div idcg_q").alias("ndcg_micro"),
         )
     )
