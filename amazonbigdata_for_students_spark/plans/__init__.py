@@ -100,7 +100,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "clk_pattern_funnel", "corpus_build_pipeline_v5", "stream_ewma_anomaly",
     "mm_goertzel_tone", "lm_kneser_ney_bigram", "graph_label_propagation",
     "acid_write_audit_publish", "timeseries_holt_trend",
-    "dedup_span_ngrams_hashed", "txt_ndcg_eval",
+    "dedup_span_ngrams_hashed", "txt_ndcg_eval", "txt_distinct_ngrams",
 )
 
 _WINDOW_SIZE = 50

@@ -1794,3 +1794,66 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
     )
+
+
+@query(
+    "txt_distinct_ngrams",
+    oracle=rf"""
+    WITH t AS (SELECT lang, {SQL_TOKENS} AS toks FROM documents),
+    grams AS (
+      SELECT lang, n, g FROM (
+        SELECT lang, 1 AS n, unnest(toks) AS g FROM t
+        UNION ALL
+        SELECT lang, 2, toks[i] || ' ' || toks[i+1]
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+        UNION ALL
+        SELECT lang, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      )
+    )
+    SELECT lang, n,
+           count(*) AS total_ngrams,
+           count(DISTINCT g) AS distinct_ngrams,
+           (count(DISTINCT g) * 1000000) // count(*) AS distinct_micro
+    FROM grams GROUP BY lang, n
+    """,
+    tags=("U2", "A4", "F7"),
+)
+def txt_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report — distinct-n ratios (distinct n-grams /
+    total n-grams, n = 1..3) per language slice: the repetitiveness
+    dashboard every LLM-corpus build watches (a collapsing distinct-2
+    under dedup or synthetic-data mixing is the canonical early-warning
+    signal). N-grams come from the token array by JVM slicing (no
+    Python), all three orders union into ONE (lang, n)-keyed
+    distinct+count aggregate, and the ratio is integer micro units. At
+    100 TB exact count(DISTINCT) per slice is the honest default (one
+    shuffle on the gram); the sketch path is agg_hll_sketch_merge's
+    machinery when ±2% is acceptable."""
+    d = load_table(spark, sf_dir, "documents").select("lang", TOKENS().alias("toks"))
+
+    def grams(n: int):
+        if n == 1:
+            g = F.explode("toks").alias("g")
+        else:
+            cnt = F.size("toks") - (n - 1)
+            # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a doc
+            # shorter than n tokens must yield an empty gram array, not a
+            # slice(toks, 0, n) error
+            idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+                F.array().cast("array<int>")
+            )
+            g = F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice("toks", i.cast("int"), n)),
+                )
+            ).alias("g")
+        return d.select("lang", F.lit(n).alias("n"), g)
+
+    allg = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    return allg.groupBy("lang", "n").agg(
+        F.count("*").alias("total_ngrams"),
+        F.countDistinct("g").alias("distinct_ngrams"),
+        F.expr("(count(DISTINCT g) * 1000000L) div count(*)").alias("distinct_micro"),
+    )

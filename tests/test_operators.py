@@ -901,3 +901,23 @@ def test_kneser_ney_mass_conserves_over_full_vocab(spark):
                     4 * cw1[w1] * ntypes
                 )
         assert 1_000_000 - ntypes <= total <= 1_000_000, (w1, total)
+
+
+def test_distinct_ngrams_short_docs_dont_error(spark, tmp_path):
+    """Docs shorter than n must contribute zero n-grams, not a
+    slice(toks, 0, n) error (Spark's sequence(1, 0) counts DOWN)."""
+    df = spark.createDataFrame(
+        [(1, "solo", "en"), (2, "two words", "en"), (3, "one two three four", "de")],
+        "doc_id long, text string, lang string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    rows = {
+        (r["lang"], r["n"]): r
+        for r in REGISTRY["txt_distinct_ngrams"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[("en", 1)]["total_ngrams"] == 3
+    assert rows[("en", 2)]["total_ngrams"] == 1  # only doc 2 has a bigram
+    assert ("en", 3) not in rows  # no English doc reaches 3 tokens
+    assert rows[("de", 3)]["total_ngrams"] == 2
