@@ -57,6 +57,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_terms_hit"),
             F.sum(term_score).cast("long").alias("score_q"),
+            # graded relevance for the eval leg (total term occurrences):
+            # rides this aggregate instead of a second corpus scan
+            F.sum("tf").cast("long").alias("rel"),
         )
     )
 
@@ -377,24 +380,7 @@ _LEG_K = 20
 @query(
     "retrieval_rrf_fusion",
     oracle=f"""
-    WITH dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl, {SQL_TOKENS} AS toks
-                FROM documents),
-         stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens
-                   FROM dl),
-         tf AS (SELECT doc_id, dl, tok, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
-                WHERE tok IN ({_SQL_TERMS})
-                GROUP BY doc_id, dl, tok),
-         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         scored AS (
-           SELECT t.doc_id,
-                  CAST(sum(
-                    (((2 * (s.n_docs - f.df) + 1) * {_IDF_SCALE}) // (2 * f.df + 1))
-                    * (22 * t.tf * s.a_tokens)
-                    // (10 * s.a_tokens * t.tf + 3 * s.a_tokens + 9 * t.dl * s.n_docs)
-                  ) AS BIGINT) AS score_q
-           FROM tf t JOIN dfreq f USING (tok), stats s
-           GROUP BY t.doc_id),
+    WITH {_BM25_SQL_CTES},
          lex AS (
            SELECT doc_id,
                   CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank
@@ -562,6 +548,10 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
+        # consumed by FOUR plans (prefix marginals, continuation counts,
+        # type total, final join) — without this the corpus scan + bigram
+        # explode + (w1,w2) shuffle run four times (caught by plan review)
+        .localCheckpoint(eager=False)
     )
     pre = cnt.groupBy("w1").agg(
         F.sum("c").cast("long").alias("cw1"), F.count("*").alias("n1p")
@@ -630,14 +620,11 @@ def txt_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranker than the one served. Cost: the BM25 plan plus two k-row
     ranked heads and a k-row discount join — evaluation rides the
     scorer's own shuffles."""
-    scored = _bm25_scored(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
-    rel = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*_QUERY_TERMS))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("rel"))
-    )
+    # scored carries rel = sum(tf) — one corpus scan serves both the
+    # ranking under test and its relevance labels, consumed by three
+    # plans (top head, ideal head, dcg join) hence the materialization
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
+    rel = scored.select("doc_id", "rel")
     disc_arr = F.array(*[F.lit(int(x)) for x in _NDCG_DISC])
     top = (
         scored.orderBy(F.desc("score_q"), "doc_id")

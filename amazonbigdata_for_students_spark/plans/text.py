@@ -1121,14 +1121,19 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin is bit-identical. Interval-union coverage is O(spans) per
     doc, not O(spans × W)."""
     W = _SPAN_W
-    d = load_table(spark, sf_dir, "documents")
-    base = (
+    base = _span_base(load_table(spark, sf_dir, "documents"))
+    return _span_report(base, span_coverage(base, W), W)
+
+
+def _span_base(d: DataFrame) -> DataFrame:
+    """Tokenized (doc_id, toks, n_tokens) base shared by the two span-dedup
+    variants — localCheckpointed because span_coverage AND the final left
+    join both consume it (tokenize once)."""
+    return (
         d.select("doc_id", TOKENS().alias("toks"))
         .select("doc_id", "toks", F.size("toks").cast("long").alias("n_tokens"))
-        # consumed by span_coverage AND the final left join — tokenize once
         .localCheckpoint(eager=False)
     )
-    return _span_report(base, span_coverage(base, W), W)
 
 
 def _span_report(base: DataFrame, cov: DataFrame, w: int) -> DataFrame:
@@ -1165,12 +1170,7 @@ def dedup_span_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     green oracle row is therefore also a standing no-collision proof at
     every tested SF."""
     W = _SPAN_W
-    d = load_table(spark, sf_dir, "documents")
-    base = (
-        d.select("doc_id", TOKENS().alias("toks"))
-        .select("doc_id", "toks", F.size("toks").cast("long").alias("n_tokens"))
-        .localCheckpoint(eager=False)
-    )
+    base = _span_base(load_table(spark, sf_dir, "documents"))
     return _span_report(base, span_coverage(base, W, hash_spans=True), W)
 
 
@@ -1832,26 +1832,34 @@ def txt_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery when ±2% is acceptable."""
     d = load_table(spark, sf_dir, "documents").select("lang", TOKENS().alias("toks"))
 
-    def grams(n: int):
+    def gram_structs(n: int):
         if n == 1:
-            g = F.explode("toks").alias("g")
-        else:
-            cnt = F.size("toks") - (n - 1)
-            # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a doc
-            # shorter than n tokens must yield an empty gram array, not a
-            # slice(toks, 0, n) error
-            idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
-                F.array().cast("array<int>")
+            return F.transform(
+                "toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))
             )
-            g = F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(" ", F.slice("toks", i.cast("int"), n)),
-                )
-            ).alias("g")
-        return d.select("lang", F.lit(n).alias("n"), g)
+        cnt = F.size("toks") - (n - 1)
+        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a doc
+        # shorter than n tokens must yield an empty gram array, not a
+        # slice(toks, 0, n) error
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("toks", i.cast("int"), n)).alias("g"),
+            ),
+        )
 
-    allg = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    # all three orders emit from ONE scan/tokenize: concat the per-order
+    # struct arrays and explode once (union-of-three re-ran the scan 3x)
+    allg = d.select(
+        "lang",
+        F.explode(
+            F.concat(gram_structs(1), gram_structs(2), gram_structs(3))
+        ).alias("p"),
+    ).select("lang", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
     return allg.groupBy("lang", "n").agg(
         F.count("*").alias("total_ngrams"),
         F.countDistinct("g").alias("distinct_ngrams"),

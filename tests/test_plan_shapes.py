@@ -493,12 +493,22 @@ def test_kneser_ney_vocab_sides_broadcast(spark, sf_small):
     may degrade to a nested-loop join (the ntypes side is a 1-row
     cross join, which Spark plans as BNLJ on a literal — allowed only
     for that single-row side)."""
+    import re
+
     df = REGISTRY["lm_kneser_ney_bigram"].fn(spark, sf_small)
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert final.count("BroadcastHashJoin") >= 2
     # the only allowed nested-loop is the 1-row ntypes cross join
     assert final.count("BroadcastNestedLoopJoin") <= 1
+    # the bigram count is localCheckpointed: its four consumers must read
+    # the materialized RDD, never re-scan documents (a FileScan here means
+    # the corpus explode+shuffle runs once per consumer — the 4x bug the
+    # session review caught)
+    assert final.count("FileScan") == 0
+    assert final.count("ExistingRDD") >= 4
+    # vocab-sized aggregate exchanges only — no fact-sized re-shuffles
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2
 
 
 def test_pattern_funnel_single_shuffle(spark, sf_small):
@@ -519,7 +529,12 @@ def test_span_dedup_partial_agg_before_span_shuffle(spark, sf_small):
     coverage window must key on doc_id — no global window."""
     df = REGISTRY["dedup_span_ngrams"].fn(spark, sf_small)
     df.collect()
-    plan = plan_of(df)
-    assert "partial_count" in plan or "HashAggregate" in plan
-    assert "Window" in plan
-    assert "WindowExec: No Partition Defined" not in plan
+    final = plan_of(df).split("Initial Plan")[0]
+    # map-side partial count BEFORE the span exchange (the dominant shuffle)
+    assert "partial_count" in final
+    # the coverage window is doc_id-partitioned — a global window would
+    # print an empty windowspecdefinition partition list
+    assert "windowspecdefinition(doc_id" in final
+    # the tokenize+explode subtree is localCheckpointed: both span
+    # consumers read the RDD; any FileScan here means it re-ran
+    assert final.count("FileScan") == 0
