@@ -687,8 +687,11 @@ def merge_with_conflict_retry(
     transactions barrier on "both have read" so the conflict is
     deterministic rather than timing-dependent."""
     for n_conflicts in range(max_txn_retries):
-        snap = log.snapshot()
-        read_version = snap[-1][0] if snap else -1
+        # head(): one listdir, no manifest replay — snapshot()[-1][0]
+        # would cost O(#commits) manifest reads per attempt (defeating
+        # checkpoints) and raise ManifestsPruned on a retention-pruned
+        # table, breaking MERGE after prune_manifests
+        read_version = log.head()
         current = log.read_latest_per_key(spark, key_cols)
         if post_read_hook is not None and n_conflicts == 0:
             post_read_hook()
@@ -919,8 +922,15 @@ def acid_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interaction; out of scope for this fixture and asserted absent)
     target_live = {t for _, t in log.live_tokens(as_of=target_v)}
     head_live = {t for _, t in log.live_tokens()}
-    assert target_live <= head_live, "restore past a compaction: re-adds needed"
-    read_version = log.snapshot()[-1][0]
+    if not target_live <= head_live:
+        # a bare assert is stripped under python -O, letting an
+        # unsupported restore commit silently with wrong per-key
+        # resolution — must stay a hard raise
+        raise RuntimeError(
+            "restore past a compaction needs re-adds pinning original "
+            "add_versions; unsupported by this fixture"
+        )
+    read_version = log.head()
     data_dir = log._data_dir
     log.commit(
         [],

@@ -161,6 +161,15 @@ class CommitLog:
             head = v
         return max(head, ck_v)
 
+    def head(self) -> int:
+        """Public accessor for the current head version (-1 if empty).
+        One listdir, zero manifest reads — the right way for a
+        transaction to capture its read snapshot version. Replaying
+        ``snapshot()`` just to take ``[-1][0]`` costs O(#commits)
+        manifest reads and raises ManifestsPruned on any
+        retention-pruned table; this never does either."""
+        return self._contiguous_head()
+
     def snapshot(self, after: int = -1) -> list[tuple[int, dict]]:
         """(version, manifest) for the contiguous committed prefix,
         restricted to versions > ``after``. The default replays the whole
@@ -416,15 +425,32 @@ class CommitLog:
             .agg(
                 *[F.min(c).alias(f"min_{c}") for c in cols],
                 *[F.max(c).alias(f"max_{c}") for c in cols],
+                *[
+                    F.max(F.col(c).isNull()).alias(f"null_{c}")
+                    for c in cols
+                ],
             )
-            .collect()[0]  # bounded: 2 x len(cols) scalars
+            .collect()[0]  # bounded: 3 x len(cols) scalars
         )
         def norm(v):
             # manifests are JSON: timestamps/dates stored as their fixed-width
             # string form, which orders lexicographically == chronologically
             return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
-        return {c: [norm(row[f"min_{c}"]), norm(row[f"max_{c}"])] for c in cols}
+        # third element: has_null — min/max skip NULLs, but latest-per-key
+        # resolution treats NULL as a real key group, so two deltas with
+        # disjoint numeric ranges that BOTH touch the NULL group must still
+        # be treated as overlapping (see _footprints_overlap). Readers of
+        # the box only index [0]/[1], so the extra element is backward
+        # compatible with 2-element boxes in old manifests.
+        return {
+            c: [
+                norm(row[f"min_{c}"]),
+                norm(row[f"max_{c}"]),
+                bool(row[f"null_{c}"]),
+            ]
+            for c in cols
+        }
 
     def bloom_for(
         self,
@@ -577,20 +603,43 @@ class CommitLog:
         skip NULLs, and latest-per-key resolution treats NULL as a real
         key group) proves nothing about that column, so it is skipped:
         conservative overlap, never a type error and never a falsely-
-        disjoint NULL-keyed race."""
+        disjoint NULL-keyed race. Boxes may carry a third has_null
+        element (stats_for): a dimension on which BOTH footprints touch
+        the NULL key group can never prove disjointness, even with
+        disjoint numeric ranges — otherwise two writers both updating the
+        NULL group would blind-commit past each other (lost update). A
+        box WITHOUT the marker (a hand-built range like replace_where's
+        BETWEEN predicate, which never matches NULL) declares no NULL
+        keys; every stats_for-derived footprint — the path real
+        transactions take — records the marker explicitly."""
         if mine is None or theirs is None:
             return True
-        for col, (lo, hi) in mine.items():
+        for col, box in mine.items():
             mm = theirs.get(col)
-            if mm is None or lo is None or hi is None:
+            if mm is None:
                 continue
-            if mm[0] is None or mm[1] is None:
+            lo, hi = box[0], box[1]
+            mine_null = len(box) > 2 and bool(box[2])
+            theirs_null = len(mm) > 2 and bool(mm[2])
+            if mine_null and theirs_null:
+                continue  # shared NULL key group: dimension can't disjoin
+            if lo is None or hi is None or mm[0] is None or mm[1] is None:
+                # a side whose keys are ALL NULL (bounds None, has_null
+                # marked) is disjoint from a provably NULL-free peer; any
+                # other None bound (empty delta, legacy manifest) stays
+                # conservative overlap
+                if (lo is None and hi is None and mine_null and not theirs_null) or (
+                    mm[0] is None and mm[1] is None and theirs_null and not mine_null
+                ):
+                    return False
                 continue
             if lo > mm[1] or hi < mm[0]:
                 return False
         return True
 
-    def check_conflicts(self, read_version: int, key_ranges: dict | None) -> None:
+    def check_conflicts(
+        self, read_version: int, key_ranges: dict | None, *, pure_add: bool = False
+    ) -> None:
         """Raise ConcurrentKeyConflict if any commit newer than
         ``read_version`` has an overlapping key footprint. O(#new commits)
         metadata reads, no data touched. Deliberately does NOT exempt
@@ -601,16 +650,22 @@ class CommitLog:
             if v <= read_version:
                 continue
             m = self.read_manifest(v)
-            if m.get("rearrange") and key_ranges is not None:
+            if m.get("rearrange") and key_ranges is not None and pure_add:
                 # compaction: a physical rewrite with identical logical
-                # state — a DATA delta derived before it is still valid
-                # after it. The exemption applies ONLY to transactions
-                # that declared a key footprint: a full-rewrite
-                # transaction (key_ranges=None — another compaction, a
-                # RESTORE) computed its removes from the PHYSICAL token
-                # set, which the interleaved rearrange just changed, so
-                # blind-committing would leave the new base un-retired
-                # (duplicated rows) — it must abort and re-derive.
+                # state — a PURE-ADD data delta derived before it is
+                # still valid after it. The exemption applies ONLY to
+                # transactions that both declared a key footprint AND
+                # carry no removes / no physically-derived file plan
+                # (pure_add): any transaction whose commit names removes
+                # or pins add_versions — replace_where, RESTORE, another
+                # compaction — computed that plan from the PHYSICAL token
+                # set the interleaved rearrange just swapped out, so
+                # blind-committing would leave the new compacted base
+                # un-retired (deleted rows resurrect under latest-per-key
+                # resolution, or duplicated rows survive). Those must
+                # abort and re-derive — Delta raises
+                # ConcurrentModification for replaceWhere-vs-OPTIMIZE
+                # for exactly this reason.
                 continue
             if self._footprints_overlap(key_ranges, m.get("key_ranges")):
                 raise ConcurrentKeyConflict(
@@ -659,7 +714,15 @@ class CommitLog:
                     shutil.rmtree(os.path.join(self._data_dir, t), ignore_errors=True)
                 return None
             if read_version is not None:
-                self.check_conflicts(read_version, key_ranges)
+                # pure_add: the commit's file plan does not depend on the
+                # physical token layout — no removes to retire, no pinned
+                # resolution versions. Only such commits may ride through
+                # an interleaved compaction (see check_conflicts).
+                self.check_conflicts(
+                    read_version,
+                    key_ranges,
+                    pure_add=not removes and not add_versions,
+                )
             # head-based, not listdir-max: on a retention-pruned log the
             # next version continues AFTER the checkpoint, never back-fills
             # the pruned prefix
@@ -902,7 +965,11 @@ class CommitLog:
                     removes=removes,
                     writer="replace_where",
                     read_version=read_version,
-                    key_ranges={col: [lo, hi]},
+                    # BETWEEN never matches NULL: the footprint provably
+                    # excludes the NULL key group (has_null=False), so
+                    # disjoint-range replace_where writers keep
+                    # interleaving freely under the NULL-aware overlap
+                    key_ranges={col: [lo, hi, False]},
                     add_versions=add_versions or None,
                 )
                 return {

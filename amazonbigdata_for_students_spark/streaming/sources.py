@@ -9,6 +9,9 @@ the way Kinesis shard limits do.
 
 from __future__ import annotations
 
+import socket
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming import StreamingQuery
 

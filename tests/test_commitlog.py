@@ -692,7 +692,7 @@ def test_racing_full_rewrites_conflict_and_none_bounds_are_safe(spark, tmp_path)
     # must work, and later conflict checks against it must not TypeError
     empty = _stage_rows(spark, log, [], )
     ranges = log.stats_for(spark, empty, ["user_id"])
-    assert ranges == {"user_id": [None, None]}
+    assert ranges == {"user_id": [None, None, False]}
     assert log.commit(
         [empty], read_version=log._contiguous_head(), key_ranges=ranges
     ) is not None
@@ -751,3 +751,118 @@ def test_replace_where_matches_brute_force_on_random_logs(spark, tmp_path):
             for r in log.read_latest_per_key(spark, ["user_id"]).collect()
         }
         assert got == expect, f"trial {trial} pred [{p_lo},{p_hi}]"
+
+
+def test_replace_where_conflicts_with_interleaved_compact(spark, tmp_path, monkeypatch):
+    """The ADVICE r6 high find: a compact() landing between replace_where's
+    read and commit swaps the physical token set; replace_where's removes
+    and carried-forward plan were derived from the PRE-compaction tokens,
+    so blind-committing leaves the compacted base un-retired and rows in
+    the delete-only range RESURRECT under latest-per-key resolution. The
+    rearrange exemption must not apply to commits that carry removes /
+    pinned add_versions: replace_where must get ConcurrentKeyConflict and
+    re-derive against the compacted snapshot (Delta raises
+    ConcurrentModification for replaceWhere-vs-OPTIMIZE)."""
+    from amazonbigdata_for_students_spark.sources import commitlog as cl
+
+    log = cl.CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(i, i * 10) for i in range(1, 5)])
+    log.commit([s0], stats={s0: log.stats_for(spark, s0, ["user_id"])})
+
+    real_commit = cl.CommitLog.commit
+    fired = {"done": False}
+
+    def racing_commit(self, adds, **kw):
+        # inject OPTIMIZE after replace_where has read + staged, before
+        # its commit lands — deterministic, not scheduler-dependent
+        if kw.get("writer") == "replace_where" and not fired["done"]:
+            fired["done"] = True
+            self.compact(spark, ["user_id"])
+        return real_commit(self, adds, **kw)
+
+    monkeypatch.setattr(cl.CommitLog, "commit", racing_commit)
+    res = log.replace_where(spark, "user_id", 2, 3, None)  # DELETE WHERE
+    assert res["version"] is not None
+    got = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    # rows 2 and 3 must STAY deleted — before the fix the compacted base
+    # (containing them) was never retired and they resurrected here
+    assert got == {1: 10, 4: 40}
+    # and the compacted base must actually be retired, not just out-raced
+    live = {t for _, t in log.live_tokens()}
+    for v, m in log.snapshot():
+        if m.get("rearrange"):
+            assert not (set(m["adds"]) & live), "compacted base left live"
+
+
+def test_null_key_footprints_conflict(spark, tmp_path):
+    """ADVICE r6: min/max boxes skip NULLs, so two writers with disjoint
+    numeric ranges that BOTH update the NULL key group must still
+    conflict — stats_for records a has_null marker and the overlap test
+    refuses to disjoin a dimension both sides mark."""
+    ov = CommitLog._footprints_overlap
+    # both touch NULL group: disjoint numeric ranges cannot prove disjoint
+    assert ov({"k": [0, 1, True]}, {"k": [5, 9, True]})
+    # only one touches NULL: numeric disjointness decides
+    assert not ov({"k": [0, 1, True]}, {"k": [5, 9, False]})
+    # all-NULL column vs provably NULL-free peer: disjoint
+    assert not ov({"k": [None, None, True]}, {"k": [5, 9, False]})
+    # all-NULL column vs NULL-touching peer: overlap (shared NULL group)
+    assert ov({"k": [None, None, True]}, {"k": [5, 9, True]})
+    # legacy 2-element boxes keep their pre-marker semantics
+    assert not ov({"k": [0, 1]}, {"k": [5, 9]})
+
+    log = CommitLog(str(tmp_path / "t"))
+    s = _stage_rows(spark, log, [(None, 1), (5, 2)])
+    assert log.stats_for(spark, s, ["user_id"])["user_id"] == [5, 5, True]
+    s2 = _stage_rows(spark, log, [(7, 3)])
+    assert log.stats_for(spark, s2, ["user_id"])["user_id"] == [7, 7, False]
+
+    # end-to-end: writer A commits NULL+{5}; writer B (read before A)
+    # carries NULL+{7} — disjoint numbers, shared NULL group → conflict
+    from amazonbigdata_for_students_spark.sources.commitlog import (
+        ConcurrentKeyConflict,
+    )
+
+    log.commit([s], writer="A", stats={s: log.stats_for(spark, s, ["user_id"])},
+               read_version=-1, key_ranges=log.stats_for(spark, s, ["user_id"]))
+    with pytest.raises(ConcurrentKeyConflict):
+        log.commit(
+            [s2], writer="B", read_version=-1,
+            key_ranges={"user_id": [7, 7, True]},
+        )
+
+
+def test_merge_retry_survives_pruned_manifests(spark, tmp_path):
+    """ADVICE r6: merge_with_conflict_retry captured read_version via a
+    full snapshot() replay — O(#commits) manifest reads per attempt and a
+    hard ManifestsPruned on any retention-pruned table. head() (one
+    listdir) must make MERGE work after prune_manifests."""
+    from amazonbigdata_for_students_spark.plans.tableformat import (
+        merge_with_conflict_retry,
+    )
+
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(3):
+        s = _stage_rows(spark, log, [(1, i), (2, 10 + i)])
+        log.commit([s], writer="w")
+    ck = log.write_checkpoint()
+    assert ck == 2
+    log.prune_manifests(keep_from=2)
+
+    def derive(current):
+        import pyspark.sql.functions as F
+
+        return current.filter(F.col("user_id") == 1).withColumn(
+            "v", F.col("v") + 100
+        )
+
+    won, n_conf = merge_with_conflict_retry(spark, log, ["user_id"], derive, "m")
+    assert (won, n_conf) == (3, 0)
+    final = {
+        r["user_id"]: r["v"]
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert final == {1: 102, 2: 12}

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as entrymod
 
 
@@ -139,3 +141,27 @@ def test_window_rotation_mechanics():
     full = _compute_window(green=set(REGISTRY))
     assert len(full) == len(DRIVER_PRIORITY)
     assert list(full) == [n for n in _ROTATION_ORDER if n in REGISTRY][: len(full)]
+
+
+def test_coverage_md_in_sync_with_registry():
+    """COVERAGE.md went one round stale in r6 (VERDICT hygiene slip): it
+    is generated, so staleness must be impossible — every registry query
+    must appear in the committed file and the header count must equal the
+    live registry size. Fails red the moment a query lands without
+    re-running scripts/gen_coverage.py."""
+    import re
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(r"Registry: \*\*(\d+) queries\*\*", text)
+    assert m, "COVERAGE.md header count missing"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} queries but registry has "
+        f"{len(REGISTRY)} — run: python scripts/gen_coverage.py > COVERAGE.md"
+    )
+    missing = [n for n in REGISTRY if f"`{n}`" not in text]
+    assert not missing, (
+        f"queries missing from COVERAGE.md (regenerate it): {missing[:10]}"
+    )

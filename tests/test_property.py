@@ -129,7 +129,7 @@ def test_ares_key_is_monotone_in_weight(u, w_small, w_big):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["add", "add_pinned", "remove", "checkpoint"]),
+            st.sampled_from(["add", "add_pinned", "remove", "readd", "checkpoint"]),
             st.integers(min_value=0, max_value=5),
         ),
         min_size=1,
