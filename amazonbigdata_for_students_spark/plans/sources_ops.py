@@ -316,6 +316,94 @@ def src_kafka_shaped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_socket_stream_scan",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM {EVENTS} e
+    GROUP BY event_type
+    """,
+    tags=("S2", "F3"),
+)
+def src_socket_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 broker-ingress leg over a LIVE network connection (VERDICT r6
+    item 3): the reference's ingress is a push stream into the pipeline
+    (generator.py:202-224 puts records onto a Kinesis stream); here an
+    in-process loopback TCP endpoint (streaming.sources.JsonlLoopbackServer,
+    the spam_classify_endpoint playbook applied to ingress) serves the
+    same JSONL records the file-harness leg (src_kafka_shaped_scan) lands
+    as files, and read_kafka_stream's socket mode drives the IDENTICAL
+    six-column wire normalization end-to-end over the socket. Same oracle
+    as the JSONL harness, so the two ingress legs are hash-equal by the
+    driver's own gate.
+
+    Drain protocol: Spark's socket source has no end-of-stream (a closed
+    connection is a failure, not completion), so the query polls the
+    memory sink until every pushed record has arrived, then stops — the
+    aggregation runs in BATCH over the drained rows, deterministically.
+    Driver-side payload is bounded: the events table at gate scale
+    (sf0.01 = 10k rows, ~1 MB); on a cluster the endpoint would be a real
+    feed and the sink a partitioned table, with no driver materialization.
+    """
+    from ..streaming import sources as stream_sources
+
+    d, ready, fp = _cache_dir(sf_dir, "jsonl")
+    out = os.path.join(d, "events_jsonl")
+    if not ready:
+        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
+        _mark(d, fp)
+    lines: list[str] = []
+    for fn in sorted(os.listdir(out)):
+        if fn.startswith("part-") and fn.endswith(".json"):
+            with open(os.path.join(out, fn)) as f:
+                lines.extend(ln for ln in f.read().splitlines() if ln)
+    server = stream_sources.JsonlLoopbackServer(lines)
+    host, port = server.start()
+    from ..streaming.batch_twins import _COUNTER
+
+    name = f"socket_scan_{next(_COUNTER)}"
+    try:
+        ev = stream_sources.read_kafka_stream(
+            spark,
+            schemas.EVENTS,
+            socket_endpoint=(host, port),
+            topic="events",
+        ).drop("_topic", "_ingest_ts")
+        q = (
+            ev.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while spark.table(name).count() < len(lines):
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"socket drain stalled: "
+                        f"{spark.table(name).count()}/{len(lines)} rows"
+                    )
+                if q.exception() is not None:
+                    raise q.exception()
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        server.stop()
+    drained = spark.table(name)
+    if server.n_connections < 1:
+        raise RuntimeError("loopback endpoint never served — wire path not driven")
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # S4 — dimension CSV scan + broadcast join
 # --------------------------------------------------------------------------

@@ -109,3 +109,88 @@ def test_tolerant_jsonl_quarantines_corrupt_records(spark, tmp_path):
     assert sorted(r.item_id for r in ok.collect()) == ["7", "8"]
     assert all(r.item_id is None for r in bad.collect())
     df.unpersist()
+
+
+def test_socket_ingress_serves_wire_path_and_dies_cleanly(spark):
+    """The loopback broker leg (VERDICT r6 item 3): records pushed over a
+    REAL TCP connection drive the same wire normalization as the file
+    harness, and a dead endpoint fails the stream CLEANLY (a surfaced
+    exception, not a hang or a silent empty answer)."""
+    import json
+    import time
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from amazonbigdata_for_students_spark.streaming.sources import (
+        JsonlLoopbackServer,
+        read_kafka_stream,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    lines = [json.dumps({"k": i, "v": f"x{i}"}, sort_keys=True) for i in range(25)]
+    server = JsonlLoopbackServer(lines)
+    host, port = server.start()
+    try:
+        ev = read_kafka_stream(
+            spark, schema, socket_endpoint=(host, port), topic="t"
+        )
+        assert ev.isStreaming
+        q = (
+            ev.drop("_topic", "_ingest_ts")
+            .writeStream.format("memory")
+            .queryName("sock_test")
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while spark.table("sock_test").count() < len(lines):
+                assert time.time() < deadline, "socket drain stalled"
+                assert q.exception() is None, q.exception()
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        got = {(r.k, r.v) for r in spark.table("sock_test").collect()}
+        assert got == {(i, f"x{i}") for i in range(25)}
+        assert server.n_connections >= 1  # the wire, not a file fallback
+    finally:
+        server.stop()
+
+    # stub-kill: endpoint never reachable → the stream must FAIL with a
+    # surfaced error (connection refused propagates out of
+    # awaitTermination), not hang or return an empty answer. A FRESH
+    # never-listened port: Spark reuses the established source for
+    # identical (host, port) options within a session, so re-dialing the
+    # just-stopped server's port would not exercise the connect path.
+    import socket as pysocket
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    probe = pysocket.create_server(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+    dead = read_kafka_stream(
+        spark, schema, socket_endpoint=("127.0.0.1", dead_port), topic="t"
+    )
+    q2 = (
+        dead.writeStream.format("memory")
+        .queryName("sock_dead")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q2.awaitTermination(timeout=30)
+        raise AssertionError("dead-endpoint stream did not fail")
+
+    # mode exclusivity: zero or two ingress modes is a usage error
+    with pytest.raises(ValueError):
+        read_kafka_stream(spark, schema)
+    with pytest.raises(ValueError):
+        read_kafka_stream(
+            spark, schema, dev_jsonl_path="/tmp/x", socket_endpoint=(host, port)
+        )
