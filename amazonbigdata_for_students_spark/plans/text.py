@@ -1630,35 +1630,66 @@ def _bpe_oracle_sql(iters: int = _BPE_ITERS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+_BPE_BATCH_K = 8
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared training core: returns (merges list, final segmentation
     DataFrame) — tokenizer_train_bpe reports the merge table,
-    tokenizer_apply_bpe aggregates the resulting subword corpus."""
-    """BPE merge TRAINING (Sennrich et al. 2016, public method) — learn
+    tokenizer_apply_bpe aggregates the resulting subword corpus.
+
+    BPE merge TRAINING (Sennrich et al. 2016, public method) — learn
     the first {n} byte-pair merges, not just apply a fixed tokenizer
-    (txt_bpe_token_count's job): iteratively count adjacent-symbol pairs
-    weighted by word frequency, merge the argmax pair corpus-wide,
-    repeat. The classic scale property holds: training runs on the
-    WORD-FREQUENCY table (vocabulary-sized, Heaps' law), so the corpus
-    only enters through the initial token count; each iteration is one
-    map-side-combined pair aggregate + a 1-row driver argmax (the same
-    per-iteration scalar every iterative algorithm pays) + a map-only
-    array rewrite, lineage truncated per round with localCheckpoint.
+    (txt_bpe_token_count's job). The classic scale property holds:
+    training runs on the WORD-FREQUENCY table (vocabulary-sized, Heaps'
+    law), so the corpus only enters through the initial token count.
+
+    MULTI-MERGE ROUNDS (VERDICT r6 item 5 — the sequential 1-argmax-per-
+    merge loop paid one driver round-trip + one vocab-table scan per
+    merge): each round computes the pair counts ONCE, then accepts a
+    greedy PREFIX of the top-K pairs that is provably identical to
+    running the classical one-at-a-time loop. The acceptance rule, with
+    counts sorted (n DESC, a, b) and self-pairs excluded from selection:
+    accept the next pair (a_i, b_i, n_i) iff
+      (1) it shares no symbol with an already-accepted pair this round
+          (symbol-disjoint merges can't overlap, and a disjoint pair's
+          own count is INVARIANT under the earlier merges: merging (a,b)
+          only destroys (x,a)/(b,y) adjacencies and only creates
+          (x,ab)/(ab,y) ones, none of which is (c,d)); and
+      (2) n_i is STRICTLY greater than every earlier-accepted pair's
+          new-pair bound max(max_x occ(x,a), max_y occ(b,y)) — any pair
+          the earlier merge CREATES has count <= occ(x,a) or occ(b,y)
+          (each new (x,ab) adjacency came from an (x,a) one; bounds
+          computed BEFORE the self-pair filter, since (a,a) adjacencies
+          also seed new pairs), so nothing the earlier merges introduce
+          can out-rank n_i; existing pairs never gain count, and a tie
+          at n_i that sequential tie-break would prefer either sorts
+          earlier in the same prefix or shares a symbol and stops it.
+    The first reject ends the round (sequential semantics is a
+    contiguous prefix). Result: identical merge table (same counts too —
+    invariance gives the exact per-step n), ~len(prefix) fewer jobs and
+    vocab scans per round; tests pin the job budget and the table.
 
     Determinism: integer pair counts with (count DESC, pair lexicographic)
-    tie-break; self-pairs (a = b) are excluded from selection so merge
-    matches can never overlap and greedy-leftmost equals match-all — the
-    re-segmentation is one branch-free array transform with no sequential
-    dependency (the property that makes the rewrite embarrassingly
-    parallel AND lets the SQL twin unroll the loop exactly). The learned
-    table (step 6 merges 'm'+'er' — a merge OF a merge) proves the
-    iteration is real, not one frequency pass."""
+    tie-break; symbol-disjointness means the batched re-segmentation is
+    still one branch-free array transform with no sequential dependency
+    (greedy-leftmost == match-all, which also lets the SQL twin unroll
+    the classical loop exactly). The learned table (step 6 merges
+    'm'+'er' — a merge OF a merge) proves the iteration is real, not one
+    frequency pass."""
     words = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(TOKENS()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    return _bpe_learn(words, _BPE_ITERS)
+
+
+def _bpe_learn(words: DataFrame, n_merges: int):
+    """The merge-learning loop over a (word, freq) frame — separated from
+    the corpus load so the batched-vs-sequential equivalence property can
+    drive it on arbitrary corpora (tests/test_property.py)."""
     segs = words.select(
         "word",
         "freq",
@@ -1667,8 +1698,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         ).alias("seg"),
     ).localCheckpoint(eager=False)
 
-    merges = []
-    for k in range(1, _BPE_ITERS + 1):
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
         pair = F.explode(
             F.expr(
                 "CASE WHEN size(seg) >= 2 THEN"
@@ -1677,44 +1708,80 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 " ELSE array() END"
             )
         )
-        counts = (
-            segs.select("freq", pair.alias("p"))
-            .select("freq", "p.a", "p.b")
-            .groupBy("a", "b")
-            .agg(F.sum("freq").alias("n"))
-        )
-        best = (
-            counts.filter(F.col("a") != F.col("b"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()  # 1-row driver argmax per iteration, by design
-        )
-        if not best:
+        # ONE job per round: the full pair-count table is bounded by
+        # (alphabet + merges-so-far)^2 — a few thousand rows regardless of
+        # corpus size (symbols are single chars plus learned merges, never
+        # corpus-dependent) — so collecting it whole is an O(1)-in-data
+        # driver fetch, and top-K + bounds become plain Python
+        cnt = {
+            (r["a"], r["b"]): int(r["n"])
+            for r in (
+                segs.select("freq", pair.alias("p"))
+                .select("freq", "p.a", "p.b")
+                .groupBy("a", "b")
+                .agg(F.sum("freq").alias("n"))
+                .collect()
+            )
+        }
+        top = sorted(
+            ((n, a, b) for (a, b), n in cnt.items() if a != b),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:_BPE_BATCH_K]
+        if not top:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((k, a, b, n))
-        al, bl = F.lit(a), F.lit(b)
+        # new-pair bounds from the UNFILTERED counts (self-pair (a,a)
+        # adjacencies also seed created pairs): m_in[s] = max occ(x, s)
+        # bounds created (x, ab); m_out[s] = max occ(s, y) bounds (ab, y)
+        m_in: dict[str, int] = {}
+        m_out: dict[str, int] = {}
+        for (a, b), n in cnt.items():
+            m_in[b] = max(m_in.get(b, 0), n)
+            m_out[a] = max(m_out.get(a, 0), n)
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        maxbound = 0
+        for n, a, b in top:
+            if accepted and (({a, b} & used) or n <= maxbound):
+                break
+            accepted.append((a, b, n))
+            used |= {a, b}
+            maxbound = max(maxbound, m_in.get(a, 0), m_out.get(b, 0))
+            if len(merges) + len(accepted) >= n_merges:
+                break
+        for a, b, n in accepted:
+            merges.append((len(merges) + 1, a, b, n))
+
         sz = F.size("seg")
 
         def sym(i):
             return F.element_at("seg", i)
 
+        def any_match(i_first, i_second):
+            cond = F.lit(False)
+            for a, b, _ in accepted:
+                cond = cond | (
+                    (sym(i_first) == F.lit(a)) & (sym(i_second) == F.lit(b))
+                )
+            return cond
+
+        # simultaneous rewrite of every accepted pair: symbol-disjointness
+        # makes matches non-overlapping, so one pass is exact
         merged = F.filter(
             F.transform(
                 F.sequence(F.lit(1), sz),
                 lambda i: F.when(
-                    (i < sz) & (sym(i) == al) & (sym(i + 1) == bl),
+                    (i < sz) & any_match(i, i + 1),
                     F.concat(sym(i), sym(i + 1)),
                 )
                 .when(
-                    (i > F.lit(1)) & (sym(i - 1) == al) & (sym(i) == bl),
+                    (i > F.lit(1)) & any_match(i - 1, i),
                     F.lit(None).cast("string"),
                 )
                 .otherwise(sym(i)),
             ),
             lambda x: x.isNotNull(),
         )
-        # truncate lineage so iteration k+1's aggregate reads a flat plan
+        # truncate lineage so the next round's aggregate reads a flat plan
         segs = segs.withColumn("seg", merged).localCheckpoint(eager=False)
 
     return merges, segs

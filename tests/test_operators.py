@@ -796,6 +796,12 @@ def test_spam_endpoint_falls_back_when_stub_dead(spark, sf_small):
         # so a reintroduced per-iteration count() fails loudly.
         ("graph_shortest_path", 44),
         ("graph_kcore", 28),
+        # BPE multi-merge rounds (VERDICT r6 item 5): the sequential loop
+        # measured 15 jobs / 6 vocab scans for 6 merges; batched rounds
+        # with the disjoint-prefix acceptance rule measured 7 jobs /
+        # 3 scans. Budget between the two so a reintroduced
+        # one-argmax-per-merge loop fails loudly.
+        ("tokenizer_train_bpe", 11),
     ],
 )
 def test_graph_iteration_job_budget(spark, name, max_jobs):

@@ -200,3 +200,60 @@ def test_checkpoint_fastpath_equals_full_replay(ops, batch_every):
             if m.get("batch_id") is not None
         }
         assert fresh.committed_batch_ids() == expect
+
+
+def _bpe_sequential_reference(freqs: dict[str, int], n_merges: int):
+    """Pure-Python classical BPE (one argmax per merge, count DESC then
+    pair-lexicographic tie-break, self-pairs excluded) — the ground truth
+    the batched multi-merge rounds in plans.text._bpe_learn must equal."""
+    segs = {w: [c for c in w] for w in freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, seg in segs.items():
+            for i in range(len(seg) - 1):
+                cnt[(seg[i], seg[i + 1])] = cnt.get((seg[i], seg[i + 1]), 0) + freqs[w]
+        cand = [(n, a, b) for (a, b), n in cnt.items() if a != b]
+        if not cand:
+            break
+        n, a, b = min(cand, key=lambda t: (-t[0], t[1], t[2]))
+        merges.append((step, a, b, n))
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(seg[i] + seg[i + 1])
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=7),
+        min_size=1,
+        max_size=30,
+    ),
+    freq=st.lists(st.integers(1, 9), min_size=30, max_size=30),
+)
+def test_bpe_batched_rounds_equal_sequential(spark, words, freq):
+    """The multi-merge acceptance rule (VERDICT r6 item 5) claims exact
+    equivalence to the classical one-argmax-per-merge loop: symbol-
+    disjoint prefix, strictly above every earlier pair's new-pair bound.
+    Hypothesis drives tiny adversarial corpora — repeated chars (self-pair
+    adjacencies), ties, chains like 'ababab' — where a wrong bound or
+    overlap rule would reorder or miscount merges."""
+    from amazonbigdata_for_students_spark.plans.text import _bpe_learn
+
+    freqs: dict[str, int] = {}
+    for w, f in zip(words, freq):
+        freqs[w] = freqs.get(w, 0) + f
+    expect = _bpe_sequential_reference(dict(freqs), 5)
+    wdf = spark.createDataFrame(list(freqs.items()), "word string, freq long")
+    got, _ = _bpe_learn(wdf, 5)
+    got = [(int(s), a, b, int(n)) for s, a, b, n in got]
+    assert got == expect, f"corpus {freqs}"
