@@ -1391,6 +1391,68 @@ def _containment_pair_counts(sh: DataFrame, strategy: str = "dfcap") -> DataFram
     a = sh_n.alias("a")
     b = sh_n.alias("b")
     if strategy == "dfcap":
+        # SPAN COLLAPSE (VERDICT r6 perf item: the pair table was the
+        # remaining scale risk on boilerplate-heavy corpora). Shingles
+        # from a templated span shared by a cohort of documents all carry
+        # the IDENTICAL posting list, and each one re-emits the same
+        # c·(c-1)/2 doc pairs — a 40-shingle template is 40× the needed
+        # volume, and the deskew hot-filter only catches cohorts above
+        # ~1% of the corpus. Fix, exactness-preserving: group HEAVY
+        # shingles (document frequency above an adaptive cap) by an
+        # order-independent posting signature — (df, three independently
+        # salted sums of 31-bit doc_id hash residues, min, max); residue
+        # sums are a deterministic function of the posting multiset, stay
+        # under 2^55 even for 10M-doc postings (no ANSI overflow), and
+        # two posting sets colliding on all six components is a
+        # ~2^-93-grade event —
+        # keep ONE representative shingle per distinct posting with
+        # weight w = #collapsed shingles, and let the equality join emit
+        # each cohort's pairs once, counting w per match. Light shingles
+        # (df <= cap) pair directly with w = 1: their total emission is
+        # bounded by cap/2 · |shingle stream| — linear by construction.
+        # The cap self-tunes to 4× the mean df (floor 64) via a
+        # broadcast scalar, so dense small-vocab corpora (mean df ~90 at
+        # sf1) leave the collapse machinery nearly idle while template
+        # cohorts (df in the hundreds, unique-tail df ~1 ⇒ tiny mean)
+        # always engage it. n_common = Σ w over shared posting groups +
+        # #shared light shingles — exactly the shared-shingle count.
+        df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        cap = F.greatest(F.lit(64), (4 * F.col("mean_df")).cast("bigint"))
+        mean_df = df_tab.agg(F.avg("df").alias("mean_df"))
+        heavy = (
+            df_tab.crossJoin(F.broadcast(mean_df))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        def hsum(salt: str):
+            return F.sum(
+                F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(2**31))
+            ).alias(salt)
+
+        sig = (
+            sh.join(heavy, "shingle", "left_semi")
+            .groupBy("shingle")
+            .agg(
+                F.count("*").alias("pc"),
+                hsum("spanA"),
+                hsum("spanB"),
+                hsum("spanC"),
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+            )
+        )
+        reps = (
+            sig.groupBy("pc", "spanA", "spanB", "spanC", "mn", "mx")
+            .agg(F.min("shingle").alias("shingle"), F.count("*").alias("w"))
+            .select("shingle", "w")
+        )
+        stream = (
+            sh_n.join(heavy, "shingle", "left_anti")
+            .withColumn("w", F.lit(1).cast("bigint"))
+            .unionByName(sh_n.join(reps, "shingle"))
+        )
+        a = stream.alias("a")
+        b = stream.alias("b")
         return (
             a.join(
                 b,
@@ -1399,7 +1461,9 @@ def _containment_pair_counts(sh: DataFrame, strategy: str = "dfcap") -> DataFram
             )
             .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
             .agg(
-                F.count("*").alias("n_common"),
+                # both sides of a match carry the same shingle's weight —
+                # summing one side counts each posting group once
+                F.sum("a.w").alias("n_common"),
                 # constant per group — min() just projects it through the agg
                 F.min("a.n").alias("n_lo"),
                 F.min("b.n").alias("n_hi"),

@@ -94,6 +94,24 @@ def main() -> None:
         "containment dedup's MinHash-cohort gate engages (low signature "
         "collision), vs the default 30-word dense regime where it degenerates",
     )
+    ap.add_argument(
+        "--boilerplate",
+        type=float,
+        default=0.0,
+        help="fraction of documents that open with a shared templated span "
+        "(40 template-specific words) — the boilerplate-heavy web regime "
+        "that stresses the containment dedup's candidate stage: every "
+        "span shingle is shared by the whole template cohort",
+    )
+    ap.add_argument(
+        "--templates",
+        type=int,
+        default=64,
+        help="number of distinct boilerplate templates; sized so each "
+        "cohort (boilerplate*n_doc/templates) stays UNDER the dedup "
+        "deskew hot-filter cutoff (1%% of docs) — the worst case: too "
+        "common to be rare, too rare to be dropped",
+    )
     args = ap.parse_args()
     sf = args.sf
     out = args.out
@@ -265,6 +283,31 @@ def main() -> None:
         )
         .withColumn("n_chars", F.length("text"))
     )
+    if args.boilerplate > 0:
+        # prepend a 40-word templated span to a deterministic fraction of
+        # docs: words are template-specific ("b<tpl>x<i>"), so every span
+        # shingle's posting list is exactly the template cohort — the
+        # containment candidate stage's worst realistic case when the
+        # cohort stays under the 1% deskew cutoff
+        n_tpl = max(1, args.templates)
+        sel = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("bsel")), F.lit(1000))
+        tpl = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("btpl")), F.lit(n_tpl))
+        span = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("b"), tpl.cast("string"), F.lit("x"), i.cast("string")
+                ),
+            ),
+        )
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                sel < F.lit(int(args.boilerplate * 1000)),
+                F.concat(span, F.lit(" "), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text"))
     write(docs, "documents")
 
     # 10 cluster centers seeded by (label, dim); triangular noise from 3 uniforms

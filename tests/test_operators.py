@@ -927,3 +927,61 @@ def test_distinct_ngrams_short_docs_dont_error(spark, tmp_path):
     assert rows[("en", 2)]["total_ngrams"] == 1  # only doc 2 has a bigram
     assert ("en", 3) not in rows  # no English doc reaches 3 tokens
     assert rows[("de", 3)]["total_ngrams"] == 2
+
+
+def test_containment_span_collapse_exact_and_reduced(spark):
+    """The boilerplate volume cap (VERDICT r6 perf item): heavy shingles
+    sharing an identical posting list — a templated span's signature —
+    must collapse to ONE weighted representative (emission / span-length
+    reduction) while the pair counts stay exactly the brute-force truth."""
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans.text import (
+        _containment_directed,
+        _containment_pair_counts,
+    )
+
+    # 100-doc cohort sharing a 10-shingle templated span; 5 unique
+    # shingles per doc. Mean df ~2.9 -> cap floors at 64, so exactly the
+    # 10 span shingles (df=100) go heavy.
+    rows = [(d, f"T{s}") for d in range(100) for s in range(10)]
+    rows += [(d, f"u{d}_{s}") for d in range(100) for s in range(5)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    pairs = _containment_pair_counts(sh).collect()
+    assert len(pairs) == 100 * 99 // 2
+    assert all(
+        (r["n_common"], r["n_lo"], r["n_hi"]) == (10, 15, 15) for r in pairs
+    )
+    directed = _containment_directed(_containment_pair_counts(sh))
+    # containment = 10*1000 div 15 = 666 >= 600: both orientations survive
+    assert directed.count() == 100 * 99
+    assert directed.select("containment_pml").distinct().collect()[0][0] == 666
+
+    # the collapse itself: the 10 span shingles form ONE posting group of
+    # weight 10 — the emission the join pays is C(100,2), not 10*C(100,2)
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    heavy = df_tab.filter(F.col("df") > 64).select("shingle")
+    assert heavy.count() == 10
+    sig = (
+        sh.join(heavy, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.pmod(F.xxhash64("doc_id", F.lit("spanA")), F.lit(2**31))).alias("h1"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+    )
+    assert sig.select("pc", "h1", "mn", "mx").distinct().count() == 1
+
+    # a near-miss posting (one doc swapped) must NOT merge with the span
+    rows2 = rows + [(d, "Tx") for d in range(1, 100)] + [(200, "Tx")]
+    sh2 = spark.createDataFrame(rows2, "doc_id long, shingle string")
+    p2 = {
+        (r["lo"], r["hi"]): r["n_common"]
+        for r in _containment_pair_counts(sh2).collect()
+    }
+    assert p2[(1, 2)] == 11  # both cohorts
+    assert p2[(0, 1)] == 10  # doc 0 lacks Tx
+    assert p2[(1, 200)] == 1  # only Tx shared
