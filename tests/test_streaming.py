@@ -363,3 +363,41 @@ def test_checkpoint_processes_only_new_files_on_rerun(spark, fx, tmp_path):
     assert landed.select("user_ip", "ts", "item_id").distinct().count() == len(
         {(v["user_ip"], v["ts"], v["item_id"]) for v in fx.views}
     )
+
+
+def test_tws_port_is_feature_gated(spark, sf_small):
+    """alert_once_tws (the transformWithStateInPandas port) must fail
+    FAST and clear where protobuf is absent — not deep inside the first
+    micro-batch — and must be byte-identical to the
+    applyInPandasWithState answer where the API is available."""
+    import pytest
+
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _drain,
+        events_stream,
+    )
+    from amazonbigdata_for_students_spark.streaming.pipelines import (
+        alert_once_stateful,
+        alert_once_tws,
+        tws_available,
+    )
+
+    ev = events_stream(spark, sf_small)
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            alert_once_tws(ev, threshold=5, window="1 hour")
+        return
+    # protobuf-equipped runtime: the typed-state port must agree exactly
+    via_tws = sorted(
+        map(tuple, _drain(
+            alert_once_tws(ev, threshold=5, window="1 hour"),
+            "tws_alerts", mode="update",
+        ).collect())
+    )
+    via_gs = sorted(
+        map(tuple, _drain(
+            alert_once_stateful(ev, threshold=5, window="1 hour"),
+            "gs_alerts", mode="update",
+        ).collect())
+    )
+    assert via_tws == via_gs
