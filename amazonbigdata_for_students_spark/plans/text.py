@@ -1416,7 +1416,14 @@ def _containment_pair_counts(sh: DataFrame, strategy: str = "dfcap") -> DataFram
         # cohorts (df in the hundreds, unique-tail df ~1 ⇒ tiny mean)
         # always engage it. n_common = Σ w over shared posting groups +
         # #shared light shingles — exactly the shared-shingle count.
-        df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # vocab-sized; materialized once — the census subtree feeds both
+        # the mean-df scalar and the heavy filter, and without the cut the
+        # full shingle-stream aggregation would run once per consumer
+        df_tab = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .localCheckpoint(eager=True)
+        )
         cap = F.greatest(F.lit(64), (4 * F.col("mean_df")).cast("bigint"))
         mean_df = df_tab.agg(F.avg("df").alias("mean_df"))
         heavy = (
@@ -1574,7 +1581,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     used). Exact integer per-mille scoring ((n·1000) DIV |A|) so the
     threshold and the emitted score hash-match with no float anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _deskewed_shingles(d)
+    # checkpointed: the span-collapse candidate stage consumes the shingle
+    # stream from several subtrees (census, signature, light/heavy split)
+    # — without the cut each consumer would re-run the corpus explode
+    sh = _deskewed_shingles(d).localCheckpoint(eager=True)
     return _containment_directed(_containment_pair_counts(sh))
 
 

@@ -586,7 +586,14 @@ class CommitLog:
         kept, skipped = [], 0
         for v, t in self.live_tokens(as_of):
             mm = stats_by_token.get(t, {}).get(col)
-            if mm is not None and (mm[0] > hi or mm[1] < lo):
+            # None bounds (empty delta / all-NULL column) prove nothing
+            # about the range — conservative keep, never a TypeError
+            if (
+                mm is not None
+                and mm[0] is not None
+                and mm[1] is not None
+                and (mm[0] > hi or mm[1] < lo)
+            ):
                 skipped += 1
             else:
                 kept.append((v, t))
@@ -621,15 +628,24 @@ class CommitLog:
             lo, hi = box[0], box[1]
             mine_null = len(box) > 2 and bool(box[2])
             theirs_null = len(mm) > 2 and bool(mm[2])
+            # markerless boxes (legacy manifests, hand-built ranges): the
+            # caller vouches for numeric-only semantics, so the dimension
+            # may still disjoin on ranges below — but absence of a marker
+            # is never PROOF of NULL-freedom (see branch below)
+            mine_no_null_proven = len(box) > 2 and not box[2]
+            theirs_no_null_proven = len(mm) > 2 and not mm[2]
             if mine_null and theirs_null:
                 continue  # shared NULL key group: dimension can't disjoin
             if lo is None or hi is None or mm[0] is None or mm[1] is None:
                 # a side whose keys are ALL NULL (bounds None, has_null
-                # marked) is disjoint from a provably NULL-free peer; any
-                # other None bound (empty delta, legacy manifest) stays
-                # conservative overlap
-                if (lo is None and hi is None and mine_null and not theirs_null) or (
-                    mm[0] is None and mm[1] is None and theirs_null and not mine_null
+                # marked) is disjoint only from a peer whose marker PROVES
+                # no NULL keys; a markerless peer (pre-marker manifest)
+                # might hold NULL keys its min/max skipped — conservative
+                # overlap, never a falsely-disjoint mixed-version race
+                if (
+                    lo is None and hi is None and mine_null and theirs_no_null_proven
+                ) or (
+                    mm[0] is None and mm[1] is None and theirs_null and mine_no_null_proven
                 ):
                     return False
                 continue
@@ -927,15 +943,28 @@ class CommitLog:
             overlapping, carried = [], 0
             for v, t in self.live_tokens(as_of=read_version):
                 mm = stats_by_token.get(t, {}).get(col)
-                if mm is not None and (mm[0] > hi or mm[1] < lo):
+                if (
+                    mm is not None
+                    and mm[0] is not None
+                    and mm[1] is not None
+                    and (mm[0] > hi or mm[1] < lo)
+                    # a file whose stats mark NULL keys may still need a
+                    # rewrite decision, but BETWEEN never matches NULL, so
+                    # its NULL rows survive either way; the numeric bounds
+                    # alone decide the skip
+                ):
                     carried += 1  # provably disjoint: not read, not rewritten
                 else:
                     overlapping.append((v, t))
             adds, removes, add_versions, staged_dirs = [], [], {}, []
             for v, t in overlapping:
+                # keep every row where pred is NOT TRUE: a NULL-keyed row
+                # evaluates BETWEEN to NULL, and filter(~pred) would drop
+                # it — silently deleting the NULL key group the declared
+                # footprint promises not to touch
                 survivors = spark.read.parquet(
                     os.path.join(self._data_dir, t)
-                ).filter(~pred)
+                ).filter(~F.coalesce(pred, F.lit(False)))
                 staged = self.stage_dir()
                 survivors.write.mode("overwrite").parquet(staged)
                 staged_dirs.append(staged)
@@ -947,7 +976,10 @@ class CommitLog:
                 staged = self.stage_dir()
                 replacement.observe(
                     obs,
-                    F.sum(F.when(~pred, 1).otherwise(0)).alias("violations"),
+                    # not-TRUE (incl. NULL key: BETWEEN never matches NULL)
+                    F.sum(
+                        F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                    ).alias("violations"),
                     F.count(F.lit(1)).alias("n"),
                 ).write.mode("overwrite").parquet(staged)
                 staged_dirs.append(staged)

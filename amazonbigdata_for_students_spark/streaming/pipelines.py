@@ -304,22 +304,30 @@ def alert_once_tws(
 
     class AlertOnce(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # timer_ms mirrors GroupState's single-timeout semantics:
+            # registerTimer ACCUMULATES timers (unlike setTimeoutTimestamp,
+            # which replaces), so the previously armed one must be deleted
+            # or a stale early timer would expire the state and let the
+            # alert re-fire — diverging from the applyInPandasWithState twin
             self._state = handle.getValueState(
-                "alert", "count long, fired boolean"
+                "alert", "count long, fired boolean, timer_ms long"
             )
             self._handle = handle
 
         def handleInputRows(self, key, rows, timerValues):
             batch_n = sum(len(pdf) for pdf in rows)
-            count, fired = (
-                self._state.get() if self._state.exists() else (0, False)
+            count, fired, old_timer = (
+                self._state.get() if self._state.exists() else (0, False, 0)
             )
             count += batch_n
             should_fire = count > threshold and not fired
-            self._state.update((count, fired or should_fire))
             window_ms = int(key[0].timestamp() * 1000)
             wm_ms = timerValues.getCurrentWatermarkInMs()
-            self._handle.registerTimer(max(window_ms + ttl_ms, wm_ms + 60_000))
+            new_timer = max(window_ms + ttl_ms, wm_ms + 60_000)
+            if old_timer and old_timer != new_timer:
+                self._handle.deleteTimer(old_timer)
+            self._handle.registerTimer(new_timer)
+            self._state.update((count, fired or should_fire, new_timer))
             if should_fire:
                 yield pd.DataFrame(
                     {"window_start": [key[0]], "n_events": [count]}

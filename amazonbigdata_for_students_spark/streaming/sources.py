@@ -69,11 +69,13 @@ class JsonlLoopbackServer:
     def start(self) -> tuple[str, int]:
         self._server = socket.create_server(("127.0.0.1", 0))
         self.host, self.port = self._server.getsockname()
+        srv = self._server  # local ref: stop() may null the attribute
+        # while the serve thread is between accepts
 
         def serve() -> None:
             while True:
                 try:
-                    conn, _ = self._server.accept()
+                    conn, _ = srv.accept()
                 except OSError:  # stop() closed the listener
                     return
                 with self._lock:

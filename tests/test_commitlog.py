@@ -866,3 +866,49 @@ def test_merge_retry_survives_pruned_manifests(spark, tmp_path):
         for r in log.read_latest_per_key(spark, ["user_id"]).collect()
     }
     assert final == {1: 102, 2: 12}
+
+
+def test_replace_where_preserves_null_keyed_rows(spark, tmp_path):
+    """/code-review r7: filter(~pred) drops rows where BETWEEN evaluates
+    to NULL — replace_where must KEEP NULL-keyed rows (its footprint
+    declares has_null=False, so deleting them would mutate a key group a
+    concurrent NULL-group writer is told is untouched), and a NULL-keyed
+    replacement row must abort as a predicate violation."""
+    log = CommitLog(str(tmp_path / "t"))
+    s = _stage_rows(spark, log, [(None, 1), (5, 2), (9, 3)])
+    log.commit([s], stats={s: log.stats_for(spark, s, ["user_id"])})
+
+    # NULL replacement row: BETWEEN never TRUE -> violation, atomic abort
+    bad = spark.createDataFrame([(None, 7)], "user_id bigint, v bigint")
+    with pytest.raises(ValueError):
+        log.replace_where(spark, "user_id", 4, 6, bad)
+    assert log.head() == 0
+
+    res = log.replace_where(spark, "user_id", 4, 6, None)  # DELETE 4..6
+    assert res["rewritten"] == 1
+    got = {
+        (r["user_id"], r["v"])
+        for r in log.read_latest_per_key(spark, ["user_id"]).collect()
+    }
+    assert got == {(None, 1), (9, 3)}  # NULL row SURVIVED, 5 deleted
+
+    # stats pruning with None-bounds boxes must stay conservative, not
+    # TypeError: an all-NULL delta's box is [None, None, True]
+    s2 = _stage_rows(spark, log, [(None, 8)])
+    log.commit([s2], stats={s2: log.stats_for(spark, s2, ["user_id"])})
+    kept, skipped = log.live_tokens_pruned("user_id", 100, 200)
+    assert skipped >= 0  # no crash; and the None-bounds token was kept
+    assert len(kept) >= 1
+
+
+def test_footprint_markerless_box_is_not_null_free_proof():
+    """/code-review r7: a legacy 2-element box must keep numeric-only
+    semantics for range disjointness, but must never serve as PROOF of
+    NULL-freedom against an all-NULL-marked peer."""
+    ov = CommitLog._footprints_overlap
+    # all-NULL side vs markerless peer: conservative overlap (the legacy
+    # peer's min/max skipped NULLs — it might hold NULL keys)
+    assert ov({"k": [None, None, True]}, {"k": [5, 9]})
+    assert ov({"k": [5, 9]}, {"k": [None, None, True]})
+    # explicit marker False IS proof: disjoint
+    assert not ov({"k": [None, None, True]}, {"k": [5, 9, False]})
