@@ -99,6 +99,97 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {SQL_TOKENS} AS toks,
+             len({SQL_TOKENS}) AS n_words,
+             length(replace(text, ' ', '')) AS n_chars_in_words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words, n_chars_in_words,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+             len(list_filter(['{"','".join(_GOPHER_STOP)}'],
+                             s -> list_contains(toks, s))) AS n_stop_present
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(n_chars_in_words / greatest(n_words, 1), 6) AS mean_word_len,
+           round(n_alpha_words / greatest(n_words, 1), 6) AS alpha_word_ratio,
+           round(n_symbols / greatest(n_words, 1), 6) AS symbol_ratio,
+           CAST(n_stop_present AS BIGINT) AS n_stop_present,
+           (n_words BETWEEN 10 AND 100000
+            AND 3 * n_words <= n_chars_in_words
+            AND n_chars_in_words <= 10 * n_words
+            AND 10 * n_symbols < n_words
+            AND 10 * n_alpha_words > 8 * n_words
+            AND n_stop_present >= 2) AS passes_gopher
+    FROM m
+    """,
+    tags=("U2", "F2"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/format quality rules (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher', Appendix A — the public rule
+    set most LLM corpus pipelines start from): word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio (# and ellipsis) < 0.1,
+    >80% of words carrying an alphabetic character, and at least two
+    distinct members of the required stop-word set present. Every gate
+    evaluates as INTEGER cross-multiplication (3·n ≤ chars ≤ 10·n,
+    10·symbols < n, 10·alpha > 8·n), so the pass/fail booleans are exact
+    cross-engine regardless of float rounding; the reported ratios are
+    display-only. Map-only: zero shuffles — at 100 TB this is a pure
+    scan-bandwidth filter stage, composing ahead of the dedup/mixing
+    stages exactly as in the published pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TOKENS()
+    n_words = F.size(toks)
+    chars_in_words = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_STOP]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    denom = F.greatest(n_words, F.lit(1))
+    passes = (
+        n_words.between(10, 100000)
+        & (3 * n_words <= chars_in_words)
+        & (chars_in_words <= 10 * n_words)
+        & (10 * n_symbols < n_words)
+        & (10 * n_alpha > 8 * n_words)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(chars_in_words / denom, 6).alias("mean_word_len"),
+        F.round(n_alpha / denom, 6).alias("alpha_word_ratio"),
+        F.round(n_symbols / denom, 6).alias("symbol_ratio"),
+        n_stop.cast("bigint").alias("n_stop_present"),
+        passes.alias("passes_gopher"),
+    )
+
+
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "is", "was"),
     "de": ("der", "die", "und", "ist", "das"),
@@ -2005,4 +2096,214 @@ def txt_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_ngrams"),
         F.countDistinct("g").alias("distinct_ngrams"),
         F.expr("(count(DISTINCT g) * 1000000L) div count(*)").alias("distinct_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (the inference half of SentencePiece-style
+# tokenization, Kudo 2018) — exact integer DP, both engines.
+
+_VIT_MAXLEN = 12  # DP unroll depth == max word length segmented
+_VIT_MAXTOK = 3  # vocab holds 1..3-grams, bounding the DP inner loop
+_VIT_TOPG = 10  # top-k 2-grams and 3-grams admitted to the vocab
+_VIT_NEG = -(2**62)  # "minus infinity" for missing-subword candidates
+
+
+def _viterbi_oracle() -> str:
+    """Unrolled-DP DuckDB twin: per word, 36 pivoted substring scores
+    (position x token length), then 12 arithmetic dp steps — the exact
+    integer recurrence the Spark side evaluates column-wise."""
+    score_cols = ",\n             ".join(
+        f"max(CASE WHEN i = {i} AND L = {L} THEN w END) AS s{i}_{L}"
+        for i in range(1, _VIT_MAXLEN + 1)
+        for L in range(1, _VIT_MAXTOK + 1)
+        if L <= i
+    )
+    dp_steps = []
+    for i in range(1, _VIT_MAXLEN + 1):
+        cands = ", ".join(
+            f"coalesce(dp{i - L} + s{i}_{L} - 1, CAST({_VIT_NEG} AS BIGINT))"
+            for L in range(1, _VIT_MAXTOK + 1)
+            if L <= i
+        )
+        dp_steps.append(
+            f"d{i} AS (SELECT *, CAST(greatest({cands}) AS BIGINT) AS dp{i} FROM d{i - 1})"
+        )
+    dp_pick = ", ".join(
+        f"CASE WHEN length(word) = {i} THEN dp{i} END" for i in range(1, _VIT_MAXLEN + 1)
+    )
+    dp_chain = ",\n    ".join(dp_steps)
+    return f"""
+    WITH words AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({SQL_TOKENS}) AS t FROM documents)
+      WHERE length(t) <= {_VIT_MAXLEN}
+      GROUP BY 1
+    ),
+    chars AS (
+      SELECT substring(word, i, 1) AS g, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+            FROM words)
+      GROUP BY 1
+    ),
+    g2 AS (
+      SELECT g, c FROM (
+        SELECT substring(word, i, 2) AS g, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+              FROM words WHERE length(word) >= 2)
+        GROUP BY 1
+      ) ORDER BY c DESC, g LIMIT {_VIT_TOPG}
+    ),
+    g3 AS (
+      SELECT g, c FROM (
+        SELECT substring(word, i, 3) AS g, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 2)) AS i
+              FROM words WHERE length(word) >= 3)
+        GROUP BY 1
+      ) ORDER BY c DESC, g LIMIT {_VIT_TOPG}
+    ),
+    vocab AS (
+      SELECT g, CAST(c * length(g) * length(g) * 64 AS BIGINT) AS w
+      FROM (SELECT * FROM chars UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+    ),
+    subs AS (
+      SELECT s.word, s.freq, s.i, s.L, v.w
+      FROM (
+        SELECT word, freq, i, L, substring(word, i - L + 1, L) AS sub
+        FROM (SELECT word, freq, i, unnest([1, 2, 3]) AS L
+              FROM (SELECT word, freq,
+                           unnest(generate_series(1, length(word))) AS i
+                    FROM words))
+        WHERE L <= i
+      ) s LEFT JOIN vocab v ON v.g = s.sub
+    ),
+    d0 AS (
+      SELECT word, freq, CAST(0 AS BIGINT) AS dp0,
+             {score_cols}
+      FROM subs GROUP BY word, freq
+    ),
+    {dp_chain},
+    best AS (
+      SELECT word, freq, coalesce({dp_pick}) AS dpv FROM d{_VIT_MAXLEN}
+    ),
+    seg AS (
+      SELECT word, freq,
+             64 - (dpv % 64) AS n_tokens,
+             (dpv + 64 - (dpv % 64)) // 64 AS score
+      FROM best
+    )
+    SELECT n_tokens,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total_freq,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM seg
+    GROUP BY n_tokens
+    """
+
+
+@query(
+    "tokenizer_unigram_viterbi",
+    oracle=_viterbi_oracle(),
+    tags=("U2", "F2", "F7"),
+)
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi subword segmentation — the inference half of unigram-LM
+    tokenization (Kudo 2018, SentencePiece; public method), the DP /
+    sequence-labeling operator class the rest of the registry lacks.
+    Vocabulary: every character plus the top-{k} 2-grams and 3-grams by
+    frequency-weighted corpus count (exact integers, (count DESC, gram)
+    tie-break); subword score = count · len² · 64 − 1 per emitted token,
+    so the single BIGINT dp value encodes (score, −n_tokens) at once —
+    the −1-per-token term makes ties resolve toward FEWER tokens
+    deterministically, and n_tokens = 64 − dp mod 64 recovers exactly
+    (words cap at {n} chars < 64 tokens). Missing-subword candidates
+    clamp to −2⁶² in BOTH engines (greatest() NULL semantics differ
+    cross-engine, so NULL never reaches it).
+
+    Scale shape: the DP runs COLUMN-WISE over the distinct-WORD table
+    (vocabulary-sized, Heaps' law — the corpus enters only through the
+    frequency counts), fully unrolled into {n} whole-stage-codegen
+    expression steps with a broadcast map lookup per (position, length)
+    — no UDF, no explode of per-position rows, no shuffle beyond the
+    word/gram aggregates. The vocab fetch is O(alphabet + 2k) rows —
+    O(1) in data, same discipline as the BPE trainer."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(TOKENS()).alias("word"))
+        .filter(F.length("word") <= _VIT_MAXLEN)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)  # words feed vocab AND the DP scan
+    )
+
+    def gram_counts(L: int):
+        return (
+            words.filter(F.length("word") >= L)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(word) - {L - 1}),"
+                        f" i -> substring(word, i, {L}))"
+                    )
+                ).alias("g"),
+                "freq",
+            )
+            .groupBy("g")
+            .agg(F.sum("freq").alias("c"))
+        )
+
+    vocab: dict[str, int] = {}
+    for r in gram_counts(1).collect():  # full alphabet — bounded
+        vocab[r["g"]] = int(r["c"])
+    for L in (2, 3):
+        top = sorted(
+            ((int(r["c"]), r["g"]) for r in gram_counts(L).collect()),
+            key=lambda t: (-t[0], t[1]),
+        )[:_VIT_TOPG]
+        for c, g in top:
+            vocab[g] = c
+    score_map = F.create_map(
+        *[
+            x
+            for g, c in sorted(vocab.items())
+            for x in (F.lit(g), F.lit(c * len(g) * len(g) * 64))
+        ]
+    )
+
+    # each dp step materializes as a COLUMN: referencing prior steps as
+    # columns keeps the plan linear in MAXLEN — inlining the recurrence
+    # as nested expressions would expand ~3^12 terms and stall codegen
+    seg = words.withColumn("dp0", F.lit(0).cast("bigint"))
+    wlen = F.length("word")
+    for i in range(1, _VIT_MAXLEN + 1):
+        cands = [
+            F.coalesce(
+                F.col(f"dp{i - L}")
+                + F.element_at(score_map, F.substring("word", i - L + 1, L))
+                - F.lit(1),
+                F.lit(_VIT_NEG).cast("bigint"),
+            )
+            for L in range(1, _VIT_MAXTOK + 1)
+            if L <= i
+        ]
+        seg = seg.withColumn(
+            f"dp{i}", F.greatest(*cands) if len(cands) > 1 else cands[0]
+        )
+    dpv = F.coalesce(
+        *[F.when(wlen == i, F.col(f"dp{i}")) for i in range(1, _VIT_MAXLEN + 1)]
+    )
+    n_tokens = F.lit(64) - F.pmod(dpv, F.lit(64))
+    score = (dpv + n_tokens) / F.lit(64)
+    return (
+        seg.select(
+            "freq",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            score.cast("bigint").alias("score"),
+        )
+        .groupBy("n_tokens")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+            F.sum("score").alias("sum_score"),
+        )
     )
