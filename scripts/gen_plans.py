@@ -115,7 +115,54 @@ SHOWCASE: dict[str, str] = {
         "Undirected rare-shingle pair join (doc_a < doc_b, half the directed "
         "emission) with doc sizes riding the shingle rows; both orientations "
         "thresholded inside one projection BEFORE the explode — the pair table "
-        "is built once, aggregated once, never re-joined."
+        "is built once, aggregated once, never re-joined. SPAN COLLAPSE (r7): "
+        "heavy shingles group by posting signature and one weighted "
+        "representative pairs per cohort — a 40-shingle boilerplate template "
+        "emits its pairs once, not 40 times; shingle stream + census read from "
+        "localCheckpoint (ExistingRDD, zero re-explodes of the corpus)."
+    ),
+    "timeseries_interpolate_linear": (
+        "the three IGNORE-NULLS neighbor windows (prev value, prev/next hour, "
+        "next value) share ONE sort on (event_type, h) — no re-sort between "
+        "Window operators — and the gap grid joins back by broadcast, so "
+        "interpolation costs one series-key shuffle plus windows."
+    ),
+    "dedup_semantic_clusters": (
+        "seeds broadcast into the assignment (no shuffle to cluster), the "
+        "within-cluster pair join keyed on cid (SortMergeJoin/BroadcastHashJoin "
+        "on cid — never a cross join), and the final census aggregating per "
+        "cid. Cluster count scales with N (max(8, N/256)) so the pair stage is "
+        "~256-member blocks."
+    ),
+    "dedup_span_ngrams": (
+        "the duplicated-span count partial-aggregates map-side before its one "
+        "span-keyed exchange; the coverage window partitions on doc_id (never "
+        "a global window); and the final plan contains ZERO FileScans — the "
+        "tokenize+explode-every-W-gram subtree is localCheckpointed once and "
+        "all consumers (corpus-wide count, semi-join probe, final left join) "
+        "read the materialized RDD. Guarded by tests/test_plan_shapes.py::"
+        "test_span_dedup_partial_agg_before_span_shuffle."
+    ),
+    "lm_kneser_ney_bigram": (
+        "the corpus-wide (w1,w2) bigram count materializes ONCE "
+        "(localCheckpoint — the four consumers scan ExistingRDD, zero "
+        "FileScans in the final plan; before this fix the corpus scan + "
+        "explode + fact shuffle ran four times), every smoothing table then "
+        "joins as a broadcast — prefix marginals, continuation counts, and "
+        "the 1-row type total (the only BroadcastNestedLoopJoin, on a "
+        "single-row side) — and the only hash exchanges left are the "
+        "vocab-sized aggregates' own. Guarded by tests/test_plan_shapes.py::"
+        "test_kneser_ney_vocab_sides_broadcast."
+    ),
+    "tokenizer_unigram_viterbi": (
+        "The DP is COLUMN-WISE: 12 unrolled projection steps over the "
+        "Heaps-law word table inside whole-stage codegen — no UDF, no "
+        "per-position explode, no shuffle between dp steps; the only "
+        "exchanges are the word/gram aggregates and the final histogram."
+    ),
+    "quality_gopher_rules": (
+        "Map-only: zero exchanges — every Gopher gate is an integer "
+        "cross-multiplication inside one codegen span over the scan."
     ),
     "geo_radius_join_salted": (
         "Hot-cell set joins as BroadcastHashJoin (grid-bounded); the salted "

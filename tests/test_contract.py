@@ -165,3 +165,26 @@ def test_coverage_md_in_sync_with_registry():
     assert not missing, (
         f"queries missing from COVERAGE.md (regenerate it): {missing[:10]}"
     )
+
+
+def test_plans_md_in_sync_with_showcase():
+    """PLANS.md is generated from scripts/gen_plans.py's SHOWCASE dict; the
+    r6 continuation hand-appended four sections without updating the
+    generator and a later regen silently dropped them. Guard both ways:
+    every SHOWCASE key has a section, every section has a SHOWCASE key."""
+    import importlib.util
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "gen_plans", os.path.join(root, "scripts", "gen_plans.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "PLANS.md")) as f:
+        sections = set(re.findall(r"^## (\S+)", f.read(), re.M))
+    assert sections == set(mod.SHOWCASE), (
+        f"PLANS.md vs SHOWCASE drift: only-in-md={sorted(sections - set(mod.SHOWCASE))} "
+        f"only-in-showcase={sorted(set(mod.SHOWCASE) - sections)} — "
+        "run: python scripts/gen_plans.py > PLANS.md"
+    )

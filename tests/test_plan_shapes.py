@@ -538,3 +538,19 @@ def test_span_dedup_partial_agg_before_span_shuffle(spark, sf_small):
     # the tokenize+explode subtree is localCheckpointed: both span
     # consumers read the RDD; any FileScan here means it re-ran
     assert final.count("FileScan") == 0
+
+
+def test_containment_span_collapse_plan_shape(spark, sf_small):
+    """The r7 span collapse's scale claims, pinned in the executed plan:
+    the checkpointed shingle stream + census mean zero FileScans survive
+    (no corpus re-explode per consumer), the pair join stays a shingle
+    hash join, and nothing degrades to CartesianProduct. (At gate scale
+    the heavy set is empty, so AQE collapses the whole collapse subtree
+    — including the 1-row mean-df broadcast — to empty relations; the
+    invariants below hold in both the idle and engaged regimes.)"""
+    df = REGISTRY["dedup_shingle_containment"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0  # sh + census read from ExistingRDD
+    assert "hashpartitioning(shingle" in final  # equality pair join keyed
+    assert "CartesianProduct" not in final
