@@ -102,38 +102,89 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
 
+# integer pass/fail predicate over the gopher measure columns — shared by
+# the standalone query's oracle and corpus-pipeline compositions
+_GOPHER_PASS_PRED = (
+    "(n_words BETWEEN 10 AND 100000"
+    " AND 3 * n_words <= n_chars_in_words"
+    " AND n_chars_in_words <= 10 * n_words"
+    " AND 10 * n_symbols < n_words"
+    " AND 10 * n_alpha_words > 8 * n_words"
+    " AND n_stop_present >= 2)"
+)
 
-@query(
-    "quality_gopher_rules",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, text, {SQL_TOKENS} AS toks,
-             len({SQL_TOKENS}) AS n_words,
-             length(replace(text, ' ', '')) AS n_chars_in_words
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, n_words, n_chars_in_words,
+
+def gopher_measure_cols(stop: tuple[str, ...] = _GOPHER_STOP):
+    """Spark twins of gopher_measures_sql_cte's integer measures plus the
+    pass predicate — one implementation for the standalone query and the
+    corpus-pipeline compositions. ``stop`` mirrors the SQL builder's
+    required-function-word parameter."""
+    toks = TOKENS()
+    n_words = F.size(toks)
+    chars_in_words = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in stop]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    passes = (
+        n_words.between(10, 100000)
+        & (3 * n_words <= chars_in_words)
+        & (chars_in_words <= 10 * n_words)
+        & (10 * n_symbols < n_words)
+        & (10 * n_alpha > 8 * n_words)
+        & (n_stop >= 2)
+    )
+    return n_words, chars_in_words, n_alpha, n_symbols, n_stop, passes
+
+
+def gopher_measures_sql_cte(
+    src: str, extra_cols: str = "", stop: tuple[str, ...] = _GOPHER_STOP
+) -> str:
+    """DuckDB CTE ``gm`` computing the integer Gopher measures over
+    ``src`` (doc_id + text [+ extra_cols carried through]). ``stop`` is
+    the required-function-word inventory — Gopher's published English-web
+    set by default; a per-language/per-corpus parameter in practice."""
+    carry = f", {extra_cols}" if extra_cols else ""
+    return f"""gm AS (
+      SELECT doc_id{carry}, n_words, n_chars_in_words,
              len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
              CAST((length(text) - length(replace(text, '#', '')))
                   + (length(text) - length(replace(text, '...', ''))) // 3
                   AS BIGINT) AS n_symbols,
-             len(list_filter(['{"','".join(_GOPHER_STOP)}'],
+             len(list_filter(['{"','".join(stop)}'],
                              s -> list_contains(toks, s))) AS n_stop_present
-      FROM t
-    )
+      FROM (
+        SELECT doc_id, text{carry}, {SQL_TOKENS} AS toks,
+               len({SQL_TOKENS}) AS n_words,
+               length(replace(text, ' ', '')) AS n_chars_in_words
+        FROM {src}
+      )
+    )"""
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH {gopher_measures_sql_cte("documents")}
     SELECT doc_id, n_words,
            round(n_chars_in_words / greatest(n_words, 1), 6) AS mean_word_len,
            round(n_alpha_words / greatest(n_words, 1), 6) AS alpha_word_ratio,
            round(n_symbols / greatest(n_words, 1), 6) AS symbol_ratio,
            CAST(n_stop_present AS BIGINT) AS n_stop_present,
-           (n_words BETWEEN 10 AND 100000
-            AND 3 * n_words <= n_chars_in_words
-            AND n_chars_in_words <= 10 * n_words
-            AND 10 * n_symbols < n_words
-            AND 10 * n_alpha_words > 8 * n_words
-            AND n_stop_present >= 2) AS passes_gopher
-    FROM m
+           {_GOPHER_PASS_PRED} AS passes_gopher
+    FROM gm
     """,
     tags=("U2", "F2"),
 )
@@ -151,34 +202,10 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-bandwidth filter stage, composing ahead of the dedup/mixing
     stages exactly as in the published pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TOKENS()
-    n_words = F.size(toks)
-    chars_in_words = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    n_symbols = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-        + (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-        )
-        / F.lit(3)
-    ).cast("bigint")
-    n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOP]),
-            lambda s: F.array_contains(toks, s),
-        )
+    n_words, chars_in_words, n_alpha, n_symbols, n_stop, passes = (
+        gopher_measure_cols()
     )
     denom = F.greatest(n_words, F.lit(1))
-    passes = (
-        n_words.between(10, 100000)
-        & (3 * n_words <= chars_in_words)
-        & (chars_in_words <= 10 * n_words)
-        & (10 * n_symbols < n_words)
-        & (10 * n_alpha > 8 * n_words)
-        & (n_stop >= 2)
-    )
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -1626,30 +1653,40 @@ def _containment_directed(pairs: DataFrame, threshold_pml: int = 600) -> DataFra
     )
 
 
+def containment_sql_ctes(src: str) -> str:
+    """Reusable DuckDB CTE chain computing the directed containment pairs
+    (doc_sub, doc_super, containment_pml >= 600) over ``src`` (any
+    relation providing doc_id + text) — shared by the standalone query's
+    oracle and the corpus-pipeline compositions so the two can never
+    drift. Final CTE name: ``containment``. The deskew hot cutoff counts
+    SRC docs, matching _deskewed_shingles run on the same subset."""
+    return f"""ctoks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM {src}),
+    csh0 AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+             FROM ctoks),
+    chot AS (SELECT shingle FROM csh0 GROUP BY shingle
+             HAVING count(*) > greatest(10, floor(0.01 * (SELECT count(*) FROM {src})))),
+    csh AS (SELECT * FROM csh0 WHERE shingle NOT IN (SELECT shingle FROM chot)),
+    csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    containment AS (
+      SELECT doc_a AS doc_sub, doc_b AS doc_super,
+             CAST((n_common * 1000) // sa.n AS BIGINT) AS containment_pml
+      FROM cpairs
+      JOIN csizes sa ON sa.doc_id = doc_a
+      WHERE (n_common * 1000) // sa.n >= 600
+    )"""
+
+
 @query(
     "dedup_shingle_containment",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {{SQL_TOKENS}} AS toks FROM documents),
-         sh0 AS (SELECT doc_id, unnest(list_distinct({{_SHINGLES_SQL}})) AS shingle FROM toks),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle
-                 HAVING count(*) > {{_DF_LIMIT_SQL}}),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-           GROUP BY 1, 2
-         )
-    SELECT doc_a AS doc_sub, doc_b AS doc_super,
-           CAST((n_common * 1000) // sa.n AS BIGINT) AS containment_pml
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    WHERE (n_common * 1000) // sa.n >= 600
-    """.format(
-        SQL_TOKENS=SQL_TOKENS,
-        _SHINGLES_SQL=_SHINGLES_SQL,
-        _DF_LIMIT_SQL=_DF_LIMIT_SQL,
-    ),
+    WITH {containment_sql_ctes("documents")}
+    SELECT doc_sub, doc_super, containment_pml FROM containment
+    """,
     tags=("U6", "J7"),
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

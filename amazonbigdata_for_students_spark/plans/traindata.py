@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..sources.readers import load_table
 from .registry import query
 from .relational import EVENTS
-from .text import span_cov_sql_ctes
+from .text import (
+    _GOPHER_PASS_PRED,
+    containment_sql_ctes,
+    gopher_measures_sql_cte,
+    span_cov_sql_ctes,
+)
 from .vectors import sem_sql_ctes
 
 _HEX = "0123456789abcdef"
@@ -1408,6 +1413,119 @@ def corpus_build_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sharded = token_budget_shards(t, _SHARD_BUDGET)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
+    )
+
+
+# Gopher's required-stop rule is a per-corpus/language parameter; the
+# synthetic vocabulary carries exactly two English function words, so the
+# pipeline gates on the corpus-appropriate inventory (the same STOPWORDS
+# the C4-style quality query uses) with Gopher's >=2-distinct rule.
+_PIPE_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "corpus_build_pipeline_v6",
+    oracle=f"""
+    WITH {{gopher_cte}},
+    g AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN gm USING (doc_id)
+      WHERE {{gopher_pred}}
+    ),
+    gcanon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM g
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    base AS (SELECT g.* FROM g JOIN gcanon USING (doc_id)),
+    {{containment_ctes}},
+    cdrops AS (
+      SELECT DISTINCT doc_sub AS doc_id FROM containment
+      WHERE doc_super < doc_sub
+    ),
+    kept AS (
+      SELECT t.doc_id, b.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      FROM ctoks t
+      JOIN base b USING (doc_id)
+      LEFT JOIN cdrops dr USING (doc_id)
+      WHERE dr.doc_id IS NULL
+    ),
+    sharded AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {{budget}}) AS BIGINT) AS shard
+      FROM kept
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+    FROM sharded
+    GROUP BY shard
+    """.format(
+        gopher_cte=gopher_measures_sql_cte("documents", stop=_PIPE_STOP),
+        gopher_pred=_GOPHER_PASS_PRED,
+        containment_ctes=containment_sql_ctes("base"),
+        budget=_SHARD_BUDGET,
+    ),
+    tags=("U5", "U6", "U2", "W3", "A7", "J7"),
+)
+def corpus_build_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 composition: Gopher quality gate → exact dedup →
+    directed CONTAINMENT dedup (span-collapse candidate stage) →
+    two-pass token-budget sharding → per-shard accounting. Versus v5,
+    the repetition filter is replaced by the two new r7 stages: the
+    integer Gopher rule bundle gates documents first (cheapest filter
+    leads — pure scan bandwidth), and boilerplate-envelope duplicates go
+    through the asymmetric containment pass, dropping each doc_sub whose
+    qualifying doc_super has a smaller doc_id (keep-oldest, cascade-free:
+    a kept super may itself be dropped only by an even older super,
+    never by a dropped one — the rule reads the PAIR table, not the
+    survivor set, so it stays one anti-join). Every stage shrinks the id
+    set; the containment candidate volume is bounded by the r7 span
+    collapse (BASELINE.md r7); the only global structure is the
+    sharder's #partitions-row offsets frame. Oracle CTEs are the SAME
+    builders the standalone queries use (gopher_measures_sql_cte /
+    containment_sql_ctes), so the composition cannot drift from its
+    stages."""
+    from .text import (
+        TOKENS,
+        _NORM,
+        _containment_directed,
+        _containment_pair_counts,
+        _deskewed_shingles,
+        gopher_measure_cols,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    *_, passes = gopher_measure_cols(stop=_PIPE_STOP)
+    g = d.filter(passes)
+    gcanon = (
+        g.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    base = g.join(gcanon, "doc_id", "left_semi").localCheckpoint(eager=False)
+    sh = _deskewed_shingles(base).localCheckpoint(eager=True)
+    directed = _containment_directed(_containment_pair_counts(sh))
+    drops = (
+        directed.filter(F.col("doc_super") < F.col("doc_sub"))
+        .select(F.col("doc_sub").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        base.select(
+            "doc_id", "lang", F.size(TOKENS()).cast("long").alias("n_tokens")
+        )
+        .join(drops, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)  # the sharder consumes it thrice
+    )
+    sharded = token_budget_shards(kept, _SHARD_BUDGET)
     return sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
