@@ -944,6 +944,88 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_state_metadata_audit",
+    oracle=f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM {EVENTS} e)
+    SELECT 'dedupe' AS operator_name,
+           4 AS num_partitions,
+           true AS batches_contiguous,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT user_id, ts, event_type FROM {EVENTS} e, wm
+              WHERE ts >= wm.w)) AS n_state_rows
+    UNION ALL
+    SELECT 'stateStoreSave', 4, true,
+           (SELECT count(DISTINCT event_type) FROM {EVENTS} e)
+    ORDER BY operator_name
+    """,
+    tags=("T6", "T7", "S5"),
+)
+def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator-level state CATALOG under the gate: Spark 4's
+    `state-metadata` batch source lists every stateful operator a
+    checkpoint holds (id, name, store, partition count, batch range) —
+    the first stop of any production state debugging session, before
+    drilling into `statestore` rows. A dedup→aggregate chain (TWO
+    stateful operators in one query) drains through a checkpoint; the
+    audit joins the metadata catalog with each operator's actual state
+    ROW COUNT read back via `statestore`'s operatorId option. Both are
+    data-dependent truths the batch oracle pins: the aggregation holds
+    one row per event type, and the dedup store holds exactly the
+    distinct (user, ts, type) rows AT OR ABOVE the final watermark
+    (max ts − 10 min — watermark eviction is part of the contract, so a
+    dedup store that leaks evicted keys fails the gate). Partition count
+    is the checkpoint-frozen state width (4); the batch range reports as
+    a contiguity boolean, batch-layout independent."""
+    import tempfile
+
+    ev = events_stream(spark, sf_dir)
+    chain = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_type")
+        .dropDuplicates(["user_id", "ts", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    ck = tempfile.mkdtemp(prefix="state_meta_ck_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        name = f"state_meta_{next(_COUNTER)}"
+        q = (
+            chain.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    meta = spark.read.format("state-metadata").load(ck)
+    # per-operator state row counts: one bounded statestore read per
+    # catalog entry (2 here) — the catalog is O(#operators), never data
+    counts = [
+        (int(r["operatorId"]), spark.read.format("statestore")
+            .option("operatorId", r["operatorId"]).load(ck).count())
+        for r in meta.select("operatorId").collect()
+    ]
+    cdf = spark.createDataFrame(counts, "operatorId long, n_state_rows long")
+    return (
+        meta.join(cdf, "operatorId")
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("numPartitions").cast("int").alias("num_partitions"),
+            (F.col("maxBatchId") >= F.col("minBatchId")).alias(
+                "batches_contiguous"
+            ),
+            F.col("n_state_rows"),
+        )
+        .orderBy("operator_name")
+    )
+
+
+@query(
     "stream_atomic_two_table_sink",
     oracle=f"""
     SELECT event_type,
