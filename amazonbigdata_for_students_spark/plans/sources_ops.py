@@ -931,6 +931,80 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_python_stream_source",
+    oracle=f"""
+    SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+           hour(ts) AS hour, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS} e
+    WHERE ts < TIMESTAMP '{_SLICE_END}'
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("S2", "S9", "S1"),
+)
+def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of the from-scratch Python connector (Spark 4
+    Python streaming data source API): the same hourly archive consumed
+    incrementally through SimpleDataSourceStreamReader — offsets are
+    file positions in the path-sorted listing ({{"idx": n}}), read()
+    advances them filesPerBatch at a time, and readBetweenOffsets
+    replays a committed range byte-identically (the recovery contract;
+    pinned by tests/test_sources.py). Drained via AvailableNow into the
+    identical rollup as the batch connector, so the two ingress paths —
+    planned splits vs offset stream — are hash-equal under the driver's
+    own gate. This is the bookmark/incremental pattern (S9) implemented
+    INSIDE a custom source rather than over one."""
+    from ..sources import pydatasource
+
+    d = _hourly_csv_fixture(spark, sf_dir)
+    pydatasource.register(spark)
+    st = (
+        spark.readStream.format("hourly_csv")
+        .option("path", d)
+        .option("filesPerBatch", "8")
+        .load()
+    )
+    rollup = st.groupBy("year", "month", "day", "hour").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+    # AvailableNow advances a SimpleDataSourceStreamReader by only one
+    # read() per trigger, so a bounded-batch stream needs a multi-batch
+    # drain: poll the complete-mode sink until every hourly file's group
+    # has landed (#groups == #files — one leaf file per hour), then stop.
+    n_files = len(pydatasource._list_hourly_files(d))
+    from ..streaming.batch_twins import _COUNTER
+
+    name = f"py_stream_src_{next(_COUNTER)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while spark.table(name).count() < n_files:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"python stream drain stalled: "
+                        f"{spark.table(name).count()}/{n_files} groups"
+                    )
+                if q.exception() is not None:
+                    raise q.exception()
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@query(
     "src_python_datasource",
     oracle=f"""
     SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,

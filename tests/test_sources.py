@@ -194,3 +194,48 @@ def test_socket_ingress_serves_wire_path_and_dies_cleanly(spark):
         read_kafka_stream(
             spark, schema, dev_jsonl_path="/tmp/x", socket_endpoint=(host, port)
         )
+
+
+def test_python_stream_reader_offsets_and_replay(spark, sf_small):
+    """The streaming connector's recovery contract: offsets advance
+    filesPerBatch at a time through the path-sorted listing, and
+    readBetweenOffsets replays any committed range byte-identically —
+    the property that lets the engine recover a failed micro-batch with
+    no duplicate and no gap."""
+    from amazonbigdata_for_students_spark.plans.sources_ops import (
+        _hourly_csv_fixture,
+    )
+    from amazonbigdata_for_students_spark.sources.pydatasource import (
+        HourlyCsvStreamReader,
+        _list_hourly_files,
+    )
+
+    d = _hourly_csv_fixture(spark, sf_small)
+    n_files = len(_list_hourly_files(d))
+    assert n_files > 5  # multi-batch territory
+    r = HourlyCsvStreamReader({"path": d, "filesPerBatch": "5"})
+    off = r.initialOffset()
+    assert off == {"idx": 0}
+    seen: list[tuple] = []
+    n_batches = 0
+    while off["idx"] < n_files:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        assert nxt["idx"] == min(off["idx"] + 5, n_files)
+        # recovery: the committed range replays byte-identically
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        seen.extend(rows)
+        off = nxt
+        n_batches += 1
+    assert n_batches == -(-n_files // 5)
+    # exhausted stream: read at the end is an empty batch, offset parked
+    tail_rows, tail_off = r.read(off)
+    assert list(tail_rows) == [] and tail_off == off
+    # the full offset walk covers exactly the batch connector's rows
+    from amazonbigdata_for_students_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    n_batch_rows = (
+        spark.read.format("hourly_csv").option("path", d).load().count()
+    )
+    assert len(seen) == n_batch_rows
