@@ -949,8 +949,10 @@ def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     file positions in the path-sorted listing ({{"idx": n}}), read()
     advances them filesPerBatch at a time, and readBetweenOffsets
     replays a committed range byte-identically (the recovery contract;
-    pinned by tests/test_sources.py). Drained via AvailableNow into the
-    identical rollup as the batch connector, so the two ingress paths —
+    pinned by tests/test_sources.py). Drained through a multi-batch
+    processing-time loop (AvailableNow advances a simple reader only one
+    read() per trigger) into the identical rollup as the batch
+    connector, so the two ingress paths —
     planned splits vs offset stream — are hash-equal under the driver's
     own gate. This is the bookmark/incremental pattern (S9) implemented
     INSIDE a custom source rather than over one."""

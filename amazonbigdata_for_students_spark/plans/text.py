@@ -100,7 +100,6 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
-_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
 
 # integer pass/fail predicate over the gopher measure columns — shared by
 # the standalone query's oracle and corpus-pipeline compositions
@@ -2170,6 +2169,7 @@ def _viterbi_oracle() -> str:
         f"CASE WHEN length(word) = {i} THEN dp{i} END" for i in range(1, _VIT_MAXLEN + 1)
     )
     dp_chain = ",\n    ".join(dp_steps)
+    tok_lens = ", ".join(str(L) for L in range(1, _VIT_MAXTOK + 1))
     return f"""
     WITH words AS (
       SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
@@ -2207,7 +2207,7 @@ def _viterbi_oracle() -> str:
       SELECT s.word, s.freq, s.i, s.L, v.w
       FROM (
         SELECT word, freq, i, L, substring(word, i - L + 1, L) AS sub
-        FROM (SELECT word, freq, i, unnest([1, 2, 3]) AS L
+        FROM (SELECT word, freq, i, unnest([{tok_lens}]) AS L
               FROM (SELECT word, freq,
                            unnest(generate_series(1, length(word))) AS i
                     FROM words))
@@ -2292,13 +2292,13 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab: dict[str, int] = {}
     for r in gram_counts(1).collect():  # full alphabet — bounded
         vocab[r["g"]] = int(r["c"])
-    for L in (2, 3):
-        top = sorted(
-            ((int(r["c"]), r["g"]) for r in gram_counts(L).collect()),
-            key=lambda t: (-t[0], t[1]),
-        )[:_VIT_TOPG]
-        for c, g in top:
-            vocab[g] = c
+    for L in range(2, _VIT_MAXTOK + 1):
+        # top-k computed DISTRIBUTED with the oracle's exact (c DESC, g)
+        # tie-break; the driver fetch is O(k), as the docstring claims
+        for r in (
+            gram_counts(L).orderBy(F.desc("c"), "g").limit(_VIT_TOPG).collect()
+        ):
+            vocab[r["g"]] = int(r["c"])
     score_map = F.create_map(
         *[
             x
@@ -2330,7 +2330,9 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(wlen == i, F.col(f"dp{i}")) for i in range(1, _VIT_MAXLEN + 1)]
     )
     n_tokens = F.lit(64) - F.pmod(dpv, F.lit(64))
-    score = (dpv + n_tokens) / F.lit(64)
+    # shiftright, not float division: exact at any magnitude (dp values
+    # are positive BIGINTs; /64 through a double would round past 2^53)
+    score = F.shiftright(dpv + n_tokens, 6)
     return (
         seg.select(
             "freq",

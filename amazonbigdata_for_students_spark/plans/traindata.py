@@ -1422,9 +1422,10 @@ def corpus_build_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gopher's required-stop rule is a per-corpus/language parameter; the
 # synthetic vocabulary carries exactly two English function words, so the
-# pipeline gates on the corpus-appropriate inventory (the same STOPWORDS
-# the C4-style quality query uses) with Gopher's >=2-distinct rule.
-_PIPE_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+# pipeline gates on the corpus-appropriate inventory — the SAME STOPWORDS
+# object the C4-style quality query uses (single source; a tuned
+# inventory propagates to both) — with Gopher's >=2-distinct rule.
+from .text import STOPWORDS as _PIPE_STOP  # noqa: E402
 
 
 @query(

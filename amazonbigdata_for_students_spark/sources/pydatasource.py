@@ -53,35 +53,12 @@ class HourlyCsvReader(DataSourceReader):
         self.root = root
 
     def partitions(self) -> list[InputPartition]:
-        parts: list[InputPartition] = []
-        for dirpath, _dirs, files in sorted(os.walk(self.root)):
-            for f in sorted(files):
-                if not f.endswith(".csv"):
-                    continue
-                rel = os.path.relpath(dirpath, self.root)
-                segs = rel.split(os.sep)
-                if len(segs) != 3:
-                    continue  # not a YYYY/MM/DD leaf
-                y, m, d = (int(s) for s in segs)
-                parts.append(
-                    HourlyFilePartition(os.path.join(dirpath, f), y, m, d, int(f[:-4]))
-                )
-        return parts
+        # the ONE listing implementation (shared with the stream reader's
+        # offset space — see _list_hourly_files)
+        return _list_hourly_files(self.root)
 
     def read(self, partition: HourlyFilePartition) -> Iterator[tuple]:
-        with open(partition.path, newline="") as fh:
-            for row in csv.DictReader(fh):
-                yield (
-                    int(row["event_id"]),
-                    row["ts"],
-                    int(row["user_id"]),
-                    row["event_type"],
-                    float(row["value"]),
-                    partition.year,
-                    partition.month,
-                    partition.day,
-                    partition.hour,
-                )
+        return _rows_of([partition])
 
 
 def _list_hourly_files(root: str) -> list[HourlyFilePartition]:

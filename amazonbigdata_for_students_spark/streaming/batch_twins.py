@@ -96,6 +96,37 @@ def _drain(
     return spark.table(name)
 
 
+
+def _drain_checkpointed(
+    df: DataFrame, prefix: str, mode: str, state_partitions: int = 4
+) -> str:
+    """Drain a streaming plan through a CHECKPOINT (AvailableNow, memory
+    sink) and return the checkpoint path — the shared protocol of every
+    state-reader audit (the checkpoint, not the sink, is what those
+    queries read back). Same conf save/set/restore discipline as _drain;
+    one implementation so the state-partition sizing and restore-on-error
+    behavior can never drift between the audits."""
+    import tempfile
+
+    spark = df.sparkSession
+    ck = tempfile.mkdtemp(prefix=f"{prefix}_ck_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"{prefix}_{next(_COUNTER)}")
+            .outputMode(mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return ck
+
+
 @query(
     "stream_hourly_counts",
     oracle=f"""
@@ -233,30 +264,13 @@ def stream_alert_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     right. TTL is parked beyond the data horizon so expiry does not
     remove the very rows under audit (the TTL path itself is
     stream_alert_once / stream_state_inspect territory)."""
-    import tempfile
-
     from .pipelines import alert_once_stateful
 
     ev = events_stream(spark, sf_dir)
     alerts = alert_once_stateful(
         ev, threshold=5, window="1 hour", ttl_ms=10**12
     )
-    ck = tempfile.mkdtemp(prefix="alert_state_ck_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        name = f"alert_state_{next(_COUNTER)}"
-        q = (
-            alerts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ck = _drain_checkpointed(alerts, "alert_state", mode="update")
     st = spark.read.format("statestore").load(ck)
     # applyInPandasWithState value layout: the user state struct nests
     # under `groupState`, beside the engine's `timeoutTimestamp`
@@ -915,26 +929,9 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. Aggregation-buffer field names are engine-internal, so the
     projection introspects the value schema instead of hard-coding
     them."""
-    import tempfile
-
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    ck = tempfile.mkdtemp(prefix="state_inspect_ck_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        name = f"state_inspect_{next(_COUNTER)}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ck = _drain_checkpointed(agg, "state_inspect", mode="complete")
     st = spark.read.format("statestore").load(ck)
     buf_fields = st.schema["value"].dataType.names
     return st.select(
@@ -949,12 +946,12 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM {EVENTS} e)
     SELECT 'dedupe' AS operator_name,
            4 AS num_partitions,
-           true AS batches_contiguous,
+           CAST(0 AS BIGINT) AS min_batch_id,
            (SELECT count(*) FROM (
               SELECT DISTINCT user_id, ts, event_type FROM {EVENTS} e, wm
               WHERE ts >= wm.w)) AS n_state_rows
     UNION ALL
-    SELECT 'stateStoreSave', 4, true,
+    SELECT 'stateStoreSave', 4, CAST(0 AS BIGINT),
            (SELECT count(DISTINCT event_type) FROM {EVENTS} e)
     ORDER BY operator_name
     """,
@@ -974,10 +971,9 @@ def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (user, ts, type) rows AT OR ABOVE the final watermark
     (max ts − 10 min — watermark eviction is part of the contract, so a
     dedup store that leaks evicted keys fails the gate). Partition count
-    is the checkpoint-frozen state width (4); the batch range reports as
-    a contiguity boolean, batch-layout independent."""
-    import tempfile
-
+    is the checkpoint-frozen state width (4); min_batch_id pins the
+    fresh checkpoint's retained range starting at 0 (batch-layout
+    independent — checkpoint retention would raise it)."""
     ev = events_stream(spark, sf_dir)
     chain = (
         ev.withWatermark("ts", "10 minutes")
@@ -986,22 +982,7 @@ def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
-    ck = tempfile.mkdtemp(prefix="state_meta_ck_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        name = f"state_meta_{next(_COUNTER)}"
-        q = (
-            chain.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ck = _drain_checkpointed(chain, "state_meta", mode="complete")
     meta = spark.read.format("state-metadata").load(ck)
     # per-operator state row counts: one bounded statestore read per
     # catalog entry (2 here) — the catalog is O(#operators), never data
@@ -1016,9 +997,9 @@ def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("operatorName").alias("operator_name"),
             F.col("numPartitions").cast("int").alias("num_partitions"),
-            (F.col("maxBatchId") >= F.col("minBatchId")).alias(
-                "batches_contiguous"
-            ),
+            # a FRESH checkpoint's retained batch range starts at 0 — a
+            # real pinned property (retention would raise it)
+            F.col("minBatchId").cast("long").alias("min_batch_id"),
             F.col("n_state_rows"),
         )
         .orderBy("operator_name")
