@@ -16,6 +16,7 @@ from ..sources.readers import load_table
 from .registry import query
 from .relational import EVENTS
 from .text import (
+    SQL_TOKENS,
     _GOPHER_PASS_PRED,
     containment_sql_ctes,
     gopher_measures_sql_cte,
@@ -1531,4 +1532,152 @@ def corpus_build_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en_docs"),
+    )
+
+
+# --- T5-style span corruption -------------------------------------------
+# Deterministic twin of the T5 pretraining objective's noise-span masking
+# (Raffel et al. 2020, "Exploring the Limits of Transfer Learning with a
+# Unified Text-to-Text Transformer", §3.1.4 / Fig. 2): mask ~15% of
+# tokens in multi-token spans, replace each masked span with a sentinel
+# <extra_id_k> in the input, and emit "<extra_id_k> span tokens ..." as
+# the target. The reference pipeline family feeds exactly this shape to
+# seq2seq pretraining. Randomness is replaced by the repo-wide md5-draw
+# discipline (a pure function of doc_id and block index), so the same doc
+# masks identically across engines, retries, and partitionings.
+
+_SC_SEED = "sc42"
+_SC_BLOCK = 3  # tokens per candidate noise block (T5 mean span length)
+_SC_PCT = 38  # two-nibble draw in [0,256): 38/256 ~ 14.8% noise density
+
+
+def _sc_draw_expr(b: str) -> str:
+    """Spark SQL two-nibble md5 draw in [0, 256) for block index ``b``."""
+    key = f"concat('{_SC_SEED}|', cast(doc_id as string), '|', cast({b} as string))"
+    return (
+        f"16 * (instr('{_HEX}', substring(md5({key}), 1, 1)) - 1)"
+        f" + (instr('{_HEX}', substring(md5({key}), 2, 1)) - 1)"
+    )
+
+
+def _sc_draw_sql(b: str) -> str:
+    """DuckDB twin of :func:`_sc_draw_expr`."""
+    key = f"'{_SC_SEED}|' || CAST(doc_id AS VARCHAR) || '|' || CAST({b} AS VARCHAR)"
+    return (
+        f"16 * (strpos('{_HEX}', substring(md5({key}), 1, 1)) - 1)"
+        f" + (strpos('{_HEX}', substring(md5({key}), 2, 1)) - 1)"
+    )
+
+
+@query(
+    "seq_span_corruption",
+    oracle=f"""
+    WITH sc_base AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks, len({SQL_TOKENS}) AS n
+      FROM documents
+    ),
+    sc_blocks AS (
+      SELECT doc_id, toks, n, (n + {_SC_BLOCK - 1}) // {_SC_BLOCK} AS nblk,
+             [{_sc_draw_sql('b - 1')} < {_SC_PCT}
+              for b in generate_series(1, (n + {_SC_BLOCK - 1}) // {_SC_BLOCK})] AS mflag
+      FROM sc_base
+    ),
+    sc_marks AS (
+      SELECT *, [mflag[b] AND (b = 1 OR NOT mflag[b - 1])
+                 for b in generate_series(1, nblk)] AS starts
+      FROM sc_blocks
+    ),
+    sc_sids AS (
+      SELECT *, [list_sum([CASE WHEN starts[i] THEN 1 ELSE 0 END
+                           for i in generate_series(1, b)]) - 1
+                 for b in generate_series(1, nblk)] AS sids
+      FROM sc_marks
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_sum([CASE WHEN s THEN 1 ELSE 0 END for s in starts]) AS BIGINT) AS n_spans,
+           CAST(len(list_filter(generate_series(1, n),
+                                p -> mflag[(p - 1) // {_SC_BLOCK} + 1])) AS BIGINT) AS n_masked,
+           coalesce(array_to_string(list_filter(
+             [CASE WHEN NOT mflag[(p - 1) // {_SC_BLOCK} + 1] THEN toks[p]
+                   WHEN starts[(p - 1) // {_SC_BLOCK} + 1] AND (p - 1) % {_SC_BLOCK} = 0
+                     THEN '<extra_id_' || CAST(sids[(p - 1) // {_SC_BLOCK} + 1] AS VARCHAR) || '>'
+                   ELSE NULL END
+              for p in generate_series(1, n)], x -> x IS NOT NULL), ' '), '') AS input_text,
+           coalesce(array_to_string(list_filter(
+             [CASE WHEN NOT mflag[(p - 1) // {_SC_BLOCK} + 1] THEN NULL
+                   WHEN starts[(p - 1) // {_SC_BLOCK} + 1] AND (p - 1) % {_SC_BLOCK} = 0
+                     THEN '<extra_id_' || CAST(sids[(p - 1) // {_SC_BLOCK} + 1] AS VARCHAR) || '> ' || toks[p]
+                   ELSE toks[p] END
+              for p in generate_series(1, n)], x -> x IS NOT NULL), ' '), '') AS target_text
+    FROM sc_sids
+    """,
+    tags=("U2", "F7"),
+)
+def seq_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pretraining pairs (deterministic md5-draw twin
+    of Raffel et al. 2020 §3.1.4): block-aligned ~15% noise masking,
+    adjacent masked blocks merged into one span, sentinel-numbered input
+    and target strings rebuilt exactly.
+
+    Scale: MAP-ONLY — every derived array (block mask, span starts,
+    sentinel prefix counts) is a higher-order-function expression over
+    the doc's own token list, so the operator is pure scan bandwidth
+    with zero shuffles at 100 TB; no window, no explode, nothing moves.
+    The per-doc sentinel prefix sum is O(blocks^2) inside codegen, bounded
+    by (seq_len/block)^2 — trivial against the I/O cost at any corpus
+    size since pretraining docs are length-capped before this stage."""
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    B = _SC_BLOCK
+    t = (
+        d.select("doc_id", TOKENS().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn("nblk", F.expr(f"(n + {B - 1}) div {B}").cast("int"))
+        .withColumn(
+            "mflag",
+            F.expr(f"transform(sequence(0, nblk - 1), b -> {_sc_draw_expr('b')} < {_SC_PCT})"),
+        )
+        .withColumn(
+            "starts",
+            F.expr(
+                "transform(sequence(1, nblk), b -> "
+                "element_at(mflag, b) AND (b = 1 OR NOT element_at(mflag, b - 1)))"
+            ),
+        )
+        .withColumn(
+            "sids",
+            F.expr(
+                "transform(sequence(1, nblk), b -> "
+                "aggregate(slice(starts, 1, b), 0, (a, x) -> a + if(x, 1, 0)) - 1)"
+            ),
+        )
+    )
+    blk = f"(cast((p - 1) div {B} as int)) + 1"
+    input_piece = (
+        f"CASE WHEN NOT element_at(mflag, {blk}) THEN element_at(toks, p) "
+        f"WHEN element_at(starts, {blk}) AND (p - 1) % {B} = 0 "
+        f"THEN concat('<extra_id_', cast(element_at(sids, {blk}) as string), '>') "
+        f"ELSE NULL END"
+    )
+    target_piece = (
+        f"CASE WHEN NOT element_at(mflag, {blk}) THEN NULL "
+        f"WHEN element_at(starts, {blk}) AND (p - 1) % {B} = 0 "
+        f"THEN concat('<extra_id_', cast(element_at(sids, {blk}) as string), '> ', element_at(toks, p)) "
+        f"ELSE element_at(toks, p) END"
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr("aggregate(starts, 0, (a, x) -> a + if(x, 1, 0))").cast("long").alias("n_spans"),
+        F.expr(f"size(filter(sequence(1, n), p -> element_at(mflag, {blk})))")
+        .cast("long")
+        .alias("n_masked"),
+        F.expr(
+            f"concat_ws(' ', filter(transform(sequence(1, n), p -> {input_piece}), x -> x IS NOT NULL))"
+        ).alias("input_text"),
+        F.expr(
+            f"concat_ws(' ', filter(transform(sequence(1, n), p -> {target_piece}), x -> x IS NOT NULL))"
+        ).alias("target_text"),
     )

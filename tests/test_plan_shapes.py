@@ -554,3 +554,14 @@ def test_containment_span_collapse_plan_shape(spark, sf_small):
     assert final.count("FileScan") == 0  # sh + census read from ExistingRDD
     assert "hashpartitioning(shingle" in final  # equality pair join keyed
     assert "CartesianProduct" not in final
+
+
+def test_span_corruption_is_map_only(spark, sf_small):
+    # T5 span corruption derives every array (block mask, span starts,
+    # sentinel prefix counts) from the doc's own token list via
+    # higher-order functions — any Exchange or Python eval node means the
+    # objective prep stopped being pure scan bandwidth.
+    df = REGISTRY["seq_span_corruption"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
