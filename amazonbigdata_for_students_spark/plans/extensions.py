@@ -2173,3 +2173,95 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (vmin, vmax, vcount))
         """
     )
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH ks_per AS (
+      SELECT n_chars,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+      FROM documents GROUP BY 1
+    ),
+    ks_cum AS (
+      SELECT n_chars,
+             sum(ca) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+             sum(cb) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+      FROM ks_per
+    ),
+    ks_tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM ks_per),
+    ks_scored AS (
+      SELECT t.n_a, t.n_b,
+             abs(t.n_b * c.fa - t.n_a * c.fb) AS dnum, c.n_chars
+      FROM ks_cum c, ks_tot t
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_en,
+           CAST(n_b AS BIGINT) AS n_other,
+           CAST(dnum AS BIGINT) AS ks_d_scaled,
+           CAST(n_chars AS BIGINT) AS ks_at_value,
+           round(dnum / (n_a * n_b), 6) AS ks_stat
+    FROM ks_scored
+    ORDER BY dnum DESC, n_chars ASC LIMIT 1
+    """,
+    tags=("A3", "W3", "F4"),
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between cohorts (en vs
+    non-en documents over the length distribution) — the dq family's
+    nonparametric sibling to dq_drift_psi: no binning choice, sensitive
+    to ANY distributional difference, the standard feature-drift gate
+    when the monitored variable is continuous-ish.
+
+    Exactness: the KS statistic D = max|F1 - F2| is kept as the EXACT
+    integer numerator |n2·cum1 - n1·cum2| (max over the value domain,
+    deterministic min-value tie-break via a single struct-max
+    aggregate); the float D itself is display-only. Scale: one corpus
+    scan folds into a per-distinct-value count table; the cumulative
+    window runs over that VALUE-DOMAIN-sized table (bounded by the
+    measured variable's support, not the corpus — the histogram-ntile
+    argument), the totals ride a broadcast 1-row aggregate, and the
+    argmax is a single struct-max — nothing corpus-sized moves after
+    the first groupBy."""
+    from pyspark.sql import Window as PW
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("cb"),
+    )
+    w = PW.orderBy("n_chars").rowsBetween(PW.unboundedPreceding, PW.currentRow)
+    cum = per.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    tot = per.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("n_b") * F.col("fa") - F.col("n_a") * F.col("fb")).alias("dnum"),
+        "n_chars",
+    )
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("dnum"),
+                (-F.col("n_chars")).alias("negv"),
+                F.col("n_a"),
+                F.col("n_b"),
+            )
+        ).alias("s")
+    )
+    return best.select(
+        F.col("s.n_a").alias("n_en"),
+        F.col("s.n_b").alias("n_other"),
+        F.col("s.dnum").cast("long").alias("ks_d_scaled"),
+        (-F.col("s.negv")).cast("long").alias("ks_at_value"),
+        F.round(F.col("s.dnum") / (F.col("s.n_a") * F.col("s.n_b")), 6).alias("ks_stat"),
+    )

@@ -661,3 +661,140 @@ def txt_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(dcg_q * 1000000L) div idcg_q").alias("ndcg_micro"),
         )
     )
+
+
+@query(
+    "lm_glove_cooccur",
+    oracle=f"""
+    WITH gtoks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         gpos AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                  FROM gtoks),
+         gposd AS (SELECT doc_id, toks, i, unnest([1, 2]) AS d FROM gpos),
+         gpairs AS (SELECT toks[i] AS a, toks[i + d] AS b, 3 - d AS wt
+                    FROM gposd WHERE i + d <= len(toks)),
+         gund AS (
+           SELECT a AS w_center, b AS w_context, wt FROM gpairs
+           UNION ALL
+           SELECT b AS w_center, a AS w_context, wt FROM gpairs
+         )
+    SELECT w_center, w_context,
+           count(*) AS n_cooccur,
+           CAST(sum(wt) AS BIGINT) AS x_scaled_2d
+    FROM gund GROUP BY 1, 2
+    """,
+    tags=("F7", "A1", "U2"),
+)
+def lm_glove_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe co-occurrence matrix build (Pennington et al. 2014, §3:
+    context words weighted 1/d by distance, symmetric window — here
+    W=2, the matrix-build pass every embedding-pretraining pipeline runs
+    before the factorization). The fractional 1/d weights become EXACT
+    integers by scaling with lcm(1..W)=2: d=1 -> 2, d=2 -> 1, so
+    ``x_scaled_2d`` is the order-independent BIGINT twin of GloVe's
+    X_ij * 2 and hashes identically cross-engine.
+
+    Scale: pair emission is a JVM higher-order expression (zip_with of
+    the token array against its own d-shift, both orientations emitted
+    inside ONE flatten — no self-union, so the token scan is not
+    re-executed per direction); the single shuffle is the (center,
+    context) count groupBy with map-side combine, and the result is
+    vocabulary-squared-bounded (Heaps' law), tiny vs the corpus at
+    100 TB."""
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents").select(TOKENS().alias("toks"))
+    arms = []
+    for dist in (1, 2):
+        wt = 3 - dist
+        arms.append(
+            f"""flatten(zip_with(
+                  slice(toks, 1, greatest(size(toks) - {dist}, 0)),
+                  slice(toks, {1 + dist}, greatest(size(toks) - {dist}, 0)),
+                  (x, y) -> array(named_struct('c', x, 't', y, 'wt', {wt}),
+                                  named_struct('c', y, 't', x, 'wt', {wt}))))"""
+        )
+    pairs = f"concat({arms[0]}, {arms[1]})"
+    return (
+        d.select(F.explode(F.expr(pairs)).alias("p"))
+        .groupBy(
+            F.col("p.c").alias("w_center"), F.col("p.t").alias("w_context")
+        )
+        .agg(
+            F.count("*").alias("n_cooccur"),
+            F.sum("p.wt").cast("long").alias("x_scaled_2d"),
+        )
+    )
+
+
+@query(
+    "txt_mrr_eval",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES},
+    mr_top AS (
+      SELECT s.doc_id, s.n_terms_hit,
+             CAST(row_number() OVER (ORDER BY s.score_q DESC, s.doc_id) AS BIGINT) AS rnk
+      FROM scored s QUALIFY rnk <= {_TOP_K}
+    ),
+    mr_rel AS (SELECT doc_id FROM scored WHERE n_terms_hit = {len(_QUERY_TERMS)}),
+    mr_hits AS (
+      SELECT min(t.rnk) AS first_rel_rank,
+             count(*) AS n_rel_in_topk
+      FROM mr_top t JOIN mr_rel r USING (doc_id)
+    ),
+    mr_tot AS (SELECT count(*) AS n_rel_total FROM mr_rel)
+    SELECT {_TOP_K} AS k,
+           CAST(n_rel_total AS BIGINT) AS n_rel_total,
+           CAST(coalesce(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                     ELSE 1000000 // first_rel_rank END AS BIGINT) AS mrr_micro,
+           CAST(CASE WHEN n_rel_total = 0 THEN 0
+                     ELSE coalesce(n_rel_in_topk, 0) * 1000000 // n_rel_total
+                END AS BIGINT) AS recall_micro
+    FROM mr_tot, mr_hits
+    """,
+    tags=("O2", "A3", "J3"),
+)
+def txt_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k + Recall@k of the BM25 ranking under a binary relevance
+    label (docs containing ALL query terms) — the second retrieval-eval
+    leg beside txt_ndcg_eval: NDCG grades the whole head, MRR grades
+    time-to-first-answer, recall grades coverage; production search
+    evals report all three. Same one-scorer discipline: the ranking
+    under test and the SQL twin share _bm25_scored / _BM25_SQL_CTES
+    verbatim, and both metrics are exact integers (micro-units via
+    BIGINT floor division; rank and counts are integers already), so
+    the eval itself passes the hash gate. Cost: the scorer's own plan
+    plus a k-row head, a semi-join-sized relevant set, and two 1-row
+    aggregates."""
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
+    top = (
+        scored.orderBy(F.desc("score_q"), "doc_id")
+        .limit(_TOP_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score_q"), "doc_id"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    rel = scored.filter(F.col("n_terms_hit") == len(_QUERY_TERMS)).select("doc_id")
+    hits = top.join(rel, "doc_id").agg(
+        F.min("rnk").alias("first_rel_rank"),
+        F.count("*").alias("n_rel_in_topk"),
+    )
+    tot = rel.agg(F.count("*").cast("long").alias("n_rel_total"))
+    return tot.crossJoin(hits).select(
+        F.lit(_TOP_K).alias("k"),
+        "n_rel_total",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000L div first_rel_rank"))
+        .cast("long")
+        .alias("mrr_micro"),
+        F.when(F.col("n_rel_total") == 0, F.lit(0))
+        .otherwise(F.expr("coalesce(n_rel_in_topk, 0L) * 1000000L div n_rel_total"))
+        .cast("long")
+        .alias("recall_micro"),
+    )
