@@ -1681,3 +1681,98 @@ def seq_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"concat_ws(' ', filter(transform(sequence(1, n), p -> {target_piece}), x -> x IS NOT NULL))"
         ).alias("target_text"),
     )
+
+
+@query(
+    "mix_epoch_upsampling",
+    oracle=f"""
+    WITH ep_docs AS (
+      SELECT doc_id, lang, CAST(len({SQL_TOKENS}) AS BIGINT) AS nt,
+             md5('ep42|' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    ep_tot AS (SELECT CAST(sum(nt) AS BIGINT) AS total,
+                      count(DISTINCT lang) AS nd
+               FROM ep_docs),
+    ep_cum AS (
+      SELECT d.lang, d.nt,
+             t.total // t.nd AS target_tokens,
+             sum(d.nt) OVER (PARTITION BY d.lang) AS domain_tokens,
+             sum(d.nt) OVER (PARTITION BY d.lang ORDER BY d.skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ep_docs d, ep_tot t
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(max(domain_tokens) AS BIGINT) AS domain_tokens,
+           CAST(max(target_tokens) AS BIGINT) AS target_tokens,
+           CAST(max(target_tokens) // max(domain_tokens) AS BIGINT) AS n_full_epochs,
+           CAST(max(target_tokens) % max(domain_tokens) AS BIGINT) AS remainder_target,
+           CAST(sum(CASE WHEN cum <= target_tokens % domain_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_remainder_docs,
+           CAST(sum(CASE WHEN cum <= target_tokens % domain_tokens THEN nt ELSE 0 END)
+                AS BIGINT) AS remainder_tokens
+    FROM ep_cum
+    GROUP BY lang
+    """,
+    tags=("A7", "F8", "W3"),
+)
+def mix_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning with multi-epoch repetition
+    (Muennighoff et al. 2023, 'Scaling Data-Constrained Language
+    Models'; the per-source epoch factors of the published LLaMA data
+    recipe): every domain (lang) gets an equal share of the total token
+    budget; a domain smaller than its share repeats for
+    ``n_full_epochs`` whole epochs plus a deterministic remainder
+    subset, a larger one is downsampled to the share (0 epochs + the
+    subset). The remainder is the md5-ordered greedy prefix whose
+    cumulative tokens fit the residual budget — a pure function of
+    doc_id, so re-executions and both engines select the identical
+    subset (the sample_/shard_ discipline).
+
+    Scale: one tokenize scan; domain totals and the remainder selection
+    ride two windows PARTITIONED by domain (parallel across domains;
+    within-domain order by the 32-char hash — at 100 TB this is the
+    token_budget_shards shuffle shape, linear and skew-free since
+    domains hash-partition); the grand total is a broadcast 1-row
+    aggregate. Output is |domains| rows."""
+    from pyspark.sql import Window as PW
+
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(TOKENS()).cast("long").alias("nt"),
+        F.md5(F.concat(F.lit("ep42|"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    tot = d.agg(
+        F.sum("nt").cast("long").alias("total"),
+        F.countDistinct("lang").alias("nd"),
+    )
+    wdom = PW.partitionBy("lang")
+    wcum = PW.partitionBy("lang").orderBy("skey").rowsBetween(
+        PW.unboundedPreceding, PW.currentRow
+    )
+    cum = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", F.expr("total div nd"))
+        .withColumn("domain_tokens", F.sum("nt").over(wdom))
+        .withColumn("cum", F.sum("nt").over(wcum))
+    )
+    sel = F.col("cum") <= F.col("target_tokens") % F.col("domain_tokens")
+    return cum.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.max("domain_tokens").cast("long").alias("domain_tokens"),
+        F.max("target_tokens").cast("long").alias("target_tokens"),
+        F.expr("max(target_tokens) div max(domain_tokens)")
+        .cast("long")
+        .alias("n_full_epochs"),
+        (F.max("target_tokens") % F.max("domain_tokens"))
+        .cast("long")
+        .alias("remainder_target"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_remainder_docs"),
+        F.sum(F.when(sel, F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("remainder_tokens"),
+    )
