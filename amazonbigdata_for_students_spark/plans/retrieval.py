@@ -798,3 +798,102 @@ def txt_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+# --- PMI collocation mining ------------------------------------------------
+_PMI_MIN_PAIR = 5  # standard low-frequency cutoff (Church & Hanks 1990)
+_PMI_TOP = 50
+
+
+@query(
+    "lm_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+         big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
+         cnt AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2),
+         tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM cnt),
+         marg AS (SELECT w1, w2, n_pair,
+                         CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_left,
+                         CAST(sum(n_pair) OVER (PARTITION BY w2) AS BIGINT) AS n_right
+                  FROM cnt),
+         sc AS (SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, n_left, n_right,
+                       CAST(CAST(n_pair AS HUGEINT) * 1000000 * n_total
+                            // (CAST(n_left AS HUGEINT) * n_right) AS BIGINT)
+                         AS pmi_ratio_scaled
+                FROM marg, tot
+                WHERE n_pair >= {_PMI_MIN_PAIR})
+    SELECT CAST(row_number() OVER
+             (ORDER BY pmi_ratio_scaled DESC, w1, w2) AS BIGINT) AS rank,
+           w1, w2, n_pair, n_left, n_right, pmi_ratio_scaled
+    FROM sc
+    QUALIFY rank <= {_PMI_TOP}
+    """,
+    tags=("F7", "A1", "W3", "O2"),
+)
+def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) — rank adjacent token pairs by how much more often they occur
+    together than chance: pmi = ln(P(xy) / (P(x)·P(y))). The standard
+    phrase-detection pass of a tokenizer/corpus build (word2vec's phrase
+    joining uses the same statistic). ln is monotone, so ranking needs no
+    transcendentals: the EXACT scaled ratio n_pair·N·10^6 div
+    (n_left·n_right) is a pure integer both engines floor-divide
+    identically (numerator lifted to decimal(38,0)/HUGEINT so no
+    intermediate overflows even at 10^13 bigrams). n_left / n_right are
+    positional marginals (x as first element, y as second), derived from
+    the already-counted pair table through vocabulary²-bounded windows —
+    the corpus is scanned once, and after the single (w1,w2) count
+    shuffle every later stage runs on count tables whose size follows
+    vocabulary (Heaps' law), not data. The n_pair >= {_PMI_MIN_PAIR}
+    cutoff is the classic low-frequency guard (rare pairs have unboundedly
+    noisy PMI). Output: top {_PMI_TOP} by (ratio, w1, w2) — unique keys,
+    fully deterministic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    cnt = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    tot = cnt.agg(F.sum("n_pair").cast("long").alias("n_total"))
+    marg = cnt.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.sum("n_pair").over(W.partitionBy("w1")).cast("long").alias("n_left"),
+        F.sum("n_pair").over(W.partitionBy("w2")).cast("long").alias("n_right"),
+    )
+    sc = (
+        marg.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi_ratio_scaled",
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000 * n_total)"
+                " div (CAST(n_left AS DECIMAL(38,0)) * n_right) AS BIGINT)"
+            ),
+        )
+        .drop("n_total")
+    )
+    top = sc.orderBy(F.desc("pmi_ratio_scaled"), "w1", "w2").limit(_PMI_TOP)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("pmi_ratio_scaled"), "w1", "w2"))
+        .cast("long")
+        .alias("rank"),
+        "w1",
+        "w2",
+        "n_pair",
+        "n_left",
+        "n_right",
+        "pmi_ratio_scaled",
+    )

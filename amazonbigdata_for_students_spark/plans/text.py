@@ -2346,3 +2346,156 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").alias("sum_score"),
         )
     )
+
+
+# --- WordPiece-style greedy longest-match apply ---------------------------
+_WP_STEPS = 12  # max word length processed; longer words -> [UNK] (cap is
+# part of the operator definition so both engines agree; corpus words are
+# <= 10 chars, and production WordPiece caps input words the same way —
+# BERT's max_input_chars_per_word=100)
+_WP_LMAX = 6  # longest candidate piece probed per position
+
+
+def _wp_mlen_sql(contains: str, sub: str) -> str:
+    """Longest-match CASE chain: probe piece lengths _WP_LMAX..1 at pos.
+    ``contains`` formats a membership test, ``sub`` a substring read."""
+    branches = " ".join(
+        f"WHEN pos + {l - 1} <= length(word) AND {contains.format(piece=sub.format(l=l))} THEN {l}"
+        for l in range(_WP_LMAX, 0, -1)
+    )
+    return (
+        f"CASE WHEN NOT failed AND pos <= length(word) THEN "
+        f"CASE {branches} ELSE 0 END ELSE 0 END"
+    )
+
+
+def _wordpiece_oracle_sql() -> str:
+    parts, _ = _bpe_oracle_parts()
+    parts = list(parts)
+    parts.append(
+        f"wp_vocab AS (SELECT list(DISTINCT s) AS V FROM"
+        f" (SELECT unnest(seg) AS s FROM seg{_BPE_ITERS}))"
+    )
+    parts.append(
+        "wp0 AS (SELECT word, freq, V, 1 AS pos,"
+        " CAST([] AS VARCHAR[]) AS pieces,"
+        f" length(word) > {_WP_STEPS} AS failed FROM words, wp_vocab)"
+    )
+    mlen = _wp_mlen_sql("list_contains(V, {piece})", "substring(word, pos, {l})")
+    for k in range(1, _WP_STEPS + 1):
+        parts.append(
+            f"wpm{k} AS (SELECT word, freq, V, pos, pieces, failed,"
+            f" {mlen} AS ml FROM wp{k-1})"
+        )
+        parts.append(
+            f"""wp{k} AS (SELECT word, freq, V,
+              CASE WHEN ml > 0 THEN pos + ml ELSE pos END AS pos,
+              CASE WHEN ml > 0 THEN list_append(pieces, substring(word, pos, ml))
+                   ELSE pieces END AS pieces,
+              failed OR (NOT failed AND pos <= length(word) AND ml = 0) AS failed
+              FROM wpm{k})"""
+        )
+    parts.append(
+        f"wp_final AS (SELECT freq, CASE WHEN failed THEN ['[UNK]']"
+        f" ELSE pieces END AS pieces FROM wp{_WP_STEPS})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, symbol) AS BIGINT) AS rank,
+           symbol, n
+    FROM (SELECT s AS symbol, CAST(sum(freq) AS BIGINT) AS n
+          FROM (SELECT freq, unnest(pieces) AS s FROM wp_final)
+          GROUP BY s)
+    QUALIFY rank <= {_BPE_TOP}
+    """
+    )
+
+
+@query("tokenizer_wordpiece_apply", oracle=_wordpiece_oracle_sql(), tags=("U2", "F7", "A7"))
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY LONGEST-MATCH tokenization (Wu et al. 2016,
+    the BERT tokenizer's apply algorithm) over the vocabulary the BPE
+    trainer learned — the third segmentation algorithm in the tokenizer
+    family (BPE replays merge order, unigram-Viterbi global-optimizes,
+    WordPiece greedily takes the longest vocab piece at each position;
+    a word whose first unmatched position has no vocab piece — or longer
+    than {steps} chars — becomes ['[UNK]'], whole-word, as in BERT).
+
+    Scale: the greedy loop runs over the WORD-FREQUENCY census
+    (vocabulary-sized, Heaps' law — the corpus is scanned once for the
+    counts), unrolled into {steps} branch-free column steps with the
+    learned vocab attached ONCE as a broadcast one-row array column —
+    NOT inlined as a literal into every membership probe: the probe
+    appears {probes}x in the unrolled plan, and embedding a
+    vocabulary-sized literal at each site made plan
+    analysis/codegen super-linear in (steps x lmax x |vocab|); a single
+    column reference keeps the expression tree steps-bounded, and the
+    vocab never touches the driver at all. Apply is map-only after the
+    broadcast: zero extra shuffles; the census + final piece
+    aggregation are the only exchanges. The oracle replays BPE training
+    unrolled, then the identical {steps}-step greedy loop.""".format(
+        steps=_WP_STEPS, probes=_WP_STEPS * _WP_LMAX
+    )
+    _, segs = _bpe_train(spark, sf_dir)
+    vdf = segs.select(F.explode("seg").alias("s")).agg(
+        F.array_sort(F.collect_set("s")).alias("V")
+    )
+    t = (
+        segs.select("word", "freq")
+        .crossJoin(F.broadcast(vdf))
+        .withColumn("pos", F.lit(1))
+        .withColumn("pieces", F.expr("cast(array() as array<string>)"))
+        .withColumn("failed", F.expr(f"length(word) > {_WP_STEPS}"))
+    )
+    mlen = _wp_mlen_sql("array_contains(V, {piece})", "substring(word, pos, {l})")
+    for k in range(_WP_STEPS):
+        t = (
+            t.withColumn("ml", F.expr(mlen))
+            .withColumn(
+                "pieces",
+                F.expr(
+                    "CASE WHEN ml > 0 THEN"
+                    " array_append(pieces, substring(word, pos, ml))"
+                    " ELSE pieces END"
+                ),
+            )
+            .withColumn(
+                "failed",
+                F.expr("failed OR (NOT failed AND pos <= length(word) AND ml = 0)"),
+            )
+            .withColumn("pos", F.expr("CASE WHEN ml > 0 THEN pos + ml ELSE pos END"))
+        )
+        if k % 4 == 3:
+            # Plan barrier: without it the optimizer (not execution) spins
+            # for minutes — constraint/alias bookkeeping over 12 nested
+            # CASE-alias layers ABOVE a join goes super-linear (measured:
+            # 4-step chunks optimize in <1 s; the uncut 12-step chain did
+            # not finish in 240 s on a 31-row census). The checkpoint cuts
+            # the logical plan every 4 steps; the materialized slice is the
+            # vocabulary-sized census, so the barrier is O(1) in corpus
+            # size — same rationale as _bpe_train's per-round checkpoints.
+            t = t.localCheckpoint(eager=False)
+    final = t.select(
+        "freq",
+        F.expr("CASE WHEN failed THEN array('[UNK]') ELSE pieces END").alias(
+            "pieces"
+        ),
+    )
+    counts = (
+        final.select("freq", F.explode("pieces").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("n"))
+    )
+    from pyspark.sql import Window as PW
+
+    top = counts.orderBy(F.desc("n"), "symbol").limit(_BPE_TOP)
+    return top.select(
+        F.row_number()
+        .over(PW.orderBy(F.desc("n"), "symbol"))
+        .cast("long")
+        .alias("rank"),
+        "symbol",
+        "n",
+    )

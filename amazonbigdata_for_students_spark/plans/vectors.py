@@ -1299,3 +1299,174 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_checksum"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss signed random projection ------------------------
+_JL_OUT = 16  # projected dims (4x compression of the 64-dim embeddings)
+_JL_IN = 64
+_JL_KS = (1, 5, 10)
+
+# Deterministic +/-1 "random" sign for matrix cell (i, j): a Weyl-style
+# integer mix both engines evaluate identically (pure BIGINT arithmetic,
+# no engine RNG). 48 of 97 residues map to +1.
+_JL_SIGN = "(({i} * 2654435761 + {j} * 40503) % 97) < 48"
+
+
+def _jl_idot_sql(a: str, b: str) -> str:
+    """Exact BIGINT dot product of two DuckDB BIGINT lists."""
+    return (
+        f"CAST(list_sum([{a}[i] * {b}[i]"
+        f" for i in generate_series(1, len({a}))]) AS BIGINT)"
+    )
+
+
+def _jl_cos_sql(a: str, b: str) -> str:
+    """Cosine over exact integer vectors: the dot and both norms are
+    exact BIGINTs, so the double sqrt/divide is a deterministic pure
+    function of identical inputs in both engines (IEEE correctly-rounded
+    ops on identical operands)."""
+    return (
+        f"CAST({_jl_idot_sql(a, b)} AS DOUBLE)"
+        f" / sqrt(CAST({_jl_idot_sql(a, a)} AS DOUBLE)"
+        f" * CAST({_jl_idot_sql(b, b)} AS DOUBLE))"
+    )
+
+
+@query(
+    "vec_random_projection_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+               FROM embeddings),
+         p AS (SELECT vec_id, q,
+                      list_transform(generate_series(1, {_JL_OUT}),
+                        j -> CAST(list_sum(list_transform(generate_series(1, {_JL_IN}),
+                               i -> CASE WHEN {_JL_SIGN.format(i="i", j="j")}
+                                         THEN q[i] ELSE -q[i] END)) AS BIGINT)) AS y
+               FROM e),
+         qv AS (SELECT vec_id AS qid, q AS qq, y AS qy FROM p
+                ORDER BY vec_id LIMIT 1),
+         scored AS (SELECT p.vec_id,
+                           {_jl_cos_sql("p.q", "qv.qq")} AS cf,
+                           {_jl_cos_sql("p.y", "qv.qy")} AS cp
+                    FROM p, qv WHERE p.vec_id <> qv.qid),
+         te AS (SELECT vec_id, row_number() OVER (ORDER BY cf DESC, vec_id) AS re
+                FROM scored ORDER BY cf DESC, vec_id LIMIT {max(_JL_KS)}),
+         tp AS (SELECT vec_id, row_number() OVER (ORDER BY cp DESC, vec_id) AS rp
+                FROM scored ORDER BY cp DESC, vec_id LIMIT {max(_JL_KS)}),
+         hits AS (SELECT te.vec_id, te.re, tp.rp FROM te JOIN tp USING (vec_id)),
+         ks AS (SELECT unnest([{", ".join(str(k) for k in _JL_KS)}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(hits.vec_id) AS BIGINT) AS n_hits
+    FROM ks LEFT JOIN hits ON hits.re <= ks.k AND hits.rp <= ks.k
+    GROUP BY ks.k
+    ORDER BY k
+    """,
+    tags=("U5", "F4", "F7"),
+)
+def vec_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection (Achlioptas 2003's
+    database-friendly +/-1 matrix): project the 64-dim embeddings to
+    16 dims with a sign matrix derived from a deterministic integer
+    mix — the dimensionality-reduction tier that makes first-pass ANN
+    over 100 TB of embeddings 4x cheaper before any index is built
+    (complementary to Matryoshka truncation, which assumes front-loaded
+    training; JL assumes nothing about the embedding). The audit is
+    recall@k of the projected-space cosine top-k against the exact-space
+    top-k for k in (1, 5, 10).
+
+    Determinism: embeddings quantize to q = floor(x*1024 + 0.5) (an
+    exact function of the float bits — the repo-wide vector discipline),
+    the projection y_j = sum_i sign(i,j)*q_i is an exact BIGINT
+    column expression, and every dot/norm underneath the cosines is an
+    exact BIGINT — the final sqrt/divide doubles are correctly-rounded
+    IEEE ops on identical integer inputs, so both engines rank
+    identically with no rounding window.
+
+    Scale: the projection is MAP-ONLY (a nested higher-order expression
+    inside codegen — no UDF, no shuffle, no training pass, unlike the
+    k-means quantizers); top-k is TakeOrdered against a broadcast query
+    row; the rank join runs on <= 10 rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    sign = _JL_SIGN.format(i="i", j="j")
+    p = e.withColumn(
+        "y",
+        F.expr(
+            f"transform(sequence(1, {_JL_OUT}), j ->"
+            f" aggregate(sequence(1, {_JL_IN}), 0L, (acc, i) ->"
+            f" acc + CASE WHEN {sign} THEN element_at(q, i)"
+            f" ELSE -element_at(q, i) END))"
+        ),
+    )
+    qv = (
+        p.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("q").alias("qq"),
+            F.col("y").alias("qy"),
+        )
+    )
+
+    def idot(a: str, b: str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+        )
+
+    def cos(a: str, b: str):
+        return F.col(f"_d_{a}_{b}").cast("double") / F.sqrt(
+            F.col(f"_n_{a}").cast("double") * F.col(f"_n_{b}").cast("double")
+        )
+
+    scored = (
+        p.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_d_q_qq", idot("q", "qq"))
+        .withColumn("_n_q", idot("q", "q"))
+        .withColumn("_n_qq", idot("qq", "qq"))
+        .withColumn("_d_y_qy", idot("y", "qy"))
+        .withColumn("_n_y", idot("y", "y"))
+        .withColumn("_n_qy", idot("qy", "qy"))
+        .select("vec_id", cos("q", "qq").alias("cf"), cos("y", "qy").alias("cp"))
+    )
+    from pyspark.sql import Window as W
+
+    kmax = max(_JL_KS)
+    te = (
+        scored.orderBy(F.desc("cf"), "vec_id")
+        .limit(kmax)
+        .select(
+            "vec_id",
+            F.row_number().over(W.orderBy(F.desc("cf"), "vec_id")).alias("re"),
+        )
+    )
+    tp = (
+        scored.orderBy(F.desc("cp"), "vec_id")
+        .limit(kmax)
+        .select(
+            "vec_id",
+            F.row_number().over(W.orderBy(F.desc("cp"), "vec_id")).alias("rp"),
+        )
+    )
+    hits = te.join(tp, "vec_id")
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _JL_KS])).alias("k")
+    )
+    return (
+        ks.join(
+            F.broadcast(hits),
+            (F.col("re") <= F.col("k")) & (F.col("rp") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("vec_id").cast("long").alias("n_hits"))
+        .select(F.col("k").cast("long"), "n_hits")
+        .orderBy("k")
+    )
