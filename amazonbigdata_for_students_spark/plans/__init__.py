@@ -25,6 +25,7 @@ from . import retrieval  # noqa: E402  BM25 / inverted index / n-gram LM stats
 from . import tpch_extra  # noqa: E402  TPC-H family completion (q4/q8/q9/q13/q16/q17/q21)
 from . import tableformat  # noqa: E402  ACID table-format ops over the commit log (r5)
 from . import geo  # noqa: E402  grid-blocked spatial joins (r5)
+from . import evals  # noqa: E402  model-eval metrics + pipeline audits (r7)
 
 # The driver's external correctness gate verifies a fixed-size prefix of the
 # registry (observed: first 50 entries of ``queries()``, insertion order).

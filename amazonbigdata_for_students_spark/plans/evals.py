@@ -1,0 +1,521 @@
+"""Model-evaluation and pipeline-audit lane.
+
+A training-data engine is judged by the models it feeds, so the pipeline
+needs the standard eval statistics AS QUERIES — computed distributed, over
+the same tables, with the same determinism discipline as everything else
+(reference parity: the reference repo ships its metric jobs next to its
+ETL operators; here they are registry queries with DuckDB oracle twins).
+
+The graded classifier is the repo's own: the stopword-marker language
+identifier (plans/text.py:txt_lang_id). Its prediction expression is
+imported (lang_pred_col / LANG_HITS_SQL / LANG_PRED_CASE_SQL) rather than
+re-derived, so these evals grade exactly the classifier that ships — same
+for the train/val/test split (plans/traindata.py:split_col) in the
+leakage audit.
+
+Determinism discipline (registry.py): every metric that is a ratio is
+reported as an EXACT scaled integer — numerator lifted to
+decimal(38,0)/HUGEINT, multiplied by 10^6, floor-divided by the exact
+integer denominator — so the cross-engine hash compare has no float
+window. ln() quantizes as floor(ln(x)*1e6 + 0.5), an exact function of
+the float bits (the repo-wide vector/transcendental discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+from .text import (
+    LANG_HITS_SQL,
+    LANG_PRED_CASE_SQL,
+    SQL_TOKENS,
+    TOKENS,
+    _LANG_MARKERS,
+    _marker_pred_sql,
+    _MINHASH_K,
+    _SIG_SQL,
+    dedup_minhash_signatures,
+    lang_pred_col,
+)
+from .traindata import SPLIT_CASE_SQL, split_col
+
+
+def _scaled_div(num_sql: str, den_sql: str, scale: int = 1_000_000) -> str:
+    """Spark SQL: exact 10^6-scaled integer ratio, decimal(38,0)-lifted so
+    the multiply can't overflow BIGINT; 0 when the denominator is 0."""
+    return (
+        f"CASE WHEN ({den_sql}) = 0 THEN 0 ELSE CAST("
+        f"(CAST(({num_sql}) AS DECIMAL(38,0)) * {scale}) div ({den_sql})"
+        f" AS BIGINT) END"
+    )
+
+
+def _scaled_div_duck(num_sql: str, den_sql: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of _scaled_div (HUGEINT lift, // floor-to-zero division
+    — both engines truncate toward zero on the same exact integers)."""
+    return (
+        f"CASE WHEN ({den_sql}) = 0 THEN 0 ELSE CAST("
+        f"(CAST(({num_sql}) AS HUGEINT) * {scale}) // ({den_sql})"
+        f" AS BIGINT) END"
+    )
+
+
+# --- exact ROC-AUC via the Mann-Whitney rank statistic ----------------------
+# Score: English marker-token density per mille (integer). Label: lang='en'.
+_AUC_SCORE_SQL = (
+    f"CAST({_marker_pred_sql(_LANG_MARKERS['en'])} * 1000"
+    f" // greatest(len({SQL_TOKENS}), 1) AS BIGINT)"
+)
+
+
+@query(
+    "eval_auc_mannwhitney",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    hist AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cumneg
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS auc2
+      FROM cum
+    )
+    SELECT n_pos, n_neg, auc2,
+           {_scaled_div_duck("auc2", "2 * n_pos * n_neg")} AS auc_scaled
+    FROM agg
+    """,
+    tags=("A1", "W3", "U2"),
+)
+def eval_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the English-marker-density score against the
+    lang='en' label, via the Mann-Whitney U identity (Hanley & McNeil
+    1982): AUC = P(score_pos > score_neg) + P(=)/2. With per-score counts
+    np/nn and cumneg = negatives strictly below, 2*P*N*AUC =
+    sum_s np(s)*(2*cumneg(s) + nn(s)) — ties contribute the half credit
+    exactly, everything an integer, no sort of the raw rows.
+
+    Scale: one scan computes the integer score map-only; the only
+    shuffle is the groupBy on the score, whose cardinality is <= 1001
+    (per-mille density), so the rank cumulation runs on a HISTOGRAM, not
+    on rows — the single-partition window is bounded by score arity, the
+    classic trick for AUC over billions of rows. auc_scaled is the exact
+    10^6-scaled ratio (decimal-lifted; P*N at 100 TB exceeds 2^63/10^6,
+    the BIGINT multiply would wrap)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("lang", TOKENS().alias("toks"))
+    score = F.expr(
+        f"CAST(size(filter(toks, x -> x IN ({_EN_LIST}))) * 1000"
+        " div greatest(size(toks), 1) AS BIGINT)"
+    )
+    hist = (
+        base.select(
+            score.alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("np"),
+            F.sum(F.lit(1) - F.col("pos")).cast("long").alias("nn"),
+        )
+    )
+    cum = hist.withColumn(
+        "cumneg",
+        F.coalesce(
+            F.sum("nn").over(
+                W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    agg = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cumneg") + F.col("nn")))
+        .cast("long")
+        .alias("auc2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc2",
+        F.expr(_scaled_div("auc2", "2 * n_pos * n_neg")).alias("auc_scaled"),
+    )
+
+
+# English marker tokens as a SQL in-list, for expr() strings.
+_EN_LIST = ", ".join(f"'{w}'" for w in _LANG_MARKERS["en"])
+
+
+# --- multi-class confusion matrix + per-class precision/recall/F1 ----------
+_CELLS_SQL = f"""
+    scored AS (
+      SELECT doc_id, lang,
+             {LANG_HITS_SQL}
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, {LANG_PRED_CASE_SQL} AS pred, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "eval_confusion_f1",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+    acts AS (
+      SELECT lang AS cls,
+             CAST(sum(n) AS BIGINT) AS n_actual,
+             CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+      FROM cells GROUP BY 1
+    ),
+    preds AS (
+      SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+      FROM cells GROUP BY 1
+    ),
+    m AS (
+      SELECT coalesce(acts.cls, preds.cls) AS cls,
+             coalesce(n_actual, 0) AS n_actual,
+             coalesce(n_pred, 0) AS n_pred,
+             coalesce(tp, 0) AS tp
+      FROM acts FULL OUTER JOIN preds ON acts.cls = preds.cls
+    )
+    SELECT cls, n_actual, n_pred, tp,
+           n_pred - tp AS fp,
+           n_actual - tp AS fn,
+           {_scaled_div_duck("tp", "n_pred")} AS prec_scaled,
+           {_scaled_div_duck("tp", "n_actual")} AS rec_scaled,
+           {_scaled_div_duck("2 * tp", "n_pred + n_actual")} AS f1_scaled
+    FROM m
+    ORDER BY cls
+    """,
+    tags=("A1", "J6", "U2"),
+)
+def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix and per-class precision / recall / F1
+    for the shipped language identifier against the labeled lang column —
+    the standard classifier report card, exact: metrics are 10^6-scaled
+    integer ratios (F1 = 2tp/(n_pred+n_actual), algebraically equal to
+    the harmonic mean, so one exact division instead of nested ones).
+    Classes appearing only in truth (zh: the marker set never predicts
+    it) or only in predictions (und) survive via the FULL OUTER join
+    with zero-filled counts — recall/precision 0, not missing rows.
+
+    Scale: one corpus scan -> class-arity² cell counts; everything after
+    the first groupBy runs on <= |classes|² rows. The acts×preds join is
+    a broadcast of a 6-row table."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", lang_pred_col().alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    acts = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_actual"),
+        F.sum(F.when(F.col("pred") == F.col("lang"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    preds = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    m = (
+        acts.join(preds, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return m.select(
+        "cls",
+        "n_actual",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_actual") - F.col("tp")).alias("fn"),
+        F.expr(_scaled_div("tp", "n_pred")).alias("prec_scaled"),
+        F.expr(_scaled_div("tp", "n_actual")).alias("rec_scaled"),
+        F.expr(_scaled_div("2 * tp", "n_pred + n_actual")).alias("f1_scaled"),
+    ).orderBy("cls")
+
+
+# --- Cohen's kappa -----------------------------------------------------------
+@query(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT)
+               AS sum_diag
+      FROM cells
+    ),
+    marg AS (
+      SELECT CAST(coalesce(sum(CAST(r.rn AS HUGEINT) * c.cn), 0) AS HUGEINT)
+               AS pe_num
+      FROM (SELECT lang AS cls, sum(n) AS rn FROM cells GROUP BY 1) r
+      JOIN (SELECT pred AS cls, sum(n) AS cn FROM cells GROUP BY 1) c
+        ON r.cls = c.cls
+    )
+    SELECT n_docs, sum_diag,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_num = 0 THEN 0
+                ELSE CAST((CAST(n_docs AS HUGEINT) * sum_diag - pe_num)
+                          * 1000000
+                          // (CAST(n_docs AS HUGEINT) * n_docs - pe_num)
+                     AS BIGINT) END AS kappa_scaled
+    FROM tot, marg
+    """,
+    tags=("A1", "J1", "U2"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between the
+    shipped language identifier and the labeled lang column: kappa =
+    (po - pe) / (1 - pe), cleared of denominators to the exact integer
+    form 10^6*(N*diag - pe_num) div (N² - pe_num) with pe_num =
+    sum_c rowtotal(c)*coltotal(c). N² at 100 TB row counts overflows
+    BIGINT, so every product lifts to decimal(38,0) (HUGEINT in the
+    oracle); kappa lands in [-10^6, 10^6] as an exact integer.
+
+    Scale: identical shape to the confusion matrix — one scan, then
+    class-arity-bounded tables; the marginal product join is per-class
+    (inner: a class absent from either side contributes 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", lang_pred_col().alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pred") == F.col("lang"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("sum_diag"),
+    )
+    r = cells.groupBy(F.col("lang").alias("cls")).agg(F.sum("n").alias("rn"))
+    c = cells.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("cn"))
+    marg = (
+        r.join(c, "cls")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("rn").cast("decimal(38,0)") * F.col("cn").cast("decimal(38,0)")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("pe_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(marg)).select(
+        "n_docs",
+        "sum_diag",
+        F.expr(
+            "CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num = 0 THEN 0"
+            " ELSE CAST((CAST(n_docs AS DECIMAL(38,0)) * sum_diag - pe_num)"
+            " * 1000000"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num)"
+            " AS BIGINT) END"
+        ).alias("kappa_scaled"),
+    )
+
+
+# --- train/test split leakage audit -----------------------------------------
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {_SIG_SQL}
+      FROM tok GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT {" || ".join(f"sig{s}" for s in range(_MINHASH_K))} AS band_key,
+             doc_id,
+             {SPLIT_CASE_SQL} AS split
+      FROM sig
+    ),
+    g AS (
+      SELECT band_key,
+             min(doc_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_val,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+      FROM banded GROUP BY band_key
+    )
+    SELECT band_key, canonical_id, n_members, n_train, n_val, n_test,
+           n_train * (n_val + n_test) + n_val * n_test AS leaked_pairs
+    FROM g
+    WHERE n_members > 1
+      AND n_train * (n_val + n_test) + n_val * n_test > 0
+    """,
+    tags=("U6", "F8", "A1"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate groups that STRADDLE the
+    train/val/test boundary — the contamination mode hash-splits cannot
+    prevent (a doc and its near-copy hash independently), and the reason
+    dedup must run BEFORE splitting in a corpus pipeline (Lee et al.
+    2022's eval-leakage finding). Composes the two shipped definitions
+    verbatim: MinHash band groups (dedup_minhash_groups) x the md5-nibble
+    split (split_train_test); leaked_pairs counts cross-split pairs
+    inside each group (train x val+test plus val x test).
+
+    Scale: the signature stage is map-only per doc; the only shuffle is
+    the groupBy on the 128-char band key — identical cost profile to the
+    dedup it audits; the split column is a pure expression, joined
+    nowhere. An empty result is the audit passing."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band = F.concat(*[F.col(f"sig{s}") for s in range(_MINHASH_K)])
+    g = (
+        sig.select(
+            band.alias("band_key"),
+            "doc_id",
+            split_col().alias("split"),
+        )
+        .groupBy("band_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("long")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    leaked = F.col("n_train") * (F.col("n_val") + F.col("n_test")) + F.col(
+        "n_val"
+    ) * F.col("n_test")
+    return g.withColumn("leaked_pairs", leaked).filter(
+        (F.col("n_members") > 1) & (F.col("leaked_pairs") > 0)
+    )
+
+
+# --- Zipf rank-frequency slope ----------------------------------------------
+_ZIPF_TOP = 200
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, tok) AS rank, n
+      FROM freq
+      QUALIFY rank <= {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT np AS n_points,
+           CASE WHEN np * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+                ELSE CAST((np * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                          // (np * sxx - CAST(sx AS HUGEINT) * sx)
+                     AS BIGINT) END AS slope_scaled
+    FROM s
+    """,
+    tags=("A1", "O2", "F4"),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: the OLS slope of ln(freq) on
+    ln(rank) over the top {top} tokens — natural text sits near -1
+    (Zipf's law); a corpus drifting toward 0 (too uniform: boilerplate,
+    template spam) or strongly below -1 (head collapse) fails the
+    health check. Standard corpus-QA statistic next to the distinct-n
+    and repetition reports.
+
+    Determinism: ln() of an exact BIGINT quantizes as
+    floor(ln*10^6 + 0.5) — an exact function of the float bits, the
+    repo-wide transcendental rule — and the whole OLS is then exact
+    integer sums (HUGEINT/decimal(38,0)-lifted products; slope =
+    (n*Sxy - Sx*Sy)/(n*Sxx - Sx²) 10^6-scaled, floor-div).
+
+    Scale: one scan + one token groupBy (the same vocabulary-sized
+    census every lexical op shares), a top-{top} TakeOrdered, then
+    arithmetic on {top} rows."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TOKENS()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = freq.orderBy(F.desc("n"), "tok").limit(_ZIPF_TOP)
+    pts = (
+        ranked.select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), "tok"))
+            .cast("long")
+            .alias("rank"),
+            "n",
+        )
+        .select(
+            F.expr("CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT)").alias("x"),
+            F.expr("CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)").alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.expr(
+            "CASE WHEN np * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0"
+            " ELSE CAST((np * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+            " div (np * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " AS BIGINT) END"
+        ).alias("slope_scaled"),
+    )
+
+
+corpus_zipf_slope.__doc__ = corpus_zipf_slope.__doc__.format(top=_ZIPF_TOP)

@@ -229,23 +229,47 @@ def _marker_pred_sql(words: tuple[str, ...]) -> str:
     return f"len(list_filter({SQL_TOKENS}, x -> x IN ({inlist})))"
 
 
+# Shared between txt_lang_id and the eval lane (plans/evals.py): the hits
+# CTE columns and the argmax CASE — ONE definition of the classifier, so
+# the evaluation queries grade exactly the classifier that ships.
+LANG_HITS_SQL = ",\n             ".join(
+    f"{_marker_pred_sql(words)} AS hits_{lang}" for lang, words in _LANG_MARKERS.items()
+)
+LANG_PRED_CASE_SQL = """CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END"""
+
+
+def lang_pred_col():
+    """Column twin of LANG_HITS_SQL + LANG_PRED_CASE_SQL over TOKENS()."""
+    toks = TOKENS()
+
+    def marker_hits(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    hits = {lang: marker_hits(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    return (
+        F.when(best == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]), "en")
+        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+
+
 @query(
     "txt_lang_id",
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
-             {_marker_pred_sql(_LANG_MARKERS["en"])} AS hits_en,
-             {_marker_pred_sql(_LANG_MARKERS["de"])} AS hits_de,
-             {_marker_pred_sql(_LANG_MARKERS["fr"])} AS hits_fr,
-             {_marker_pred_sql(_LANG_MARKERS["es"])} AS hits_es
+             {LANG_HITS_SQL}
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
-                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
-                WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
-                WHEN hits_fr >= hits_es THEN 'fr'
-                ELSE 'es' END AS lang_pred
+           {LANG_PRED_CASE_SQL} AS lang_pred
     FROM scored
     """,
     tags=("U2",),
@@ -253,25 +277,10 @@ def _marker_pred_sql(words: tuple[str, ...]) -> str:
 def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via stopword-marker voting (n-gram-heuristic
     family): argmax of per-language marker-token hits, deterministic
-    tie-break by fixed language priority."""
+    tie-break by fixed language priority. The prediction expression lives
+    in lang_pred_col() so the eval lane grades the identical classifier."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TOKENS()
-
-    def marker_hits(words: tuple[str, ...]):
-        # Closure (not a default-arg lambda): F.filter treats a 2-arg lambda
-        # as (element, index) and would pass the index over the default.
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
-
-    hits = {lang: marker_hits(words) for lang, words in _LANG_MARKERS.items()}
-    best = F.greatest(*hits.values())
-    pred = (
-        F.when(best == 0, "und")
-        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]), "en")
-        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"]), "de")
-        .when(hits["fr"] >= hits["es"], "fr")
-        .otherwise("es")
-    )
-    return d.select("doc_id", pred.alias("lang_pred"))
+    return d.select("doc_id", lang_pred_col().alias("lang_pred"))
 
 
 # Normalized-text fingerprint shared by the dedup queries.

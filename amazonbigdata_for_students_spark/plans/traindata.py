@@ -26,16 +26,30 @@ from .vectors import sem_sql_ctes
 
 _HEX = "0123456789abcdef"
 
+# ~81/6/13 split on the first md5 nibble of the doc key — shared between
+# split_train_test and the leakage audit (plans/evals.py) so both sides
+# audit exactly the split that ships.
+SPLIT_CASE_SQL = f"""CASE WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                  THEN 'train'
+                WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 13
+                  THEN 'val'
+                ELSE 'test' END"""
+
+
+def split_col():
+    """Column twin of SPLIT_CASE_SQL."""
+    nibble = (
+        F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        - 1
+    )
+    return F.when(nibble < 13, "train").when(nibble == 13, "val").otherwise("test")
+
 
 @query(
     "split_train_test",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
-                  THEN 'train'
-                WHEN strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 13
-                  THEN 'val'
-                ELSE 'test' END AS split
+           {SPLIT_CASE_SQL} AS split
     FROM documents
     """,
     tags=("P5", "F8"),
@@ -46,13 +60,11 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the only kind that survive a distributed, incrementally-growing
     corpus — the assignment of a document never depends on partitioning,
     row order, or corpus size, so re-runs and late-arriving shards agree.
-    Pure JVM expressions (md5 + strpos), map-only, no shuffle."""
+    Pure JVM expressions (md5 + strpos), map-only, no shuffle. The split
+    expression lives in split_col() so the leakage audit grades the
+    identical assignment."""
     d = load_table(spark, sf_dir, "documents")
-    nibble = F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
-    return d.select(
-        "doc_id",
-        F.when(nibble < 13, "train").when(nibble == 13, "val").otherwise("test").alias("split"),
-    )
+    return d.select("doc_id", split_col().alias("split"))
 
 
 @query(

@@ -336,3 +336,53 @@ def win_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("revenue_7d"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d
+      FROM {EVENTS}
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY d
+    )
+    SELECT CAST(d AS VARCHAR) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    tags=("W3", "A4", "A1"),
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the count-distinct-over-a-
+    running-window problem, which a naive window(COUNT(DISTINCT ...))
+    can't express (Spark rejects DISTINCT in windows) and a self-join
+    does in O(days x rows). The classic reformulation: distinct-to-date
+    on day d == number of users whose FIRST event day <= d, so one
+    groupBy(user) min(day), one groupBy(day) count, and a running sum
+    over days — each shuffle keyed high-cardinality.
+
+    Scale: the only unpartitioned window runs over the per-DAY series
+    (bounded by the calendar, not the data); everything row-sized
+    shuffles on user_id. This is how growth-accounting 'cumulative
+    uniques' charts are computed at warehouse scale."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    daily = first_seen.groupBy("d").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
