@@ -219,14 +219,17 @@ def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     it) or only in predictions (und) survive via the FULL OUTER join
     with zero-filled counts — recall/precision 0, not missing rows.
 
-    Scale: one corpus scan -> class-arity² cell counts; everything after
-    the first groupBy runs on <= |classes|² rows. The acts×preds join is
-    a broadcast of a 6-row table."""
+    Scale: ONE corpus scan -> class-arity² cell counts (the cell table is
+    checkpointed because two consumers — acts and preds — would otherwise
+    each re-run the scan); everything after the first groupBy runs on
+    <= |classes|² rows. The acts×preds join is a broadcast of a 6-row
+    table."""
     d = load_table(spark, sf_dir, "documents")
     cells = (
         d.select("lang", lang_pred_col().alias("pred"))
         .groupBy("lang", "pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     acts = cells.groupBy(F.col("lang").alias("cls")).agg(
         F.sum("n").cast("long").alias("n_actual"),
@@ -296,14 +299,17 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, so every product lifts to decimal(38,0) (HUGEINT in the
     oracle); kappa lands in [-10^6, 10^6] as an exact integer.
 
-    Scale: identical shape to the confusion matrix — one scan, then
-    class-arity-bounded tables; the marginal product join is per-class
-    (inner: a class absent from either side contributes 0)."""
+    Scale: identical shape to the confusion matrix — ONE scan (the cell
+    table is checkpointed: three consumers — tot, row marginals, column
+    marginals — would otherwise each re-run it), then class-arity-bounded
+    tables; the marginal product join is per-class (inner: a class absent
+    from either side contributes 0)."""
     d = load_table(spark, sf_dir, "documents")
     cells = (
         d.select("lang", lang_pred_col().alias("pred"))
         .groupBy("lang", "pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(
         F.sum("n").cast("long").alias("n_docs"),
@@ -519,3 +525,133 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 corpus_zipf_slope.__doc__ = corpus_zipf_slope.__doc__.format(top=_ZIPF_TOP)
+
+
+# --- calibration (reliability diagram bins) ---------------------------------
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    )
+    SELECT CAST(least(score // 100, 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           {_scaled_div_duck("sum(pos)", "count(*)")} AS pos_rate_scaled,
+           {_scaled_div_duck("sum(score)", "count(*) * 1000")} AS mean_score_scaled
+    FROM scored
+    GROUP BY 1
+    ORDER BY bin
+    """,
+    tags=("A1", "A3", "U2"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (the calibration half of an eval report,
+    Guo et al. 2017's ECE input): bucket the per-mille English-marker
+    score into deciles and compare each bin's observed positive rate to
+    its mean score — a well-calibrated scorer has the two scaled columns
+    tracking each other; ECE is their |difference| weighted by n, which
+    the reader (or a downstream query) can take exactly from these
+    integers.
+
+    Scale: map-only scoring, one groupBy on a 10-value key — partial
+    aggregation absorbs everything map-side, the shuffle carries <= 10
+    rows per task. Both scaled ratios are exact integer floor-divisions
+    (the repo-wide no-float-window rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("lang", TOKENS().alias("toks"))
+    score = F.expr(
+        f"CAST(size(filter(toks, x -> x IN ({_EN_LIST}))) * 1000"
+        " div greatest(size(toks), 1) AS BIGINT)"
+    )
+    binned = (
+        base.select(
+            score.alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy(F.least(F.expr("score div 100"), F.lit(9)).cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )
+    return binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_score",
+        F.expr(_scaled_div("n_pos", "n")).alias("pos_rate_scaled"),
+        F.expr(_scaled_div("sum_score", "n * 1000")).alias("mean_score_scaled"),
+    ).orderBy("bin")
+
+
+# --- k-fold stability of the classifier --------------------------------------
+_N_FOLDS = 5
+
+
+@query(
+    "eval_kfold_accuracy",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {LANG_HITS_SQL}
+      FROM documents
+    ),
+    pred AS (
+      SELECT (strpos('0123456789abcdef',
+                substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               % {_N_FOLDS} AS fold,
+             CASE WHEN {LANG_PRED_CASE_SQL} = lang THEN 1 ELSE 0 END AS correct
+      FROM scored
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           {_scaled_div_duck("sum(correct)", "count(*)")} AS acc_scaled
+    FROM pred
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    tags=("A1", "F8", "U2"),
+)
+def eval_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold accuracy of the shipped language identifier over a
+    deterministic {k}-fold assignment (md5 nibble of the doc key, seeded
+    'fold|' so folds are independent of the train/val/test split's
+    draw) — the fold-stability check an eval report runs to distinguish
+    a real accuracy number from a lucky subset: the {k} acc_scaled
+    values should agree within sampling noise.
+
+    Scale: map-only fold assignment + scoring; one groupBy on a
+    {k}-value key with full map-side combine. Folds are a pure function
+    of the stable key — re-runs, late shards, and resplits reproduce the
+    same assignment (the hash-split argument, applied to evaluation)."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))), 1, 1),
+        )
+        - 1
+    )
+    pred = d.select(
+        (nibble % _N_FOLDS).alias("fold"),
+        F.when(lang_pred_col() == F.col("lang"), 1).otherwise(0).alias("correct"),
+    )
+    g = pred.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+    return g.select(
+        "fold",
+        "n",
+        "n_correct",
+        F.expr(_scaled_div("n_correct", "n")).alias("acc_scaled"),
+    ).orderBy("fold")
+
+
+eval_kfold_accuracy.__doc__ = eval_kfold_accuracy.__doc__.format(k=_N_FOLDS)

@@ -863,6 +863,10 @@ def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
+        # Two consumers (tot, marg) would otherwise each re-run the corpus
+        # explode+count; the checkpointed pair table is vocabulary²-bounded,
+        # so materializing it costs nothing at any corpus size.
+        .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("n_pair").cast("long").alias("n_total"))
     marg = cnt.select(

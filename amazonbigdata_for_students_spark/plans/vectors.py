@@ -1396,18 +1396,20 @@ def vec_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     sign = _JL_SIGN.format(i="i", j="j")
-    p = e.withColumn(
-        "y",
-        F.expr(
-            f"transform(sequence(1, {_JL_OUT}), j ->"
-            f" aggregate(sequence(1, {_JL_IN}), 0L, (acc, i) ->"
-            f" acc + CASE WHEN {sign} THEN element_at(q, i)"
-            f" ELSE -element_at(q, i) END))"
-        ),
+    proj = F.expr(
+        f"transform(sequence(1, {_JL_OUT}), j ->"
+        f" aggregate(sequence(1, {_JL_IN}), 0L, (acc, i) ->"
+        f" acc + CASE WHEN {sign} THEN element_at(q, i)"
+        f" ELSE -element_at(q, i) END))"
     )
+    p = e.withColumn("y", proj)
+    # Query row: TakeOrdered(1) on the QUANTIZED table, projecting y for
+    # that single row only — deriving qv from p would run the full-corpus
+    # projection a second time just to keep one row of it.
     qv = (
-        p.orderBy("vec_id")
+        e.orderBy("vec_id")
         .limit(1)
+        .withColumn("y", proj)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("q").alias("qq"),
@@ -1435,6 +1437,11 @@ def vec_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_n_y", idot("y", "y"))
         .withColumn("_n_qy", idot("qy", "qy"))
         .select("vec_id", cos("q", "qq").alias("cf"), cos("y", "qy").alias("cp"))
+        # Two TakeOrdered consumers (exact-space and projected-space top-k)
+        # would each re-run the projection + dot products; the checkpointed
+        # score table is 3 narrow columns (~10% of the input bytes), so
+        # materializing once halves the expensive pass.
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window as W
 

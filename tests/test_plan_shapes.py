@@ -565,3 +565,87 @@ def test_span_corruption_is_map_only(spark, sf_small):
     plan = plan_of(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auc_runs_on_score_histogram(spark, sf_small):
+    """The AUC query's scale claim: the raw corpus shuffles ONCE (the
+    per-score groupBy, with map-side partial aggregation); the unkeyed
+    window and final aggregate run on the <=1001-row histogram behind a
+    SinglePartition exchange, never on rows."""
+    df = REGISTRY["eval_auc_mannwhitney"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("hashpartitioning(score") == 1
+    assert "partial_sum" in final  # map-side combine before the shuffle
+    assert "windowspecdefinition(score" in final
+
+
+def test_confusion_and_kappa_scan_corpus_once(spark, sf_small):
+    """Both eval queries fan their class-arity cell table out to 2-3
+    consumers; the localCheckpoint must absorb the fan-out so the corpus
+    is scanned exactly once (the checkpoint job), never per consumer."""
+    for name in ("eval_confusion_f1", "eval_cohens_kappa"):
+        df = REGISTRY[name].fn(spark, sf_small)
+        df.collect()
+        final = plan_of(df).split("Initial Plan")[0]
+        assert final.count("FileScan") == 0, name  # cells read from RDD
+
+
+def test_pmi_counts_once_then_vocab_bounded(spark, sf_small):
+    """PMI's scale claim: the corpus explode+count happens once (the
+    checkpointed pair table feeds both the total and the marginals), and
+    the top-k is TakeOrdered, not a global sort."""
+    df = REGISTRY["lm_pmi_collocations"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0  # pair table read from ExistingRDD
+    assert "TakeOrderedAndProject" in final
+
+
+def test_wordpiece_census_not_rescanned(spark, sf_small):
+    """The greedy loop's barrier checkpoints mean the executed plan reads
+    the word census from RDDs — a FileScan would be the corpus re-tokenized
+    under one of the unrolled steps."""
+    df = REGISTRY["tokenizer_wordpiece_apply"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    assert "TakeOrderedAndProject" in final
+
+
+def test_jl_projection_single_full_pass(spark, sf_small):
+    """The JL recall audit must not run the 64->16 projection twice: the
+    score table is checkpointed (both top-k consumers read it back), and
+    the only FileScans left are the main quantize pass plus the
+    TakeOrdered(1) query-row probe."""
+    df = REGISTRY["vec_random_projection_recall"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0  # scored read from ExistingRDD
+
+
+def test_leakage_audit_single_shuffle(spark, sf_small):
+    """The leakage audit's cost profile must equal the dedup it audits:
+    map-only signatures + split expression, one shuffle on the band key,
+    no join anywhere."""
+    df = REGISTRY["split_leakage_audit"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "hashpartitioning(band_key" in plan
+    assert "Join" not in plan
+
+
+def test_cumulative_distinct_windows_days_only(spark, sf_small):
+    """The running count-distinct reformulation: row-sized shuffles key on
+    user_id then day; the only unpartitioned window runs on the per-day
+    series (calendar-bounded)."""
+    df = REGISTRY["win_cumulative_distinct"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "hashpartitioning(user_id" in plan
+    assert "windowspecdefinition(d" in plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_small):
+    df = REGISTRY["corpus_zipf_slope"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
