@@ -457,6 +457,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage, and it buys nothing.) Downstream stages shuffle only
     the k×32-char signatures."""
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *minhash_sig_cols())
+
+
+def minhash_sig_cols() -> list:
+    """The k seeded MinHash signature Columns over TOKENS() — shared by
+    the signature query, the LSH groupings, and the pipeline compositions
+    so every consumer bands on the identical signatures."""
     toks = F.array_distinct(TOKENS())
 
     def sig(seed: int):
@@ -466,7 +473,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
         ).alias(f"sig{seed}")
 
-    return d.select("doc_id", *[sig(s) for s in range(_MINHASH_K)])
+    return [sig(s) for s in range(_MINHASH_K)]
 
 
 @query(

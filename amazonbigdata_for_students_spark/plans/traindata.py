@@ -1788,3 +1788,131 @@ def mix_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("remainder_tokens"),
     )
+
+
+from .text import _SIG_SQL as _PIPE_SIG_SQL  # noqa: E402
+from .text import _MINHASH_K as _PIPE_MINHASH_K  # noqa: E402
+
+
+@query(
+    "corpus_build_pipeline_v7",
+    oracle=f"""
+    WITH {{gopher_cte}},
+    g AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN gm USING (doc_id)
+      WHERE {{gopher_pred}}
+    ),
+    gcanon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM g
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    base AS (SELECT g.* FROM g JOIN gcanon USING (doc_id)),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct({{sql_tokens}})) AS tok FROM base
+    ),
+    sig AS (SELECT doc_id, {{sig_sql}} FROM tok GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id,
+             {{band_concat}} AS band_key,
+             {{split_case}} AS split
+      FROM sig
+    ),
+    train_bands AS (
+      SELECT DISTINCT band_key FROM banded WHERE split = 'train'
+    ),
+    quar AS (
+      SELECT b.doc_id FROM banded b JOIN train_bands USING (band_key)
+      WHERE b.split <> 'train'
+    ),
+    kept AS (
+      SELECT b.split, base.lang,
+             CAST(len({{sql_tokens}}) AS BIGINT) AS n_tokens
+      FROM banded b
+      JOIN base USING (doc_id)
+      LEFT JOIN quar q ON b.doc_id = q.doc_id
+      WHERE q.doc_id IS NULL
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en_docs
+    FROM kept
+    GROUP BY split
+    """.format(
+        gopher_cte=gopher_measures_sql_cte("documents", stop=_PIPE_STOP),
+        gopher_pred=_GOPHER_PASS_PRED,
+        sql_tokens=SQL_TOKENS,
+        sig_sql=_PIPE_SIG_SQL,
+        band_concat=" || ".join(f"sig{s}" for s in range(_PIPE_MINHASH_K)),
+        split_case=SPLIT_CASE_SQL,
+    ),
+    tags=("U5", "U6", "U2", "F8", "J3", "J2"),
+)
+def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second round-7 composition: Gopher quality gate → exact dedup →
+    train/val/test split → MinHash-band LEAKAGE QUARANTINE → per-split
+    accounting. Versus v6, the new tail is this round's split-leakage
+    machinery run in its production direction: after the split is
+    assigned, any val/test document sharing an LSH band with a train
+    document is quarantined (dropped from the corpus report), protecting
+    eval integrity the way benchmark decontamination does — train keeps
+    the doc, the compromised eval copy goes. Exact dedup runs FIRST, so
+    the quarantine only ever fires on near-duplicates (identical texts
+    are already collapsed to one id before the split draws).
+
+    Scale: base (post-gate survivors) and banded (doc_id, band, split —
+    three narrow columns) are each checkpointed because two consumers
+    read them; the quarantine itself is one distinct + one left-semi
+    join on the 128-char band key, the same cost profile as the LSH
+    dedup it reuses. Stage definitions are imported, not re-typed:
+    gopher_measure_cols, minhash_sig_cols, split_col — the composition
+    cannot drift from its standalone stages."""
+    from .text import (
+        TOKENS,
+        _NORM,
+        gopher_measure_cols,
+        minhash_sig_cols,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    *_, passes = gopher_measure_cols(stop=_PIPE_STOP)
+    g = d.filter(passes)
+    gcanon = (
+        g.select("doc_id", _NORM().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    base = g.join(gcanon, "doc_id", "left_semi").localCheckpoint(eager=False)
+    banded = base.select(
+        "doc_id",
+        F.concat(*minhash_sig_cols()).alias("band_key"),
+        split_col().alias("split"),
+    ).localCheckpoint(eager=False)
+    train_bands = (
+        banded.filter(F.col("split") == "train").select("band_key").distinct()
+    )
+    quar = (
+        banded.filter(F.col("split") != "train")
+        .join(train_bands, "band_key", "left_semi")
+        .select("doc_id")
+    )
+    kept = (
+        banded.join(quar, "doc_id", "left_anti")
+        .join(
+            base.select(
+                "doc_id", "lang", F.size(TOKENS()).cast("long").alias("n_tokens")
+            ),
+            "doc_id",
+        )
+    )
+    return kept.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en_docs"),
+    )
