@@ -160,6 +160,38 @@ SHOWCASE: dict[str, str] = {
         "per-position explode, no shuffle between dp steps; the only "
         "exchanges are the word/gram aggregates and the final histogram."
     ),
+    "tokenizer_wordpiece_apply": (
+        "Greedy longest-match unrolled over the word census with the "
+        "learned vocab as ONE broadcast array column (not a literal per "
+        "probe site); a plan barrier every 4 steps keeps the optimizer "
+        "linear — the final plan reads the census from RDDs, zero "
+        "FileScans under the unrolled steps."
+    ),
+    "eval_auc_mannwhitney": (
+        "Exact ROC-AUC with ONE row-sized shuffle: the per-score groupBy "
+        "(partial_sum map-side combine); the rank cumulation runs on the "
+        "<=1001-row score histogram behind a SinglePartition exchange — "
+        "the raw corpus is never sorted or windowed."
+    ),
+    "split_leakage_audit": (
+        "Map-only MinHash signatures + split expression, one shuffle on "
+        "the band key, no join — the audit costs exactly what the LSH "
+        "dedup it composes costs; an empty result is the audit passing."
+    ),
+    "vec_random_projection_recall": (
+        "The 64->16 JL projection is a nested higher-order expression "
+        "inside codegen (no UDF, no training pass); the score table is "
+        "checkpointed so the exact-space and projected-space top-k "
+        "consumers share ONE full pass; the query row comes from a "
+        "TakeOrdered(1) probe, not a second projection of the corpus."
+    ),
+    "corpus_build_pipeline_v7": (
+        "Quality gate -> exact dedup -> split -> band-leakage quarantine "
+        "in one plan: base and the 3-column banded table are checkpointed "
+        "at their fan-out points, the quarantine is a distinct + "
+        "left-semi join on the band key, and the final accounting is a "
+        "3-row groupBy — no stage rescans the corpus."
+    ),
     "quality_gopher_rules": (
         "Map-only: zero exchanges — every Gopher gate is an integer "
         "cross-multiplication inside one codegen span over the scan."
