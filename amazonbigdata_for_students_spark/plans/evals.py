@@ -30,14 +30,15 @@ from .registry import query
 from .text import (
     LANG_HITS_SQL,
     LANG_PRED_CASE_SQL,
+    MINHASH_BAND_SQL,
     SQL_TOKENS,
     TOKENS,
     _LANG_MARKERS,
     _marker_pred_sql,
-    _MINHASH_K,
     _SIG_SQL,
     dedup_minhash_signatures,
     lang_pred_col,
+    minhash_band_col,
 )
 from .traindata import SPLIT_CASE_SQL, split_col
 
@@ -64,6 +65,19 @@ def _scaled_div_duck(num_sql: str, den_sql: str, scale: int = 1_000_000) -> str:
 
 # --- exact ROC-AUC via the Mann-Whitney rank statistic ----------------------
 # Score: English marker-token density per mille (integer). Label: lang='en'.
+# _en_score_col / _AUC_SCORE_SQL are ONE definition pair shared by the AUC
+# and calibration queries — the two metrics must grade the same scorer.
+_EN_LIST = ", ".join(f"'{w}'" for w in _LANG_MARKERS["en"])
+
+
+def _en_score_col():
+    """Spark twin of _AUC_SCORE_SQL, over a column named 'toks'."""
+    return F.expr(
+        f"CAST(size(filter(toks, x -> x IN ({_EN_LIST}))) * 1000"
+        " div greatest(size(toks), 1) AS BIGINT)"
+    )
+
+
 _AUC_SCORE_SQL = (
     f"CAST({_marker_pred_sql(_LANG_MARKERS['en'])} * 1000"
     f" // greatest(len({SQL_TOKENS}), 1) AS BIGINT)"
@@ -94,11 +108,14 @@ _AUC_SCORE_SQL = (
     agg AS (
       SELECT CAST(sum(np) AS BIGINT) AS n_pos,
              CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS auc2
+             sum(CAST(np AS HUGEINT) * (2 * cumneg + nn)) AS auc2
       FROM cum
     )
-    SELECT n_pos, n_neg, auc2,
-           {_scaled_div_duck("auc2", "2 * n_pos * n_neg")} AS auc_scaled
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST(auc2 * 1000000
+                          // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                     AS BIGINT) END AS auc_scaled
     FROM agg
     """,
     tags=("A1", "W3", "U2"),
@@ -116,14 +133,13 @@ def eval_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-mille density), so the rank cumulation runs on a HISTOGRAM, not
     on rows — the single-partition window is bounded by score arity, the
     classic trick for AUC over billions of rows. auc_scaled is the exact
-    10^6-scaled ratio (decimal-lifted; P*N at 100 TB exceeds 2^63/10^6,
-    the BIGINT multiply would wrap)."""
+    10^6-scaled ratio; the rank-sum (~2*P*N) and the denominator both
+    exceed 2^63 at 100 TB row counts, so every product is
+    decimal(38,0)/HUGEINT-lifted — the rank-sum stays internal and only
+    the counts and the scaled ratio are reported."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("lang", TOKENS().alias("toks"))
-    score = F.expr(
-        f"CAST(size(filter(toks, x -> x IN ({_EN_LIST}))) * 1000"
-        " div greatest(size(toks), 1) AS BIGINT)"
-    )
+    score = _en_score_col()
     hist = (
         base.select(
             score.alias("score"),
@@ -147,23 +163,38 @@ def eval_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cum.agg(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum("nn").cast("long").alias("n_neg"),
-        F.sum(F.col("np") * (2 * F.col("cumneg") + F.col("nn")))
-        .cast("long")
+        # The rank-sum itself reaches ~2*P*N, past 2^63 at target scale —
+        # lift BEFORE the per-bucket multiply, not just at the final ratio.
+        F.sum(F.col("np").cast("decimal(38,0)") * (2 * F.col("cumneg") + F.col("nn")))
+        .cast("decimal(38,0)")
         .alias("auc2"),
     )
     return agg.select(
         "n_pos",
         "n_neg",
-        "auc2",
-        F.expr(_scaled_div("auc2", "2 * n_pos * n_neg")).alias("auc_scaled"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0"
+            " ELSE CAST(auc2 * 1000000"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            " AS BIGINT) END"
+        ).alias("auc_scaled"),
     )
 
 
-# English marker tokens as a SQL in-list, for expr() strings.
-_EN_LIST = ", ".join(f"'{w}'" for w in _LANG_MARKERS["en"])
-
-
 # --- multi-class confusion matrix + per-class precision/recall/F1 ----------
+def _lang_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (lang, pred, n) confusion cells — the Spark twin of
+    _CELLS_SQL, shared by the confusion and kappa queries: ONE corpus
+    scan feeds every consumer, and both metrics grade the same table."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_pred_col().alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+
 _CELLS_SQL = f"""
     scored AS (
       SELECT doc_id, lang,
@@ -224,13 +255,7 @@ def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     each re-run the scan); everything after the first groupBy runs on
     <= |classes|² rows. The acts×preds join is a broadcast of a 6-row
     table."""
-    d = load_table(spark, sf_dir, "documents")
-    cells = (
-        d.select("lang", lang_pred_col().alias("pred"))
-        .groupBy("lang", "pred")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    cells = _lang_cells(spark, sf_dir)
     acts = cells.groupBy(F.col("lang").alias("cls")).agg(
         F.sum("n").cast("long").alias("n_actual"),
         F.sum(F.when(F.col("pred") == F.col("lang"), F.col("n")).otherwise(0))
@@ -304,13 +329,7 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals — would otherwise each re-run it), then class-arity-bounded
     tables; the marginal product join is per-class (inner: a class absent
     from either side contributes 0)."""
-    d = load_table(spark, sf_dir, "documents")
-    cells = (
-        d.select("lang", lang_pred_col().alias("pred"))
-        .groupBy("lang", "pred")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    cells = _lang_cells(spark, sf_dir)
     tot = cells.agg(
         F.sum("n").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("pred") == F.col("lang"), F.col("n")).otherwise(0))
@@ -357,7 +376,7 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY doc_id
     ),
     banded AS (
-      SELECT {" || ".join(f"sig{s}" for s in range(_MINHASH_K))} AS band_key,
+      SELECT {MINHASH_BAND_SQL} AS band_key,
              doc_id,
              {SPLIT_CASE_SQL} AS split
       FROM sig
@@ -397,10 +416,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup it audits; the split column is a pure expression, joined
     nowhere. An empty result is the audit passing."""
     sig = dedup_minhash_signatures(spark, sf_dir)
-    band = F.concat(*[F.col(f"sig{s}") for s in range(_MINHASH_K)])
     g = (
         sig.select(
-            band.alias("band_key"),
+            minhash_band_col().alias("band_key"),
             "doc_id",
             split_col().alias("split"),
         )
@@ -467,7 +485,7 @@ _ZIPF_TOP = 200
 )
 def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency diagnostic: the OLS slope of ln(freq) on
-    ln(rank) over the top {top} tokens — natural text sits near -1
+    ln(rank) over the top 200 (_ZIPF_TOP) tokens — natural text sits near -1
     (Zipf's law); a corpus drifting toward 0 (too uniform: boilerplate,
     template spam) or strongly below -1 (head collapse) fails the
     health check. Standard corpus-QA statistic next to the distinct-n
@@ -480,8 +498,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*Sxy - Sx*Sy)/(n*Sxx - Sx²) 10^6-scaled, floor-div).
 
     Scale: one scan + one token groupBy (the same vocabulary-sized
-    census every lexical op shares), a top-{top} TakeOrdered, then
-    arithmetic on {top} rows."""
+    census every lexical op shares), a top-200 TakeOrdered, then
+    arithmetic on 200 rows."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(TOKENS()).alias("tok"))
@@ -524,7 +542,6 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-corpus_zipf_slope.__doc__ = corpus_zipf_slope.__doc__.format(top=_ZIPF_TOP)
 
 
 # --- calibration (reliability diagram bins) ---------------------------------
@@ -563,10 +580,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the repo-wide no-float-window rule)."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("lang", TOKENS().alias("toks"))
-    score = F.expr(
-        f"CAST(size(filter(toks, x -> x IN ({_EN_LIST}))) * 1000"
-        " div greatest(size(toks), 1) AS BIGINT)"
-    )
+    score = _en_score_col()
     binned = (
         base.select(
             score.alias("score"),
@@ -620,14 +634,14 @@ _N_FOLDS = 5
 )
 def eval_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fold accuracy of the shipped language identifier over a
-    deterministic {k}-fold assignment (md5 nibble of the doc key, seeded
+    deterministic 5-fold (_N_FOLDS) assignment (md5 nibble of the doc key, seeded
     'fold|' so folds are independent of the train/val/test split's
     draw) — the fold-stability check an eval report runs to distinguish
-    a real accuracy number from a lucky subset: the {k} acc_scaled
+    a real accuracy number from a lucky subset: the five acc_scaled
     values should agree within sampling noise.
 
     Scale: map-only fold assignment + scoring; one groupBy on a
-    {k}-value key with full map-side combine. Folds are a pure function
+    5-value key with full map-side combine. Folds are a pure function
     of the stable key — re-runs, late shards, and resplits reproduce the
     same assignment (the hash-split argument, applied to evaluation)."""
     d = load_table(spark, sf_dir, "documents")
@@ -654,4 +668,3 @@ def eval_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
-eval_kfold_accuracy.__doc__ = eval_kfold_accuracy.__doc__.format(k=_N_FOLDS)

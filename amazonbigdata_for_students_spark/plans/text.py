@@ -455,9 +455,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     fell back to SortAggregate because a string min-buffer isn't a mutable
     fixed-size type; at 100 TB that shuffle is the whole cost of the
     signature stage, and it buys nothing.) Downstream stages shuffle only
-    the k×32-char signatures."""
+    the k×32-char signatures. Zero-token documents carry no signature and
+    are dropped — the same semantics as the oracle's unnest (no token
+    rows -> no doc row); without the filter their NULL signatures would
+    concat to a NULL band key downstream and collapse every empty doc
+    into one spurious LSH group."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *minhash_sig_cols())
+    return d.select("doc_id", *minhash_sig_cols()).filter(
+        F.col("sig0").isNotNull()
+    )
 
 
 def minhash_sig_cols() -> list:
@@ -476,6 +482,17 @@ def minhash_sig_cols() -> list:
     return [sig(s) for s in range(_MINHASH_K)]
 
 
+def minhash_band_col():
+    """The LSH band key over a signature table's sig0..sigK columns —
+    shared by the LSH dedup, the leakage audit, and the pipeline
+    compositions so every consumer bands on the identical key (SQL twin:
+    MINHASH_BAND_SQL)."""
+    return F.concat(*[F.col(f"sig{s}") for s in range(_MINHASH_K)])
+
+
+MINHASH_BAND_SQL = " || ".join(f"sig{s}" for s in range(_MINHASH_K))
+
+
 @query(
     "dedup_minhash_groups",
     oracle=f"""
@@ -487,7 +504,7 @@ def minhash_sig_cols() -> list:
              {", ".join(f"min(md5('{s}|' || tok)) AS sig{s}" for s in range(_MINHASH_K))}
       FROM tok GROUP BY doc_id
     )
-    SELECT sig0 || sig1 || sig2 || sig3 AS band_key,
+    SELECT {MINHASH_BAND_SQL} AS band_key,
            min(doc_id) AS canonical_id,
            count(*) AS n_members
     FROM sig
@@ -502,9 +519,8 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature are near-dup candidates; groupBy on the band key replaces the
     pairwise join entirely — the 100 TB-friendly dedup reduction."""
     sig = dedup_minhash_signatures(spark, sf_dir)
-    band = F.concat(*[F.col(f"sig{s}") for s in range(_MINHASH_K)])
     return (
-        sig.select("doc_id", band.alias("band_key"))
+        sig.select("doc_id", minhash_band_col().alias("band_key"))
         .groupBy("band_key")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
@@ -2437,23 +2453,22 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (BPE replays merge order, unigram-Viterbi global-optimizes,
     WordPiece greedily takes the longest vocab piece at each position;
     a word whose first unmatched position has no vocab piece — or longer
-    than {steps} chars — becomes ['[UNK]'], whole-word, as in BERT).
+    than 12 (_WP_STEPS) chars — becomes ['[UNK]'], whole-word, as in
+    BERT).
 
     Scale: the greedy loop runs over the WORD-FREQUENCY census
     (vocabulary-sized, Heaps' law — the corpus is scanned once for the
-    counts), unrolled into {steps} branch-free column steps with the
+    counts), unrolled into 12 branch-free column steps with the
     learned vocab attached ONCE as a broadcast one-row array column —
     NOT inlined as a literal into every membership probe: the probe
-    appears {probes}x in the unrolled plan, and embedding a
-    vocabulary-sized literal at each site made plan
+    appears 72x (_WP_STEPS * _WP_LMAX) in the unrolled plan, and
+    embedding a vocabulary-sized literal at each site made plan
     analysis/codegen super-linear in (steps x lmax x |vocab|); a single
     column reference keeps the expression tree steps-bounded, and the
     vocab never touches the driver at all. Apply is map-only after the
     broadcast: zero extra shuffles; the census + final piece
     aggregation are the only exchanges. The oracle replays BPE training
-    unrolled, then the identical {steps}-step greedy loop.""".format(
-        steps=_WP_STEPS, probes=_WP_STEPS * _WP_LMAX
-    )
+    unrolled, then the identical 12-step greedy loop."""
     _, segs = _bpe_train(spark, sf_dir)
     vdf = segs.select(F.explode("seg").alias("s")).agg(
         F.array_sort(F.collect_set("s")).alias("V")

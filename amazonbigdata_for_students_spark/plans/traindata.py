@@ -1791,7 +1791,7 @@ def mix_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .text import _SIG_SQL as _PIPE_SIG_SQL  # noqa: E402
-from .text import _MINHASH_K as _PIPE_MINHASH_K  # noqa: E402
+from .text import MINHASH_BAND_SQL as _PIPE_BAND_SQL  # noqa: E402
 
 
 @query(
@@ -1846,7 +1846,7 @@ from .text import _MINHASH_K as _PIPE_MINHASH_K  # noqa: E402
         gopher_pred=_GOPHER_PASS_PRED,
         sql_tokens=SQL_TOKENS,
         sig_sql=_PIPE_SIG_SQL,
-        band_concat=" || ".join(f"sig{s}" for s in range(_PIPE_MINHASH_K)),
+        band_concat=_PIPE_BAND_SQL,
         split_case=SPLIT_CASE_SQL,
     ),
     tags=("U5", "U6", "U2", "F8", "J3", "J2"),
@@ -1874,6 +1874,7 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOKENS,
         _NORM,
         gopher_measure_cols,
+        minhash_band_col,
         minhash_sig_cols,
     )
 
@@ -1887,11 +1888,17 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     base = g.join(gcanon, "doc_id", "left_semi").localCheckpoint(eager=False)
-    banded = base.select(
-        "doc_id",
-        F.concat(*minhash_sig_cols()).alias("band_key"),
-        split_col().alias("split"),
-    ).localCheckpoint(eager=False)
+    banded = (
+        base.select("doc_id", split_col().alias("split"), *minhash_sig_cols())
+        .select(
+            "doc_id", "split", minhash_band_col().alias("band_key")
+        )
+        # Zero-token docs have NULL signatures; the oracle's unnest drops
+        # them before sig, so the quarantine stage drops them here too
+        # (they carry no tokens — nothing to leak or to count).
+        .filter(F.col("band_key").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     train_bands = (
         banded.filter(F.col("split") == "train").select("band_key").distinct()
     )

@@ -1,9 +1,12 @@
 """Window functions — SURVEY.md §2.5 (W1-W4) + as-of join (J9).
 
-Window partitioning notes for scale: every window here partitions by a
-high-cardinality key (user, nation, brand) so state per partition stays
-bounded; none uses a global (unpartitioned) window, which would serialize
-on one task at 100 TB.
+Window partitioning notes for scale: every row-sized window here
+partitions by a high-cardinality key (user, nation, brand) so state per
+partition stays bounded. The one unpartitioned window
+(win_cumulative_distinct's running sum) operates on the per-DAY series —
+calendar-bounded rows, never data-bounded — after the row-sized work has
+been aggregated away; a global window over row-sized input would
+serialize on one task at 100 TB and is still avoided everywhere.
 """
 
 from __future__ import annotations

@@ -985,3 +985,31 @@ def test_containment_span_collapse_exact_and_reduced(spark):
     assert p2[(1, 2)] == 11  # both cohorts
     assert p2[(0, 1)] == 10  # doc 0 lacks Tx
     assert p2[(1, 200)] == 1  # only Tx shared
+
+
+def test_minhash_drops_zero_token_docs(spark, tmp_path):
+    """Zero-token documents carry no MinHash signature: the Spark side
+    must drop them like the oracle's unnest does (review find r7) —
+    otherwise their NULL signatures concat into one spurious NULL band
+    that the LSH grouping and the leakage audit both report as a
+    near-dup group."""
+    df = spark.createDataFrame(
+        [
+            (1, "", "en"),
+            (2, "   ", "en"),  # whitespace-only: tokens() yields []
+            (3, "alpha beta", "en"),
+            (4, "alpha beta", "de"),  # same band as 3
+        ],
+        "doc_id long, text string, lang string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    sigs = REGISTRY["dedup_minhash_signatures"].fn(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in sigs) == [3, 4]
+    groups = REGISTRY["dedup_minhash_groups"].fn(spark, str(tmp_path)).collect()
+    assert len(groups) == 1 and groups[0]["canonical_id"] == 3
+    audit = REGISTRY["split_leakage_audit"].fn(spark, str(tmp_path)).collect()
+    # docs 3/4 may or may not straddle the split draw, but no NULL band
+    # group can ever appear
+    assert all(r["band_key"] is not None for r in audit)
