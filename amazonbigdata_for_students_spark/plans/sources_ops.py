@@ -21,7 +21,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .. import schemas
 from ..functions import spam
@@ -2120,3 +2120,77 @@ def src_rate_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.batch_twins import _drain
 
     return _drain(agg, "rate_stream", mode="complete")
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT hour(ts) AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS} e GROUP BY 1
+    ),
+    dim AS (
+      SELECT hour FROM (
+        SELECT hour, n,
+               CAST(sum(n) OVER () AS BIGINT) AS total,
+               CAST(count(*) OVER () AS BIGINT) AS nh
+        FROM hrs
+      ) WHERE n * nh > total
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {EVENTS} e JOIN dim ON hour(e.ts) = dim.hour
+    GROUP BY e.event_type
+    """,
+    tags=("S6", "J1", "P2"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the hive-partitioned
+    long-term layout (year/month/day/hour directories, the same fixture
+    src_partitioned_sink_prune reads); the dim side is the set of
+    above-average-traffic hours, which is only known at RUNTIME — static
+    pruning can't help, but Spark's DPP rule turns the broadcast dim into
+    a dynamicpruningexpression on the hour partition column, so the scan
+    opens only the qualifying hour directories. This is the star-schema
+    pattern that makes partitioned fact tables usable at 100 TB: the
+    selective dim filter (strictly-above-average: n*nh > total, exact
+    integer cross-multiplication) prunes the fact I/O without any literal
+    day list in the query. Plan-shape test asserts the
+    dynamicpruningexpression + a single reused broadcast."""
+    d, ready, fp = _cache_dir(sf_dir, "part_sink")
+    out = os.path.join(d, "events_part")
+    if not ready:
+        sinks.write_partitioned(
+            readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
+        )
+        _mark(d, fp)
+    back = sinks.read_partitioned(spark, out)
+    ev = readers.load_table(spark, sf_dir, "events")
+    hrs = (
+        ev.select(F.hour("ts").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # The above-average threshold comes from WINDOW aggregates over the
+    # <=24-row hour census, not a crossJoin of a separate total — Spark's
+    # PartitionPruning rule declines a build side containing a join, so
+    # the crossJoin shape silently loses the pruning (measured: 0
+    # dynamicpruningexpression); the window shape keeps it.
+    wall = Window.partitionBy()
+    dim = (
+        hrs.withColumn("total", F.sum("n").over(wall).cast("long"))
+        .withColumn("nh", F.count("*").over(wall).cast("long"))
+        .filter(F.col("n") * F.col("nh") > F.col("total"))
+        .select("hour")
+    )
+    return (
+        # Explicit broadcast: dim is hour-arity-bounded (<= 24 rows,
+        # constant in data size, safe to hint at any scale), and the hint
+        # matters — dim sits on a checkpointed RDD whose default size
+        # statistics exceed the static broadcast threshold, so without it
+        # the compile-time planner picks SMJ and the DPP rule (which only
+        # reuses broadcasts) never fires; AQE's runtime BHJ conversion
+        # comes too late for partition pruning.
+        back.join(F.broadcast(dim), "hour")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -649,3 +649,15 @@ def test_zipf_topk_is_take_ordered(spark, sf_small):
     df = REGISTRY["corpus_zipf_slope"].fn(spark, sf_small)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_small):
+    """The DPP query's reason to exist: the executed plan must carry a
+    dynamicpruningexpression on the hour partition column (runtime
+    pruning from the broadcast dim), and the partitioned scan must not
+    enumerate all hour directories statically."""
+    df = REGISTRY["join_dynamic_partition_pruning"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
