@@ -668,3 +668,231 @@ def eval_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
+
+
+# --- chi-square independence (lang x source) --------------------------------
+@query(
+    "eval_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    grid AS (
+      SELECT rt.lang, ct.source,
+             CAST(rt.r * 1000000 // tot.n AS BIGINT) AS pr,
+             CAST(ct.c * 1000000 // tot.n AS BIGINT) AS pc,
+             CAST(coalesce(cells.o, 0) * 1000000 // tot.n AS BIGINT) AS po
+      FROM rt CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+    ),
+    terms AS (
+      SELECT CASE WHEN pr * pc = 0 THEN 0
+                  ELSE CAST((CAST(po AS HUGEINT) * 1000000 - CAST(pr AS HUGEINT) * pc)
+                            * (CAST(po AS HUGEINT) * 1000000 - CAST(pr AS HUGEINT) * pc)
+                            // (CAST(pr AS HUGEINT) * pc) AS HUGEINT) END AS t
+      FROM grid
+    )
+    SELECT (SELECT n FROM tot) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_cells,
+           CAST(sum(t) // 1000000 AS BIGINT) AS chi2_per_n_scaled
+    FROM terms
+    """,
+    tags=("A1", "J10", "A3"),
+)
+def eval_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between the lang and source
+    columns — the standard contingency diagnostic for 'is the language
+    mix uniform across crawl sources?' (a skewed answer redirects the
+    mixture planner). Reported as chi2/N (the mean-square contingency,
+    phi²), 10^6-scaled.
+
+    Exactness at scale: the textbook sum has N³-magnitude integer terms
+    (overflow even for HUGEINT at 10^12 rows), so the statistic is
+    computed on MICRO-PROPORTIONS — po, pr, pc quantized at 10^-6 by
+    exact integer floor-division — making every cell term a pure integer
+    both engines floor identically, bounded by 10^24 regardless of
+    corpus size. The quantization is part of the statistic's definition
+    here (error <= arity·10^-6, far below any decision threshold), the
+    same trade the repo's quantized-ln discipline makes. Zero-observed
+    grid cells contribute their expected mass via the row x column
+    cross join (arity-bounded: |langs| x |sources| rows).
+
+    Scale: one corpus scan -> cell counts; everything else runs on
+    arity-bounded tables (the checkpointed cells feed total, row, and
+    column marginals)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            F.expr("CAST(r * 1000000 div n AS BIGINT)").alias("pr"),
+            F.expr("CAST(c * 1000000 div n AS BIGINT)").alias("pc"),
+            F.expr("CAST(coalesce(o, 0) * 1000000 div n AS BIGINT)").alias("po"),
+            F.col("n"),
+        )
+    )
+    terms = grid.select(
+        "n",
+        F.expr(
+            "CASE WHEN pr * pc = 0 THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE CAST((CAST(po AS DECIMAL(38,0)) * 1000000"
+            " - CAST(pr AS DECIMAL(38,0)) * pc)"
+            " * (CAST(po AS DECIMAL(38,0)) * 1000000"
+            " - CAST(pr AS DECIMAL(38,0)) * pc)"
+            " div (CAST(pr AS DECIMAL(38,0)) * pc) AS DECIMAL(38,0)) END"
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.max("n").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr("CAST(sum(t) div 1000000 AS BIGINT)").alias("chi2_per_n_scaled"),
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+      WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    d9 AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT CAST(d9.digit AS BIGINT) AS digit,
+           CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(obs.n, 0) * 1000000 // tot.total AS BIGINT)
+             AS obs_scaled,
+           CAST(floor(ln(1.0 + 1.0 / d9.digit) / ln(10.0) * 1000000 + 0.5)
+                AS BIGINT) AS benford_scaled
+    FROM d9 CROSS JOIN tot LEFT JOIN obs ON obs.digit = d9.digit
+    ORDER BY digit
+    """,
+    tags=("A1", "F2", "F4"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column — the classic
+    fraud/synthetic-data screen (Nigrini 2012): naturally-occurring
+    multiplicative amounts put digit d first with probability
+    log10(1+1/d); a flat or spiked profile flags generated or tampered
+    values. The first digit comes from the INTEGER cents string (no
+    log10/pow on data — exact for any magnitude); the Benford reference
+    shares quantize as floor(ln-ratio·10^6+0.5) on nine constants (the
+    repo's transcendental rule), and observed shares are exact integer
+    floor-divisions. All nine digits report via the 9-row calendar join,
+    zero-observed digits included.
+
+    Scale: map-only digit extraction, one groupBy on a 9-value key with
+    full map-side combine; everything after runs on 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1)"
+            " AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    d9 = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    return (
+        d9.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)").alias(
+                "obs_scaled"
+            ),
+            F.expr(
+                "CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("benford_scaled"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --- Gini concentration of token mass across sources -------------------------
+@query(
+    "corpus_gini_sources",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(sum(len({SQL_TOKENS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT toks,
+             CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS rk
+      FROM src
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(toks) AS BIGINT) AS total,
+             CAST(sum(rk * toks) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT ns AS n_sources, total AS total_tokens,
+           CASE WHEN ns * total = 0 THEN 0
+                ELSE CAST((2 * CAST(weighted AS HUGEINT) * 1000000
+                           - CAST(ns + 1 AS HUGEINT) * total * 1000000)
+                          // (CAST(ns AS HUGEINT) * total) AS BIGINT) END
+             AS gini_scaled
+    FROM s
+    """,
+    tags=("A1", "W1", "F4"),
+)
+def corpus_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the concentration
+    diagnostic a mixture planner reads before setting domain budgets
+    (G=0: every source contributes equally; G→1: one source dominates
+    and deduplication/budget caps will bind). Uses the rank identity
+    G = (2·Σ i·t_(i))/(n·Σt) − (n+1)/n over ascending-sorted source
+    totals, cleared to one exact 10^6-scaled integer division
+    (HUGEINT/decimal-lifted products; ties broken by source name so the
+    rank is total-order deterministic).
+
+    Scale: one corpus scan -> per-source token totals; the rank window
+    runs on the source-arity table (tens of rows at any corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(TOKENS())).cast("long").alias("toks")
+    )
+    ranked = src.select(
+        "toks",
+        F.row_number().over(W.orderBy("toks", "source")).cast("long").alias("rk"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum("toks").cast("long").alias("total"),
+        F.sum(F.col("rk") * F.col("toks")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        F.col("ns").alias("n_sources"),
+        F.col("total").alias("total_tokens"),
+        F.expr(
+            "CASE WHEN ns * total = 0 THEN 0"
+            " ELSE CAST((2 * CAST(weighted AS DECIMAL(38,0)) * 1000000"
+            " - CAST(ns + 1 AS DECIMAL(38,0)) * total * 1000000)"
+            " div (CAST(ns AS DECIMAL(38,0)) * total) AS BIGINT) END"
+        ).alias("gini_scaled"),
+    )

@@ -257,3 +257,98 @@ def test_bpe_batched_rounds_equal_sequential(spark, words, freq):
     got, _ = _bpe_learn(wdf, 5)
     got = [(int(s), a, b, int(n)) for s, a, b, n in got]
     assert got == expect, f"corpus {freqs}"
+
+
+# --- eval-lane formula identities (plans/evals.py) --------------------------
+# The SQL oracles prove Spark==DuckDB; these prove the FORMULAS both
+# engines compute equal the textbook definitions.
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.booleans()),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_histogram_auc_equals_pairwise_auc(rows):
+    """eval_auc_mannwhitney's histogram identity: with per-score counts
+    np/nn and cumneg = negatives strictly below, sum np*(2*cumneg+nn)
+    == 2 * sum over (pos, neg) pairs of [1 if s_p > s_n else 0.5 if ==]."""
+    from collections import Counter
+
+    hist = Counter()
+    for s, pos in rows:
+        hist[s] = (hist[s][0] + pos, hist[s][1] + (not pos)) if s in hist else (
+            int(pos),
+            int(not pos),
+        )
+    auc2 = 0
+    cumneg = 0
+    for s in sorted(hist):
+        np_, nn = hist[s]
+        auc2 += np_ * (2 * cumneg + nn)
+        cumneg += nn
+    brute = 0.0
+    pos_scores = [s for s, p in rows if p]
+    neg_scores = [s for s, p in rows if not p]
+    for sp in pos_scores:
+        for sn in neg_scores:
+            brute += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+    assert auc2 == int(2 * brute)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr", "es", "zh"]),
+            st.sampled_from(["en", "de", "fr", "es", "und"]),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_kappa_cleared_form_equals_textbook(pairs):
+    """eval_cohens_kappa's cleared-denominator integers: 10^6*(N*diag -
+    pe_num) // (N² - pe_num) equals floor(10^6 * (po-pe)/(1-pe)) computed
+    with exact fractions."""
+    from collections import Counter
+    from fractions import Fraction
+
+    n = len(pairs)
+    diag = sum(1 for a, b in pairs if a == b)
+    row = Counter(a for a, _ in pairs)
+    col = Counter(b for _, b in pairs)
+    pe_num = sum(row[c] * col[c] for c in set(row) & set(col))
+    den = n * n - pe_num
+    if den == 0:
+        return  # guard branch returns 0 in the query; nothing to compare
+    scaled = (1_000_000 * (n * diag - pe_num)) // den if (n * diag - pe_num) >= 0 else -(
+        (-1_000_000 * (n * diag - pe_num)) // den
+    )  # floor-toward-zero like Spark div / DuckDB //
+    po = Fraction(diag, n)
+    pe = Fraction(pe_num, n * n)
+    kappa = (po - pe) / (1 - pe)
+    expect = int(1_000_000 * kappa)  # int() truncates toward zero
+    assert scaled == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tp=st.integers(min_value=0, max_value=1000),
+    fp=st.integers(min_value=0, max_value=1000),
+    fn=st.integers(min_value=0, max_value=1000),
+)
+def test_f1_single_division_identity(tp, fp, fn):
+    """eval_confusion_f1's one-division form 2tp/(n_pred+n_actual) equals
+    the harmonic mean 2PR/(P+R) as exact fractions (when defined)."""
+    from fractions import Fraction
+
+    n_pred, n_actual = tp + fp, tp + fn
+    if n_pred == 0 or n_actual == 0 or tp == 0:
+        return
+    p = Fraction(tp, n_pred)
+    r = Fraction(tp, n_actual)
+    assert Fraction(2 * tp, n_pred + n_actual) == 2 * p * r / (p + r)
