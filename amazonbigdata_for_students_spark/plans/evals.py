@@ -896,3 +896,111 @@ def corpus_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(ns AS DECIMAL(38,0)) * total) AS BIGINT) END"
         ).alias("gini_scaled"),
     )
+
+
+# --- classical additive seasonal decomposition --------------------------------
+_STL_HALF = 12  # symmetric 25-hour moving average window
+
+
+@query(
+    "timeseries_stl_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+             CAST(count(*) AS BIGINT) AS y
+      FROM (SELECT CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+            FROM events) e
+      GROUP BY 1
+    ),
+    ma AS (
+      SELECT bar, y,
+             CAST(sum(y) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wcnt
+      FROM hourly
+      WINDOW w AS (ORDER BY bar
+                   ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT bar, y,
+             CAST(wsum * 1000000 // (2 * {_STL_HALF} + 1) AS BIGINT)
+               AS trend_scaled,
+             y * 1000000
+               - CAST(wsum * 1000000 // (2 * {_STL_HALF} + 1) AS BIGINT)
+               AS d
+      FROM ma WHERE wcnt = 2 * {_STL_HALF} + 1
+    ),
+    seas AS (
+      SELECT hour(bar) AS hod,
+             CAST(CASE WHEN sum(d) >= 0 THEN sum(d) // count(*)
+                       ELSE -((-sum(d)) // count(*)) END AS BIGINT)
+               AS seasonal_scaled
+      FROM det GROUP BY 1
+    )
+    SELECT CAST(det.bar AS VARCHAR) AS bar, det.y, det.trend_scaled,
+           seas.seasonal_scaled,
+           det.d - seas.seasonal_scaled AS remainder_scaled
+    FROM det JOIN seas ON hour(det.bar) = seas.hod
+    """,
+    tags=("W3", "F1", "A1", "J1"),
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method underneath STL, Cleveland et al. 1990 §2): hourly event
+    counts split into trend (symmetric 25-hour centered moving average;
+    edge hours without a full window are dropped, as classical
+    decomposition does), seasonal (per hour-of-day mean of the
+    detrended series), and remainder — the anomaly-detection
+    preprocessing stage (stream_ewma_anomaly's batch sibling that
+    separates 'it's 3am' from 'something broke').
+
+    Exactness: counts are integers; the trend is wsum·10^6 div 25, the
+    seasonal means divide with explicit floor-toward-zero on both
+    engines (Spark div and DuckDB // truncate identically, including
+    the negative detrended sums — the CASE mirrors them), and the
+    remainder is a difference of exact integers. No floats anywhere.
+
+    Scale: one scan -> hourly counts; the MA window and the join run on
+    the calendar-bounded hourly series (the win_cumulative_distinct
+    argument), and the seasonal table is 24 rows, broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", "ts").alias("bar"))
+        .groupBy("bar")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = W.orderBy("bar").rowsBetween(-_STL_HALF, _STL_HALF)
+    win = 2 * _STL_HALF + 1
+    ma = hourly.select(
+        "bar",
+        "y",
+        F.sum("y").over(w).cast("long").alias("wsum"),
+        F.count("*").over(w).cast("long").alias("wcnt"),
+    )
+    det = (
+        ma.filter(F.col("wcnt") == win)
+        .select(
+            "bar",
+            "y",
+            F.expr(f"CAST(wsum * 1000000 div {win} AS BIGINT)").alias(
+                "trend_scaled"
+            ),
+            F.expr(f"y * 1000000 - CAST(wsum * 1000000 div {win} AS BIGINT)").alias(
+                "d"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds the seasonal agg AND the join
+    )
+    seas = (
+        det.groupBy(F.hour("bar").alias("hod"))
+        .agg(F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("seasonal_scaled"))
+    )
+    return (
+        det.join(F.broadcast(seas), F.hour(det.bar) == seas.hod)
+        .select(
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+            "y",
+            "trend_scaled",
+            "seasonal_scaled",
+            (F.col("d") - F.col("seasonal_scaled")).alias("remainder_scaled"),
+        )
+    )
