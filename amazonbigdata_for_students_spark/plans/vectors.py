@@ -1477,3 +1477,130 @@ def vec_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("long"), "n_hits")
         .orderBy("k")
     )
+
+
+# --- exact Gram/covariance accumulation via the Arrow seam -------------------
+_COV_DIM = 64
+_COV_TOP = 10
+
+
+@query(
+    "vec_gram_covariance_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(1, {_COV_DIM} + 1)) AS i),
+    sums AS (
+      SELECT idx.i,
+             CAST(sum(q[idx.i]) AS BIGINT) AS s
+      FROM e, idx GROUP BY idx.i
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    pairs AS (
+      SELECT a.i, b.i AS j,
+             CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS sxy
+      FROM e, idx a, idx b
+      WHERE a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT pairs.i, pairs.j,
+             CAST((CAST(n.n AS HUGEINT) * sxy - CAST(si.s AS HUGEINT) * sj.s)
+                  * 1000000 // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT)
+               AS cov_scaled
+      FROM pairs
+      JOIN sums si ON si.i = pairs.i
+      JOIN sums sj ON sj.i = pairs.j
+      CROSS JOIN n
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cov_scaled
+    FROM cov
+    ORDER BY abs(cov_scaled) DESC, i, j
+    LIMIT {_COV_TOP}
+    """,
+    tags=("U1", "F4", "A7"),
+)
+def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most-covarying embedding dimension pairs — the Gram-matrix
+    accumulation underneath PCA/whitening/feature-correlation audits,
+    done the way a 100 TB pass must: an Arrow-batched mapInPandas
+    computes each batch's integer X^T.X partial (one numpy matmul per
+    ~10k-row batch — vectorized C, not per-row Python), emits the
+    D*(D-1)/2 upper-triangle sums plus the column sums and count, and a
+    single groupBy((i,j)) reduces partials across partitions: the
+    shuffle carries O(partitions * D^2) rows, never data. Covariance
+    then clears denominators exactly: cov_num = n*Sxy - Sx*Sy over the
+    quantized grid (q = floor(x*1024+0.5), the repo-wide vector rule),
+    scaled 10^6 and floor-divided by n^2 with decimal/HUGEINT-lifted
+    products (n*Sxy ~ 10^24 at target scale). Ranked by |cov|, ties
+    (i,j)-broken.
+
+    The pandas UDF is the documented U1 seam pattern: model-side numpy
+    math on Arrow batches with exact integer outputs, so even the UDF
+    path stays under the cross-engine hash gate (the oracle re-derives
+    the same sums with DuckDB list arithmetic).""".replace(
+        "{k}", str(_COV_TOP)
+    )
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+        ).alias("q")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = x.T @ x  # exact: |q|<=~2048, n<=10^4 per batch
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(_COV_DIM, k=1)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, _COV_DIM + 1), [0]]),
+                    "j": np.concatenate([ju + 1, np.zeros(_COV_DIM, int), [0]]),
+                    "v": np.concatenate([g[iu, ju], s, [len(pdf)]]),
+                }
+            )
+
+    partials = e.mapInPandas(gram_partials, "i int, j int, v long")
+    sums = partials.groupBy("i", "j").agg(F.sum("v").cast("long").alias("v"))
+    sums = sums.localCheckpoint(eager=False)  # pairs/col-sums/count consumers
+    pairs = sums.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("v").alias("sxy")
+    )
+    cols = sums.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("ci"), F.col("v").alias("s")
+    )
+    n = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n")
+    )
+    cov = (
+        pairs.join(F.broadcast(cols.withColumnRenamed("ci", "i").withColumnRenamed("s", "si")), "i")
+        .join(
+            F.broadcast(
+                cols.withColumnRenamed("ci", "j").withColumnRenamed("s", "sj")
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * sxy"
+                " - CAST(si AS DECIMAL(38,0)) * sj) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("cov_scaled"),
+        )
+    )
+    top = cov.orderBy(F.abs(F.col("cov_scaled")).desc(), "i", "j").limit(_COV_TOP)
+    return top
