@@ -1004,3 +1004,141 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") - F.col("seasonal_scaled")).alias("remainder_scaled"),
         )
     )
+
+
+# --- McNemar's paired test: lang-id vs majority-class baseline ----------------
+@query(
+    "eval_mcnemar_vs_baseline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {LANG_HITS_SQL}
+      FROM documents
+    ),
+    outcomes AS (
+      SELECT CASE WHEN {LANG_PRED_CASE_SQL} = lang THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_ok
+      FROM scored
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM outcomes
+    )
+    SELECT n, b, c,
+           CASE WHEN b + c = 0 THEN 0
+                ELSE CAST((CAST(b - c AS HUGEINT) * (b - c)) * 1000000
+                          // (b + c) AS BIGINT) END AS mcnemar_scaled
+    FROM counts
+    """,
+    tags=("A1", "A3", "U2"),
+)
+def eval_mcnemar_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) — does the marker-based
+    language identifier beat the majority-class baseline ('always en')
+    on the SAME documents? The right test when two classifiers share a
+    test set (independent-proportion tests overstate significance):
+    only the discordant counts matter — b = identifier right where the
+    baseline is wrong, c = the reverse — and the statistic (b-c)²/(b+c)
+    is chi²(1)-distributed under H0. Reported 10^6-scaled with the
+    HUGEINT/decimal lift ((b-c)² reaches ~N² at target scale).
+
+    Scale: one scan, map-only outcome flags, one global 3-counter
+    aggregate with map-side combine — the entire test is a fold."""
+    d = load_table(spark, sf_dir, "documents")
+    outcomes = d.select(
+        F.when(lang_pred_col() == F.col("lang"), 1).otherwise(0).alias("a_ok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("b_ok"),
+    )
+    counts = outcomes.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("a_ok") == 1) & (F.col("b_ok") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("a_ok") == 0) & (F.col("b_ok") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    return counts.select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            "CASE WHEN b + c = 0 THEN 0"
+            " ELSE CAST((CAST(b - c AS DECIMAL(38,0)) * (b - c)) * 1000000"
+            " div (b + c) AS BIGINT) END"
+        ).alias("mcnemar_scaled"),
+    )
+
+
+# --- mutual information lang <-> source ---------------------------------------
+@query(
+    "eval_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(o AS DOUBLE) / n)
+               * ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+               * 1000000000 + 0.5) AS BIGINT) AS t
+      FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(t) AS BIGINT) AS mi_nats_nano
+    FROM terms
+    """,
+    tags=("A1", "F4", "A3"),
+)
+def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — chi-square's
+    information-theoretic sibling (chi2/N approximates 2*MI for weak
+    dependence; MI stays meaningful under strong dependence and is the
+    quantity the mixture planner actually wants: how many bits of the
+    language mix does knowing the source buy?).
+
+    Determinism: each observed cell's term p*ln(p/(pq)) is a pure
+    function of four exact integers (o, r, c, n) — both engines perform
+    the identical correctly-rounded double ops on identical operands —
+    then quantizes at 10^-9 (floor(x*1e9+0.5), the repo's
+    transcendental rule) BEFORE the sum, so the aggregate is an exact
+    integer sum of identical per-cell integers in any summation order.
+    Zero-observed cells contribute exactly 0 (lim p->0 of p*ln p) and
+    are correctly absent. Scale: one scan -> arity-bounded cell table
+    (the checkpointed cells feed the total and both marginals)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    terms = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor((CAST(o AS DOUBLE) / n)"
+                " * ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("t"),
+            "n",
+        )
+    )
+    return terms.agg(
+        F.max("n").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("t").cast("long").alias("mi_nats_nano"),
+    )
