@@ -670,17 +670,38 @@ def eval_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# --- chi-square independence (lang x source) --------------------------------
-@query(
-    "eval_chi2_independence",
-    oracle=f"""
-    WITH cells AS (
+# --- lang x source contingency table (shared by chi2 and MI) -----------------
+_CONTINGENCY_SQL = """cells AS (
       SELECT lang, source, CAST(count(*) AS BIGINT) AS o
       FROM documents GROUP BY 1, 2
     ),
     tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
     rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
-    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1)"""
+
+
+def _contingency(spark: SparkSession, sf_dir: str):
+    """Checkpointed lang x source cell counts plus total/row/column
+    marginals — the Spark twin of _CONTINGENCY_SQL, shared by the
+    chi-square and mutual-information queries so both dependence
+    statistics grade the same table (the _lang_cells argument)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    return cells, tot, rt, ct
+
+
+# --- chi-square independence (lang x source) --------------------------------
+@query(
+    "eval_chi2_independence",
+    oracle=f"""
+    WITH {_CONTINGENCY_SQL},
     grid AS (
       SELECT rt.lang, ct.source,
              CAST(rt.r * 1000000 // tot.n AS BIGINT) AS pr,
@@ -724,15 +745,7 @@ def eval_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus scan -> cell counts; everything else runs on
     arity-bounded tables (the checkpointed cells feed total, row, and
     column marginals)."""
-    d = load_table(spark, sf_dir, "documents")
-    cells = (
-        d.groupBy("lang", "source")
-        .agg(F.count("*").cast("long").alias("o"))
-        .localCheckpoint(eager=False)
-    )
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
-    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
-    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    cells, tot, rt, ct = _contingency(spark, sf_dir)
     grid = (
         rt.crossJoin(F.broadcast(ct))
         .crossJoin(F.broadcast(tot))
@@ -1078,13 +1091,7 @@ def eval_mcnemar_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "eval_mutual_information",
     oracle=f"""
-    WITH cells AS (
-      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-      FROM documents GROUP BY 1, 2
-    ),
-    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
-    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    WITH {_CONTINGENCY_SQL},
     terms AS (
       SELECT CAST(floor(
                (CAST(o AS DOUBLE) / n)
@@ -1107,23 +1114,20 @@ def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     language mix does knowing the source buy?).
 
     Determinism: each observed cell's term p*ln(p/(pq)) is a pure
-    function of four exact integers (o, r, c, n) — both engines perform
-    the identical correctly-rounded double ops on identical operands —
-    then quantizes at 10^-9 (floor(x*1e9+0.5), the repo's
-    transcendental rule) BEFORE the sum, so the aggregate is an exact
-    integer sum of identical per-cell integers in any summation order.
+    function of four exact integers (o, r, c, n); *, / are correctly
+    rounded on identical operands, and ln — which neither engine
+    guarantees correctly rounded — is immediately quantized at 10^-9
+    (floor(x*1e9+0.5)) so the aggregate is an exact integer sum of
+    per-cell integers in any summation order. A last-bit libm
+    difference inside ln could in principle flip one cell's quantized
+    term by 1e-9 nats when the value sits within an ulp of a boundary —
+    the same accepted residual risk as the repo's perplexity/DSIR
+    round-then-decimal-sum lane (gated green at three scales); the
+    statistic's consumers read orders of magnitude above that window.
     Zero-observed cells contribute exactly 0 (lim p->0 of p*ln p) and
     are correctly absent. Scale: one scan -> arity-bounded cell table
     (the checkpointed cells feed the total and both marginals)."""
-    d = load_table(spark, sf_dir, "documents")
-    cells = (
-        d.groupBy("lang", "source")
-        .agg(F.count("*").cast("long").alias("o"))
-        .localCheckpoint(eager=False)
-    )
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
-    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
-    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    cells, tot, rt, ct = _contingency(spark, sf_dir)
     terms = (
         cells.join(F.broadcast(rt), "lang")
         .join(F.broadcast(ct), "source")

@@ -1524,7 +1524,7 @@ _COV_TOP = 10
     tags=("U1", "F4", "A7"),
 )
 def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} most-covarying embedding dimension pairs — the Gram-matrix
+    """Top-10 (_COV_TOP) most-covarying embedding dimension pairs — the Gram-matrix
     accumulation underneath PCA/whitening/feature-correlation audits,
     done the way a 100 TB pass must: an Arrow-batched mapInPandas
     computes each batch's integer X^T.X partial (one numpy matmul per
@@ -1541,9 +1541,7 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pandas UDF is the documented U1 seam pattern: model-side numpy
     math on Arrow batches with exact integer outputs, so even the UDF
     path stays under the cross-engine hash gate (the oracle re-derives
-    the same sums with DuckDB list arithmetic).""".replace(
-        "{k}", str(_COV_TOP)
-    )
+    the same sums with DuckDB list arithmetic)."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
