@@ -841,3 +841,87 @@ def clk_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("journey").rlike("s.*v.*c.*p").alias("has_full_journey"),
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle=f"""
+    WITH nonp AS (
+      SELECT user_id, ts, event_id, event_type FROM {EVENTS} e
+      WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM nonp
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    facts AS (
+      SELECT user_id, ts, value FROM {EVENTS} e
+      WHERE event_type = 'purchase'
+    )
+    SELECT dim.state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(facts.value AS DECIMAL(38,6))) AS DOUBLE)
+             AS attributed_value
+    FROM facts
+    JOIN dim ON facts.user_id = dim.user_id
+            AND facts.ts >= dim.valid_from
+            AND (dim.valid_to IS NULL OR facts.ts < dim.valid_to)
+    GROUP BY dim.state
+    """,
+    tags=("J8", "W2", "A3"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the lookup every feature store and
+    SCD2 warehouse does: attach to each fact the dimension version that
+    was VALID AT THE FACT'S TIMESTAMP, never a later one (lookahead
+    leakage) and never an earlier one (staleness). The dimension is the
+    SCD2 state history built from non-purchase events (the
+    scd2_user_history construction); each purchase joins the interval
+    [valid_from, valid_to) containing its timestamp and revenue is
+    attributed to the state the user was in when buying.
+
+    Scale: the join is an EQUI-join on user_id with the interval
+    predicate as a residual filter — per-key hash distribution, no
+    global range sort; the dimension carries one row per state
+    TRANSITION (run-length collapsed), so a hot user with a million
+    unchanged events still contributes only its transitions to the
+    probe side. Half-open intervals make the attribution a partition of
+    the timeline: every purchase matches at most one version (exactly
+    one once the user has any prior state)."""
+    ev = load_table(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        nonp.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = facts.join(
+        dim,
+        (facts.user_id == dim.user_id)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+    )
+    return joined.groupBy("state").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

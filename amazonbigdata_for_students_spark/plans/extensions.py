@@ -2265,3 +2265,69 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s.negv")).cast("long").alias("ks_at_value"),
         F.round(F.col("s.dnum") / (F.col("s.n_a") * F.col("s.n_b")), 6).alias("ks_stat"),
     )
+
+
+# --- SQL scripting (BEGIN/END control flow) ----------------------------------
+_SCRIPT_CAP = 200  # target: <= this many orders above the threshold
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle=f"""
+    WITH pows AS (
+      SELECT CAST(power(2, g) AS BIGINT) AS thr
+      FROM (SELECT unnest(range(0, 40)) AS g)
+    ),
+    cnt AS (
+      SELECT thr,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_totalprice > thr) AS n_above
+      FROM pows
+    )
+    SELECT thr AS threshold, n_above
+    FROM cnt WHERE n_above <= {_SCRIPT_CAP}
+    ORDER BY thr LIMIT 1
+    """,
+    tags=("P2", "A1", "F4"),
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (SQL/PSM BEGIN..END, Spark 4's procedural surface):
+    a WHILE loop doubles a revenue threshold until at most 200
+    (_SCRIPT_CAP) orders exceed it — the galloping-search shape used to
+    pick spill/alert thresholds when the right value depends on the
+    data. Control flow runs on the driver; each probe is an ordinary
+    distributed aggregate, so
+    the pattern scales exactly like ~log2(max value) count(*) queries.
+    The oracle states the fixpoint declaratively: the smallest power of
+    two whose exceed-count is under the cap — the loop and the
+    declarative form provably agree because the exceed-count is
+    monotone nonincreasing in the threshold.
+
+    (Requires spark.sql.scripting.enabled; restored in finally. The
+    temp view is session-scoped — the gate runs this serially.)"""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_script_v")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(
+            f"""
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 1;
+              WHILE (SELECT count(*) FROM orders_script_v
+                      WHERE o_totalprice > thr) > {_SCRIPT_CAP} DO
+                SET thr = thr * 2;
+              END WHILE;
+              SELECT thr AS threshold,
+                     (SELECT count(*) FROM orders_script_v
+                       WHERE o_totalprice > thr) AS n_above;
+            END
+            """
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
