@@ -898,3 +898,112 @@ def mm_goertzel_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+@query(
+    "mm_image_dhash",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars > 0
+    ),
+    cells AS (
+      SELECT doc_id, w, h, bi.i AS cy, bj.j AS cx,
+             (bi.i * h) // 8 AS y0, ((bi.i + 1) * h) // 8 AS y1,
+             (bj.j * w) // 9 AS x0, ((bj.j + 1) * w) // 9 AS x1,
+             text, n_chars
+      FROM img,
+           unnest(range(0, 8)) AS bi(i),
+           unnest(range(0, 9)) AS bj(j)
+    ),
+    csum AS (
+      SELECT doc_id, cy, cx,
+             CAST((y1 - y0) * (x1 - x0) * 3 AS BIGINT) AS n_c,
+             CAST(coalesce(list_sum(flatten(list_transform(
+               range(CAST(y0 AS INTEGER), CAST(y1 AS INTEGER)), y ->
+                 flatten(list_transform(range(CAST(x0 AS INTEGER), CAST(x1 AS INTEGER)), x ->
+                   list_transform(range(0, 3), c ->
+                     ord(substring(text, CAST((3 * (y * w + x) + c) % n_chars AS INTEGER) + 1, 1)))))))), 0) AS BIGINT) AS s_c
+      FROM cells
+    ),
+    bits AS (
+      SELECT l.doc_id, l.cy, l.cx,
+             CASE WHEN l.n_c > 0 AND r.n_c > 0
+                       AND l.s_c * r.n_c > r.s_c * l.n_c
+                  THEN 1 ELSE 0 END AS bit
+      FROM csum l JOIN csum r
+        ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+      WHERE l.cx < 8
+    )
+    SELECT doc_id AS media_id,
+           string_agg(CAST(bit AS VARCHAR), '' ORDER BY cy, cx) AS dhash_bits,
+           CAST(sum(bit) AS BIGINT) AS n_set
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tags=("U1", "F8", "U6"),
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference hash (dHash) — aHash's gradient sibling and the
+    second standard perceptual fingerprint (robust to global
+    brightness/contrast shifts that flip aHash bits, because each bit
+    compares ADJACENT cell means instead of the global mean): resample
+    to an 8x9 mean grid, bit(y, x) = cell(y, x) brighter than
+    cell(y, x+1), 64 bits row-major. A corpus build keeps both hashes —
+    images near-dup when EITHER Hamming distance is small — feeding the
+    same banded Hamming machinery as vec_binary_hamming_topk.
+
+    Exactness: integer cell boundaries (i*h DIV 8, j*w DIV 9 — cells
+    may be empty for tiny rasters; a bit is set only when BOTH cells
+    are non-empty), and the mean comparison cross-multiplies in int64
+    (s_l*n_r > s_r*n_l) so no division ever happens. Decode runs the
+    real stdlib PPM codec in Arrow-batched mapInPandas; cell sums are
+    numpy slice reductions. Map-only at any scale."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("n_chars") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash_bits", T.StringType()),
+            T.StructField("n_set", T.LongType()),
+        ]
+    )
+    dec = multimodal.PpmDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 64 + 1
+                h = int(n_chars) % 48 + 1
+                ppm = multimodal.synth_ppm(w, h, (text or "").encode("utf-8"))
+                _, _, raster = dec.decode_ppm_raster(ppm)
+                r64 = raster.astype(np.int64)
+                bits = []
+                for cy in range(8):
+                    y0, y1 = (cy * h) // 8, ((cy + 1) * h) // 8
+                    sums = []
+                    for cx in range(9):
+                        x0, x1 = (cx * w) // 9, ((cx + 1) * w) // 9
+                        blk = r64[y0:y1, x0:x1, :]
+                        sums.append((int(blk.sum()), blk.size))
+                    for cx in range(8):
+                        (s_l, n_l), (s_r, n_r) = sums[cx], sums[cx + 1]
+                        bits.append(
+                            "1"
+                            if n_l > 0 and n_r > 0 and s_l * n_r > s_r * n_l
+                            else "0"
+                        )
+                rows.append((doc_id, "".join(bits), sum(c == "1" for c in bits)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_bits", "n_set"])
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
