@@ -1146,3 +1146,103 @@ def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.sum("t").cast("long").alias("mi_nats_nano"),
     )
+
+
+# --- KL divergence of the filter's source-mixture bias ------------------------
+from .text import STOPWORDS as _KL_STOP  # noqa: E402
+from .text import _GOPHER_PASS_PRED, gopher_measures_sql_cte  # noqa: E402
+
+
+@query(
+    "mix_kl_filter_bias",
+    oracle=f"""
+    WITH {gopher_measures_sql_cte("documents", extra_cols="source", stop=_KL_STOP)},
+    per AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN {_GOPHER_PASS_PRED} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM documents d JOIN gm ON gm.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_all) AS BIGINT) AS all_tot,
+             CAST(sum(n_kept) AS BIGINT) AS kept_tot
+      FROM per
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(n_kept AS DOUBLE) / kept_tot)
+               * ln((CAST(n_kept AS DOUBLE) * all_tot)
+                    / (CAST(n_all AS DOUBLE) * kept_tot))
+               * 1000000000 + 0.5) AS BIGINT) AS t
+      FROM per CROSS JOIN tot
+      WHERE n_kept > 0
+    )
+    SELECT tot.all_tot AS n_docs,
+           tot.kept_tot AS n_kept,
+           CAST(coalesce((SELECT sum(t) FROM terms), 0) AS BIGINT)
+             AS kl_nats_nano
+    FROM tot
+    """,
+    tags=("A1", "F4", "U2"),
+)
+def mix_kl_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-bias audit: KL(P_kept || P_raw) over source shares, where
+    P_kept is the source mixture AFTER the Gopher quality gate and
+    P_raw before it — quality filters are known to skew domain mixtures
+    (the documented failure mode of classifier-filtered corpora), and
+    this one number says how many nats of mixture drift the gate
+    introduced; the mixture planner reads it before trusting its
+    pre-filter domain budgets. Gate definition imported
+    (gopher_measure_cols with the corpus stopword inventory, the same
+    parameterization the pipeline compositions run — the audit grades
+    the filter that ships).
+
+    Determinism: same contract as eval_mutual_information — each
+    source's term is a pure function of four exact integers, quantized
+    at 10^-9 immediately after the (not-correctly-rounded) ln, so the
+    sum is order-independent; sources the filter empties contribute 0
+    in the limit and are excluded exactly.
+
+    Scale: one scan fused with the gate's integer measures -> one
+    source-arity aggregate; everything after runs on tens of rows."""
+    from .text import gopher_measure_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    *_, passes = gopher_measure_cols(stop=_KL_STOP)
+    per = (
+        d.select("source", passes.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_all"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+        .localCheckpoint(eager=False)  # totals + terms consumers
+    )
+    tot = per.agg(
+        F.sum("n_all").cast("long").alias("all_tot"),
+        F.sum("n_kept").cast("long").alias("kept_tot"),
+    )
+    terms = (
+        per.filter(F.col("n_kept") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor((CAST(n_kept AS DOUBLE) / kept_tot)"
+                " * ln((CAST(n_kept AS DOUBLE) * all_tot)"
+                " / (CAST(n_all AS DOUBLE) * kept_tot))"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("t"),
+            "all_tot",
+            "kept_tot",
+        )
+    )
+    kl = terms.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("kl_nats_nano")
+    )
+    return tot.crossJoin(F.broadcast(kl)).select(
+        F.col("all_tot").alias("n_docs"),
+        F.col("kept_tot").alias("n_kept"),
+        "kl_nats_nano",
+    )

@@ -12,7 +12,7 @@ reference) are in each docstring as SURVEY.md §2 ids.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import load_table, register_views
 from .registry import davg, dsum, dsum2, query
@@ -2228,4 +2228,65 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["l"].alias("level_cents"),
         fold["b"].alias("trend_cents"),
         (fold["l"] + fold["b"]).alias("forecast_cents"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+                    PARTITION BY l_returnflag) AS BIGINT) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median,
+           CAST(min(totw) AS BIGINT) AS total_weight
+    FROM w WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+    tags=("A9", "W3"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group — the quantity-weighted price
+    midpoint (half the shipped units cost less): the smallest price
+    whose running weight reaches half the group's total, found in ONE
+    windowed pass (cumulative weight ordered by (price, orderkey,
+    linenumber) — a total order, so the crossing row is unique) instead
+    of the collect-and-scan a naive implementation does. Quantities are
+    integral, so 2*cumw >= totw is pure BIGINT — no ratio, no float
+    midpoint. percentile_approx trades exactness for one pass; this
+    shows the exact answer is ALSO one pass when the weight is additive.
+
+    Scale: the window partitions by the group key — per-group parallel
+    sort, no global order — and the qualifying-row reduction is a
+    map-side min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    q = F.col("l_quantity").cast("long")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(q).over(w).cast("long").alias("cumw"),
+        F.sum(q).over(wtot).cast("long").alias("totw"),
+    )
+    return (
+        ranked.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("weighted_median"),
+            F.min("totw").cast("long").alias("total_weight"),
+        )
     )

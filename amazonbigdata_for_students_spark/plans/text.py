@@ -9,7 +9,7 @@ no Python UDFs on these paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W, DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
 from .registry import REGISTRY, query
@@ -2529,4 +2529,143 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         "symbol",
         "n",
+    )
+
+
+# --- RAKE keyword extraction ---------------------------------------------------
+_RAKE_TOP = 20
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "txt_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop,
+             CAST(sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pid
+      FROM tok
+    ),
+    phrases AS (
+      SELECT doc_id, pid,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM flagged WHERE stop = 0
+      GROUP BY doc_id, pid
+    ),
+    wordstats AS (
+      SELECT w AS tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases)
+      GROUP BY w
+    ),
+    wscore AS (
+      SELECT tok,
+             CAST(CAST(degree AS HUGEINT) * 1000000 // freq AS BIGINT)
+               AS score
+      FROM wordstats
+    ),
+    dphrase AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phrases GROUP BY phrase
+    ),
+    pscore AS (
+      SELECT d.phrase, d.n_occurrences,
+             CAST(sum(ws.score) AS BIGINT) AS score_scaled
+      FROM (SELECT phrase, n_occurrences,
+                   unnest(string_split(phrase, ' ')) AS w
+            FROM dphrase) d
+      JOIN wscore ws ON ws.tok = d.w
+      GROUP BY d.phrase, d.n_occurrences
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_scaled DESC, phrase) AS BIGINT)
+             AS rank,
+           phrase, n_occurrences, score_scaled
+    FROM pscore
+    QUALIFY rank <= {_RAKE_TOP}
+    """,
+    tags=("U2", "F7", "W3", "A1"),
+)
+def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, the standard
+    unsupervised keyword baseline): candidate phrases are maximal runs
+    of non-stopword tokens (the stopword-count running sum is the
+    gaps-and-islands key), each word scores degree/freq (degree = sum
+    of the lengths of every phrase the word occurs in — co-occurrence
+    weight), and a phrase scores the sum of its member word scores.
+    Corpus-level: word statistics aggregate over ALL phrase
+    occurrences, distinct phrases then rank by score.
+
+    Determinism: word scores are exact 10^6-scaled integer
+    floor-divisions (HUGEINT/decimal-lifted — degree*10^6 passes 2^63
+    at corpus scale), phrase scores exact integer sums, ranking
+    tie-broken by phrase text. Scale: two shuffles over token-ish
+    volume (the per-doc phrase grouping and the word aggregate), then
+    everything runs on vocabulary/phrase-bounded tables; the
+    phrase-word scoring join broadcasts the vocabulary-bounded word
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(TOKENS()).alias("pos", "tok")
+    )
+    stop = F.col("tok").isin(*STOPWORDS)
+    flagged = tok.withColumn(
+        "pid",
+        F.sum(stop.cast("int"))
+        .over(W.partitionBy("doc_id").orderBy("pos"))
+        .cast("long"),
+    ).withColumn("stop", stop)
+    phrases = (
+        flagged.filter(~F.col("stop"))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .localCheckpoint(eager=False)  # word stats + distinct phrases
+    )
+    wscore = (
+        phrases.select(F.explode(F.split("phrase", " ")).alias("tok"), "plen")
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "tok",
+            F.expr(
+                "CAST(CAST(degree AS DECIMAL(38,0)) * 1000000 div freq AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    dphrase = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    pscore = (
+        dphrase.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(wscore), F.col("w") == F.col("tok"))
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("score").cast("long").alias("score_scaled"))
+    )
+    top = pscore.orderBy(F.desc("score_scaled"), "phrase").limit(_RAKE_TOP)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("score_scaled"), "phrase"))
+        .cast("long")
+        .alias("rank"),
+        "phrase",
+        "n_occurrences",
+        "score_scaled",
     )
