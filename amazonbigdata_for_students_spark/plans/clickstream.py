@@ -381,19 +381,32 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     what bounds state at 100 TB (a hot key with a million unchanged
     events contributes its transitions, not its volume)."""
     ev = load_table(spark, sf_dir, "events")
+    return _scd2_intervals(ev).select(
+        "user_id",
+        F.col("state").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def _scd2_intervals(ev: DataFrame) -> DataFrame:
+    """Run-length collapse + interval stitch shared by scd2_user_history
+    and join_point_in_time: one row per event_type TRANSITION per user,
+    with [valid_from, valid_to) validity (valid_to NULL = current). One
+    definition so the history build and the PIT consumer can never
+    disagree on tie-breaks or interval semantics."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
         .select("user_id", "ts", "event_id", "event_type")
     )
-    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
-        "event_type",
+        F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
 
 
@@ -897,19 +910,10 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side. Half-open intervals make the attribution a partition of
     the timeline: every purchase matches at most one version (exactly
     one once the user has any prior state)."""
+    from .registry import dsum
+
     ev = load_table(spark, sf_dir, "events")
-    nonp = ev.filter(F.col("event_type") != "purchase")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        nonp.withColumn("prev", F.lag("event_type").over(w))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("valid_to"),
-        )
-    )
+    dim = _scd2_intervals(ev.filter(F.col("event_type") != "purchase"))
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
@@ -921,7 +925,5 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("state").agg(
         F.count("*").cast("long").alias("n_purchases"),
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .cast("double")
-        .alias("attributed_value"),
+        dsum("value").alias("attributed_value"),
     )

@@ -1158,12 +1158,12 @@ from .text import _GOPHER_PASS_PRED, gopher_measures_sql_cte  # noqa: E402
     oracle=f"""
     WITH {gopher_measures_sql_cte("documents", extra_cols="source", stop=_KL_STOP)},
     per AS (
-      SELECT d.source,
+      SELECT source,
              CAST(count(*) AS BIGINT) AS n_all,
              CAST(sum(CASE WHEN {_GOPHER_PASS_PRED} THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_kept
-      FROM documents d JOIN gm ON gm.doc_id = d.doc_id
-      GROUP BY d.source
+      FROM gm
+      GROUP BY source
     ),
     tot AS (
       SELECT CAST(sum(n_all) AS BIGINT) AS all_tot,
@@ -1234,8 +1234,6 @@ def mix_kl_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / (CAST(n_all AS DOUBLE) * kept_tot))"
                 " * 1000000000 + 0.5) AS BIGINT)"
             ).alias("t"),
-            "all_tot",
-            "kept_tot",
         )
     )
     kl = terms.agg(

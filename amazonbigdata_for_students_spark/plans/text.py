@@ -2534,7 +2534,6 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- RAKE keyword extraction ---------------------------------------------------
 _RAKE_TOP = 20
-_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 @query(
@@ -2548,8 +2547,8 @@ _RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
     ),
     flagged AS (
       SELECT doc_id, pos, tok,
-             CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop,
-             CAST(sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+             CASE WHEN tok IN ({_SQL_STOP}) THEN 1 ELSE 0 END AS stop,
+             CAST(sum(CASE WHEN tok IN ({_SQL_STOP}) THEN 1 ELSE 0 END)
                   OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pid
       FROM tok
     ),
