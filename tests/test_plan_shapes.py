@@ -661,3 +661,46 @@ def test_dynamic_partition_pruning_fires(spark, sf_small):
     plan = plan_of(df)
     assert "dynamicpruningexpression" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pit_join_is_keyed_not_cartesian(spark, sf_small):
+    """The point-in-time join must distribute on the user key with the
+    interval as a residual filter — a range-only condition would
+    degenerate to BroadcastNestedLoop/Cartesian and die at scale."""
+    df = REGISTRY["join_point_in_time"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan.split("Join")[1][:400]
+
+
+def test_weighted_median_no_global_sort(spark, sf_small):
+    """Exact weighted median must stay per-group: the window partitions
+    by the group key (no unpartitioned WindowExec over row-sized data)
+    and no global Sort precedes the aggregate."""
+    df = REGISTRY["agg_weighted_median"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "windowspecdefinition(l_returnflag" in plan
+
+
+def test_rake_word_join_broadcasts_and_takes_topk(spark, sf_small):
+    """RAKE's phrase-word scoring join must broadcast the
+    vocabulary-bounded word table, the phrase table must not be
+    recomputed per consumer (checkpoint: zero FileScans survive), and
+    the ranking is TakeOrdered."""
+    df = REGISTRY["txt_rake_keywords"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("FileScan") == 0
+    assert "TakeOrderedAndProject" in final
+
+
+def test_kl_filter_bias_single_scan(spark, sf_small):
+    """The per-source gate census feeds both the totals and the KL
+    terms; the checkpoint must absorb the fan-out (one corpus scan)."""
+    df = REGISTRY["mix_kl_filter_bias"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
