@@ -1278,3 +1278,48 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _drain(snap, "stream_ewma", mode="update")
     w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
     return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+from ..plans.text import LANG_HITS_SQL as _MON_HITS  # noqa: E402
+from ..plans.text import LANG_PRED_CASE_SQL as _MON_PRED  # noqa: E402
+
+
+@query(
+    "stream_confusion_monitor",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_MON_HITS}
+      FROM documents
+    )
+    SELECT lang, {_MON_PRED} AS pred, CAST(count(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "U2", "A1"),
+)
+def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online model monitoring: the language identifier's confusion
+    cells maintained as a STREAMING aggregation over the document feed —
+    the standard ML-observability pattern (a drift in the live
+    confusion table is the first sign the input distribution moved)
+    running on the identical prediction expression the batch evals
+    grade (plans/text.py:lang_pred_col; plans/evals.py consumes the
+    same cells in batch). Complete-mode groupBy over the class-arity
+    key: streaming state is |langs| x |preds| rows regardless of feed
+    volume, so the monitor runs forever at any rate. Drained via
+    AvailableNow; equal to the batch confusion by construction."""
+    from .. import schemas
+    from ..plans.text import lang_pred_col
+
+    docs = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cells = (
+        docs.select("lang", lang_pred_col().alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return _drain(cells, "stream_confusion_monitor", mode="complete")
