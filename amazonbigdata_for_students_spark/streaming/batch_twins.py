@@ -1309,14 +1309,24 @@ def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     key: streaming state is |langs| x |preds| rows regardless of feed
     volume, so the monitor runs forever at any rate. Drained via
     AvailableNow; equal to the batch confusion by construction."""
+    import os
+
     from .. import schemas
     from ..plans.text import lang_pred_col
 
-    docs = (
-        spark.readStream.schema(schemas.DOCUMENTS)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        # Spark-written layout: the table is a DIRECTORY of part files —
+        # stream the directory itself (a pathGlobFilter on the parent
+        # would match zero files and silently yield an empty stream; the
+        # sf1 smoke caught exactly that).
+        docs = spark.readStream.schema(schemas.DOCUMENTS).parquet(path)
+    else:
+        docs = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
     cells = (
         docs.select("lang", lang_pred_col().alias("pred"))
         .groupBy("lang", "pred")
