@@ -2202,7 +2202,8 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_b AS BIGINT) AS n_other,
            CAST(dnum AS BIGINT) AS ks_d_scaled,
            CAST(n_chars AS BIGINT) AS ks_at_value,
-           round(dnum / (n_a * n_b), 6) AS ks_stat
+           CAST(CAST(dnum AS HUGEINT) * 1000000
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_stat_ppm
     FROM ks_scored
     ORDER BY dnum DESC, n_chars ASC LIMIT 1
     """,
@@ -2218,7 +2219,10 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the KS statistic D = max|F1 - F2| is kept as the EXACT
     integer numerator |n2·cum1 - n1·cum2| (max over the value domain,
     deterministic min-value tie-break via a single struct-max
-    aggregate); the float D itself is display-only. Scale: one corpus
+    aggregate); D is reported as an exact decimal-lifted 1e6-scaled
+    floor ratio (ks_stat_ppm), never a rounded float — Spark HALF_UP
+    decimal rounding vs DuckDB double rounding can disagree at 5e-7
+    boundaries. Scale: one corpus
     scan folds into a per-distinct-value count table; the cumulative
     window runs over that VALUE-DOMAIN-sized table (bounded by the
     measured variable's support, not the corpus — the histogram-ntile
@@ -2263,7 +2267,13 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_b").alias("n_other"),
         F.col("s.dnum").cast("long").alias("ks_d_scaled"),
         (-F.col("s.negv")).cast("long").alias("ks_at_value"),
-        F.round(F.col("s.dnum") / (F.col("s.n_a") * F.col("s.n_b")), 6).alias("ks_stat"),
+        # exact 1e6-scaled floor ratio, decimal-lifted: dnum*1e6 exceeds
+        # int64 once cohort products pass ~9e12 (advisor find r7 — no
+        # float-rounding window in a hash-gated column)
+        F.expr(
+            "cast(cast(s.dnum as decimal(38,0)) * 1000000"
+            " div (cast(s.n_a as decimal(38,0)) * s.n_b) as bigint)"
+        ).alias("ks_stat_ppm"),
     )
 
 

@@ -1607,7 +1607,7 @@ def _sc_draw_sql(b: str) -> str:
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
-           CAST(list_sum([CASE WHEN s THEN 1 ELSE 0 END for s in starts]) AS BIGINT) AS n_spans,
+           CAST(coalesce(list_sum([CASE WHEN s THEN 1 ELSE 0 END for s in starts]), 0) AS BIGINT) AS n_spans,
            CAST(len(list_filter(generate_series(1, n),
                                 p -> mflag[(p - 1) // {_SC_BLOCK} + 1])) AS BIGINT) AS n_masked,
            coalesce(array_to_string(list_filter(
@@ -1649,20 +1649,31 @@ def seq_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nblk", F.expr(f"(n + {B - 1}) div {B}").cast("int"))
         .withColumn(
             "mflag",
-            F.expr(f"transform(sequence(0, nblk - 1), b -> {_sc_draw_expr('b')} < {_SC_PCT})"),
+            # sequence(0, -1) counts DOWN ([0,-1]) when nblk = 0 and the
+            # later element_at(mflag, 0) raises INVALID_INDEX_OF_ZERO —
+            # zero-token docs must degrade to an empty block list so the
+            # query emits the same clean (0, 0, 0, '', '') row as the
+            # oracle's empty generate_series (advisor find r7).
+            F.expr(
+                "IF(nblk >= 1, "
+                f"transform(sequence(0, nblk - 1), b -> {_sc_draw_expr('b')} < {_SC_PCT}), "
+                "cast(array() as array<boolean>))"
+            ),
         )
         .withColumn(
             "starts",
             F.expr(
-                "transform(sequence(1, nblk), b -> "
-                "element_at(mflag, b) AND (b = 1 OR NOT element_at(mflag, b - 1)))"
+                "IF(nblk >= 1, transform(sequence(1, nblk), b -> "
+                "element_at(mflag, b) AND (b = 1 OR NOT element_at(mflag, b - 1))), "
+                "cast(array() as array<boolean>))"
             ),
         )
         .withColumn(
             "sids",
             F.expr(
-                "transform(sequence(1, nblk), b -> "
-                "aggregate(slice(starts, 1, b), 0, (a, x) -> a + if(x, 1, 0)) - 1)"
+                "IF(nblk >= 1, transform(sequence(1, nblk), b -> "
+                "aggregate(slice(starts, 1, b), 0, (a, x) -> a + if(x, 1, 0)) - 1), "
+                "cast(array() as array<int>))"
             ),
         )
     )
@@ -1683,14 +1694,16 @@ def seq_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         F.expr("aggregate(starts, 0, (a, x) -> a + if(x, 1, 0))").cast("long").alias("n_spans"),
-        F.expr(f"size(filter(sequence(1, n), p -> element_at(mflag, {blk})))")
+        F.expr(f"IF(n >= 1, size(filter(sequence(1, n), p -> element_at(mflag, {blk}))), 0)")
         .cast("long")
         .alias("n_masked"),
         F.expr(
-            f"concat_ws(' ', filter(transform(sequence(1, n), p -> {input_piece}), x -> x IS NOT NULL))"
+            f"IF(n >= 1, concat_ws(' ', filter(transform(sequence(1, n), p -> {input_piece}),"
+            " x -> x IS NOT NULL)), '')"
         ).alias("input_text"),
         F.expr(
-            f"concat_ws(' ', filter(transform(sequence(1, n), p -> {target_piece}), x -> x IS NOT NULL))"
+            f"IF(n >= 1, concat_ws(' ', filter(transform(sequence(1, n), p -> {target_piece}),"
+            " x -> x IS NOT NULL)), '')"
         ).alias("target_text"),
     )
 

@@ -616,9 +616,14 @@ class CommitLog:
         disjoint numeric ranges — otherwise two writers both updating the
         NULL group would blind-commit past each other (lost update). A
         box WITHOUT the marker (a hand-built range like replace_where's
-        BETWEEN predicate, which never matches NULL) declares no NULL
-        keys; every stats_for-derived footprint — the path real
-        transactions take — records the marker explicitly."""
+        BETWEEN predicate, or a pre-marker manifest) is NULL-UNKNOWN: two
+        markerless boxes keep numeric-only semantics against each other,
+        but against a peer marking has_null=True the dimension never
+        disjoins — a legacy writer's min/max silently skipped NULLs, so
+        numeric bounds are not proof its NULL group was untouched. Only
+        an explicit has_null=False — which every stats_for-derived
+        footprint, the path real transactions take, records — licenses
+        range disjointness against a NULL-touching peer."""
         if mine is None or theirs is None:
             return True
         for col, box in mine.items():
@@ -634,8 +639,16 @@ class CommitLog:
             # is never PROOF of NULL-freedom (see branch below)
             mine_no_null_proven = len(box) > 2 and not box[2]
             theirs_no_null_proven = len(mm) > 2 and not mm[2]
-            if mine_null and theirs_null:
-                continue  # shared NULL key group: dimension can't disjoin
+            if (mine_null and not theirs_no_null_proven) or (
+                theirs_null and not mine_no_null_proven
+            ):
+                # one side DECLARES NULL keys and the other side cannot
+                # prove it has none (marked has_null, or a pre-marker
+                # manifest whose min/max silently skipped NULLs): the
+                # NULL key groups may collide, so numeric range
+                # disjointness below proves nothing (advisor find r7 —
+                # the marked-vs-markerless mixed-version race)
+                continue
             if lo is None or hi is None or mm[0] is None or mm[1] is None:
                 # a side whose keys are ALL NULL (bounds None, has_null
                 # marked) is disjoint only from a peer whose marker PROVES

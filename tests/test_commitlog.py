@@ -912,3 +912,13 @@ def test_footprint_markerless_box_is_not_null_free_proof():
     assert ov({"k": [5, 9]}, {"k": [None, None, True]})
     # explicit marker False IS proof: disjoint
     assert not ov({"k": [None, None, True]}, {"k": [5, 9, False]})
+    # ADVICE r7: a marked has_null=True box with NUMERIC bounds vs a
+    # markerless peer must also refuse to disjoin — the legacy peer's
+    # delta may itself have held NULL keys its min/max skipped, and the
+    # marked side definitely touches the NULL group
+    assert ov({"k": [0, 1, True]}, {"k": [5, 9]})
+    assert ov({"k": [5, 9]}, {"k": [0, 1, True]})
+    # but a marked no-null peer still lets ranges decide
+    assert not ov({"k": [0, 1, True]}, {"k": [5, 9, False]})
+    # and two markerless boxes keep pre-marker numeric semantics
+    assert not ov({"k": [0, 1]}, {"k": [5, 9]})

@@ -1013,3 +1013,34 @@ def test_minhash_drops_zero_token_docs(spark, tmp_path):
     # docs 3/4 may or may not straddle the split draw, but no NULL band
     # group can ever appear
     assert all(r["band_key"] is not None for r in audit)
+
+
+def test_span_corruption_handles_zero_token_docs(spark, tmp_path):
+    """Zero-token docs must yield a clean (0, 0, 0, '', '') row rather
+    than INVALID_INDEX_OF_ZERO: sequence(1, 0) counts DOWN in Spark, so
+    an unguarded block-index transform evaluates element_at(mflag, 0)
+    (advisor find r7). The oracle's generate_series(1, 0) is empty, so
+    this also pins cross-engine agreement on the degenerate input."""
+    from amazonbigdata_for_students_spark.testing import compare_query, duckdb_connect
+
+    spark.createDataFrame(
+        [
+            (1, "", "en"),
+            (2, "   ", "en"),  # whitespace-only: tokens() yields []
+            (3, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    q = REGISTRY["seq_span_corruption"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    for d in (1, 2):
+        r = rows[d]
+        assert (r["n_tokens"], r["n_spans"], r["n_masked"]) == (0, 0, 0)
+        assert r["input_text"] == "" and r["target_text"] == ""
+    assert rows[3]["n_tokens"] == 8
+    con = duckdb_connect(str(tmp_path))
+    try:
+        res = compare_query(spark, q, str(tmp_path), con)
+    finally:
+        con.close()
+    assert res.ok, res.detail

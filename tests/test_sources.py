@@ -183,9 +183,19 @@ def test_socket_ingress_serves_wire_path_and_dies_cleanly(spark):
         .outputMode("append")
         .start()
     )
-    with pytest.raises(StreamingQueryException):
-        q2.awaitTermination(timeout=30)
-        raise AssertionError("dead-endpoint stream did not fail")
+    try:
+        # assert OUTSIDE a pytest.raises block: if awaitTermination
+        # returns False (query still retrying, not failed) the old
+        # raise-inside-raises pattern reported a confusing type mismatch
+        # AND leaked a perpetually-reconnecting query into the shared
+        # session (advisor find r7) — the finally stops it either way
+        with pytest.raises(StreamingQueryException):
+            terminated = q2.awaitTermination(timeout=30)
+            pytest.fail(
+                f"dead-endpoint stream did not fail (terminated={terminated})"
+            )
+    finally:
+        q2.stop()
 
     # mode exclusivity: zero or two ingress modes is a usage error
     with pytest.raises(ValueError):
