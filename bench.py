@@ -87,6 +87,19 @@ def main() -> None:
             "queries": scale_times,
         }
 
+    # Streaming throughput leg (VERDICT r7 item 6): rows/sec through the
+    # three stateful shapes (tumbling agg / dedup / alert-once) via the
+    # deterministic rate-micro-batch source — measures the ENGINE's
+    # capacity, not an offered rate. ~30s; SPARK_GRAFT_BENCH_STREAMING=0
+    # skips. Regression envelope: JVM shapes have run 1.9-2.4M rows/s,
+    # the Python stateful path 85-110k rows/s on this host (BASELINE.md
+    # r8); treat >1.5x drift vs the same-session JVM shapes as a
+    # regression, not absolute walls (host drift is ±20%).
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        from amazonbigdata_for_students_spark.streaming.throughput import measure_all
+
+        result["streaming"] = measure_all(spark)
+
     print(json.dumps(result))
 
 

@@ -401,3 +401,29 @@ def test_tws_port_is_feature_gated(spark, sf_small):
         ).collect())
     )
     assert via_tws == via_gs
+
+
+def test_streaming_throughput_harness(spark):
+    """The bench.py streaming leg must measure real steady-state batches:
+    every shape returns a positive rows/sec derived from the query's own
+    progress telemetry, and the JVM shapes must beat the Python stateful
+    path (if they ever don't, the noop/no-pacing setup is broken and the
+    bench numbers are meaningless)."""
+    from amazonbigdata_for_students_spark.streaming.throughput import (
+        measure_all,
+        measure_shape,
+    )
+
+    out = measure_all(
+        spark, jvm_rows_per_batch=50_000, py_rows_per_batch=10_000, n_batches=2
+    )
+    assert set(out) == {
+        "tumbling_agg_rows_per_sec",
+        "stream_dedup_rows_per_sec",
+        "alert_once_rows_per_sec",
+    }
+    assert all(v > 0 for v in out.values())
+    # sanity on the measurement itself, not the host: a tiny batch still
+    # yields a finite, plausible rate (not inf — durations are summed)
+    r = measure_shape(spark, "tumbling_agg", rows_per_batch=10_000, n_batches=2)
+    assert 0 < r < 1e9
