@@ -87,12 +87,40 @@ OPERATORS: dict[str, tuple[str, str]] = {
 }
 
 
+def driver_rounds() -> tuple[dict[str, int], int]:
+    """(query -> LATEST driver round with a fully-green verdict, number of
+    CORRECTNESS files parsed). Same green criteria as
+    plans.driver_green_names — rows+schema+hash, no err."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    rounds: dict[str, int] = {}
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    for path in files:
+        rn = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            for name, v in json.load(f).items():
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                    and not v.get("err")
+                ):
+                    rounds[name] = max(rounds.get(name, 0), rn)
+    return rounds, len(files)
+
+
 def main() -> None:
     by_tag: dict[str, list] = {t: [] for t in OPERATORS}
     for q in REGISTRY.values():
         for t in q.tags:
             by_tag.setdefault(t, []).append(q)
 
+    rounds, n_files = driver_rounds()
+    n_green = sum(1 for n in REGISTRY if n in rounds)
     n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
     print("# COVERAGE — SURVEY.md §2 operator inventory vs. the query registry")
     print()
@@ -103,7 +131,16 @@ def main() -> None:
     print("and the pytest oracle gate (`tests/test_oracle.py`,")
     print("`scripts/check_oracle.py`).")
     print()
-    print("| Op | Operator | Queries (o=oracle-checked, r=rows-only) |")
+    print(
+        f"Driver verdicts parsed from {n_files} CORRECTNESS files: "
+        f"**{n_green}/{len(REGISTRY)} queries driver-green**; each query below"
+    )
+    print(
+        "carries its LATEST green driver round (`rN`) or `·` if it has not"
+        " yet rotated through the driver's 50-query window."
+    )
+    print()
+    print("| Op | Operator | Queries (o=oracle-checked, r=rows-only; rN=driver round) |")
     print("|---|---|---|")
     section = None
     for tag, (sec, desc) in OPERATORS.items():
@@ -111,7 +148,9 @@ def main() -> None:
             section = sec
             print(f"| **§{sec}** | | |")
         qs = ", ".join(
-            f"`{q.name}`({'o' if q.oracle else 'r'})" for q in by_tag.get(tag, [])
+            f"`{q.name}`({'o' if q.oracle else 'r'},"
+            f"{'r%d' % rounds[q.name] if q.name in rounds else '·'})"
+            for q in by_tag.get(tag, [])
         )
         print(f"| {tag} | {desc} | {qs or '—'} |")
     missing = [t for t, qs in by_tag.items() if t in OPERATORS and not qs]

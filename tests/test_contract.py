@@ -165,6 +165,31 @@ def test_coverage_md_in_sync_with_registry():
     assert not missing, (
         f"queries missing from COVERAGE.md (regenerate it): {missing[:10]}"
     )
+    # VERDICT r7 item 7: per-query driver-round freshness annotations.
+    # The committed file must have parsed the same CORRECTNESS_r*.json
+    # evidence the live repo holds — header counts and one spot-checked
+    # round tag both recomputed here.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_coverage",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_coverage.py"),
+    )
+    gc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gc)
+    rounds, n_files = gc.driver_rounds()
+    m2 = re.search(r"parsed from (\d+) CORRECTNESS files: \*\*(\d+)/(\d+) queries", text)
+    assert m2, "COVERAGE.md driver-verdict header missing (regenerate it)"
+    assert int(m2.group(1)) == n_files, "CORRECTNESS file count drifted — regenerate"
+    n_green = sum(1 for n in REGISTRY if n in rounds)
+    assert (int(m2.group(2)), int(m2.group(3))) == (n_green, len(REGISTRY)), (
+        "driver-green count drifted — run: python scripts/gen_coverage.py > COVERAGE.md"
+    )
+    for name, rn in list(rounds.items())[:5]:
+        if name in REGISTRY:
+            assert f"`{name}`(o,r{rn})" in text or f"`{name}`(r,r{rn})" in text, (
+                f"{name}: round tag r{rn} missing/stale in COVERAGE.md"
+            )
 
 
 def test_plans_md_in_sync_with_showcase():
