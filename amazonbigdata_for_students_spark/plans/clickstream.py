@@ -211,6 +211,90 @@ def clk_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+_SESSION_CHUNK_US = 6 * 3_600_000_000  # 6-hour time chunks
+
+
+@query(
+    "clk_sessionize_chunked",
+    oracle=f"""
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS} e
+      )
+    )
+    GROUP BY user_id, session_seq
+    """,
+    tags=("T3", "W2", "A7"),
+)
+def clk_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sessionization — the skew-proof twin of clk_sessionize,
+    same answer (the oracle IS clk_sessionize's oracle).
+
+    clk_sessionize's per-user window is UNSPLITTABLE: a bot owning 10%
+    of the stream (the reference's bot signature, generator.py:137-154)
+    lands its entire history in one task — measured 3.4x straggler /
+    2.3x wall on the sf10 hot-key fixture (scripts/skew_bench.py, r8).
+    AQE cannot split a window partition the way it splits a skewed join.
+
+    The decomposition: (1) sessionize WITHIN (user_id, 6-hour time
+    chunk) — the hot user's history spreads over #chunks tasks, each
+    gap/cumsum window is chunk-bounded; (2) collapse each local session
+    to one interval row; (3) merge adjacent intervals per user where
+    start - prev_end <= 30 min (exactly the complement of the is_new
+    rule, so chunk-boundary sessions stitch back losslessly), numbering
+    merged sessions with the same cumulative-sum ordinal. The phase-2
+    window is still per-user but runs over LOCAL-SESSION rows, bounded
+    by (#real sessions + #chunks touched) — for a year-long 100 TB
+    stream a saturating bot contributes ~1460 interval rows, not its
+    billions of events. Correctness of the stitch: chunking is a pure
+    function of ts, so identical-ts ties never straddle a boundary, and
+    within a user local sessions from later chunks start strictly after
+    earlier ones end."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    chunked = ev.withColumn("_chunk", (us / F.lit(_SESSION_CHUNK_US)).cast("long"))
+    wl = W.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    lgap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wl)
+    l_new = F.when(lgap.isNull() | (lgap > _SESSION_GAP_US), 1).otherwise(0)
+    local = (
+        chunked.withColumn(
+            "_lseq", F.sum(l_new).over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+        .groupBy("user_id", "_chunk", "_lseq")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+        )
+    )
+    wm = W.partitionBy("user_id").orderBy("_start", "_end")
+    mgap = F.unix_micros(F.col("_start")) - F.lag(F.unix_micros(F.col("_end"))).over(wm)
+    m_new = F.when(mgap.isNull() | (mgap > _SESSION_GAP_US), 1).otherwise(0)
+    merged = local.withColumn(
+        "session_seq",
+        F.sum(m_new).over(wm.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return merged.groupBy("user_id", "session_seq").agg(
+        F.sum("_n").alias("n_events"),
+        F.min("_start").alias("session_start"),
+        F.max("_end").alias("session_end"),
+    )
+
+
 @query(
     "funnel_conversion",
     oracle=f"""

@@ -112,6 +112,18 @@ def main() -> None:
         "deskew hot-filter cutoff (1%% of docs) — the worst case: too "
         "common to be rare, too rare to be dropped",
     )
+    ap.add_argument(
+        "--hot-frac",
+        type=float,
+        default=0.0,
+        help="fraction of events owned by a single hot user_id (0) — the "
+        "Zipf-head regime the reference's bot traffic creates by "
+        "construction (log-generator/generator.py:137-154: a bot emits "
+        "~60 ev/s vs a human's ~0.1, so one signature can own a double-"
+        "digit share of the stream). 0 keeps the fitted uniform "
+        "distribution; 0.1 makes user 0 own ~10%% of all events, the "
+        "skew-join / straggler stress fixture (scripts/skew_bench.py)",
+    )
     args = ap.parse_args()
     sf = args.sf
     out = args.out
@@ -223,7 +235,13 @@ def main() -> None:
             F.timestamp_micros(
                 (F.lit(1_704_067_200_000_000) + (u("ets") * ev_span_us).cast("long"))
             ).alias("ts"),
-            F.pmod(F.xxhash64("id", F.lit("euser")), F.lit(n_users)).alias("user_id"),
+            (
+                F.when(u("ehot") < F.lit(args.hot_frac), F.lit(0).cast("long")).otherwise(
+                    F.pmod(F.xxhash64("id", F.lit("euser")), F.lit(n_users))
+                )
+                if args.hot_frac > 0
+                else F.pmod(F.xxhash64("id", F.lit("euser")), F.lit(n_users))
+            ).alias("user_id"),
             pick(EVENT_TYPES, "etype").alias("event_type"),
             # Exp(mean 50) truncated at ~560 (u capped below 1)
             F.round(-50.0 * F.log(F.lit(1.0) - u("eval") * 0.9999864), 2).alias("value"),
