@@ -26,7 +26,13 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the tuned local SparkSession."""
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
+    # Cluster practice is ~2-3x total cores, scaled up with data volume;
+    # the env override is how the sf100 spill-regime runs size the shuffle
+    # without changing the committed default (= cores, right for the
+    # sf0.1 bench where 200-wide shuffles would be all overhead).
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or cpus
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
