@@ -107,16 +107,24 @@ _ROTATION_ORDER: tuple[str, ...] = (
 _WINDOW_SIZE = 50
 
 
-def driver_green_names() -> frozenset[str]:
-    """Query names with a fully-green row (rows+schema+hash, no err) in any
-    driver CORRECTNESS_r*.json — the cumulative external evidence set."""
+def driver_green_rounds() -> dict[str, int]:
+    """Query name -> LATEST driver round with a fully-green row
+    (rows+schema+hash, no err) across the CORRECTNESS_r*.json files —
+    the single green predicate shared by the rotation window and
+    gen_coverage's freshness tags (a /code-review r8 find: two
+    hand-rolled copies of this predicate had already drifted)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names = set()
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rn = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -132,8 +140,14 @@ def driver_green_names() -> frozenset[str]:
                 and row.get("hash_match", True)
                 and row.get("schema_match", True)
             ):
-                names.add(name)
-    return frozenset(names)
+                rounds[name] = max(rounds.get(name, 0), rn)
+    return rounds
+
+
+def driver_green_names() -> frozenset[str]:
+    """Query names with a fully-green driver row in any round — the
+    cumulative external evidence set (rotation-window input)."""
+    return frozenset(driver_green_rounds())
 
 
 def _compute_window(size: int = _WINDOW_SIZE, green=None) -> tuple[str, ...]:

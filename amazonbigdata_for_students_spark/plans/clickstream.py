@@ -165,9 +165,11 @@ def clk_state_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "detected_at", "expires_at")
 
 
-@query(
-    "clk_sessionize",
-    oracle=f"""
+# One oracle for BOTH sessionize formulations: the chunked twin's
+# equivalence claim (BASELINE.md r8 skew table) rests on the two @query
+# decorators sharing this literal, so a gap/tie-break change can never
+# reach one and miss the other (/code-review r8 find).
+_SESSIONIZE_ORACLE = f"""
     SELECT user_id, session_seq,
            count(*) AS n_events,
            min(ts) AS session_start,
@@ -187,7 +189,12 @@ def clk_state_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     GROUP BY user_id, session_seq
-    """,
+    """
+
+
+@query(
+    "clk_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     tags=("T3", "W2"),
     bench=True,
 )
@@ -217,27 +224,7 @@ _SESSION_CHUNK_US = 6 * 3_600_000_000  # 6-hour time chunks
 
 @query(
     "clk_sessionize_chunked",
-    oracle=f"""
-    SELECT user_id, session_seq,
-           count(*) AS n_events,
-           min(ts) AS session_start,
-           max(ts) AS session_end
-    FROM (
-      SELECT user_id, ts,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-      FROM (
-        SELECT user_id, ts, event_id,
-               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 1800000000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    THEN 1 ELSE 0 END AS is_new
-        FROM {EVENTS} e
-      )
-    )
-    GROUP BY user_id, session_seq
-    """,
+    oracle=_SESSIONIZE_ORACLE,
     tags=("T3", "W2", "A7"),
 )
 def clk_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,9 +30,11 @@ def get_spark(
     # the env override is how the sf100 spill-regime runs size the shuffle
     # without changing the committed default (= cores, right for the
     # sf0.1 bench where 200-wide shuffles would be all overhead).
-    shuffle_partitions = shuffle_partitions or int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
-    ) or cpus
+    try:
+        env_width = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+    except ValueError:
+        env_width = 0  # malformed override: fall back, don't crash sessions
+    shuffle_partitions = shuffle_partitions or (env_width if env_width > 0 else cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

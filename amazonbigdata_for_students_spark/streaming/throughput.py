@@ -112,12 +112,14 @@ def measure_shape(
     n_batches: int = 5,
     n_partitions: int = 8,
     timeout_sec: float = 90.0,
-) -> float:
+) -> dict[str, float]:
     """Run ``shape`` until ``_WARM_BATCHES + n_batches`` triggers complete
-    (or ``timeout_sec``), then return steady-state rows/sec computed from
-    the query's own progress telemetry (numInputRows / triggerExecution),
-    excluding the warm-up batch.  The noop sink isolates the pipeline
-    cost from any sink cost."""
+    (or ``timeout_sec``), then return ``{"rows_per_sec": ...,
+    "steady_batches": n}`` computed from the query's own progress
+    telemetry (numInputRows / triggerExecution), excluding the warm-up
+    batch.  ``steady_batches`` < ``n_batches`` means the timeout cut the
+    measurement short — reported, never silent (no-silent-caps rule).
+    The noop sink isolates the pipeline cost from any sink cost."""
     df, mode = SHAPES[shape](_rate_source(spark, rows_per_batch, n_partitions))
     want = _WARM_BATCHES + n_batches
     with tempfile.TemporaryDirectory(prefix=f"tput_{shape}_") as ckpt:
@@ -145,7 +147,10 @@ def measure_shape(
         raise RuntimeError(f"{shape}: no steady-state batches within {timeout_sec}s")
     rows = sum(p["numInputRows"] for p in steady)
     secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
-    return rows / max(secs, 1e-9)
+    return {
+        "rows_per_sec": rows / max(secs, 1e-9),
+        "steady_batches": len(steady),
+    }
 
 
 def measure_all(
@@ -155,13 +160,19 @@ def measure_all(
     py_rows_per_batch: int = 200_000,
     n_batches: int = 5,
 ) -> dict[str, float]:
-    """rows/sec for each stateful shape; the bench.py streaming leg."""
+    """rows/sec for each stateful shape; the bench.py streaming leg.
+    A ``<shape>_steady_batches`` key appears whenever the timeout delivered
+    fewer than ``n_batches`` measured batches, so a short measurement can
+    never masquerade as the full steady-state envelope."""
     out: dict[str, float] = {}
-    for shape in ("tumbling_agg", "stream_dedup"):
-        out[f"{shape}_rows_per_sec"] = round(
-            measure_shape(spark, shape, rows_per_batch=jvm_rows_per_batch, n_batches=n_batches)
-        )
-    out["alert_once_rows_per_sec"] = round(
-        measure_shape(spark, "alert_once", rows_per_batch=py_rows_per_batch, n_batches=n_batches)
-    )
+    per_shape = {
+        "tumbling_agg": jvm_rows_per_batch,
+        "stream_dedup": jvm_rows_per_batch,
+        "alert_once": py_rows_per_batch,
+    }
+    for shape, rpb in per_shape.items():
+        m = measure_shape(spark, shape, rows_per_batch=rpb, n_batches=n_batches)
+        out[f"{shape}_rows_per_sec"] = round(m["rows_per_sec"])
+        if m["steady_batches"] < n_batches:
+            out[f"{shape}_steady_batches"] = m["steady_batches"]
     return out

@@ -88,29 +88,18 @@ OPERATORS: dict[str, tuple[str, str]] = {
 
 
 def driver_rounds() -> tuple[dict[str, int], int]:
-    """(query -> LATEST driver round with a fully-green verdict, number of
-    CORRECTNESS files parsed). Same green criteria as
-    plans.driver_green_names — rows+schema+hash, no err."""
+    """(query -> LATEST fully-green driver round, number of CORRECTNESS
+    files present) — the round map comes from the ONE shared predicate in
+    plans.driver_green_rounds, so the freshness tags can never disagree
+    with the rotation window about what counts as green."""
     import glob
-    import json
     import os
-    import re
+
+    from amazonbigdata_for_students_spark.plans import driver_green_rounds
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    rounds: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    for path in files:
-        rn = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        with open(path) as f:
-            for name, v in json.load(f).items():
-                if (
-                    v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match")
-                    and not v.get("err")
-                ):
-                    rounds[name] = max(rounds.get(name, 0), rn)
-    return rounds, len(files)
+    return driver_green_rounds(), len(files)
 
 
 def main() -> None:

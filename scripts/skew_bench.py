@@ -84,7 +84,11 @@ def _straggler_ratio(spark, new_stage_ids: set[int]) -> tuple[float, int, int]:
             durs = sorted(t.get("duration", 0) for t in tasks.values())
             if len(durs) < 4 or durs[-1] == 0:
                 continue
-            med = statistics.median(durs) or 1
+            med = statistics.median(durs)
+            if med < 5:
+                # a trivial stage (median task < 5ms) fabricates huge
+                # ratios from scheduling jitter — never the skew signal
+                continue
             ratio = durs[-1] / med
             if ratio > worst[0]:
                 worst = (ratio, len(durs), durs[-1])
@@ -96,13 +100,16 @@ def measure(spark, build, sf_dir: str, runs: int = 2) -> dict:
     skew_fired = False
     ratio_info = (1.0, 0, 0)
     for _ in range(runs):
-        before = _completed_stage_ids(spark)
         # a bounded global agg OVER the probe: .count() would execute a
         # DERIVED QueryExecution, leaving the probe df's own plan
         # unexecuted and the skew=true check vacuously False — collect()
         # on this wrapper executes the probe's full subtree inside the
         # inspectable QueryExecution with a 1-row result
         df = build(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+        # snapshot AFTER build(): probe builders may run eager setup jobs
+        # (_user_dim's max(user_id) scan) whose stages must not pollute
+        # the straggler attribution (/code-review r8 find)
+        before = _completed_stage_ids(spark)
         t0 = time.time()
         df.collect()
         wall = time.time() - t0
@@ -262,9 +269,10 @@ def main() -> None:
             ],
             capture_output=True,
             text=True,
-            check=True,
         )
-        sys.stderr.write(proc.stderr.split("WARN")[0] if False else "")
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"fixture leg {fixture_name!r} failed (rc={proc.returncode})")
         for line in proc.stderr.splitlines():
             if line.startswith(fixture_name):
                 print(line, flush=True)

@@ -417,13 +417,19 @@ def test_streaming_throughput_harness(spark):
     out = measure_all(
         spark, jvm_rows_per_batch=50_000, py_rows_per_batch=10_000, n_batches=2
     )
-    assert set(out) == {
+    assert {
         "tumbling_agg_rows_per_sec",
         "stream_dedup_rows_per_sec",
         "alert_once_rows_per_sec",
-    }
+    } <= set(out)
     assert all(v > 0 for v in out.values())
+    # a timeout-truncated run must SAY so (no-silent-caps): any
+    # *_steady_batches key present must report fewer than the 2 requested
+    for k, v in out.items():
+        if k.endswith("_steady_batches"):
+            assert 1 <= v < 2
     # sanity on the measurement itself, not the host: a tiny batch still
     # yields a finite, plausible rate (not inf — durations are summed)
     r = measure_shape(spark, "tumbling_agg", rows_per_batch=10_000, n_batches=2)
-    assert 0 < r < 1e9
+    assert 0 < r["rows_per_sec"] < 1e9
+    assert 1 <= r["steady_batches"] <= 2
