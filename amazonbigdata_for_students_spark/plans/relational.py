@@ -2290,3 +2290,286 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("totw").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "timeseries_concurrent_peak",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(epoch_us(min(ts)) AS BIGINT) // 1000000 AS s,
+             CAST(epoch_us(max(ts)) AS BIGINT) // 1000000 + 1 AS e
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    edges AS (
+      SELECT day, t, d, CAST(sum(d) AS BIGINT) AS w FROM (
+        SELECT day, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT day, e AS t, -1 AS d FROM iv) u
+      GROUP BY 1, 2, 3),
+    run AS (
+      SELECT day, t, d,
+             sum(w) OVER (PARTITION BY day ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS r
+      FROM edges),
+    peak AS (SELECT day, CAST(max(r) AS BIGINT) AS peak_users FROM run GROUP BY day),
+    nday AS (SELECT day, count(*) AS n_intervals FROM iv GROUP BY day)
+    SELECT CAST(p.day AS VARCHAR) AS day, p.peak_users,
+           min(CASE WHEN r.r = p.peak_users THEN r.t END) AS peak_epoch_s,
+           min(n.n_intervals) AS n_intervals
+    FROM peak p
+    JOIN run r ON r.day = p.day
+    JOIN nday n ON n.day = p.day
+    GROUP BY 1, 2
+    """,
+    tags=("W3", "A2", "F1"),
+)
+def timeseries_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency — per day, the PEAK number of
+    simultaneously-active users and the first second attaining it, from
+    activity intervals (each user's [first event, last event] span that
+    day). The classic interval-overlap counting operator (capacity
+    planning, connection-pool sizing, "how many sessions at once")
+    expressed as +1/-1 boundary edges and a running sum — never an
+    interval self-join (quadratic) or a per-second explode (the span
+    width as a blowup factor).
+
+    Determinism at tied timestamps: edges pre-aggregate to one row per
+    (day, t, sign), and the running sum orders starts before ends
+    (d DESC) — an interval beginning the second another ends counts as
+    overlapping, and the within-tie max is independent of user order.
+
+    Scale: the prefix sum is TWO-PHASE — per-hour partials, a per-day
+    offset window over ~24 bucket-summary rows, then a within-bucket
+    window — so no single ordered partition ever sees more than one
+    hour of edges (the same distributed-prefix-sum shape as
+    shard_by_token_budget). Peak extraction is an ordinary grouped max +
+    conditional min; everything after the per-user groupBy moves only
+    boundary edges, two rows per user-day regardless of activity."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("s"),
+            (F.unix_timestamp(F.max("ts")) + 1).alias("e"),
+        )
+    )
+    edges = (
+        iv.select("day", F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionByName(iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("day", "t", "d")
+        .agg(F.sum("d").cast("long").alias("w"))
+        .withColumn("bucket", F.expr("t div 3600"))
+    )
+    bucket_sums = edges.groupBy("day", "bucket").agg(F.sum("w").alias("bsum"))
+    woff = (
+        W.partitionBy("day").orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "day", "bucket", F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off")
+    )
+    wloc = (
+        W.partitionBy("day", "bucket")
+        .orderBy("t", F.col("d").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = edges.join(offsets, ["day", "bucket"]).select(
+        "day", "t", (F.col("off") + F.sum("w").over(wloc)).alias("r")
+    )
+    peak = run.groupBy("day").agg(F.max("r").alias("peak_users"))
+    nday = iv.groupBy("day").agg(F.count("*").alias("n_intervals"))
+    return (
+        run.join(peak, "day")
+        .groupBy("day", "peak_users")
+        .agg(
+            F.min(F.when(F.col("r") == F.col("peak_users"), F.col("t"))).alias(
+                "peak_epoch_s"
+            )
+        )
+        .join(nday, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_users",
+            "peak_epoch_s",
+            "n_intervals",
+        )
+    )
+
+
+@query(
+    "skyline_pareto_front",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size
+      FROM part)
+    SELECT p_partkey, price_cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+    """,
+    tags=("W3", "O2", "P2"),
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query — parts not dominated on (cheaper
+    price, larger size): no other part is both <= in price and >= in
+    size with at least one strict. The multi-objective shortlist
+    operator (supplier selection, config search, "best tradeoff"
+    dashboards). The oracle states the semantics as the quadratic
+    NOT EXISTS; the Spark side computes the SAME set in O(n log n) via
+    the 2-D sort-and-prefix-max identity:
+
+      1. per price level only the max-size rows can survive (anything
+         smaller at the same price is strictly dominated in size);
+      2. a price level survives iff its max size strictly exceeds the
+         best size at ANY cheaper price — a prefix-max over the
+         distinct-price table, here two-phase ($100 buckets: per-bucket
+         summary, offset window over summaries, within-bucket window)
+         so no ordered partition sees the whole price domain;
+      3. join survivors back (duplicates of the same undominated
+         (price, size) point all survive — no strict dominator exists).
+
+    Price quantizes to integer cents for a cross-engine-exact key.
+    Scale: the distinct-price table is bounded by the price domain, not
+    the row count; the joins are broadcast-size after reduction; the
+    wide data is touched by exactly one groupBy and one semi-join —
+    dominance is never evaluated pairwise."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    lvl = p.groupBy("price_cents").agg(F.max("p_size").alias("lmax"))
+    lvl = lvl.withColumn("bucket", F.expr("price_cents div 10000"))
+    bmax = lvl.groupBy("bucket").agg(F.max("lmax").alias("bm"))
+    wpre = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    boff = bmax.select("bucket", F.max("bm").over(wpre).alias("pre_bucket_max"))
+    wloc = (
+        W.partitionBy("bucket").orderBy("price_cents").rowsBetween(W.unboundedPreceding, -1)
+    )
+    front_prices = (
+        lvl.join(boff, "bucket")
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce(F.max("lmax").over(wloc), F.lit(-1)),
+                F.coalesce(F.col("pre_bucket_max"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("lmax") > F.col("prev_max"))
+        .select("price_cents", "lmax")
+    )
+    fp = front_prices.select(
+        F.col("price_cents").alias("fp_price"), F.col("lmax").alias("fp_size")
+    )
+    return p.join(
+        F.broadcast(fp),
+        (F.col("price_cents") == F.col("fp_price")) & (F.col("p_size") == F.col("fp_size")),
+    ).select("p_partkey", "price_cents", "p_size")
+
+
+@query(
+    "timeseries_cusum_changepoint",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(x) AS BIGINT) * 1000000 // count(*) AS mu_s
+      FROM cells GROUP BY 1),
+    dev AS (
+      SELECT c.event_type, c.h,
+             c.x * 1000000 - (m.mu_s + m.mu_s // 10) AS dv,
+             m.mu_s
+      FROM cells c JOIN mu m USING (event_type)),
+    cum0 AS (
+      SELECT event_type, h, mu_s,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS UNBOUNDED PRECEDING) AS c
+      FROM dev),
+    cum AS (
+      SELECT event_type, h, mu_s, c,
+             min(c) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS mn
+      FROM cum0),
+    s AS (
+      SELECT event_type, h,
+             c - CASE WHEN mn < 0 THEN mn ELSE 0 END AS st,
+             mu_s * 3 AS thresh
+      FROM cum)
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(max(st) AS BIGINT) AS max_cusum_scaled,
+           CAST(count(*) FILTER (WHERE st > thresh) AS BIGINT) AS n_above,
+           min(CASE WHEN st > thresh THEN h END) AS first_cross_h
+    FROM s GROUP BY 1
+    """,
+    tags=("W3", "F4", "A2"),
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per series — the
+    drift-monitor primitive (data-quality regression alarms, rate-shift
+    detection): s_t = max(0, s_{t-1} + x_t - (mu + k)) over hourly
+    counts, allowance k = mu/10, alarm threshold 3*mu. The recurrence
+    looks inherently sequential, but the clamp has a closed form:
+
+        s_t = cum_t - min(0, min_{j<=t} cum_j)
+
+    where cum is the plain prefix sum of deviations — so CUSUM becomes
+    TWO stacked window aggregates (running sum, running min of it), no
+    fold, no UDF, no collect. All math is exact scaled integers
+    (counts x 1e6; mu floor-divided), so the hash-gated outputs carry
+    no float window. Per series: series length, max CUSUM, hours above
+    threshold, first alarm hour (NULL when never crossed).
+
+    Scale: windows partition by series key — millions of independent
+    series parallelize; the per-series state is the hour grid, already
+    reduced from raw events by the first groupBy. A monster series
+    would range-bucket the prefix sum exactly like
+    timeseries_concurrent_peak; hourly granularity keeps even a year of
+    one series under 10k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    )
+    mu = cells.groupBy("event_type").agg(
+        F.expr("sum(x) * 1000000L div count(*)").alias("mu_s")
+    )
+    dev = cells.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "h",
+        "mu_s",
+        (F.col("x") * 1000000 - (F.col("mu_s") + F.expr("mu_s div 10"))).alias("dv"),
+    )
+    wrun = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dev.select(
+        "event_type", "h", "mu_s", F.sum("dv").over(wrun).alias("c")
+    ).select(
+        "event_type", "h", "mu_s", "c", F.min("c").over(wrun).alias("mn")
+    )
+    s = cum.select(
+        "event_type",
+        "h",
+        (F.col("c") - F.when(F.col("mn") < 0, F.col("mn")).otherwise(F.lit(0))).alias("st"),
+        (F.col("mu_s") * 3).alias("thresh"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.max("st").alias("max_cusum_scaled"),
+        F.sum(F.when(F.col("st") > F.col("thresh"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.min(F.when(F.col("st") > F.col("thresh"), F.col("h"))).alias("first_cross_h"),
+    )

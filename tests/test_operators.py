@@ -1044,3 +1044,119 @@ def test_span_corruption_handles_zero_token_docs(spark, tmp_path):
     finally:
         con.close()
     assert res.ok, res.detail
+
+
+def test_skyline_matches_bruteforce_with_ties(spark, tmp_path):
+    # Hand-crafted dominance edge cases: duplicate undominated points (both
+    # survive — no STRICT dominator), same-price smaller size (dominated),
+    # cheaper-equal-size (dominates), and a front of 3. Compared against the
+    # quadratic definition evaluated in-process.
+    rows = [
+        # (partkey, price_cents, size)
+        (1, 1000, 5),   # front
+        (2, 1000, 5),   # duplicate of 1 -> also front
+        (3, 1000, 4),   # same price, smaller size -> dominated by 1
+        (4, 900, 3),    # cheaper, front
+        (5, 1100, 7),   # pricier but biggest -> front
+        (6, 1200, 7),   # same size as 5 but pricier -> dominated
+        (7, 950, 3),    # size ties 4 at higher price -> dominated
+    ]
+    import os
+
+    df = spark.createDataFrame(
+        [(k, f"p{k}", "B", "T", s, c / 100.0) for k, c, s in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sky")
+    df.coalesce(1).write.parquet(os.path.join(d, "part.parquet"))
+    got = {
+        r.p_partkey
+        for r in REGISTRY["skyline_pareto_front"].fn(spark, d).collect()
+    }
+    brute = {
+        k
+        for k, c, s in rows
+        if not any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s)) for _, c2, s2 in rows
+        )
+    }
+    assert got == brute == {1, 2, 4, 5}
+
+
+def test_concurrent_peak_counts_touching_intervals_as_overlap(spark, tmp_path):
+    # Three users on one day: A [00:00, 01:00], B [01:00, 02:00] (B starts
+    # the second A ends -> +1 ordered before -1 means they overlap), C
+    # [00:30, 00:40] inside A. Peak = 2 reached first at 00:30:00.
+    import os
+
+    ev = []
+    eid = 0
+    for uid, times in [
+        (1, ["00:00:00", "01:00:00"]),
+        (2, ["01:00:00", "02:00:00"]),
+        (3, ["00:30:00", "00:40:00"]),
+    ]:
+        for t in times:
+            ev.append((eid, f"2024-03-01 {t}", uid, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        ev, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "cp")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    rows = REGISTRY["timeseries_concurrent_peak"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.day == "2024-03-01"
+    assert r.peak_users == 2
+    assert r.n_intervals == 3
+    # 00:30:00 UTC on 2024-03-01
+    import datetime as dt
+
+    assert r.peak_epoch_s == int(
+        dt.datetime(2024, 3, 1, 0, 30, tzinfo=dt.timezone.utc).timestamp()
+    )
+
+
+def test_cusum_prefix_min_identity_matches_sequential_fold(spark, sf_small):
+    # The window formulation s_t = cum_t - min(0, min cum_j) must equal the
+    # literal clamped recurrence replayed sequentially per series.
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_small, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in cells:
+        series[r.event_type].append((r.h, r.x))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        tot = sum(x for _, x in pts)
+        mu = tot * 1_000_000 // len(pts)
+        k = mu // 10
+        s = 0
+        smax = 0
+        n_above = 0
+        first = None
+        for h, x in pts:
+            s = max(0, s + x * 1_000_000 - (mu + k))
+            smax = max(smax, s)
+            if s > 3 * mu:
+                n_above += 1
+                if first is None:
+                    first = h
+        expect[et] = (len(pts), smax, n_above, first)
+    got = {
+        r.event_type: (r.n_hours, r.max_cusum_scaled, r.n_above, r.first_cross_h)
+        for r in REGISTRY["timeseries_cusum_changepoint"].fn(spark, sf_small).collect()
+    }
+    assert got == expect
