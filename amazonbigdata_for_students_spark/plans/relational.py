@@ -2573,3 +2573,221 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_above"),
         F.min(F.when(F.col("st") > F.col("thresh"), F.col("h"))).alias("first_cross_h"),
     )
+
+
+@query(
+    "win_sliding_median",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, h, x,
+             list(x) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      FROM cells)
+    SELECT event_type, h, x,
+           list_sort(win)[(len(win) + 1) // 2] AS med7
+    FROM w
+    """,
+    tags=("W3", "F7", "A9"),
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 7-row frame — the robust smoother that
+    mean-based rolling windows can't give you (one outlier hour drags a
+    mean for a week; it never moves the median). Median has no
+    distributive merge, so the frame's values ride along explicitly:
+    collect_list over ROWS 6 PRECEDING, sort the <=7-element array,
+    index the lower median ((n+1) div 2, 1-based) — integer in, integer
+    out, no float midpoint in the hash. Warm-up rows (< 7 back) take the
+    median of what exists, matching the oracle's identical list frame.
+
+    Scale: per-row state is the FRAME (7 values), not the partition —
+    the window carries O(k) per row regardless of series length, and
+    series parallelize by key. The input is already the hour grid, so
+    even the collect_list frames move bounded integers, never events."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    )
+    wf = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(-6, W.currentRow)
+    )
+    return cells.withColumn(
+        "win", F.array_sort(F.collect_list("x").over(wf))
+    ).select(
+        "event_type",
+        "h",
+        "x",
+        F.expr("win[(size(win) + 1) div 2 - 1]").cast("long").alias("med7"),
+    )
+
+
+@query(
+    "eval_spearman_trend",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, h, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rt,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, h) AS rx
+      FROM cells),
+    s AS (
+      SELECT event_type,
+             count(*) AS n_hours,
+             sum(CAST((rx - rt) AS HUGEINT) * (rx - rt)) AS d2
+      FROM r GROUP BY 1)
+    SELECT event_type, n_hours,
+           CAST((CAST(n_hours AS HUGEINT) * (CAST(n_hours AS HUGEINT) * n_hours - 1)
+                 - 6 * d2) * 1000000
+                // (CAST(n_hours AS HUGEINT) * (CAST(n_hours AS HUGEINT) * n_hours - 1))
+             AS BIGINT) AS rho_ppm
+    FROM s
+    """,
+    tags=("W1", "F4", "A3"),
+)
+def eval_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation trend test per series — "is this metric
+    monotonically drifting?" answered robustly (rank-based: immune to
+    outliers and any monotone rescaling, unlike the Pearson slope in
+    agg_trend_slope). Over the hourly count grid: time ranks are 1..n by
+    hour; value ranks break ties deterministically by hour; then the
+    classic rho = 1 - 6*sum(d^2)/(n(n^2-1)), emitted as an exact
+    floor-scaled ppm — n(n^2-1)*1e6 overflows int64 past n ~ 100k hours,
+    so every product is lifted to decimal(38,0)/HUGEINT (the
+    Mann-Whitney discipline). rho_ppm near +1e6 = sustained growth, near
+    -1e6 = decay, near 0 = stationary.
+
+    Scale: ranks are windows over the per-series HOUR GRID (bounded by
+    the time span, not the event count — a decade is 87k rows), reduced
+    from raw events by one groupBy; series parallelize by key."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    )
+    r = cells.select(
+        "event_type",
+        F.row_number().over(W.partitionBy("event_type").orderBy("h")).alias("rt"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("x", "h")).alias("rx"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(
+            (F.col("rx") - F.col("rt")).cast("decimal(38,0)")
+            * (F.col("rx") - F.col("rt"))
+        ).alias("d2"),
+    )
+    return s.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "CAST((CAST(n_hours AS DECIMAL(38,0)) * (CAST(n_hours AS DECIMAL(38,0)) * n_hours - 1)"
+            " - 6 * d2) * 1000000"
+            " div (CAST(n_hours AS DECIMAL(38,0)) * (CAST(n_hours AS DECIMAL(38,0)) * n_hours - 1))"
+            " AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+@query(
+    "quality_winsorize",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM {EVENTS} ev),
+    hist AS (SELECT event_type, c, count(*) AS n FROM q GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, c, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM hist),
+    thr AS (
+      SELECT event_type,
+             min(CASE WHEN cw >= (5 * tot + 99) // 100 THEN c END) AS lo_cents,
+             min(CASE WHEN cw >= (95 * tot + 99) // 100 THEN c END) AS hi_cents
+      FROM cum GROUP BY 1)
+    SELECT q.event_type,
+           count(*) AS n,
+           min(t.lo_cents) AS lo_cents,
+           min(t.hi_cents) AS hi_cents,
+           CAST(count(*) FILTER (WHERE q.c < t.lo_cents) AS BIGINT) AS n_low,
+           CAST(count(*) FILTER (WHERE q.c > t.hi_cents) AS BIGINT) AS n_high,
+           CAST(sum(CAST(least(greatest(q.c, t.lo_cents), t.hi_cents) AS HUGEINT))
+                AS BIGINT) AS winsorized_sum_cents
+    FROM q JOIN thr t USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("A9", "P2", "F5"),
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clamp each series' values at its own exact
+    nearest-rank p5/p95 before aggregating: the standard outlier
+    containment for training-signal and metric pipelines (drop nothing,
+    bound everything). The EXACT percentile never sorts the data: values
+    quantize to cents, a value-domain histogram (bounded by the domain,
+    not the row count) takes one cumulative window, and the nearest-rank
+    thresholds (ceil(p*n) via integer arithmetic) read off it — the
+    curriculum-ntile pattern. Thresholds broadcast back; the clamp is a
+    map-side least/greatest. Outputs per series: thresholds, clamp
+    counts each side, and the winsorized sum in exact integer cents.
+
+    Scale: the wide data is touched by one histogram groupBy and one
+    broadcast-join map pass — no global sort, no percentile_approx
+    sketch error; the window runs over distinct cents per series."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    hist = q.groupBy("event_type", "c").agg(F.count("*").alias("n"))
+    wcum = (
+        W.partitionBy("event_type").orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "c",
+        F.sum("n").over(wcum).alias("cw"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    thr = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cw") >= F.expr("(5 * tot + 99) div 100"), F.col("c"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cw") >= F.expr("(95 * tot + 99) div 100"), F.col("c"))
+        ).alias("hi_cents"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        q.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo_cents").alias("lo_cents"),
+            F.min("hi_cents").alias("hi_cents"),
+            F.sum(F.when(F.col("c") < F.col("lo_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("c") > F.col("hi_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(clamped.cast("decimal(38,0)")).cast("long").alias("winsorized_sum_cents"),
+        )
+    )

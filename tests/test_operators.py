@@ -1160,3 +1160,74 @@ def test_cusum_prefix_min_identity_matches_sequential_fold(spark, sf_small):
         for r in REGISTRY["timeseries_cusum_changepoint"].fn(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_sliding_median_matches_sequential_window(spark, sf_small):
+    # Frame semantics: med7 of row t must equal the lower median of the
+    # last <=7 hourly counts replayed sequentially per series.
+    from collections import defaultdict
+
+    rows = REGISTRY["win_sliding_median"].fn(spark, sf_small).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.h, r.x, r.med7))
+    for pts in series.values():
+        pts.sort()
+        hist = []
+        for _, x, med7 in pts:
+            hist.append(x)
+            win = sorted(hist[-7:])
+            assert med7 == win[(len(win) + 1) // 2 - 1]
+
+
+def test_spearman_trend_detects_planted_monotone_drift(spark, tmp_path):
+    # A strictly growing hourly series must score rho_ppm == 1e6 exactly
+    # (time ranks == value ranks); a strictly shrinking one scores -1e6.
+    import os
+
+    ev = []
+    eid = 0
+    for et, counts in [("up", range(1, 25)), ("down", range(24, 0, -1))]:
+        for hour, n in enumerate(counts):
+            for _ in range(n):
+                ev.append(
+                    (eid, f"2024-02-01 {hour:02d}:00:30", 1, et, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        ev, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "sp")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.event_type: r.rho_ppm
+        for r in REGISTRY["eval_spearman_trend"].fn(spark, d).collect()
+    }
+    assert got == {"up": 1_000_000, "down": -1_000_000}
+
+
+def test_winsorize_thresholds_are_exact_nearest_rank(spark, sf_small):
+    # Replay the nearest-rank definition off the raw values and check the
+    # histogram-derived thresholds and clamp counts agree.
+    import math
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(round(r.value * 100))
+    got = {
+        r.event_type: r
+        for r in REGISTRY["quality_winsorize"].fn(spark, sf_small).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        lo = cents[math.ceil(0.05 * n) - 1]
+        hi = cents[math.ceil(0.95 * n) - 1]
+        r = got[et]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi)
+        assert r.n_low == sum(1 for c in cents if c < lo)
+        assert r.n_high == sum(1 for c in cents if c > hi)
+        assert r.winsorized_sum_cents == sum(min(max(c, lo), hi) for c in cents)
