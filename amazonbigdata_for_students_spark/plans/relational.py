@@ -2791,3 +2791,81 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped.cast("decimal(38,0)")).cast("long").alias("winsorized_sum_cents"),
         )
     )
+
+
+@query(
+    "timeseries_theil_sen",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             (b.x - a.x) * 1000000 // (b.h - a.h) AS s_ppm
+      FROM cells a JOIN cells b
+        ON b.event_type = a.event_type AND b.h > a.h),
+    ranked AS (
+      SELECT event_type, s_ppm,
+             row_number() OVER (PARTITION BY event_type ORDER BY s_ppm) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs)
+    SELECT event_type, CAST(min(n_pairs) AS BIGINT) AS n_pairs,
+           min(CASE WHEN 2 * rn >= n_pairs + 1 THEN s_ppm END) AS slope_ppm
+    FROM ranked GROUP BY 1
+    """,
+    tags=("J8", "A9", "F4"),
+)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per series — the median of all pairwise
+    slopes (x_j - x_i)/(h_j - h_i) over the hourly grid: breakdown
+    point 29%, immune to the outlier hours that drag the least-squares
+    slope (agg_trend_slope) arbitrarily far. Slopes quantize to exact
+    floor-scaled ppm BEFORE the median (both engines truncate toward
+    zero — the interpolate-linear precedent), so the statistic is
+    defined over integers and the hash carries no float; the median is
+    the lower median via the one-pass rank window (the
+    agg_weighted_median pattern), never a collect-and-sort.
+
+    Scale: the pair join is QUADRATIC IN THE GRID, linear in nothing
+    else — the grid is bounded by the time span (30 days = 720 rows →
+    260k pairs per series; a decade = 87k rows → 3.8G pairs, at which
+    point the standard subsample — Theil-Sen over a bounded random
+    h-stratified subset — caps it; the operator's cost is set by the
+    RESOLUTION you ask for, not the event volume). Raw events are
+    reduced by the first groupBy; series parallelize by key."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select("event_type", F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = cells.select("event_type", F.col("h").alias("hb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("hb") > F.col("ha"))
+        .select(
+            "event_type",
+            F.expr("(xb - xa) * 1000000 div (hb - ha)").alias("s_ppm"),
+        )
+    )
+    wrk = W.partitionBy("event_type").orderBy("s_ppm")
+    wn = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "s_ppm",
+        F.row_number().over(wrk).alias("rn"),
+        F.count("*").over(wn).alias("n_pairs"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("n_pairs").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(2 * F.col("rn") >= F.col("n_pairs") + 1, F.col("s_ppm"))
+        ).alias("slope_ppm"),
+    )

@@ -2668,3 +2668,87 @@ def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         "score_scaled",
     )
+
+
+@query(
+    "lm_good_turing_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKENS}) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS r FROM toks GROUP BY w),
+    noc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY r),
+    tot AS (SELECT sum(r * n_r) AS n_tokens, sum(n_r) AS vocab FROM noc),
+    adj AS (
+      SELECT a.r, a.n_r,
+             b.n_r AS n_r_next,
+             CASE WHEN b.n_r IS NOT NULL
+                  THEN (a.r + 1) * b.n_r * 1000000 // a.n_r
+                  ELSE a.r * 1000000 END AS r_star_ppm
+      FROM noc a LEFT JOIN noc b ON b.r = a.r + 1
+      WHERE a.r IN (SELECT r FROM noc ORDER BY r LIMIT 10))
+    SELECT adj.r, adj.n_r, adj.r_star_ppm,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           (SELECT n_r FROM noc WHERE r = 1) * 1000000
+             // CAST(t.n_tokens AS BIGINT) AS p0_ppm
+    FROM adj, tot t
+    """,
+    tags=("U2", "A1", "J6"),
+)
+def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation — the count-of-counts smoother
+    under classical LM probability mass assignment: words seen r times
+    behave as if seen r* = (r+1)·N_{r+1}/N_r times, and the probability
+    mass reserved for UNSEEN words is N_1/N (Turing's estimate, the
+    quantity Kneser-Ney's absolute discount approximates). Emitted per
+    observed count r <= 10 (the regime where the estimate matters; the
+    adjusted count falls back to r when N_{r+1} = 0, the point the
+    'Simple Good-Turing' regression exists to fix) as exact
+    floor-scaled ppm — no float in the hash.
+
+    Emitted for the 10 SMALLEST observed counts rather than a fixed
+    r <= 10: on a web-scale (sparse, Zipf) vocabulary those are
+    literally r = 1..10 and the estimator is live; on the dense
+    committed-testdata vocabulary (31 words, every r in the thousands
+    and unique) each N_{r+1} is absent and every row reports the
+    fallback — degenerate but well-defined in both regimes.
+
+    Scale: two stacked count aggregations — words (vocab-bounded), then
+    counts-of-counts (bounded by max frequency, in practice < 1000
+    rows) — so everything after the first groupBy moves a table whose
+    size is independent of the corpus; the self-join on r+1 is over
+    that tiny table. Same shuffle shape at 1 GB and 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(TOKENS()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("r"))
+    )
+    noc = wc.groupBy("r").agg(F.count("*").alias("n_r")).localCheckpoint(eager=False)
+    tot = noc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r"))).alias("n1"),
+    )
+    nxt = noc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    low10 = noc.orderBy("r").limit(10).select("r")
+    adj = (
+        noc.join(F.broadcast(low10), "r", "semi")
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("n_r_next").isNotNull(),
+                F.expr("(r + 1) * n_r_next * 1000000 div n_r"),
+            )
+            .otherwise(F.col("r") * 1000000)
+            .cast("long")
+            .alias("r_star_ppm"),
+        )
+    )
+    return adj.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "n_r",
+        "r_star_ppm",
+        "n_tokens",
+        F.expr("n1 * 1000000 div n_tokens").alias("p0_ppm"),
+    )

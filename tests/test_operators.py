@@ -1231,3 +1231,62 @@ def test_winsorize_thresholds_are_exact_nearest_rank(spark, sf_small):
         assert r.n_low == sum(1 for c in cents if c < lo)
         assert r.n_high == sum(1 for c in cents if c > hi)
         assert r.winsorized_sum_cents == sum(min(max(c, lo), hi) for c in cents)
+
+
+def test_good_turing_live_estimate_on_sparse_vocab(spark, tmp_path):
+    # Craft counts: 3 words once, 2 words twice, 1 word three times.
+    # r=1: r* = 2*N2/N1 = 2*2/3 -> 1333333 ppm; r=2: 3*N3/N2 = 3*1/2
+    # -> 1500000 ppm; r=3: N4 absent -> fallback 3000000 ppm.
+    # p0 = N1/N = 3/10 -> 300000 ppm.
+    import os
+
+    text = "a b c d d e e f f f"
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "gt")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        r.r: r for r in REGISTRY["lm_good_turing_counts"].fn(spark, d).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_r == 3 and rows[1].r_star_ppm == 1_333_333
+    assert rows[2].n_r == 2 and rows[2].r_star_ppm == 1_500_000
+    assert rows[3].n_r == 1 and rows[3].r_star_ppm == 3_000_000
+    assert all(r.p0_ppm == 300_000 and r.n_tokens == 10 for r in rows.values())
+
+
+def test_theil_sen_matches_bruteforce_median_of_slopes(spark, sf_small):
+    from collections import defaultdict
+
+    cells = (
+        load_table(spark, sf_small, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in cells:
+        series[r.event_type].append((r.h, r.x))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                num = (pts[j][1] - pts[i][1]) * 1_000_000
+                den = pts[j][0] - pts[i][0]
+                q = abs(num) // den  # truncate toward zero like div / //
+                slopes.append(q if num >= 0 else -q)
+        slopes.sort()
+        expect[et] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    got = {
+        r.event_type: (r.n_pairs, r.slope_ppm)
+        for r in REGISTRY["timeseries_theil_sen"].fn(spark, sf_small).collect()
+    }
+    assert got == expect
