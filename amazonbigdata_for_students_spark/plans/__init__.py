@@ -102,6 +102,30 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "mm_goertzel_tone", "lm_kneser_ney_bigram", "graph_label_propagation",
     "acid_write_audit_publish", "timeseries_holt_trend",
     "dedup_span_ngrams_hashed", "txt_ndcg_eval", "txt_distinct_ngrams",
+    # -- r8 driver window, pinned in the order it was pre-verified (50
+    # names; previously implied by registry import order, which new
+    # module-level additions silently reshuffled — hence explicit) --
+    "clk_sessionize_chunked", "tokenizer_apply_bpe", "tokenizer_unigram_viterbi",
+    "tokenizer_wordpiece_apply", "txt_rake_keywords", "vec_mips_transform",
+    "dedup_semantic_clusters", "vec_random_projection_recall",
+    "vec_gram_covariance_topk", "agg_filter_clause", "sql_luhn_validate",
+    "agg_grouping_id", "dq_drift_psi", "agg_kmv_intersection",
+    "sql_create_function", "sql_group_order_by_all", "sql_unpivot_syntax",
+    "dq_ks_drift", "sql_scripting_threshold_search", "stream_alert_state_audit",
+    "stream_state_metadata_audit", "stream_atomic_two_table_sink",
+    "stream_confusion_monitor", "src_socket_stream_scan", "spam_classify_endpoint",
+    "src_python_stream_source", "engine_ctas_analyze", "src_rate_stream_scan",
+    "join_dynamic_partition_pruning", "mm_image_ahash", "mm_scene_change",
+    "mm_image_dhash", "shard_rendezvous_stability", "sample_weighted_ares",
+    "corpus_build_pipeline_v4", "corpus_build_pipeline_v6", "seq_span_corruption",
+    "mix_epoch_upsampling", "corpus_build_pipeline_v7", "retrieval_rrf_fusion",
+    "lm_glove_cooccur", "txt_mrr_eval", "lm_pmi_collocations", "rfm_segmentation",
+    "basket_copurchase_pairs", "acid_conflict_retry", "acid_row_delete",
+    "acid_restore_version", "acid_shallow_clone", "acid_log_checkpoint",
+    # -- r8 session additions (r9 rotation pool), landing order --
+    "skyline_pareto_front", "timeseries_concurrent_peak",
+    "timeseries_cusum_changepoint", "win_sliding_median", "eval_spearman_trend",
+    "quality_winsorize", "lm_good_turing_counts", "timeseries_theil_sen",
 )
 
 _WINDOW_SIZE = 50
