@@ -2346,12 +2346,16 @@ def timeseries_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional min; everything after the per-user groupBy moves only
     boundary edges, two rows per user-day regardless of activity."""
     ev = load_table(spark, sf_dir, "events")
+    # iv / edges / run each feed 2+ consumers below; localCheckpoint the
+    # BOUNDED reductions (2 rows per user-day at most) so the events scan
+    # and per-user groupBy run once, not once per consumer.
     iv = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(
             F.unix_timestamp(F.min("ts")).alias("s"),
             (F.unix_timestamp(F.max("ts")) + 1).alias("e"),
         )
+        .localCheckpoint(eager=False)
     )
     edges = (
         iv.select("day", F.col("s").alias("t"), F.lit(1).alias("d"))
@@ -2359,6 +2363,7 @@ def timeseries_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "t", "d")
         .agg(F.sum("d").cast("long").alias("w"))
         .withColumn("bucket", F.expr("t div 3600"))
+        .localCheckpoint(eager=False)
     )
     bucket_sums = edges.groupBy("day", "bucket").agg(F.sum("w").alias("bsum"))
     woff = (
@@ -2372,8 +2377,10 @@ def timeseries_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", F.col("d").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    run = edges.join(offsets, ["day", "bucket"]).select(
-        "day", "t", (F.col("off") + F.sum("w").over(wloc)).alias("r")
+    run = (
+        edges.join(offsets, ["day", "bucket"])
+        .select("day", "t", (F.col("off") + F.sum("w").over(wloc)).alias("r"))
+        .localCheckpoint(eager=False)
     )
     peak = run.groupBy("day").agg(F.max("r").alias("peak_users"))
     nday = iv.groupBy("day").agg(F.count("*").alias("n_intervals"))
@@ -2541,6 +2548,7 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
     )
     mu = cells.groupBy("event_type").agg(
         F.expr("sum(x) * 1000000L div count(*)").alias("mu_s")
@@ -2752,6 +2760,10 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join map pass — no global sort, no percentile_approx
     sketch error; the window runs over distinct cents per series."""
     ev = load_table(spark, sf_dir, "events")
+    # q feeds the histogram AND the final clamp pass: deliberately NOT
+    # checkpointed — it is corpus-sized, and two pushdown parquet scans of
+    # 2 columns are cheaper than materializing the projection (the
+    # checkpoint convention covers bounded reductions only).
     q = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
     )
@@ -2812,7 +2824,7 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY event_type) AS n_pairs
       FROM pairs)
     SELECT event_type, CAST(min(n_pairs) AS BIGINT) AS n_pairs,
-           min(CASE WHEN 2 * rn >= n_pairs + 1 THEN s_ppm END) AS slope_ppm
+           min(CASE WHEN 2 * rn >= n_pairs THEN s_ppm END) AS slope_ppm
     FROM ranked GROUP BY 1
     """,
     tags=("J8", "A9", "F4"),
@@ -2866,6 +2878,6 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         F.min("n_pairs").cast("long").alias("n_pairs"),
         F.min(
-            F.when(2 * F.col("rn") >= F.col("n_pairs") + 1, F.col("s_ppm"))
+            F.when(2 * F.col("rn") >= F.col("n_pairs"), F.col("s_ppm"))
         ).alias("slope_ppm"),
     )

@@ -1290,3 +1290,26 @@ def test_theil_sen_matches_bruteforce_median_of_slopes(spark, sf_small):
         for r in REGISTRY["timeseries_theil_sen"].fn(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_theil_sen_even_pair_count_takes_lower_median(spark, tmp_path):
+    # 4 hourly points (counts 1,10,12,13) -> 6 distinct slopes
+    # [1.0M, 1.5M, 2.0M, 4.0M, 5.5M, 9.0M]; the LOWER median (rank 3 of 6)
+    # is 2.0M. Guards the 2*rn >= n_pairs condition — the sf0.001 fixture
+    # happens to contain no even-pair series with distinct middle slopes,
+    # so only this crafted case can catch an upper-median regression.
+    import os
+
+    ev = []
+    eid = 0
+    for hour, n in [(0, 1), (1, 10), (2, 12), (3, 13)]:
+        for _ in range(n):
+            ev.append((eid, f"2024-04-01 {hour:02d}:00:30", 1, "t", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        ev, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "ts")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    r = REGISTRY["timeseries_theil_sen"].fn(spark, d).collect()[0]
+    assert (r.n_pairs, r.slope_ppm) == (6, 2_000_000)
