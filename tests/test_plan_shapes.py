@@ -704,3 +704,54 @@ def test_kl_filter_bias_single_scan(spark, sf_small):
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert final.count("FileScan") == 0
+
+
+def test_skyline_broadcasts_front_and_never_cartesian(spark, sf_small):
+    # The front-price set must reach the wide part table as a broadcast
+    # hash join — pairwise dominance (cartesian/NLJ) must never appear.
+    df = REGISTRY["skyline_pareto_front"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning: the part scan must not read p_name/p_type
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "p_name" not in read_schema and "p_retailprice" in read_schema
+
+
+def test_concurrent_peak_consumers_read_checkpoints_only(spark, sf_small):
+    # iv/edges/run are localCheckpointed: every downstream consumer reads
+    # the checkpointed reduction, so the final plan contains ZERO events
+    # FileScans (the one real scan ran once, under the checkpoint) — the
+    # guard against any consumer re-deriving from the source.
+    df = REGISTRY["timeseries_concurrent_peak"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_cusum_consumers_read_checkpoint_and_broadcast_mu(spark, sf_small):
+    df = REGISTRY["timeseries_cusum_changepoint"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_broadcasts_thresholds_two_pushdown_scans(spark, sf_small):
+    # The deliberate shape: histogram pass + clamp pass = exactly two
+    # events scans, both pruned to the 2 live columns, thresholds
+    # broadcast back.
+    df = REGISTRY["quality_winsorize"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n")[0]
+        assert "props" not in schema and "user_id" not in schema
+
+
+def test_theil_sen_pairs_join_reads_checkpoint_not_source(spark, sf_small):
+    # The grid self-join must consume the checkpointed cells, not re-run
+    # the events scan per side: zero FileScans in the executed plan.
+    df = REGISTRY["timeseries_theil_sen"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 0, plan
