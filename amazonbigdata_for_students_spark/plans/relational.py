@@ -2881,3 +2881,181 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("rn") >= F.col("n_pairs"), F.col("s_ppm"))
         ).alias("slope_ppm"),
     )
+
+
+@query(
+    "eval_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH halves AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                           THEN CAST(round(value * 100) AS BIGINT) END) AS HUGEINT)
+               AS tc1,
+             count(*) FILTER (WHERE CAST(ts AS DATE) <= DATE '2024-01-15') AS n1,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                           THEN CAST(round(value * 100) AS BIGINT) END) AS HUGEINT)
+               AS tc2,
+             count(*) FILTER (WHERE CAST(ts AS DATE) > DATE '2024-01-15') AS n2
+      FROM {EVENTS} ev GROUP BY 1),
+    d AS (
+      SELECT user_id,
+             (tc2 * 1000000 * n1 - tc1 * 1000000 * n2) // (n1 * n2) AS d_ppm
+      FROM halves WHERE n1 > 0 AND n2 > 0),
+    nz AS (SELECT abs(d_ppm) AS d_abs, d_ppm > 0 AS pos FROM d WHERE d_ppm <> 0),
+    grp AS (
+      SELECT d_abs, count(*) AS cnt,
+             count(*) FILTER (WHERE pos) AS npos
+      FROM nz GROUP BY 1),
+    ranked AS (
+      SELECT d_abs, cnt, npos,
+             coalesce(sum(cnt) OVER (ORDER BY d_abs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM grp)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+           CAST(sum((2 * off + cnt + 1) * npos) AS BIGINT) AS w_plus_2,
+           CAST(sum((2 * off + cnt + 1) * (cnt - npos)) AS BIGINT) AS w_minus_2
+    FROM ranked
+    """,
+    tags=("A9", "W3", "F4"),
+)
+def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test statistic — the paired nonparametric
+    before/after test (did per-user engagement change between the first
+    and second half of the month?), the rank-based complement to
+    McNemar (binary pairs) in the eval lane. Per user: the difference
+    of half-month mean values in exact floor-scaled ppm (cross-engine
+    truncation, decimal-lifted); zeros drop per the classical
+    procedure; |d| ties take AVERAGE ranks, kept integral by doubling —
+    a tie group occupying ranks [off+1, off+cnt] contributes
+    (2·off+cnt+1) = 2×(average rank) per member, so W+·2 and W-·2 are
+    exact integers with W+_2 + W-_2 = n(n+1) as a built-in invariant.
+
+    Scale: the rank never sorts users globally — distinct |d| values
+    aggregate first (the value-domain histogram pattern), and the
+    cumulative offset runs two-phase (per-bucket partials over
+    d_abs div 1e6, offset window over bucket summaries, within-bucket
+    window — concurrent_peak's prefix-sum shape), so no ordered
+    partition sees the full |d| domain."""
+    ev = load_table(spark, sf_dir, "events")
+    first_half = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    halves = ev.groupBy("user_id").agg(
+        F.sum(F.when(first_half, cents)).cast("decimal(38,0)").alias("tc1"),
+        F.sum(F.when(first_half, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~first_half, cents)).cast("decimal(38,0)").alias("tc2"),
+        F.sum(F.when(~first_half, 1).otherwise(0)).alias("n2"),
+    )
+    d = halves.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.expr(
+            "CAST((tc2 * 1000000 * n1 - tc1 * 1000000 * n2) div (n1 * n2) AS BIGINT)"
+        ).alias("d_ppm")
+    )
+    nz = d.filter(F.col("d_ppm") != 0).select(
+        F.abs(F.col("d_ppm")).alias("d_abs"), (F.col("d_ppm") > 0).alias("pos")
+    )
+    grp = (
+        nz.groupBy("d_abs")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("npos"),
+        )
+        .withColumn("bucket", F.expr("d_abs div 1000000"))
+        .localCheckpoint(eager=False)
+    )
+    bsum = grp.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    wpre = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bucket", F.coalesce(F.sum("bc").over(wpre), F.lit(0)).alias("boff")
+    )
+    wloc = (
+        W.partitionBy("bucket").orderBy("d_abs").rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = grp.join(F.broadcast(boff), "bucket").select(
+        "cnt",
+        "npos",
+        (F.col("boff") + F.coalesce(F.sum("cnt").over(wloc), F.lit(0))).alias("off"),
+    )
+    r2 = 2 * F.col("off") + F.col("cnt") + 1
+    return ranked.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum(r2 * F.col("npos")).cast("long").alias("w_plus_2"),
+        F.sum(r2 * (F.col("cnt") - F.col("npos"))).cast("long").alias("w_minus_2"),
+    )
+
+
+@query(
+    "rate_limit_token_bucket",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t
+      FROM {EVENTS} ev),
+    dts AS (
+      SELECT user_id, ts, event_id,
+             (t - coalesce(lag(t) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), t)) * 1000 AS dt_s
+      FROM seq),
+    folded AS (
+      SELECT user_id, count(*) AS n_events,
+             list_reduce(
+               list_prepend([CAST(10000 AS BIGINT), CAST(0 AS BIGINT)],
+                 list_transform(
+                   list(dt_s ORDER BY ts, event_id),
+                   v -> [CAST(v AS BIGINT), CAST(0 AS BIGINT)])),
+               (acc, x) -> CASE
+                 WHEN least(10000, acc[1] + x[1]) >= 1000
+                 THEN [least(10000, acc[1] + x[1]) - 1000, acc[2] + 1]
+                 ELSE [least(10000, acc[1] + x[1]), acc[2]] END) AS st
+      FROM dts GROUP BY user_id)
+    SELECT user_id, n_events, st[2] AS n_admitted, st[1] AS tokens_end_scaled
+    FROM folded
+    """,
+    tags=("W2", "F7", "U3"),
+)
+def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiter replay — the admission-control primitive
+    (API quotas, ingest throttling, bot damping) audited offline: per
+    user, a bucket of capacity 10 tokens refilling at 1 token/sec; each
+    event costs 1; events with an empty bucket are DENIED. Emits per
+    user the admitted count and final bucket level. The recurrence
+    min(cap, t + dt) - cost·admit is clamped on BOTH sides, so unlike
+    CUSUM it has no prefix closed form — it folds a per-user ordered
+    array (the timeseries_ewma shape): lag() for inter-event gaps in
+    whole seconds (floor on both engines), then aggregate() with a
+    two-slot integer state [tokens_milli, admitted] — exact integer
+    milli-token arithmetic, no float drift, bucket level bounded by
+    construction so the state never grows.
+
+    Scale: one shuffle on the series key; the fold runs inside codegen
+    per key. Monster keys chunk via the segmented-fold composition
+    (token-bucket steps are monotone non-expansive maps — fold chunks,
+    carry [tokens, admitted] across chunk boundaries)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dts = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("t") - F.coalesce(F.lag("t").over(wlag), F.col("t"))) * 1000).alias(
+            "dt_s"
+        ),
+    )
+    g = dts.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "dt_s"))).alias("ss"),
+    )
+    fold = F.expr(
+        "aggregate(transform(ss, s -> s.dt_s), array(10000L, 0L), "
+        "(acc, x) -> IF(least(10000L, acc[0] + x) >= 1000L, "
+        "array(least(10000L, acc[0] + x) - 1000L, acc[1] + 1L), "
+        "array(least(10000L, acc[0] + x), acc[1])))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.element_at(fold, 2).alias("n_admitted"),
+        F.element_at(fold, 1).alias("tokens_end_scaled"),
+    )

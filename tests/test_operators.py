@@ -1313,3 +1313,55 @@ def test_theil_sen_even_pair_count_takes_lower_median(spark, tmp_path):
     df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
     r = REGISTRY["timeseries_theil_sen"].fn(spark, d).collect()[0]
     assert (r.n_pairs, r.slope_ppm) == (6, 2_000_000)
+
+
+def test_wilcoxon_tie_ranks_and_invariant(spark, tmp_path):
+    # Users engineered to known half-month mean diffs (value in cents):
+    # u1 +100, u2 -100 (|d| tie -> average rank over ranks {1,2} = 1.5,
+    # r2 = 3 each), u3 +300 (rank 3, r2 = 6), u4 d = 0 (dropped),
+    # u5 only first half (dropped). W+_2 = 3 + 6 = 9, W-_2 = 3,
+    # and W+_2 + W-_2 == n(n+1) = 12.
+    import os
+
+    rows = []
+    eid = 0
+
+    def ev(uid, day, val):
+        nonlocal eid
+        rows.append((eid, f"2024-01-{day:02d} 10:00:00", uid, "view", val, "{}"))
+        eid += 1
+
+    ev(1, 5, 1.00); ev(1, 20, 2.00)        # d = +100 cents
+    ev(2, 5, 2.00); ev(2, 20, 1.00)        # d = -100
+    ev(3, 5, 1.00); ev(3, 20, 4.00)        # d = +300
+    ev(4, 5, 2.50); ev(4, 20, 2.50)        # d = 0 -> dropped
+    ev(5, 5, 9.00)                          # second half missing -> dropped
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "wx")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    r = REGISTRY["eval_wilcoxon_signed_rank"].fn(spark, d).collect()[0]
+    assert (r.n_pairs, r.w_plus_2, r.w_minus_2) == (3, 9, 3)
+    assert r.w_plus_2 + r.w_minus_2 == r.n_pairs * (r.n_pairs + 1)
+
+
+def test_token_bucket_burst_denial_and_refill(spark, tmp_path):
+    # 12 events in the same second: the full 10-token bucket admits 10,
+    # denies 2. After a 5-second gap, 5 tokens refill: next 6 events in
+    # one second admit 5, deny 1. Final bucket: 0 tokens.
+    import os
+
+    rows = []
+    eid = 0
+    for _ in range(12):
+        rows.append((eid, "2024-01-01 00:00:00", 7, "view", 1.0, "{}")); eid += 1
+    for _ in range(6):
+        rows.append((eid, "2024-01-01 00:00:05", 7, "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "tb")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    r = REGISTRY["rate_limit_token_bucket"].fn(spark, d).collect()[0]
+    assert (r.n_events, r.n_admitted, r.tokens_end_scaled) == (18, 15, 0)
