@@ -211,6 +211,13 @@ PROBES: list[tuple[str, object, dict]] = [
     ("salted_hot_key_join", registry_probe("salted_hot_key_join"), {}),
     ("join_large_facts[control]", registry_probe("join_large_facts"), {}),
     ("q5_local_supplier_volume[control]", registry_probe("q5_local_supplier_volume"), {}),
+    # r8 additions keyed on user_id — the hot-key victims of this fixture:
+    # token bucket folds a per-user ordered ARRAY (the monster-key case its
+    # docstring cites), concurrent-peak reduces users to 2 edges before any
+    # window (should be immune), wilcoxon aggregates users to one |d| row.
+    ("rate_limit_token_bucket", registry_probe("rate_limit_token_bucket"), {}),
+    ("timeseries_concurrent_peak", registry_probe("timeseries_concurrent_peak"), {}),
+    ("eval_wilcoxon_signed_rank", registry_probe("eval_wilcoxon_signed_rank"), {}),
 ]
 
 
