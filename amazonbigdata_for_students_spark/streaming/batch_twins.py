@@ -31,7 +31,9 @@ _EVENTS_RAW = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """S2 — the events table as a parquet file stream, converted exactly like
     the batch loader. Handles every layout the driver has shipped:
     events.parquet as a directory of Spark part files, as a single file with
@@ -47,7 +49,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         # Spark-written table: ts is already a proper (micros) timestamp.
-        return spark.readStream.schema(schemas.EVENTS).parquet(path)
+        # max_files_per_trigger forces one micro-batch per part file (the
+        # cross-batch state-carry tests); availableNow otherwise drains in
+        # a single batch.
+        reader = spark.readStream.schema(schemas.EVENTS)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(path)
     if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
         raw = (
             spark.readStream.schema(_EVENTS_RAW)
@@ -1333,3 +1341,73 @@ def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return _drain(cells, "stream_confusion_monitor", mode="complete")
+
+
+@query(
+    "stream_token_bucket",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t
+      FROM {EVENTS} ev),
+    dts AS (
+      SELECT user_id, ts, event_id,
+             (t - coalesce(lag(t) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), t)) * 1000 AS dt_s
+      FROM seq),
+    folded AS (
+      SELECT user_id, count(*) AS n_events,
+             list_reduce(
+               list_prepend([CAST(10000 AS BIGINT), CAST(0 AS BIGINT)],
+                 list_transform(
+                   list(dt_s ORDER BY ts, event_id),
+                   v -> [CAST(v AS BIGINT), CAST(0 AS BIGINT)])),
+               (acc, x) -> CASE
+                 WHEN least(10000, acc[1] + x[1]) >= 1000
+                 THEN [least(10000, acc[1] + x[1]) - 1000, acc[2] + 1]
+                 ELSE [least(10000, acc[1] + x[1]), acc[2]] END) AS st
+      FROM dts GROUP BY user_id)
+    SELECT user_id, n_events, st[2] AS n_admitted, st[1] AS tokens_end_scaled
+    FROM folded
+    """,
+    tags=("T5", "T7", "U3"),
+)
+def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket rate limiter — the stateful-streaming twin
+    of rate_limit_token_bucket (same oracle, byte-identical answer): per
+    user, GroupState carries (tokens_milli, admitted, n, last_t); each
+    micro-batch folds its rows in (ts, event_id) order onto the carried
+    state — refill min(cap, t + dt), admit/deny, exact integer
+    milli-tokens — with last event time carried ACROSS batches so
+    inter-batch gaps refill exactly like intra-batch ones. Emits a
+    running snapshot per batch (update mode); the final per-user row
+    (max n_events) is the oracle's answer. This is the online
+    admission-control shape: state is 4 longs per key, O(batch) fold,
+    runs forever at any rate.
+
+    Same ordering contract as stream_ewma_anomaly: rows sort within a
+    batch, exact iff per-user event time is nondecreasing across
+    batches (true for the driver's single-file availableNow layout and
+    for time-partitioned replay)."""
+    from pyspark.sql import Window as PW
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+
+    from .folds import token_bucket_fold
+
+    snap = keyed.groupBy("user_id").applyInPandasWithState(
+        token_bucket_fold,
+        outputStructType=(
+            "user_id long, n_events long, n_admitted long, tokens_end_scaled long"
+        ),
+        stateStructType="tok long, adm long, n long, last_t long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _drain(snap, "stream_token_bucket", mode="update")
+    w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
