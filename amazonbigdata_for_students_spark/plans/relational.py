@@ -2983,9 +2983,10 @@ def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rate_limit_token_bucket",
-    oracle=f"""
+# Shared by rate_limit_token_bucket and its streaming twin
+# (streaming.batch_twins.stream_token_bucket): the twins' contract is a
+# byte-identical answer against the SAME oracle — one constant enforces it.
+TOKEN_BUCKET_ORACLE = f"""
     WITH seq AS (
       SELECT user_id, ts, event_id,
              CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t
@@ -3009,8 +3010,13 @@ def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dts GROUP BY user_id)
     SELECT user_id, n_events, st[2] AS n_admitted, st[1] AS tokens_end_scaled
     FROM folded
-    """,
-    tags=("W2", "F7", "U3"),
+    """
+
+
+@query(
+    "rate_limit_token_bucket",
+    oracle=TOKEN_BUCKET_ORACLE,
+    tags=("W2", "F7", "A8"),
 )
 def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket rate limiter replay — the admission-control primitive

@@ -15,7 +15,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..plans.registry import query
-from ..plans.relational import EVENTS
+from ..plans.relational import EVENTS, TOKEN_BUCKET_ORACLE
 
 _COUNTER = itertools.count()
 
@@ -29,6 +29,17 @@ _EVENTS_RAW = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _final_snapshot(res: DataFrame, key: str = "user_id") -> DataFrame:
+    """Update-mode drains emit one snapshot row per touched key per
+    micro-batch; the per-key FINAL state is the row with the largest
+    n_events (monotone per batch). Shared by the ewma and token-bucket
+    twins — the snapshot-selection rule lives once."""
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy(key).orderBy(F.desc("n_events"))
+    return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
 def events_stream(
@@ -57,17 +68,20 @@ def events_stream(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return reader.parquet(path)
     if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        raw = spark.readStream.schema(_EVENTS_RAW).option(
+            "pathGlobFilter", "events.parquet"
         )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(schemas.EVENTS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        if max_files_per_trigger:
+            raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+        return raw.parquet(sf_dir).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    reader = spark.readStream.schema(schemas.EVENTS).option(
+        "pathGlobFilter", "events.parquet"
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
 
 
 def _drain(
@@ -1245,7 +1259,10 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_ewma(key, pdfs, state):
         import pandas as pd  # executor-side
 
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        objs = list(pdfs)
+        if not objs:  # timed-out key invocation: pd.concat([]) would raise
+            return
+        rows = pd.concat(objs, ignore_index=True)
         if rows.empty:
             return
         rows = rows.sort_values(["ts", "event_id"])
@@ -1284,8 +1301,7 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     res = _drain(snap, "stream_ewma", mode="update")
-    w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    return _final_snapshot(res)
 
 
 from ..plans.text import LANG_HITS_SQL as _MON_HITS  # noqa: E402
@@ -1345,32 +1361,8 @@ def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_token_bucket",
-    oracle=f"""
-    WITH seq AS (
-      SELECT user_id, ts, event_id,
-             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t
-      FROM {EVENTS} ev),
-    dts AS (
-      SELECT user_id, ts, event_id,
-             (t - coalesce(lag(t) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id), t)) * 1000 AS dt_s
-      FROM seq),
-    folded AS (
-      SELECT user_id, count(*) AS n_events,
-             list_reduce(
-               list_prepend([CAST(10000 AS BIGINT), CAST(0 AS BIGINT)],
-                 list_transform(
-                   list(dt_s ORDER BY ts, event_id),
-                   v -> [CAST(v AS BIGINT), CAST(0 AS BIGINT)])),
-               (acc, x) -> CASE
-                 WHEN least(10000, acc[1] + x[1]) >= 1000
-                 THEN [least(10000, acc[1] + x[1]) - 1000, acc[2] + 1]
-                 ELSE [least(10000, acc[1] + x[1]), acc[2]] END) AS st
-      FROM dts GROUP BY user_id)
-    SELECT user_id, n_events, st[2] AS n_admitted, st[1] AS tokens_end_scaled
-    FROM folded
-    """,
-    tags=("T5", "T7", "U3"),
+    oracle=TOKEN_BUCKET_ORACLE,
+    tags=("T5", "U3"),
 )
 def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-bucket rate limiter — the stateful-streaming twin
@@ -1389,16 +1381,26 @@ def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, exact iff per-user event time is nondecreasing across
     batches (true for the driver's single-file availableNow layout and
     for time-partitioned replay)."""
-    from pyspark.sql import Window as PW
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    ev = events_stream(spark, sf_dir)
-    keyed = ev.select(
-        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    return _final_snapshot(
+        token_bucket_stream(spark, sf_dir), key="user_id"
     )
+
+
+def token_bucket_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Build + drain the token-bucket stream: the registered query AND the
+    cross-batch state-carry test drive this one pipeline (projection,
+    fold, schemas), so a schema or snapshot change cannot diverge
+    between them. Returns the drained update-mode snapshot table."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .folds import token_bucket_fold
 
+    ev = events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    keyed = ev.select(
+        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    )
     snap = keyed.groupBy("user_id").applyInPandasWithState(
         token_bucket_fold,
         outputStructType=(
@@ -1408,6 +1410,7 @@ def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    res = _drain(snap, "stream_token_bucket", mode="update")
-    w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    name = "stream_token_bucket" if max_files_per_trigger is None else (
+        f"stream_token_bucket_mfpt{max_files_per_trigger}"
+    )
+    return _drain(snap, name, mode="update")

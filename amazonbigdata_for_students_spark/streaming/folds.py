@@ -20,7 +20,10 @@ def token_bucket_fold(key, pdfs, state):
     twin's aggregate() fold."""
     import pandas as pd  # executor-side
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    objs = list(pdfs)
+    if not objs:  # timed-out key invocation: pd.concat([]) would raise
+        return
+    rows = pd.concat(objs, ignore_index=True)
     if rows.empty:
         return
     rows = rows.sort_values(["ts", "event_id"])

@@ -437,18 +437,16 @@ def test_streaming_throughput_harness(spark):
 
 def test_token_bucket_state_carries_dt_across_microbatches(spark, tmp_path):
     # Two part files = two micro-batches (maxFilesPerTrigger=1). User 7
-    # drains the bucket in batch 1 (12 events, 1 admitted-per-token ->
-    # 10 admitted, 0 tokens left); batch 2 arrives 5 seconds later — the
-    # carried last_t must refill exactly 5 tokens, so 6 more events admit
-    # 5 and deny 1. A fold that forgets last_t across batches would
-    # refill from a full bucket (admit all 6) or not at all (admit 0).
+    # drains the bucket in batch 1 (12 events -> 10 admitted, 0 tokens
+    # left); batch 2 arrives 5 seconds later — the carried last_t must
+    # refill exactly 5 tokens, so 6 more events admit 5 and deny 1. A
+    # fold that forgets last_t across batches would refill from a full
+    # bucket (admit all 6) or not at all (admit 0). Drives the SAME
+    # builder the registered query runs (token_bucket_stream).
     from amazonbigdata_for_students_spark.streaming.batch_twins import (
-        _drain,
-        events_stream,
+        _final_snapshot,
+        token_bucket_stream,
     )
-    from amazonbigdata_for_students_spark.streaming.folds import token_bucket_fold
-    from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql import Window as PW
 
     d = tmp_path / "tbx" / "events.parquet"
     d.mkdir(parents=True)
@@ -471,24 +469,10 @@ def test_token_bucket_state_carries_dt_across_microbatches(spark, tmp_path):
     write_part("part-000.parquet", "2024-01-01 00:00:00", 12, 0)
     write_part("part-001.parquet", "2024-01-01 00:00:05", 6, 100)
 
-    ev = events_stream(spark, str(tmp_path / "tbx"), max_files_per_trigger=1)
-    keyed = ev.select(
-        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    res = token_bucket_stream(
+        spark, str(tmp_path / "tbx"), max_files_per_trigger=1
     )
-    snap = keyed.groupBy("user_id").applyInPandasWithState(
-        token_bucket_fold,
-        outputStructType=(
-            "user_id long, n_events long, n_admitted long, tokens_end_scaled long"
-        ),
-        stateStructType="tok long, adm long, n long, last_t long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    res = _drain(snap, "tb_multibatch", mode="update")
-    w = PW.partitionBy("user_id").orderBy(F.desc("n_events"))
-    final = (
-        res.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
-    )
+    final = _final_snapshot(res).collect()
     assert len(final) == 1
     r = final[0]
     assert (r.n_events, r.n_admitted, r.tokens_end_scaled) == (18, 15, 0)
