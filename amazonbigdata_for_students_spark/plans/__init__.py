@@ -127,7 +127,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "timeseries_cusum_changepoint", "win_sliding_median", "eval_spearman_trend",
     "quality_winsorize", "lm_good_turing_counts", "timeseries_theil_sen",
     "eval_wilcoxon_signed_rank", "rate_limit_token_bucket",
-    "stream_token_bucket",
+    "stream_token_bucket", "timeseries_autocorrelation",
 )
 
 _WINDOW_SIZE = 50

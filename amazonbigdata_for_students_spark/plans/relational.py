@@ -3065,3 +3065,92 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fold, 2).alias("n_admitted"),
         F.element_at(fold, 1).alias("tokens_end_scaled"),
     )
+
+
+@query(
+    "timeseries_autocorrelation",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM cells GROUP BY 1),
+    lags AS (
+      SELECT a.event_type, k.k,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(a.x * b.x) AS HUGEINT) AS sab,
+             CAST(sum(a.x) AS HUGEINT) AS sa,
+             CAST(sum(b.x) AS HUGEINT) AS sb
+      FROM cells a
+      JOIN unnest(generate_series(1, 24)) AS k(k) ON true
+      JOIN cells b ON b.event_type = a.event_type AND b.h = a.h + k.k
+      GROUP BY 1, 2)
+    SELECT l.event_type, CAST(l.k AS BIGINT) AS k, CAST(l.m AS BIGINT) AS n_pairs,
+           CAST((t.n * t.n * l.sab - t.n * t.s * (l.sa + l.sb) + l.m * t.s * t.s)
+                * 1000000
+                // (t.n * t.n * t.sxx - t.n * t.s * t.s) AS BIGINT) AS acf_ppm
+    FROM lags l JOIN tot t USING (event_type)
+    """,
+    tags=("W2", "F4", "J8"),
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function — lag-1..24 ACF per series over the
+    hourly count grid: THE periodicity detector (a daily cycle shows as
+    an acf peak at k=24, burst persistence as slow lag-1 decay), feeding
+    seasonal-model order selection the way timeseries_stl_decompose
+    consumes a fixed period. Exactness trick: the mean-centered
+    covariance ratio is a rational in (n, S=Σx, Σx², Σx_t·x_{t+k}, per-
+    lag marginals) — multiplying num and den by n² clears every division
+    until the final 1e6-scaled floor, so the hash sees only exact
+    integers (n²Σx² overflows int64 at sf100 counts: every term is
+    decimal(38,0)/HUGEINT-lifted, the Mann-Whitney discipline). Defined
+    over OBSERVED hours (gap pairs absent on both engines identically).
+
+    Scale: the lag join is (grid x 24), bounded by the time span — the
+    wide data reduced away by the first groupBy; totals broadcast; the
+    per-(series, lag) aggregate is the only shuffle after that."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    a = cells.select(
+        "event_type", F.col("h").alias("ha"), F.col("x").alias("xa")
+    ).withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(24))))
+    b = cells.select("event_type", F.col("h").alias("hb"), F.col("x").alias("xb"))
+    lags = (
+        a.join(b, (a.event_type == b.event_type) & (b.hb == a.ha + a.k))
+        .drop(b.event_type)
+        .groupBy("event_type", "k")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("m"),
+            F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("sab"),
+            F.sum("xa").cast("decimal(38,0)").alias("sa"),
+            F.sum("xb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    return lags.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST((n * n * sab - n * s * (sa + sb) + m * s * s) * 1000000"
+            " div (n * n * sxx - n * s * s) AS BIGINT)"
+        ).alias("acf_ppm"),
+    )

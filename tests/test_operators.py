@@ -1365,3 +1365,46 @@ def test_token_bucket_burst_denial_and_refill(spark, tmp_path):
     df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
     r = REGISTRY["rate_limit_token_bucket"].fn(spark, d).collect()[0]
     assert (r.n_events, r.n_admitted, r.tokens_end_scaled) == (18, 15, 0)
+
+
+def test_autocorrelation_matches_bruteforce_replay(spark, sf_small):
+    # The multiplied-out integer identity must equal the literal
+    # mean-centered ACF computed in exact Fraction arithmetic, floored to
+    # ppm with truncation toward zero.
+    from collections import defaultdict
+    from fractions import Fraction
+
+    cells = (
+        load_table(spark, sf_small, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in cells:
+        series[r.event_type][r.h] = r.x
+    expect = {}
+    for et, grid in series.items():
+        xs = list(grid.values())
+        n, s = len(xs), sum(xs)
+        mu = Fraction(s, n)
+        den = sum((Fraction(x) - mu) ** 2 for x in xs)
+        for k in range(1, 25):
+            num = sum(
+                (Fraction(grid[h]) - mu) * (Fraction(grid[h + k]) - mu)
+                for h in grid
+                if h + k in grid
+            )
+            m = sum(1 for h in grid if h + k in grid)
+            q = num * 1_000_000 / den
+            ppm = int(q) if q >= 0 else -int(-q)  # truncate toward zero
+            expect[(et, k)] = (m, ppm)
+    got = {
+        (r.event_type, r.k): (r.n_pairs, r.acf_ppm)
+        for r in REGISTRY["timeseries_autocorrelation"].fn(spark, sf_small).collect()
+    }
+    assert got == expect
