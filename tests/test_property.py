@@ -352,3 +352,74 @@ def test_f1_single_division_identity(tp, fp, fn):
     p = Fraction(tp, n_pred)
     r = Fraction(tp, n_actual)
     assert Fraction(2 * tp, n_pred + n_actual) == 2 * p * r / (p + r)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState — the fold only touches
+    exists / get / update."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_fold(batches):
+    """Drive streaming.folds.token_bucket_fold over a list of batches
+    (each a list of epoch seconds) with one carried state; return the
+    final (n_events, n_admitted, tokens_end_scaled)."""
+    import pandas as pd
+
+    from amazonbigdata_for_students_spark.streaming.folds import token_bucket_fold
+
+    state = _FakeGroupState()
+    last = None
+    for i, ts in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [7] * len(ts),
+                "ts": list(ts),
+                "event_id": list(range(i * 10_000, i * 10_000 + len(ts))),
+                "t": list(ts),
+            }
+        )
+        out = list(token_bucket_fold((7,), iter([pdf]), state))
+        if out:
+            last = out[0].iloc[0]
+    return int(last["n_events"]), int(last["n_admitted"]), int(last["tokens_end_scaled"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=60),
+    split=st.integers(min_value=0, max_value=60),
+)
+def test_token_bucket_fold_split_invariance_and_bounds(gaps, split):
+    # Event times from cumulative gaps (nondecreasing — the ordering
+    # contract). Folding everything in ONE batch must equal folding with
+    # a state hand-off at ANY split point, and the bucket invariants must
+    # hold: 0 <= tokens <= capacity, admitted <= n, and admitted >= 1
+    # (the first event always finds a full bucket).
+    t0 = 1_700_000_000
+    ts = []
+    t = t0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    split = min(split, len(ts))
+    one = _run_fold([ts])
+    two = _run_fold([ts[:split], ts[split:]] if 0 < split < len(ts) else [ts])
+    assert one == two
+    n, adm, tok = one
+    assert n == len(ts)
+    assert 1 <= adm <= n
+    assert 0 <= tok <= 10000
