@@ -128,6 +128,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "quality_winsorize", "lm_good_turing_counts", "timeseries_theil_sen",
     "eval_wilcoxon_signed_rank", "rate_limit_token_bucket",
     "stream_token_bucket", "timeseries_autocorrelation",
+    "timeseries_cross_correlation", "eval_kaplan_meier",
+    "eval_decision_stump", "rec_item_cosine",
 )
 
 _WINDOW_SIZE = 50

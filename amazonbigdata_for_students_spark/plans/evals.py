@@ -1244,3 +1244,234 @@ def mix_kl_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_tot").alias("n_kept"),
         "kl_nats_nano",
     )
+
+
+# --- Kaplan-Meier survival of user activity lifetimes -------------------------
+_KM_CENSOR_US = 3 * 86_400_000_000  # still-active horizon: last 3 days
+_KM_EVENTS = (
+    "(SELECT * REPLACE (CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts)"
+    " FROM events)"
+)
+
+
+@query(
+    "eval_kaplan_meier",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS t,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+      FROM {_KM_EVENTS} ev GROUP BY 1),
+    horizon AS (SELECT max(last_us) AS max_us FROM spans),
+    marked AS (
+      SELECT t, CASE WHEN last_us >= max_us - {_KM_CENSOR_US} THEN 1 ELSE 0 END AS cens
+      FROM spans CROSS JOIN horizon),
+    durs AS (
+      SELECT t,
+             CAST(sum(1 - cens) AS BIGINT) AS d,
+             CAST(sum(cens) AS BIGINT) AS c
+      FROM marked GROUP BY 1),
+    risked AS (
+      SELECT t, d, c,
+             CAST((SELECT count(*) FROM marked)
+                  - coalesce(sum(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM durs),
+    terms AS (
+      SELECT *,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN CAST(floor(
+                    ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS term,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS extinct
+      FROM risked)
+    SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_deaths, c AS c_censored,
+           CASE WHEN extinct = 1 THEN NULL
+                ELSE CAST(sum(term) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                END AS surv_lnsum_nano
+    FROM terms
+    """,
+    tags=("A1", "W3", "F1", "F4"),
+)
+def eval_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
+    activity lifetimes — the product-limit curve every retention team
+    reads: lifetime = days between a user's first and last event, RIGHT-
+    CENSORED for users still active in the final 3 days of the
+    observation window (their true lifetime is only known to exceed the
+    observed span — treating them as churned is the classic retention-
+    analysis bias K-M exists to fix). Per distinct duration t: the risk
+    set n_risk (users whose lifetime reached t), deaths d (churned at
+    exactly t), censored c, and the survival curve as the cumulative
+    Σ ln(1 - d/n_risk) — reported as a 1e-9-quantized exact-integer sum
+    (the repo's ln discipline: each term floor(x·1e9 + 0.5), so the
+    cumulative is an exact integer in any engine; S(t) = exp(sum/1e9)
+    for display). If a risk set ever dies out entirely (d = n_risk,
+    S -> 0, ln -> -inf) the curve reports NULL from that t on — the
+    deterministic extinction flag is a running max, not a float.
+
+    Scale: one scan -> per-user min/max aggregate (map-side combine on
+    user_id), then the risk-set table is bounded by DISTINCT DURATIONS
+    (<= observation span in days, ~30 here), so the ordered windows run
+    over a constant-size table — never over users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 86400000000").alias("t"),
+        F.expr("unix_micros(max(ts))").alias("last_us"),
+    )
+    horizon = spans.agg(
+        F.max("last_us").alias("max_us"), F.count("*").cast("long").alias("n_users")
+    )
+    marked = spans.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.expr(f"CASE WHEN last_us >= max_us - {_KM_CENSOR_US} THEN 1 ELSE 0 END").alias(
+            "cens"
+        ),
+        "n_users",
+    )
+    durs = marked.groupBy("t").agg(
+        F.sum(F.expr("1 - cens")).cast("long").alias("d"),
+        F.sum("cens").cast("long").alias("c"),
+        F.max("n_users").alias("n_users"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risked = durs.withColumn(
+        "n_risk",
+        (F.col("n_users") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)))
+        .cast("long"),
+    )
+    terms = risked.withColumn(
+        "term",
+        F.expr(
+            "CASE WHEN d = 0 THEN 0"
+            " WHEN d < n_risk THEN CAST(floor("
+            "ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000000 + 0.5) AS BIGINT)"
+            " ELSE 0 END"
+        ),
+    ).withColumn("extinct", F.max(F.expr("CASE WHEN d >= n_risk THEN 1 ELSE 0 END")).over(wc))
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_deaths"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("extinct") == 1, F.lit(None).cast("long"))
+        .otherwise(F.sum("term").over(wc))
+        .alias("surv_lnsum_nano"),
+    )
+
+
+# --- decision-stump training: best Gini split --------------------------------
+@query(
+    "eval_decision_stump",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS p
+      FROM labeled),
+    vals AS (
+      SELECT v, CAST(count(*) AS HUGEINT) AS cnt, CAST(sum(y) AS HUGEINT) AS pos
+      FROM labeled GROUP BY 1),
+    cums AS (
+      SELECT v,
+             sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             sum(pos) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+      FROM vals),
+    scored AS (
+      SELECT v, nl, pl, t.n - nl AS nr, t.p - pl AS pr,
+             (pl * pl + (nl - pl) * (nl - pl)) * 1000000000000 // nl
+             + ((t.p - pl) * (t.p - pl)
+                + ((t.n - nl) - (t.p - pl)) * ((t.n - nl) - (t.p - pl)))
+               * 1000000000000 // (t.n - nl) AS score
+      FROM cums CROSS JOIN tot t
+      WHERE t.n - nl > 0)
+    SELECT CAST(t.n AS BIGINT) AS n_docs, CAST(t.p AS BIGINT) AS n_pos,
+           CAST(s.v AS BIGINT) AS threshold,
+           CAST(s.nl AS BIGINT) AS n_left, CAST(s.pl AS BIGINT) AS pos_left,
+           CAST(s.nr AS BIGINT) AS n_right, CAST(s.pr AS BIGINT) AS pos_right,
+           CAST(s.score AS BIGINT) AS purity_scaled,
+           CAST((t.p * t.p + (t.n - t.p) * (t.n - t.p)) * 1000000000000 // t.n
+                AS BIGINT) AS baseline_scaled
+    FROM scored s CROSS JOIN tot t
+    ORDER BY s.score DESC, s.v ASC LIMIT 1
+    """,
+    tags=("A1", "W3", "O2", "U2"),
+)
+def eval_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump distributed — the exact best single
+    threshold on n_chars predicting lang='en' (CART with one split,
+    Breiman et al. 1984): the root-node computation of every
+    distributed tree learner (XGBoost/LightGBM histogram-mode grows
+    trees from exactly this cumulative-counts-over-the-value-domain
+    scan). Split quality = weighted Gini purity; minimizing weighted
+    impurity Σ_side n_s·(1 - Σ p_i²) is equivalent to MAXIMIZING
+    Σ_side (pos_s² + neg_s²)/n_s, which stays integer-exact: each
+    side's term is floor-scaled at 1e12 (ties inside the 1e-12 window
+    resolve to the smaller threshold in both engines — deterministic).
+    Candidates = every distinct feature value with a non-empty right
+    side; reported with the no-split baseline purity so the consumer
+    reads the gain directly.
+
+    Scale: one scan -> per-VALUE counts (the value domain, not the
+    rows, bounds everything downstream — the histogram trick of
+    distributed GBDT); one ordered window over that bounded table;
+    argmax is a top-1 TakeOrdered. pos² at corpus scale (~1e12 docs)
+    reaches 1e24 and is multiplied by 1e12: decimal(38,0)/HUGEINT
+    everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    tot = labeled.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("p"),
+    )
+    vals = labeled.groupBy("v").agg(
+        F.count("*").cast("decimal(38,0)").alias("cnt"),
+        F.sum("y").cast("decimal(38,0)").alias("pos"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cums = vals.select(
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+    )
+    scored = (
+        cums.crossJoin(F.broadcast(tot))
+        .where(F.expr("n - nl > 0"))
+        .select(
+            "v",
+            "nl",
+            "pl",
+            F.expr("n - nl").alias("nr"),
+            F.expr("p - pl").alias("pr"),
+            F.expr(
+                "(pl * pl + (nl - pl) * (nl - pl)) * 1000000000000 div nl"
+                " + ((p - pl) * (p - pl) + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))"
+                " * 1000000000000 div (n - nl)"
+            ).alias("score"),
+        )
+    )
+    best = scored.orderBy(F.desc("score"), F.asc("v")).limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("v").cast("long").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pr").cast("long").alias("pos_right"),
+        F.col("score").cast("long").alias("purity_scaled"),
+        F.expr(
+            "CAST((p * p + (n - p) * (n - p)) * 1000000000000 div n AS BIGINT)"
+        ).alias("baseline_scaled"),
+    )

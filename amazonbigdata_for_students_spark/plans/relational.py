@@ -3154,3 +3154,100 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * n * sxx - n * s * s) AS BIGINT)"
         ).alias("acf_ppm"),
     )
+
+
+_XCORR_MAX_LAG = 12
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2),
+    lags AS (
+      SELECT k.k,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(a.x * b.x) AS HUGEINT) AS sab,
+             CAST(sum(a.x) AS HUGEINT) AS sa,
+             CAST(sum(b.x) AS HUGEINT) AS sb,
+             CAST(sum(a.x * a.x) AS HUGEINT) AS saa,
+             CAST(sum(b.x * b.x) AS HUGEINT) AS sbb
+      FROM cells a
+      JOIN unnest(generate_series(0, {_XCORR_MAX_LAG})) AS k(k) ON true
+      JOIN cells b ON b.event_type = 'purchase' AND b.h = a.h + k.k
+      WHERE a.event_type = 'view'
+      GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN m * saa - sa * sa = 0 OR m * sbb - sb * sb = 0 THEN 0
+                ELSE (CASE WHEN m * sab - sa * sb < 0 THEN -1 ELSE 1 END)
+                     * CAST((m * sab - sa * sb) * (m * sab - sa * sb) * 1000000
+                            // ((m * saa - sa * sa) * (m * sbb - sb * sb))
+                            AS BIGINT) END AS xcorr_sppm
+    FROM lags
+    """,
+    tags=("W2", "F4", "J8", "A1"),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event series — does the
+    'view' series LEAD the 'purchase' series, and by how many hours?
+    The classic marketing/latency diagnostic the ACF can't answer
+    (timeseries_autocorrelation is a series against itself): for each
+    lag k in 0..{_XCORR_MAX_LAG}, the full per-lag Pearson r between
+    view counts at hour h and purchase counts at hour h+k, over the
+    hours where BOTH series are observed.
+
+    Exactness: per-lag Pearson is a rational in six exact integers
+    (m, Σab, Σa, Σb, Σa², Σb²); reported as SIGNED r²·10^6 —
+    sign(num) · num²·1e6 // (dena·denb) — so the hash sees only exact
+    integer products (decimal(38,0)/HUGEINT-lifted; num² ≈ (m·Σab)²
+    stays under 38 digits for per-hour counts up to ~10^6, far above
+    any real hourly rate at the fixed 720-hour grid). Operands of the
+    floor division are kept non-negative so DuckDB's floor `//` and
+    Spark's truncating `div` agree. Zero-variance lags report 0.
+
+    Scale: the wide data collapses to the (2 × hours) count grid in
+    the first groupBy — the lag join is grid × {_XCORR_MAX_LAG + 1},
+    bounded by the time span, never by event volume; one scan, one
+    count shuffle, then a 13-group aggregate."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = (
+        cells.where(F.col("event_type") == "view")
+        .select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG))))
+    )
+    b = cells.where(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("x").alias("xb")
+    )
+    lags = a.join(b, b.hb == a.ha + a.k).groupBy("k").agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("sab"),
+        F.sum("xa").cast("decimal(38,0)").alias("sa"),
+        F.sum("xb").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("decimal(38,0)").alias("sbb"),
+    )
+    return lags.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN m * saa - sa * sa = 0 OR m * sbb - sb * sb = 0 THEN 0"
+            " ELSE (CASE WHEN m * sab - sa * sb < 0 THEN -1 ELSE 1 END)"
+            " * CAST((m * sab - sa * sb) * (m * sab - sa * sb) * 1000000"
+            " div ((m * saa - sa * sa) * (m * sbb - sb * sb)) AS BIGINT) END"
+        ).alias("xcorr_sppm"),
+    )

@@ -545,3 +545,107 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_b",
         "n_orders",
     )
+
+
+_COSINE_TOP = 20
+
+
+@query(
+    "rec_item_cosine",
+    oracle=f"""
+    WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n
+             FROM dp GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS HUGEINT) AS n_both
+      FROM dp a JOIN dp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_both,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(p.n_both * p.n_both * 1000000 // (sa.n * sb.n) AS BIGINT)
+               AS cosine2_ppm
+      FROM pairs p
+      JOIN supp sa ON sa.l_partkey = p.part_a
+      JOIN supp sb ON sb.l_partkey = p.part_b)
+    SELECT CAST(row_number() OVER (ORDER BY cosine2_ppm DESC, part_a, part_b)
+                AS BIGINT) AS rank,
+           part_a, part_b, CAST(n_both AS BIGINT) AS n_both, n_a, n_b, cosine2_ppm
+    FROM scored
+    QUALIFY rank <= {_COSINE_TOP}
+    """,
+    tags=("J7", "A1", "O2", "U5"),
+)
+def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the normalized "customers who
+    bought X also bought Y" score: cosine similarity between items'
+    order-membership vectors, cos(i,j) = n_both / sqrt(n_i · n_j)
+    (Sarwar et al. 2001, the item-based CF standard; raw co-counts —
+    basket_copurchase_pairs — just rank popular items with each other,
+    cosine normalizes away item popularity). Reported as the exact
+    integer cos²·10^6 = n_both²·1e6 // (n_i·n_j) so the ranking and the
+    hash avoid sqrt entirely (cos² is order-isomorphic to cos on
+    non-negatives); the supports ride along for display.
+
+    Scale: pair generation is the basket self-join, bounded by basket
+    size squared per order (cap/salt mega-baskets — the repo's standard
+    pairwise bound); supports are one map-side-combine count; the two
+    support joins hit the pair table AFTER aggregation (pairs, not
+    order-rows, flow); top-k is TakeOrderedAndProject. n_both² at 1e9
+    co-orders reaches 1e18·1e6: HUGEINT/decimal(38,0)-lifted."""
+    from pyspark.sql import Window as W
+
+    dp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    supp = dp.groupBy("l_partkey").agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    a = dp.alias("a")
+    b = dp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("n_both"))
+    )
+    scored = (
+        pairs.join(supp.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            supp.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("n", "nb"),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr("CAST(n_both * n_both * 1000000 div (na * nb) AS BIGINT)").alias(
+                "cosine2_ppm"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("cosine2_ppm"), "part_a", "part_b").limit(_COSINE_TOP)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine2_ppm"), "part_a", "part_b"))
+        .cast("long")
+        .alias("rank"),
+        "part_a",
+        "part_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "cosine2_ppm",
+    )

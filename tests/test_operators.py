@@ -1408,3 +1408,127 @@ def test_autocorrelation_matches_bruteforce_replay(spark, sf_small):
         for r in REGISTRY["timeseries_autocorrelation"].fn(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_kaplan_meier_censoring_and_extinction(spark, tmp_path):
+    """Hand-built survival table: the horizon-holding user is censored
+    (last event inside the 3-day window), two users die at t=10 and
+    exhaust their risk set — the curve must flag extinction (NULL
+    surv from that t on) via the deterministic running-max, never a
+    float -inf; and the oracle must agree on the same synthetic dir."""
+    from datetime import datetime, timedelta
+
+    from amazonbigdata_for_students_spark.testing import compare_query, duckdb_connect
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: first day 27, last day 29 -> t=2, holds horizon -> censored
+    rows += [(1, base + timedelta(days=27)), (1, base + timedelta(days=29))]
+    # users 2,3: day 0 -> day 10 -> t=10, last is 19 days before horizon -> dead
+    for u in (2, 3):
+        rows += [(u, base), (u, base + timedelta(days=10))]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    q = REGISTRY["eval_kaplan_meier"]
+    got = {r["t_days"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 10}
+    r2, r10 = got[2], got[10]
+    assert (r2["n_risk"], r2["d_deaths"], r2["c_censored"]) == (3, 0, 1)
+    assert r2["surv_lnsum_nano"] == 0  # no deaths yet: S = 1
+    assert (r10["n_risk"], r10["d_deaths"], r10["c_censored"]) == (2, 2, 0)
+    assert r10["surv_lnsum_nano"] is None  # risk set extinct: S = 0
+    con = duckdb_connect(str(tmp_path))
+    try:
+        res = compare_query(spark, q, str(tmp_path), con)
+    finally:
+        con.close()
+    assert res.ok, res.detail
+
+
+def test_decision_stump_finds_pure_split(spark, tmp_path):
+    """Perfectly separable labels: the stump must land on the boundary
+    value (<=20 goes left), report pure sides, and the purity/baseline
+    arithmetic must match the hand computation exactly."""
+    spark.createDataFrame(
+        [(1, 10, "en"), (2, 20, "en"), (3, 30, "de"), (4, 40, "de")],
+        "doc_id long, n_chars long, lang string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_decision_stump"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["threshold"] == 20
+    assert (r["n_left"], r["pos_left"], r["n_right"], r["pos_right"]) == (2, 2, 2, 0)
+    # perfect split: each side (pos^2+neg^2)*1e12 // n = 4e12/2 = 2e12
+    assert r["purity_scaled"] == 4_000_000_000_000
+    # baseline: (2^2 + 2^2)*1e12 // 4 = 2e12
+    assert r["baseline_scaled"] == 2_000_000_000_000
+
+
+def test_decision_stump_tie_breaks_to_smaller_threshold(spark, tmp_path):
+    """Symmetric data gives two equal-purity candidate splits; both
+    engines must deterministically prefer the smaller threshold (the
+    1e-12-window tie rule in the docstring)."""
+    spark.createDataFrame(
+        [(1, 10, "en"), (2, 20, "de"), (3, 30, "en"), (4, 40, "de")],
+        "doc_id long, n_chars long, lang string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_decision_stump"].fn(spark, str(tmp_path)).collect()[0]
+    # every split scores the same here; smallest candidate value wins
+    assert r["threshold"] == 10
+
+
+def test_cross_correlation_recovers_planted_lag(spark, tmp_path):
+    """Purchases are exactly the view series shifted +3 hours: lag 3
+    must score a perfect signed r^2 of 1e6 and strictly beat every
+    other lag (the series is non-constant, so partial alignments
+    decorrelate)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    counts = [1, 2, 4, 8, 3, 9, 5, 7, 6, 10]  # aperiodic on purpose
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, base + timedelta(hours=h, minutes=i), 1, "view"))
+            eid += 1
+            rows.append((eid, base + timedelta(hours=h + 3, minutes=i), 1, "purchase"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["k"]: r for r in
+        REGISTRY["timeseries_cross_correlation"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[3]["xcorr_sppm"] == 1_000_000
+    assert out[3]["n_pairs"] == len(counts)
+    for k, r in out.items():
+        # two aligned points are always collinear (r^2 = 1 trivially), so
+        # the strict-beat claim only holds where the overlap is >= 3 pairs
+        if k != 3 and r["n_pairs"] >= 3:
+            assert r["xcorr_sppm"] < 1_000_000
+
+
+def test_item_cosine_normalizes_away_popularity(spark, tmp_path):
+    """Raw co-counts rank the popular pair first; cosine must invert
+    that — the exclusive pair (together in every basket they appear in)
+    outranks the popular pair that merely co-occurs incidentally."""
+    rows = []
+    # popular items 100/101: each in 8 baskets, together in only 2
+    for o in range(1, 9):
+        rows.append((o, 100))
+    for o in range(7, 15):
+        rows.append((o, 101))  # overlap baskets 7, 8
+    # niche items 200/201: 2 baskets, always together
+    for o in (50, 51):
+        rows += [(o, 200), (o, 201)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(1).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = REGISTRY["rec_item_cosine"].fn(spark, str(tmp_path)).collect()
+    assert (out[0]["part_a"], out[0]["part_b"]) == (200, 201)
+    assert out[0]["cosine2_ppm"] == 1_000_000
+    pop = next(r for r in out if r["part_a"] == 100)
+    # 2 co-baskets over 8x8 memberships: cos^2 = 4/64
+    assert pop["cosine2_ppm"] == 62_500
+    assert pop["n_both"] == 2
