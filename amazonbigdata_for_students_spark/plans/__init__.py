@@ -129,7 +129,9 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "eval_wilcoxon_signed_rank", "rate_limit_token_bucket",
     "stream_token_bucket", "timeseries_autocorrelation",
     "timeseries_cross_correlation", "eval_kaplan_meier",
-    "eval_decision_stump", "rec_item_cosine",
+    "eval_decision_stump", "rec_item_cosine", "eval_sprt_boundary",
+    "timeseries_bollinger_breach", "graph_clustering_coefficient",
+    "agg_pareto_abc",
 )
 
 _WINDOW_SIZE = 50

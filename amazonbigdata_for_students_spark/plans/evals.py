@@ -1475,3 +1475,113 @@ def eval_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((p * p + (n - p) * (n - p)) * 1000000000000 div n AS BIGINT)"
         ).alias("baseline_scaled"),
     )
+
+
+# --- Wald SPRT: sequential conversion-rate monitoring -------------------------
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.10, 0.30  # H0: purchase share <= 10%, H1: >= 30%
+_SPRT_ALPHA = _SPRT_BETA = 0.05
+
+
+def _sprt_nano(x: float) -> int:
+    """The repo-wide ln quantization: floor(x*1e9 + 0.5), an exact function
+    of the float bits, shared verbatim by both engines via f-string
+    interpolation (the twin-oracle-constant pattern)."""
+    return _math.floor(x * 1e9 + 0.5)
+
+
+_SPRT_L1 = _sprt_nano(_math.log(_SPRT_P1 / _SPRT_P0))  # success increment
+_SPRT_L0 = _sprt_nano(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))  # failure
+_SPRT_A = _sprt_nano(_math.log((1 - _SPRT_BETA) / _SPRT_ALPHA))  # accept H1
+_SPRT_B = _sprt_nano(_math.log(_SPRT_BETA / (1 - _SPRT_ALPHA)))  # accept H0
+
+
+@query(
+    "eval_sprt_boundary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS day_no,
+             CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
+                  ELSE {_SPRT_L0} END AS inc,
+             ts, event_id
+      FROM {_KM_EVENTS} ev),
+    walk AS (
+      SELECT day_no, inc,
+             sum(CAST(inc AS HUGEINT)) OVER (PARTITION BY day_no ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (PARTITION BY day_no ORDER BY ts, event_id) AS rn
+      FROM seq),
+    flagged AS (
+      SELECT *, (cum >= {_SPRT_A} OR cum <= {_SPRT_B}) AS crossed FROM walk)
+    SELECT day_no,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(coalesce(min(rn) FILTER (WHERE crossed), count(*)) AS BIGINT)
+             AS n_steps,
+           CASE WHEN min(rn) FILTER (WHERE crossed) IS NULL THEN 'undecided'
+                WHEN arg_min(cum, rn) FILTER (WHERE crossed) >= {_SPRT_A}
+                  THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(arg_min(cum, rn) FILTER (WHERE crossed),
+                         sum(CAST(inc AS HUGEINT))) AS BIGINT) AS llr_nano
+    FROM flagged GROUP BY day_no
+    """,
+    tags=("W2", "W3", "F4", "A7"),
+)
+def eval_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) run per day
+    over the event stream — the optimal sequential A/B monitor: is the
+    purchase share <= p0 = 10% (H0) or >= p1 = 30% (H1)? Each event
+    moves a cumulative log-likelihood ratio by ln(p1/p0) (purchase) or
+    ln((1-p1)/(1-p0)) (anything else); the day DECIDES at the first
+    step the walk exits (ln B, ln A) with alpha = beta = 5%, and reports
+    'undecided' with its final LLR if the day ends inside the band.
+    First-crossing semantics are what makes SPRT sequential: steps after
+    the decision are never sampled, so n_steps is the saved sample size.
+
+    Exactness: the four constants are quantized to integer nanonats in
+    PYTHON (floor(ln(x)*1e9 + 0.5)) and interpolated verbatim into both
+    engines' SQL, so the walk is pure int64 addition and the crossing
+    comparisons are exact — no float anywhere in either engine.
+
+    Scale: partitioned by day — the sort and the running sum are
+    per-partition, state is one integer; the cumulative sum is lifted to
+    decimal(38,0)/HUGEINT so an arbitrarily long undecided day cannot
+    wrap int64. One scan, one shuffle on day, bounded output (one row
+    per day)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr(
+            f"CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}L"
+            f" ELSE {_SPRT_L0}L END"
+        ).alias("inc"),
+    )
+    w = W.partitionBy("day").orderBy("ts", "event_id")
+    walk = ev.select(
+        "day",
+        "inc",
+        F.sum(F.col("inc").cast("decimal(38,0)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    ).withColumn("crossed", (F.col("cum") >= _SPRT_A) | (F.col("cum") <= _SPRT_B))
+    agg = walk.groupBy("day").agg(
+        F.count("*").alias("n_obs"),
+        F.expr("min(rn) FILTER (WHERE crossed)").alias("first_rn"),
+        F.expr("min_by(cum, rn) FILTER (WHERE crossed)").alias("dec_llr"),
+        F.sum(F.col("inc").cast("decimal(38,0)")).alias("total"),
+    )
+    return agg.select(
+        F.expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").alias("day_no"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.coalesce("first_rn", "n_obs").cast("long").alias("n_steps"),
+        F.expr(
+            f"CASE WHEN first_rn IS NULL THEN 'undecided'"
+            f" WHEN dec_llr >= {_SPRT_A} THEN 'accept_h1'"
+            f" ELSE 'accept_h0' END"
+        ).alias("decision"),
+        F.coalesce("dec_llr", "total").cast("long").alias("llr_nano"),
+    )

@@ -3251,3 +3251,86 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((m * saa - sa * sa) * (m * sbb - sb * sb)) AS BIGINT) END"
         ).alias("xcorr_sppm"),
     )
+
+
+@query(
+    "timeseries_bollinger_breach",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, h, x,
+             CAST(count(*) OVER win AS HUGEINT) AS n,
+             sum(x) OVER win AS s,
+             sum(x * x) OVER win AS sxx
+      FROM cells
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+    d AS (SELECT *, n * x - s AS num, n * sxx - s * s AS varn FROM w)
+    SELECT event_type, CAST(h AS BIGINT) AS h, CAST(x AS BIGINT) AS x,
+           CAST(n AS BIGINT) AS n_win,
+           CASE WHEN num > 0 THEN 'up' ELSE 'dn' END AS side,
+           CAST(num * num * 1000000 // varn AS BIGINT) AS z2_ppm
+    FROM d WHERE n >= 12 AND num * num > 4 * varn
+    """,
+    tags=("T2", "W3", "F4", "A2"),
+)
+def timeseries_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection (Bollinger 1992 — the rolling
+    mean +/- k*sigma envelope) over each event type's hourly count
+    series: flag every hour whose count leaves the 2-sigma band of its
+    own TRAILING 24-hour window (RANGE frame over the hour key, so a
+    gap in the grid shrinks the window rather than silently reaching
+    further back; a 12-observation warm-up guard suppresses the
+    cold-start noise every rolling monitor has).
+
+    Exactness: the band test |x - s/n| > 2*sigma is cleared of division
+    and sqrt by cross-multiplying — breach iff (n*x - s)^2 > 4*(n*sxx -
+    s^2) — so both engines compare exact integers; the reported z^2 is
+    the exact scaled ratio (n*x-s)^2 * 1e6 // (n*sxx - s^2) (a breach
+    row always has positive variance: zero variance forces x = mean).
+    Counts are decimal(38,0)/HUGEINT-lifted before squaring — hourly
+    counts at corpus scale (~1e10) square past int64.
+
+    Scale: the event volume collapses to the (type x hour) count grid
+    in the first aggregate (map-side combine); the rolling window runs
+    partitioned by type over the bounded time grid — never over raw
+    events. One scan, one shuffle, grid-sized state."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("decimal(38,0)").alias("x"))
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("h").rangeBetween(-23, 0)
+    )
+    d = cells.select(
+        "event_type",
+        "h",
+        "x",
+        F.count("*").over(win).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(win).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    ).select(
+        "event_type",
+        "h",
+        "x",
+        "n",
+        F.expr("n * x - s").alias("num"),
+        F.expr("n * sxx - s * s").alias("varn"),
+    )
+    return d.where(F.expr("n >= 12 AND num * num > 4 * varn")).select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        F.col("x").cast("long").alias("x"),
+        F.col("n").cast("long").alias("n_win"),
+        F.expr("CASE WHEN num > 0 THEN 'up' ELSE 'dn' END").alias("side"),
+        F.expr("CAST(num * num * 1000000 div varn AS BIGINT)").alias("z2_ppm"),
+    )

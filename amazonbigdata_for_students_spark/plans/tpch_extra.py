@@ -649,3 +649,111 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "cosine2_ppm",
     )
+
+
+@query(
+    "agg_pareto_abc",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+      FROM lineitem GROUP BY 1),
+    sc AS (SELECT l_partkey, rev,
+                  CAST(rev * 1000000 AS HUGEINT) AS rev_sc FROM pr),
+    tot AS (SELECT sum(rev_sc) AS total_sc FROM sc),
+    c AS (
+      SELECT rev, rev_sc,
+             coalesce(sum(rev_sc) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS before_sc
+      FROM sc),
+    cls AS (
+      SELECT CASE WHEN before_sc * 100 < total_sc * 80 THEN 'A'
+                  WHEN before_sc * 100 < total_sc * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, rev_sc, total_sc
+      FROM c CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+           CAST(sum(rev_sc) * 1000000 // max(total_sc) AS BIGINT) AS share_ppm
+    FROM cls GROUP BY abc_class
+    """,
+    tags=("A7", "W3", "O1"),
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification of the part catalog — the
+    inventory-management standard (Juran's 80/20 rule made operational):
+    rank parts by revenue, class A = parts that start before the 80%
+    cumulative-revenue mark, B before 95%, C the tail; report each
+    class's size, revenue, and exact share. Classification uses the
+    share BEFORE the part (so the part straddling a boundary belongs to
+    the earlier class and class A is never empty).
+
+    Exactness: per-part revenue is the exact decimal(38,6) sum of
+    l_extendedprice*(1-l_discount) (the dsum discipline), scaled to the
+    integer rev*1e6 for every comparison — boundary tests are HUGEINT/
+    decimal(38,0) cross-multiplications (before*100 < total*80), shares
+    are floor-scaled ppm, and the displayed class revenue rounds the
+    exact decimal at 2 places before the double cast (dsum2: sub-2^53).
+
+    Scale: the global cumulative revenue every part needs is computed
+    WITHOUT a single-node sort — the distributed two-pass prefix-sum
+    shape (shard_by_token_budget / histogram_equidepth):
+    repartitionByRange(rev DESC, partkey) gives cross-partition order,
+    each partition accumulates locally, and only the #partitions-row
+    subtotal table passes through one task before broadcasting back.
+    Everything else is map-side-combined aggregation over the part
+    dimension, never raw lineitem rows."""
+    from pyspark.sql import Window as W
+
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))")
+            ).alias("rev")
+        )
+        .withColumn("rev_sc", F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))"))
+    )
+    part = pr.repartitionByRange(
+        8, F.col("rev").desc(), F.col("l_partkey")
+    ).withColumn("_part", F.spark_partition_id())
+    sizes = part.groupBy("_part").agg(F.sum("rev_sc").alias("sz"))
+    off_w = W.orderBy("_part").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_part",
+        F.coalesce(F.sum("sz").over(off_w), F.lit(0).cast("decimal(38,0)")).alias(
+            "off"
+        ),
+        F.sum("sz").over(W.partitionBy()).alias("total_sc"),
+    )
+    rk_w = (
+        W.partitionBy("_part")
+        .orderBy(F.desc("rev"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cls = (
+        part.join(F.broadcast(offsets), "_part")
+        .withColumn(
+            "before_sc",
+            F.coalesce(F.sum("rev_sc").over(rk_w), F.lit(0).cast("decimal(38,0)"))
+            + F.col("off"),
+        )
+        .withColumn(
+            "abc_class",
+            F.expr(
+                "CASE WHEN before_sc * 100 < total_sc * 80 THEN 'A'"
+                " WHEN before_sc * 100 < total_sc * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ),
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        F.expr("CAST(sum(rev_sc) * 1000000 div max(total_sc) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -1532,3 +1532,102 @@ def test_item_cosine_normalizes_away_popularity(spark, tmp_path):
     # 2 co-baskets over 8x8 memberships: cos^2 = 4/64
     assert pop["cosine2_ppm"] == 62_500
     assert pop["n_both"] == 2
+
+
+def test_sprt_decides_at_first_crossing(spark, tmp_path):
+    """Three hand-built days: 3 straight purchases cross the upper
+    boundary at step 3 (accept H1), 12 straight non-purchases cross the
+    lower at step 12 (accept H0), and a 2-2 mix ends inside the band
+    (undecided, llr = 2*L1 + 2*L0). The oracle must agree on the same
+    synthetic dir."""
+    from datetime import datetime, timedelta
+
+    from amazonbigdata_for_students_spark.plans.evals import (
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+    from amazonbigdata_for_students_spark.testing import compare_query, duckdb_connect
+
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for kind in ["purchase"] * 3 + ["view"] * 2:  # day 1: decide at 3, tail ignored
+        rows.append((eid, base + timedelta(minutes=eid), kind)); eid += 1
+    for _ in range(12):  # day 2
+        rows.append((eid, base + timedelta(days=1, minutes=eid), "view")); eid += 1
+    for kind in ["purchase", "view", "purchase", "view"]:  # day 3
+        rows.append((eid, base + timedelta(days=2, minutes=eid), kind)); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    q = REGISTRY["eval_sprt_boundary"]
+    got = {r["day_no"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    d1, d2, d3 = (got[k] for k in sorted(got))
+    assert (d1["decision"], d1["n_steps"], d1["llr_nano"]) == (
+        "accept_h1", 3, 3 * _SPRT_L1)
+    assert (d2["decision"], d2["n_steps"], d2["llr_nano"]) == (
+        "accept_h0", 12, 12 * _SPRT_L0)
+    assert (d3["decision"], d3["n_steps"], d3["llr_nano"]) == (
+        "undecided", 4, 2 * _SPRT_L1 + 2 * _SPRT_L0)
+    con = duckdb_connect(str(tmp_path))
+    try:
+        res = compare_query(spark, q, str(tmp_path), con)
+    finally:
+        con.close()
+    assert res.ok, res.detail
+
+
+def test_bollinger_flags_planted_spike_and_dip(spark, tmp_path):
+    """Flat 5-per-hour series with one 50-count spike and one 1-count
+    dip: exactly those two hours breach (up/dn), nothing else; warm-up
+    hours (n < 12) stay silent by the guard."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(60):
+        # dip sits at h=50 so its trailing window (27..50) has already
+        # forgotten the spike — a dip inside the spike's window is NOT a
+        # breach (the spike legitimately inflates sigma)
+        c = 50 if h == 20 else (1 if h == 50 else 5)
+        for _ in range(c):
+            rows.append((eid, base + timedelta(hours=h), "view")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    h0 = int(base.timestamp()) // 3600
+    out = REGISTRY["timeseries_bollinger_breach"].fn(spark, str(tmp_path)).collect()
+    breaches = {(r["h"] - h0): r["side"] for r in out}
+    assert breaches == {20: "up", 50: "dn"}
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark, tmp_path):
+    """Graph = triangle {1,2,3} plus pendant edge (1,4): node 1 has
+    d=3, t=1 -> cc = 2/(3*2) = 333333 ppm; nodes 2,3 have d=2, t=1 ->
+    cc = 1e6; degree-1 node 4 is excluded."""
+    rows = [(4, s) for s in (1, 2, 3)] + [(8, s) for s in (1, 4)]
+    spark.createDataFrame(
+        [(ok, sk) for ok, sk in rows], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["node"]: r
+        for r in REGISTRY["graph_clustering_coefficient"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["degree"], out[1]["n_tri"], out[1]["cc_ppm"]) == (3, 1, 333333)
+    for n in (2, 3):
+        assert (out[n]["degree"], out[n]["n_tri"], out[n]["cc_ppm"]) == (2, 1, 1000000)
+
+
+def test_pareto_abc_boundary_part_belongs_to_earlier_class(spark, tmp_path):
+    """Revenues 80/15/5: the 80-part starts at share 0 (class A), the
+    15-part starts exactly at the 80% boundary (NOT < 80 -> class B),
+    the 5-part at 95% (class C); shares are exact ppm."""
+    rows = [(1, 100, 80.0, 0.0), (2, 200, 15.0, 0.0), (3, 300, 5.0, 0.0)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["abc_class"]: r for r in REGISTRY["agg_pareto_abc"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert (out["A"]["n_parts"], out["A"]["revenue"], out["A"]["share_ppm"]) == (1, 80.0, 800000)
+    assert (out["B"]["n_parts"], out["B"]["revenue"], out["B"]["share_ppm"]) == (1, 15.0, 150000)
+    assert (out["C"]["n_parts"], out["C"]["revenue"], out["C"]["share_ppm"]) == (1, 5.0, 50000)
