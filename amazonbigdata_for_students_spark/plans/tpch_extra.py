@@ -717,9 +717,15 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rev_sc", F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))"))
     )
-    part = pr.repartitionByRange(
-        8, F.col("rev").desc(), F.col("l_partkey")
-    ).withColumn("_part", F.spark_partition_id())
+    # checkpoint: the ranged per-part table feeds BOTH the subtotal pass
+    # and the main pass — without the cut each consumer re-runs the
+    # lineitem scan + groupBy (the repo's recurring fan-out-rescan find),
+    # and the partition ids must come from ONE range-sampling execution
+    part = (
+        pr.repartitionByRange(8, F.col("rev").desc(), F.col("l_partkey"))
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     sizes = part.groupBy("_part").agg(F.sum("rev_sc").alias("sz"))
     off_w = W.orderBy("_part").rowsBetween(W.unboundedPreceding, -1)
     offsets = sizes.select(
