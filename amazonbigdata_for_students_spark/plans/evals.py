@@ -1319,10 +1319,13 @@ def eval_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= observation span in days, ~30 here), so the ordered windows run
     over a constant-size table — never over users or events."""
     ev = load_table(spark, sf_dir, "events")
+    # checkpoint: the per-user lifetime table feeds BOTH the horizon
+    # aggregate and the censor marking — without the cut each consumer
+    # re-runs the full events scan + groupBy (fan-out-rescan discipline)
     spans = ev.groupBy("user_id").agg(
         F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 86400000000").alias("t"),
         F.expr("unix_micros(max(ts))").alias("last_us"),
-    )
+    ).localCheckpoint(eager=False)
     horizon = spans.agg(
         F.max("last_us").alias("max_us"), F.count("*").cast("long").alias("n_users")
     )
@@ -1431,13 +1434,21 @@ def eval_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("v"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    tot = labeled.agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("y").cast("decimal(38,0)").alias("p"),
+    # one corpus scan: the value histogram is checkpointed and the grand
+    # totals DERIVE from it (sum of per-value counts) — the naive shape
+    # (tot and vals each aggregating `labeled`, plus the final total
+    # join) re-scanned documents three times
+    vals = (
+        labeled.groupBy("v")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("cnt"),
+            F.sum("y").cast("decimal(38,0)").alias("pos"),
+        )
+        .localCheckpoint(eager=False)
     )
-    vals = labeled.groupBy("v").agg(
-        F.count("*").cast("decimal(38,0)").alias("cnt"),
-        F.sum("y").cast("decimal(38,0)").alias("pos"),
+    tot = vals.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("p"),
     )
     wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cums = vals.select(

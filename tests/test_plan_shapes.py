@@ -755,3 +755,91 @@ def test_theil_sen_pairs_join_reads_checkpoint_not_source(spark, sf_small):
     df = REGISTRY["timeseries_theil_sen"].fn(spark, sf_small)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_kaplan_meier_windows_duration_table_only(spark, sf_small):
+    """K-M's ordered windows must run AFTER the per-user lifetime
+    aggregate: the horizon and the censor marking both read the
+    CHECKPOINTED spans table (no events rescan survives), and the 1-row
+    horizon is broadcast."""
+    df = REGISTRY["eval_kaplan_meier"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "BroadcastNestedLoopJoin" in final  # broadcast 1-row horizon
+    assert final.count("FileScan") == 0
+
+
+def test_decision_stump_histogram_then_top1(spark, sf_small):
+    """The stump scans once into the checkpointed per-VALUE histogram
+    (totals, cumulatives, and the final report all derive from it — no
+    documents rescan survives), and takes the argmax via TakeOrdered."""
+    df = REGISTRY["eval_decision_stump"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "TakeOrderedAndProject" in final
+    assert final.count("FileScan") == 0
+
+
+def test_cross_correlation_reads_count_grid_once(spark, sf_small):
+    """Both lag-join sides derive from the checkpointed (type x hour)
+    count grid: after materialization no FileScan survives — the raw
+    event volume is never rescanned per lag."""
+    df = REGISTRY["timeseries_cross_correlation"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+
+
+def test_item_cosine_joins_supports_after_aggregation(spark, sf_small):
+    """Support joins must hit the pair table AFTER aggregation (pairs
+    flow, not order-rows), reading the checkpointed distinct-membership
+    table; top-k is TakeOrdered."""
+    df = REGISTRY["rec_item_cosine"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    assert "TakeOrderedAndProject" in final
+
+
+def test_sprt_walk_is_partitioned_by_day(spark, sf_small):
+    """The SPRT walk's running sum and row_number must partition by
+    day — an unpartitioned window over raw events would serialize the
+    whole stream through one task."""
+    df = REGISTRY["eval_sprt_boundary"].fn(spark, sf_small)
+    assert "windowspecdefinition(day" in plan_of(df)
+
+
+def test_bollinger_windows_grid_partitioned_by_type(spark, sf_small):
+    """Bollinger's rolling stats run over the (type x hour) count grid,
+    partitioned by event_type, after a map-side-combined count — the
+    window never sees raw events."""
+    df = REGISTRY["timeseries_bollinger_breach"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "windowspecdefinition(event_type" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_clustering_coefficient_reads_checkpoints_no_cartesian(spark, sf_small):
+    """All per-node tally paths read the checkpointed pairs/oriented
+    tables (no re-enumeration of the lineitem self-join) and every join
+    is keyed."""
+    df = REGISTRY["graph_clustering_coefficient"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_pareto_abc_single_partition_only_for_subtotals(spark, sf_small):
+    """The two-pass prefix sum may move ONLY the #partitions-row
+    subtotal table through one task: exactly one SinglePartition
+    exchange, with the ranged repartition present on the main path."""
+    # (the rangepartitioning itself sits inside the checkpoint's lineage,
+    # invisible from the outer plan; the oracle match is its witness —
+    # partition-local prefixes + offsets only equal the global prefix
+    # when the range partitioner ordered the partitions)
+    df = REGISTRY["agg_pareto_abc"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("Exchange SinglePartition") == 1
+    assert final.count("FileScan") == 0  # both passes read the checkpoint
