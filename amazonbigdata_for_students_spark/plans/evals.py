@@ -1596,3 +1596,188 @@ def eval_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decision"),
         F.coalesce("dec_llr", "total").cast("long").alias("llr_nano"),
     )
+
+
+# --- ranked-retrieval evals over the full corpus ordering ---------------------
+_RANKED_SQL = f"""
+    scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             doc_id
+      FROM documents),
+    ranked AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+             sum(pos) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM scored)
+"""
+
+
+def _ranked_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, rk, cum_pos) for every document, ranked by the shared
+    English-marker score (DESC, doc_id tiebreak) — the distributed
+    global ranking both ranked-retrieval evals consume, built with the
+    two-pass prefix shape (registry.global_prefix), never a single-node
+    sort."""
+    from .registry import global_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("lang", TOKENS().alias("toks"), "doc_id").select(
+        _en_score_col().alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        "doc_id",
+    )
+    return global_prefix(
+        scored,
+        [F.col("score").desc(), F.col("doc_id")],
+        [("pos", F.col("pos"))],
+    )
+
+
+@query(
+    "eval_average_precision",
+    oracle=f"""
+    WITH {_RANKED_SQL},
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             sum(CASE WHEN pos = 1
+                      THEN CAST(cum_pos AS HUGEINT) * 1000000 // rk
+                      ELSE 0 END) AS ap_num,
+             max(CASE WHEN rk <= 100 THEN cum_pos END) AS p100
+      FROM ranked)
+    SELECT n_docs, n_pos,
+           CASE WHEN n_pos = 0 THEN 0
+                ELSE CAST(ap_num // n_pos AS BIGINT) END AS ap_ppm,
+           CAST(CAST(p100 AS HUGEINT) * 1000000
+                // least(n_docs, 100) AS BIGINT) AS p_at_100_ppm
+    FROM agg
+    """,
+    tags=("O1", "W3", "U2", "A7"),
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the English-marker ranking against the
+    lang='en' labels — the PR-curve summary (AP = mean over positives of
+    precision@its-rank) that grades rankers where ROC-AUC is blind to
+    class imbalance; precision@100 rides along as the fixed-cutoff
+    triage metric. Ties rank deterministically by doc_id, so AP is a
+    pure function of the data in both engines.
+
+    Exactness: each positive contributes the exact floor
+    cum_pos*1e6 // rk; AP is the floor mean of those integers — no float
+    anywhere. cum_pos*1e6 passes 2^63 at corpus scale:
+    decimal(38,0)/HUGEINT-lifted.
+
+    Scale: the global ranking uses the distributed two-pass prefix-sum
+    shape (registry.global_prefix — repartitionByRange + broadcast
+    offset table), so no single task ever sees more than its range
+    bucket; everything after is one aggregate."""
+    ranked = _ranked_scores(spark, sf_dir)
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pos = 1 THEN"
+                " CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div rk"
+                " ELSE 0 END"
+            )
+        ).alias("ap_num"),
+        F.max(F.expr("CASE WHEN rk <= 100 THEN cum_pos END")).alias("p100"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_pos",
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN 0"
+            " ELSE CAST(ap_num div n_pos AS BIGINT) END"
+        ).alias("ap_ppm"),
+        F.expr(
+            "CAST(CAST(p100 AS DECIMAL(38,0)) * 1000000"
+            " div least(n_docs, 100) AS BIGINT)"
+        ).alias("p_at_100_ppm"),
+    )
+
+
+@query(
+    "eval_cumulative_gains",
+    oracle=f"""
+    WITH {_RANKED_SQL},
+    tot AS (SELECT max(rk) AS n_docs, max(cum_pos) AS n_pos FROM ranked),
+    dec AS (
+      SELECT (rk - 1) * 10 // n_docs AS decile,
+             count(*) AS n, CAST(sum(pos) AS BIGINT) AS np,
+             max(n_docs) AS n_docs, max(n_pos) AS n_pos
+      FROM ranked CROSS JOIN tot GROUP BY 1),
+    cum AS (
+      SELECT decile, n, np, n_docs, n_pos,
+             sum(n) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(np) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM dec)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n, np AS n_pos_decile,
+           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+             AS capture_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * n_docs * 1000000
+                // (CAST(n_pos AS HUGEINT) * cum_n) AS BIGINT) AS lift_ppm
+    FROM cum
+    """,
+    tags=("O1", "W3", "A7", "U2"),
+)
+def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart of the English-marker ranking —
+    the campaign-targeting standard: split the ranked corpus into 10
+    equal-depth deciles and report, per decile, how much of the positive
+    class the top-k deciles capture (capture_ppm) and the lift over
+    random targeting (lift = capture_rate / depth_rate). Decile 0
+    showing lift >> 1e6 and a monotone capture curve is the 'model works'
+    read every marketer does.
+
+    Exactness: decile assignment is the integer (rk-1)*10 // n_docs on
+    the exact distributed rank; capture and lift are exact HUGEINT/
+    decimal floor ratios (cum_pos*n_docs*1e6 overflows int64 at corpus
+    scale — lifted).
+
+    Scale: same two-pass global ranking as eval_average_precision; the
+    totals ride a 1-row broadcast; the cumulative runs over the 10-row
+    decile table."""
+    ranked = _ranked_scores(spark, sf_dir)
+    tot = ranked.agg(
+        F.max("rk").alias("n_docs"), F.max("cum_pos").alias("n_pos")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("(rk - 1) * 10 div n_docs"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").cast("long").alias("np"),
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_pos").alias("n_pos"),
+        )
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dec.select(
+        "decile",
+        "n",
+        "np",
+        "n_docs",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("np").over(w).alias("cum_pos"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("np").alias("n_pos_decile"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div n_pos AS BIGINT)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_docs * 1000000"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -94,3 +94,61 @@ def davg(col: Column | str) -> Column:
 
 def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
+
+
+def global_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_cols: list[tuple[str, Column]] = (),
+    buckets: int = 32,
+) -> DataFrame:
+    """Distributed global rank + inclusive prefix sums WITHOUT a
+    single-node sort — the two-pass shape shared by
+    shard_by_token_budget / histogram_equidepth / agg_pareto_abc, now
+    factored once: repartitionByRange over ``order_cols`` gives
+    cross-partition order, each partition ranks/accumulates locally, and
+    only the #buckets-row subtotal table passes through one task before
+    broadcasting back.
+
+    Adds ``rk`` (1-based global rank, BIGINT) and one ``cum_<name>``
+    inclusive prefix sum per (name, col) in ``sum_cols``. The ranged
+    table is lazily checkpointed: the subtotal pass and the main pass
+    must see ONE range-sampling execution (determinism + no fan-out
+    rescan of the upstream plan)."""
+    from pyspark.sql import Window as W
+
+    parted = (
+        df.repartitionByRange(buckets, *order_cols)
+        .withColumn("_gp", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(c).alias(f"_s_{name}") for name, c in sum_cols
+    ]
+    sizes = parted.groupBy("_gp").agg(*aggs)
+    off_w = W.orderBy("_gp").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_gp",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off_n"),
+        *[
+            F.coalesce(F.sum(f"_s_{name}").over(off_w), F.lit(0)).alias(
+                f"_off_{name}"
+            )
+            for name, _ in sum_cols
+        ],
+    )
+    local_rk = W.partitionBy("_gp").orderBy(*order_cols)
+    local_cum = local_rk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = (
+        parted.join(F.broadcast(offsets), "_gp")
+        .withColumn(
+            "rk",
+            (F.row_number().over(local_rk) + F.col("_off_n")).cast("long"),
+        )
+    )
+    for name, c in sum_cols:
+        out = out.withColumn(
+            f"cum_{name}", F.sum(c).over(local_cum) + F.col(f"_off_{name}")
+        )
+    drop = ["_gp", "_off_n"] + [f"_off_{name}" for name, _ in sum_cols]
+    return out.drop(*drop)

@@ -2752,3 +2752,146 @@ def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("n1 * 1000000 div n_tokens").alias("p0_ppm"),
     )
+
+
+@query(
+    "txt_heaps_law",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, len({SQL_TOKENS}) AS nt, {SQL_TOKENS} AS toks
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, nt,
+             row_number() OVER (ORDER BY doc_id) AS rk,
+             sum(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nt
+      FROM docs),
+    firsts AS (
+      SELECT min(r.rk) AS first_rk
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) e
+      JOIN ranked r ON r.doc_id = e.doc_id
+      GROUP BY e.tok),
+    tot AS (SELECT max(rk) AS n_docs FROM ranked),
+    pts AS (
+      SELECT k.k AS k,
+             max(t.n_docs * k.k // 8) AS n_docs_k,
+             max((SELECT max(cum_nt) FROM ranked r2
+                  WHERE r2.rk <= t.n_docs * k.k // 8)) AS t_k,
+             CAST(count(*) FILTER (
+               WHERE f.first_rk <= t.n_docs * k.k // 8) AS BIGINT) AS v_k
+      FROM firsts f CROSS JOIN tot t
+      JOIN unnest(generate_series(1, 8)) AS k(k) ON true
+      GROUP BY k.k),
+    lns AS (
+      -- ln guards: a tiny corpus (< 8 docs) makes early checkpoints
+      -- empty (v_k = 0, t_k NULL) and ln(0) = -inf would poison the cast
+      SELECT k, n_docs_k, coalesce(CAST(t_k AS BIGINT), 0) AS tokens_k, v_k,
+             CASE WHEN v_k >= 1 THEN CAST(floor(
+               ln(CAST(v_k AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+               ELSE 0 END AS lnv_nano,
+             CASE WHEN coalesce(t_k, 0) >= 1 THEN CAST(floor(
+               ln(CAST(t_k AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+               ELSE 0 END AS lnt_nano
+      FROM pts)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n_docs_k AS BIGINT) AS n_docs_k,
+           tokens_k, v_k, lnv_nano, lnt_nano,
+           CASE WHEN lnt_nano <= 0 THEN 0
+                ELSE CAST(CAST(lnv_nano AS HUGEINT) * 1000000 // lnt_nano
+                     AS BIGINT) END AS beta_ppm
+    FROM lns
+    """,
+    tags=("U2", "A4", "W3", "F7"),
+)
+def txt_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): how the distinct
+    vocabulary V grows with corpus size T — V = K*T^beta, the sublinear
+    law every tokenizer-budget and dedup-capacity plan leans on. The
+    corpus is consumed in doc_id order; at each of 8 equal-depth
+    document checkpoints the query reports the exact token count T_k,
+    the exact vocabulary V_k (tokens whose FIRST occurrence falls at or
+    before the checkpoint), and the empirical exponent beta =
+    ln(V)/ln(T) as an exact scaled ratio of nano-quantized logs (the
+    repo's ln discipline).
+
+    Scale: two corpus scans — one narrow (doc_id, token-count) ranking
+    pass through the distributed two-pass prefix shape
+    (registry.global_prefix), one explode -> min-per-token pass whose
+    shuffle is vocabulary-bounded (first_rk via a doc-keyed join against
+    the ranked table, then ONE conditional aggregate evaluates all 8
+    checkpoints — no per-checkpoint rescan). Nothing ever sorts raw
+    token positions globally."""
+    from .registry import global_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", TOKENS().alias("toks")).withColumn(
+        "nt", F.size("toks")
+    )
+    ranked = global_prefix(
+        docs.select("doc_id", "nt"), [F.col("doc_id")], [("nt", F.col("nt"))]
+    ).select("doc_id", "rk", "cum_nt")
+    firsts = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .join(ranked.select("doc_id", "rk"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    tot = ranked.agg(F.max("rk").alias("n_docs"))
+    vk = firsts.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN first_rk <= n_docs * {k} div 8 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"v{k}")
+            for k in range(1, 9)
+        ],
+        F.max("n_docs").alias("n_docs"),
+    )
+    tk = ranked.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN rk <= n_docs * {k} div 8 THEN cum_nt END")
+            ).alias(f"t{k}")
+            for k in range(1, 9)
+        ]
+    )
+    wide = vk.crossJoin(tk)
+    pts = wide.select(
+        F.expr(
+            "posexplode(arrays_zip("
+        + "array(" + ", ".join(f"v{k}" for k in range(1, 9)) + "), "
+        + "array(" + ", ".join(f"CAST(t{k} AS BIGINT)" for k in range(1, 9)) + ")"
+        + "))"
+        ),
+        "n_docs",
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("k"),
+        F.expr("CAST(n_docs * (pos + 1) div 8 AS BIGINT)").alias("n_docs_k"),
+        F.col("col.1").alias("tokens_k"),
+        F.col("col.0").alias("v_k"),
+    )
+    return pts.select(
+        "k",
+        "n_docs_k",
+        F.expr("coalesce(tokens_k, 0L)").alias("tokens_k"),
+        "v_k",
+        # ln guards: a tiny corpus (< 8 docs) makes early checkpoints
+        # empty (v_k = 0, tokens_k NULL) and ln(0) = -inf poisons the cast
+        F.expr(
+            "CASE WHEN v_k >= 1 THEN CAST(floor("
+            "ln(CAST(v_k AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("lnv_nano"),
+        F.expr(
+            "CASE WHEN coalesce(tokens_k, 0) >= 1 THEN CAST(floor("
+            "ln(CAST(tokens_k AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("lnt_nano"),
+    ).withColumn(
+        "beta_ppm",
+        F.expr(
+            "CASE WHEN lnt_nano <= 0 THEN 0"
+            " ELSE CAST(CAST(lnv_nano AS DECIMAL(38,0)) * 1000000 div lnt_nano"
+            " AS BIGINT) END"
+        ),
+    )

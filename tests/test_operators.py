@@ -1631,3 +1631,84 @@ def test_pareto_abc_boundary_part_belongs_to_earlier_class(spark, tmp_path):
     assert (out["A"]["n_parts"], out["A"]["revenue"], out["A"]["share_ppm"]) == (1, 80.0, 800000)
     assert (out["B"]["n_parts"], out["B"]["revenue"], out["B"]["share_ppm"]) == (1, 15.0, 150000)
     assert (out["C"]["n_parts"], out["C"]["revenue"], out["C"]["share_ppm"]) == (1, 5.0, 50000)
+
+
+def test_average_precision_perfect_and_tied_ranking(spark, tmp_path):
+    """Two en docs saturated with 'the' rank 1-2 (AP = 1e6, perfect),
+    then re-check the exact floor arithmetic on a hand-computable mixed
+    ranking; p@100 degrades to precision@n for n < 100."""
+    docs = [
+        (1, "the the the the", "en"),
+        (2, "the the the and", "en"),
+        (3, "qqq www eee rrr", "de"),
+        (4, "zzz xxx ccc vvv", "de"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_average_precision"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_pos"]) == (4, 2)
+    assert r["ap_ppm"] == 1_000_000  # both positives at the top
+    assert r["p_at_100_ppm"] == 500_000  # precision@4 = 2/4
+
+
+def test_average_precision_interleaved(spark, tmp_path):
+    """Positives at ranks 1 and 3: AP = (1/1 + 2/3)/2 with inner floors
+    -> (1000000 + 666666) // 2 = 833333."""
+    docs = [
+        (1, "the the the the", "en"),   # score 1000 -> rank 1
+        (2, "the qqq www eee", "de"),   # score 250  -> rank 2
+        (3, "the zzz xxx ccc", "en"),   # score 250  -> rank 3 (doc_id tie)
+        (4, "qqq www eee rrr", "de"),   # score 0    -> rank 4
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_average_precision"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["ap_ppm"] == 833_333
+
+
+def test_cumulative_gains_sparse_deciles_and_lift(spark, tmp_path):
+    """4 docs -> deciles 0/2/5/7 only (empty deciles are absent, not
+    zero-filled); top decile captures 1 of 2 positives at lift
+    1*4*1e6/(2*1) = 2e6."""
+    docs = [
+        (1, "the the the the", "en"),
+        (2, "the the the and", "en"),
+        (3, "qqq www eee rrr", "de"),
+        (4, "zzz xxx ccc vvv", "de"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["decile"]: r for r in
+           REGISTRY["eval_cumulative_gains"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 2, 5, 7}
+    assert (out[0]["capture_ppm"], out[0]["lift_ppm"]) == (500_000, 2_000_000)
+    assert (out[2]["capture_ppm"], out[2]["lift_ppm"]) == (1_000_000, 2_000_000)
+    assert (out[7]["capture_ppm"], out[7]["lift_ppm"]) == (1_000_000, 1_000_000)
+
+
+def test_heaps_law_vocab_growth_and_empty_checkpoints(spark, tmp_path):
+    """4 docs: early checkpoints (n_docs_k = 0) must emit clean zero
+    rows (the ln(0) guard), later ones the exact first-occurrence vocab
+    curve; beta at k=8 equals the quantized ln-ratio."""
+    import math
+
+    docs = [
+        (1, "a b"),
+        (2, "a c"),
+        (3, "a b"),
+        (4, "d e f"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["k"]: r for r in
+           REGISTRY["txt_heaps_law"].fn(spark, str(tmp_path)).collect()}
+    assert len(out) == 8
+    assert (out[1]["n_docs_k"], out[1]["tokens_k"], out[1]["v_k"],
+            out[1]["beta_ppm"]) == (0, 0, 0, 0)
+    assert (out[2]["tokens_k"], out[2]["v_k"]) == (2, 2)   # after doc 1
+    assert (out[4]["tokens_k"], out[4]["v_k"]) == (4, 3)   # after doc 2
+    assert (out[6]["tokens_k"], out[6]["v_k"]) == (6, 3)   # after doc 3
+    assert (out[8]["tokens_k"], out[8]["v_k"]) == (9, 6)   # after doc 4
+    lnv = math.floor(math.log(6) * 1e9 + 0.5)
+    lnt = math.floor(math.log(9) * 1e9 + 0.5)
+    assert out[8]["beta_ppm"] == lnv * 1_000_000 // lnt

@@ -843,3 +843,38 @@ def test_pareto_abc_single_partition_only_for_subtotals(spark, sf_small):
     final = plan_of(df).split("Initial Plan")[0]
     assert final.count("Exchange SinglePartition") == 1
     assert final.count("FileScan") == 0  # both passes read the checkpoint
+
+
+def test_average_precision_reads_prefix_checkpoint(spark, sf_small):
+    """AP's aggregate consumes the two-pass-ranked table via its
+    checkpoint — no documents rescan survives, and only the subtotal
+    table (one SinglePartition exchange) ever funnels through one
+    task."""
+    df = REGISTRY["eval_average_precision"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    # two legitimate 1-task funnels: the #buckets-row offsets window and
+    # the final global aggregate's partial merge — both constant-size
+    assert final.count("Exchange SinglePartition") <= 2
+
+
+def test_cumulative_gains_totals_and_deciles_share_checkpoint(spark, sf_small):
+    """Both consumers of the ranking (the 1-row totals and the decile
+    buckets) read the checkpointed ranged table; the cumulative window
+    runs over the 10-row decile table only."""
+    df = REGISTRY["eval_cumulative_gains"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+
+
+def test_heaps_law_two_scans_one_conditional_aggregate(spark, sf_small):
+    """Heaps': the ranking pass reads its checkpoint, the explode pass
+    is the single surviving corpus scan, and all 8 checkpoints evaluate
+    in ONE conditional aggregate (no per-checkpoint rescan: exactly one
+    FileScan in the final plan)."""
+    df = REGISTRY["txt_heaps_law"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 1
