@@ -1781,3 +1781,126 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# --- Poisson bootstrap: distributed confidence interval ------------------------
+_PB_B = 40  # replicates: trimming one order stat per tail = exact 2.5%
+_PB_SEED = "pb42"
+# Poisson(1) CDF quantized to the [0,256) two-nibble md5 draw:
+# P(0)=.3679~94/256, P(1)=.3679~94, P(2)=.1839~47, P(3)=.0613~16, tail->4
+_PB_W = "CASE WHEN {d} < 94 THEN 0 WHEN {d} < 188 THEN 1 WHEN {d} < 235 THEN 2 WHEN {d} < 251 THEN 3 ELSE 4 END"
+
+
+def _pb_draw_spark(b: int) -> str:
+    key = f"concat('{_PB_SEED}|', cast(event_id as string), '|{b}')"
+    d = (
+        f"(16 * (instr('0123456789abcdef', substring(md5({key}), 1, 1)) - 1)"
+        f" + (instr('0123456789abcdef', substring(md5({key}), 2, 1)) - 1))"
+    )
+    return _PB_W.format(d=d)
+
+
+def _pb_draw_duck(b: int) -> str:
+    key = f"'{_PB_SEED}|' || CAST(event_id AS VARCHAR) || '|{b}'"
+    d = (
+        f"(16 * (strpos('0123456789abcdef', substring(md5({key}), 1, 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substring(md5({key}), 2, 1)) - 1))"
+    )
+    return _PB_W.format(d=d)
+
+
+def _pb_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(sum({_pb_draw_duck(b)}) AS HUGEINT) AS s{b},"
+        f" CAST(sum(({_pb_draw_duck(b)}) * pos) AS HUGEINT) AS sp{b}"
+        for b in range(_PB_B)
+    )
+    means = ", ".join(
+        f"CASE WHEN s{b} = 0 THEN 0 ELSE CAST(sp{b} * 1000000 // s{b} AS BIGINT) END"
+        for b in range(_PB_B)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    wide AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS HUGEINT) AS n_pos,
+             {sums}
+      FROM base),
+    arr AS (SELECT n_rows, n_pos, list_sort([{means}]) AS ms FROM wide)
+    SELECT n_rows,
+           CAST(n_pos * 1000000 // n_rows AS BIGINT) AS point_ppm,
+           CAST({_PB_B} AS BIGINT) AS n_replicates,
+           ms[2] AS ci_lo_ppm,
+           ms[{_PB_B - 1}] AS ci_hi_ppm,
+           CAST({_PB_B} * list_sum(list_transform(ms,
+                  m -> CAST(m AS HUGEINT) * m))
+                - CAST(list_sum(ms) AS HUGEINT) * list_sum(ms) AS BIGINT)
+             AS var_num_b2
+    FROM arr
+    """
+
+
+@query(
+    "eval_bootstrap_ci",
+    oracle=_pb_oracle(),
+    tags=("A7", "F8", "F7", "A3"),
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the purchase-share
+    point estimate — THE distributed bootstrap (Chamandy et al. 2012,
+    'Estimating Uncertainty for Massive Data Streams'): classical
+    resampling needs N draws per replicate with global coordination,
+    but Binomial(N, 1/N) -> Poisson(1), so each row independently draws
+    its own multiplicity per replicate from a hash — no second pass, no
+    coordination, one scan for all 40 replicates. The per-row weight is
+    a deterministic two-nibble md5 draw mapped through the quantized
+    Poisson(1) CDF, so both engines materialize the identical resamples
+    bit for bit. CI = the 2nd/39th order statistics of the 40 replicate
+    means (one trimmed from each tail = exact 2.5%); the replicate
+    variance numerator B*sum(m^2)-(sum m)^2 rides along as an exact
+    integer so consumers can derive the bootstrap SE.
+
+    Scale: ONE map-only pass — the 80 conditional sums (2 per
+    replicate) all partial-aggregate map-side, so the shuffle carries
+    exactly one 82-column row per partition regardless of data volume;
+    the order statistics sort a 40-element array on the driver side of
+    the aggregate. 40 md5 calls per row is the honest bootstrap cost
+    and is embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias("pos"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
+    ]
+    for b in range(_PB_B):
+        w = _pb_draw_spark(b)
+        aggs.append(F.expr(f"CAST(sum({w}) AS DECIMAL(38,0))").alias(f"s{b}"))
+        aggs.append(
+            F.expr(f"CAST(sum(({w}) * pos) AS DECIMAL(38,0))").alias(f"sp{b}")
+        )
+    wide = ev.agg(*aggs)
+    means = ", ".join(
+        f"CASE WHEN s{b} = 0 THEN 0"
+        f" ELSE CAST(sp{b} * 1000000 div s{b} AS BIGINT) END"
+        for b in range(_PB_B)
+    )
+    arr = wide.withColumn("ms", F.expr(f"array_sort(array({means}))"))
+    return arr.select(
+        "n_rows",
+        F.expr("CAST(n_pos * 1000000 div n_rows AS BIGINT)").alias("point_ppm"),
+        F.lit(_PB_B).cast("long").alias("n_replicates"),
+        F.expr("element_at(ms, 2)").alias("ci_lo_ppm"),
+        F.expr(f"element_at(ms, {_PB_B - 1})").alias("ci_hi_ppm"),
+        F.expr(
+            f"CAST({_PB_B} * aggregate(ms, CAST(0 AS DECIMAL(38,0)),"
+            " (a, m) -> a + CAST(m AS DECIMAL(38,0)) * m)"
+            " - aggregate(ms, CAST(0 AS DECIMAL(38,0)), (a, m) -> a + m)"
+            " * aggregate(ms, CAST(0 AS DECIMAL(38,0)), (a, m) -> a + m)"
+            " AS BIGINT)"
+        ).alias("var_num_b2"),
+    )

@@ -3334,3 +3334,67 @@ def timeseries_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN num > 0 THEN 'up' ELSE 'dn' END").alias("side"),
         F.expr("CAST(num * num * 1000000 div varn AS BIGINT)").alias("z2_ppm"),
     )
+
+
+@query(
+    "ops_latency_percentiles",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             value, event_id
+      FROM {EVENTS} ev),
+    ranked AS (
+      SELECT event_type, h, value,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, h) AS n
+      FROM cells)
+    SELECT event_type, CAST(h AS BIGINT) AS h, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+           max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+           max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+    FROM ranked GROUP BY event_type, h
+    """,
+    tags=("A9", "W1", "T1"),
+)
+def ops_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard percentile grid: EXACT nearest-rank p50/p95/p99
+    of the event value per (event_type, hour) cell — the latency heatmap
+    every SRE reads, computed exactly rather than with approx sketches
+    (A9's approx lane already exists; tail percentiles are where approx
+    error concentrates, and an exact p99 is what SLO audits need).
+    Nearest-rank definition: the value at rank ceil(n*q/100) of the
+    cell's sorted values — integer arithmetic ((n*q + 99) div 100), and
+    the reported double is an ELEMENT of the data (no arithmetic
+    touches it), so both engines emit identical bits.
+
+    Scale: the sort is PARTITIONED by (type, hour) — each cell ranks
+    independently, the classic dashboard-grid layout; ties order by
+    event_id so the rank is deterministic, though any tie permutation
+    selects the same value. One scan, one shuffle on the cell key, one
+    conditional aggregate; no collect_list (a cell's values never
+    materialize in one buffer)."""
+    cells = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        "value",
+        "event_id",
+    )
+    wr = W.partitionBy("event_type", "h").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type", "h")
+    ranked = cells.select(
+        "event_type",
+        "h",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type", "h").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.expr("CASE WHEN rn = (n * 50 + 99) div 100 THEN value END")).alias("p50"),
+        F.max(F.expr("CASE WHEN rn = (n * 95 + 99) div 100 THEN value END")).alias("p95"),
+        F.max(F.expr("CASE WHEN rn = (n * 99 + 99) div 100 THEN value END")).alias("p99"),
+    ).select(
+        "event_type", F.col("h").cast("long").alias("h"), "n", "p50", "p95", "p99"
+    )

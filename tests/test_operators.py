@@ -1712,3 +1712,57 @@ def test_heaps_law_vocab_growth_and_empty_checkpoints(spark, tmp_path):
     lnv = math.floor(math.log(6) * 1e9 + 0.5)
     lnt = math.floor(math.log(9) * 1e9 + 0.5)
     assert out[8]["beta_ppm"] == lnv * 1_000_000 // lnt
+
+
+def test_bootstrap_ci_deterministic_and_brackets_point(spark, tmp_path):
+    """Fixed fixture: the Poisson draws are pure md5 functions, so two
+    runs produce identical CIs, the interval is ordered around a sane
+    range, and the oracle twin agrees bit-for-bit."""
+    from datetime import datetime, timedelta
+
+    from amazonbigdata_for_students_spark.testing import compare_query, duckdb_connect
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(minutes=i), "purchase" if i % 4 == 0 else "view")
+        for i in range(80)
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    q = REGISTRY["eval_bootstrap_ci"]
+    r1 = q.fn(spark, str(tmp_path)).collect()[0]
+    r2 = q.fn(spark, str(tmp_path)).collect()[0]
+    assert r1 == r2  # hash-seeded resamples are replayable
+    assert r1["point_ppm"] == 250_000  # 20/80 exactly
+    assert r1["n_replicates"] == 40
+    assert 0 < r1["ci_lo_ppm"] <= r1["ci_hi_ppm"] < 1_000_000
+    assert r1["ci_lo_ppm"] <= r1["point_ppm"] <= r1["ci_hi_ppm"]
+    assert r1["var_num_b2"] >= 0
+    con = duckdb_connect(str(tmp_path))
+    try:
+        res = compare_query(spark, q, str(tmp_path), con)
+    finally:
+        con.close()
+    assert res.ok, res.detail
+
+
+def test_latency_percentiles_nearest_rank(spark, tmp_path):
+    """Cell A holds values 1..100 (p50/p95/p99 = 50/95/99 exactly);
+    cell B holds 3 values where every ceil lands on a hand-checked
+    rank (n=3: p50 -> 2nd, p95/p99 -> 3rd)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [(i, base + timedelta(seconds=i), "view", float(i + 1)) for i in range(100)]
+    rows += [
+        (200 + j, base + timedelta(hours=2, seconds=j), "click", v)
+        for j, v in enumerate([10.0, 20.0, 30.0])
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r["event_type"]): r for r in
+           REGISTRY["ops_latency_percentiles"].fn(spark, str(tmp_path)).collect()}
+    a, b = out["view"], out["click"]
+    assert (a["n"], a["p50"], a["p95"], a["p99"]) == (100, 50.0, 95.0, 99.0)
+    assert (b["n"], b["p50"], b["p95"], b["p99"]) == (3, 20.0, 30.0, 30.0)

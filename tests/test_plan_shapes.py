@@ -878,3 +878,23 @@ def test_heaps_law_two_scans_one_conditional_aggregate(spark, sf_small):
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert final.count("FileScan") == 1
+
+
+def test_bootstrap_all_replicates_one_map_pass(spark, sf_small):
+    """All 40 Poisson replicates must ride ONE map-side-combined
+    aggregate over ONE events scan — no explode, no join, no shuffle
+    beyond the single partial-merge funnel."""
+    df = REGISTRY["eval_bootstrap_ci"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode: conditional sums only
+
+
+def test_latency_percentiles_partition_by_cell_no_collect_list(spark, sf_small):
+    """The exact percentile rank must run partitioned by the
+    (type, hour) cell, with no collect_list buffering a cell's values."""
+    df = REGISTRY["ops_latency_percentiles"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "windowspecdefinition(event_type" in plan
+    assert "collect_list" not in plan
