@@ -2341,3 +2341,74 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
+
+
+_KANON_K = 5
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             CAST(count(*) AS BIGINT) AS grp_n
+      FROM documents GROUP BY 1, 2, 3),
+    sizes AS (
+      SELECT CASE WHEN grp_n >= {_KANON_K} THEN {_KANON_K} ELSE grp_n END
+               AS k_class,
+             count(*) AS n_groups, sum(grp_n) AS n_docs
+      FROM cells GROUP BY 1)
+    SELECT CAST(k_class AS BIGINT) AS k_class,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           k_class >= {_KANON_K} AS satisfies_k,
+           CAST(CAST(n_docs AS HUGEINT) * 1000000
+                // (SELECT sum(grp_n) FROM cells) AS BIGINT) AS doc_share_ppm
+    FROM sizes
+    """,
+    tags=("A1", "A4", "P2"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the documents table — the
+    privacy gate a training-data pipeline runs before release: treat
+    (lang, source, length-bucket) as the quasi-identifier and report the
+    anonymity histogram — how many equivalence classes have exactly 1,
+    2, 3, 4, or >= k=5 members, and how many documents sit in each
+    class size. A document alone in its class (k_class = 1) is
+    re-identifiable from the quasi-identifiers alone; the k>=5 row is
+    the releasable mass. doc_share_ppm gives each class's exact share
+    so the re-identification exposure reads directly.
+
+    Scale: two cheap aggregates — quasi-identifier groupBy (map-side
+    combined), then a count-of-counts over the GROUP table (bounded by
+    the quasi-identifier domain, not by documents); the total rides a
+    scalar subquery over the same bounded table. The k-cap keeps the
+    output at <= k rows regardless of scale."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", "source", F.expr("n_chars div 100").alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").alias("grp_n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("grp_n").cast("decimal(38,0)").alias("total"))
+    sizes = (
+        cells.withColumn(
+            "k_class",
+            F.expr(f"CASE WHEN grp_n >= {_KANON_K} THEN {_KANON_K} ELSE grp_n END"),
+        )
+        .groupBy("k_class")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("grp_n").cast("long").alias("n_docs"),
+        )
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("k_class").cast("long").alias("k_class"),
+        "n_groups",
+        "n_docs",
+        (F.col("k_class") >= _KANON_K).alias("satisfies_k"),
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+        ).alias("doc_share_ppm"),
+    )

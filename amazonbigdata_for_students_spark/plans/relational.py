@@ -3398,3 +3398,186 @@ def ops_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.col("h").cast("long").alias("h"), "n", "p50", "p95", "p99"
     )
+
+
+@query(
+    "timeseries_mann_kendall",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM cells a JOIN cells b
+        ON b.event_type = a.event_type AND b.h > a.h
+      GROUP BY 1),
+    nn AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM cells GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS HUGEINT) AS tie_corr
+      FROM (SELECT event_type, CAST(count(*) AS HUGEINT) AS t
+            FROM cells GROUP BY event_type, x)
+      GROUP BY 1),
+    v AS (
+      SELECT n.event_type, s.s_stat, CAST(n.n AS BIGINT) AS n,
+             n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS var18
+      FROM nn n JOIN s ON s.event_type = n.event_type
+      JOIN ties t ON t.event_type = n.event_type)
+    SELECT event_type, n, s_stat,
+           CAST(var18 AS BIGINT) AS var_num18,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend,
+           CASE WHEN var18 = 0 OR abs(s_stat) <= 1 THEN 0
+                ELSE CAST(CAST((abs(s_stat) - 1) AS HUGEINT)
+                          * (abs(s_stat) - 1) * 18 * 1000000 // var18
+                     AS BIGINT) END AS z2_ppm
+    FROM v
+    """,
+    tags=("J8", "A1", "F4", "W2"),
+)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test (Mann 1945, Kendall 1975)
+    per event type's hourly count series — the hypothesis-test companion
+    to timeseries_theil_sen's slope: S = sum over hour pairs i<j of
+    sign(x_j - x_i), with the tie-corrected variance
+    Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18. Reported exactly:
+    S and the 18-scaled variance numerator are plain integers, and the
+    squared continuity-corrected z, z^2 = (|S|-1)^2 / Var, is the exact
+    floor ratio (|S|-1)^2 * 18 * 1e6 // var18 — compare against
+    z_crit^2 = 3.8416e6 for the 5% two-sided decision, no sqrt anywhere.
+
+    Scale: the event volume collapses to the (type x hour) grid first,
+    so the pair join is grid-bounded (hours^2 per type, independent of
+    row count — the same contract as timeseries_autocorrelation); tie
+    groups come from one more grid-sized aggregate. Products reach
+    n^3 ~ 1e12 at decade-long hourly grids and are HUGEINT/decimal
+    lifted."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select("event_type", F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = cells.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("hb"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, (F.col("et2") == F.col("event_type")) & (F.col("hb") > F.col("ha")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = cells.groupBy("event_type").agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    ties = (
+        cells.groupBy("event_type", "x")
+        .agg(F.count("*").cast("decimal(38,0)").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_corr")
+        )
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var18", F.expr("n * (n - 1) * (2 * n + 5) - tie_corr"))
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "s_stat",
+        F.col("var18").cast("long").alias("var_num18"),
+        F.expr(
+            "CASE WHEN s_stat > 0 THEN 'increasing'"
+            " WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END"
+        ).alias("trend"),
+        F.expr(
+            "CASE WHEN var18 = 0 OR abs(s_stat) <= 1 THEN 0"
+            " ELSE CAST(CAST(abs(s_stat) - 1 AS DECIMAL(38,0))"
+            " * (abs(s_stat) - 1) * 18 * 1000000 div var18 AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+@query(
+    "win_decayed_engagement",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM {EVENTS} e),
+    hz AS (SELECT max(us) AS max_us FROM ev),
+    scored AS (
+      SELECT user_id,
+             CAST(floor(value * 1000) AS BIGINT)
+               // (CAST(1 AS BIGINT) << least((max_us - us) // 86400000000, 62))
+               AS dec_milli
+      FROM ev CROSS JOIN hz),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dec_milli) AS BIGINT) AS engagement_milli
+      FROM scored GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY engagement_milli DESC, user_id)
+                AS BIGINT) AS rank,
+           user_id, n_events, engagement_milli
+    FROM agg
+    QUALIFY rank <= 100
+    """,
+    tags=("W3", "F1", "F4", "O2"),
+)
+def win_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score with a 1-day half-life — the recsys
+    / retention primitive (recency-weighted activity): each event
+    contributes value * 2^(-age_days) relative to the dataset horizon,
+    so yesterday's click counts half of today's. Exact by construction:
+    the decay factor is a POWER OF TWO, so the per-event contribution is
+    the integer floor(value*1000) >> age_days (shift capped at 62) — no
+    transcendentals, no float accumulation, identical in both engines;
+    per-user scores are exact integer sums and the top-100 ranking is
+    total-ordered by (score, user_id).
+
+    Scale: one scan, the 1-row horizon broadcast, one map-side-combined
+    per-user sum, TakeOrdered top-k — the whole query is the cheapest
+    possible shape for a full-corpus recency score."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.expr("unix_micros(ts)").alias("us")
+    )
+    hz = ev.agg(F.max("us").alias("max_us"))
+    scored = ev.crossJoin(F.broadcast(hz)).select(
+        "user_id",
+        F.expr(
+            "CAST(floor(value * 1000) AS BIGINT)"
+            " div shiftleft(1L, CAST(least((max_us - us) div 86400000000, 62)"
+            " AS INT))"
+        ).alias("dec_milli"),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("dec_milli").cast("long").alias("engagement_milli"),
+    )
+    top = agg.orderBy(F.desc("engagement_milli"), "user_id").limit(100)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("engagement_milli"), "user_id"))
+        .cast("long")
+        .alias("rank"),
+        "user_id",
+        "n_events",
+        "engagement_milli",
+    )

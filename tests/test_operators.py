@@ -1766,3 +1766,68 @@ def test_latency_percentiles_nearest_rank(spark, tmp_path):
     a, b = out["view"], out["click"]
     assert (a["n"], a["p50"], a["p95"], a["p99"]) == (100, 50.0, 95.0, 99.0)
     assert (b["n"], b["p50"], b["p95"], b["p99"]) == (3, 20.0, 30.0, 30.0)
+
+
+def test_mann_kendall_monotone_and_flat_series(spark, tmp_path):
+    """A strictly increasing hourly series gives S = n(n-1)/2 with
+    z^2 > crit; a constant series gives S = 0, all-tied variance 0, and
+    a clean 'none' verdict (no division blowup)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(20):  # 'up': h+1 events in hour h
+        for _ in range(h + 1):
+            rows.append((eid, base + timedelta(hours=h), "up")); eid += 1
+    for h in range(20):  # 'flat': always 3
+        for _ in range(3):
+            rows.append((eid, base + timedelta(hours=h), "flat")); eid += 1
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r for r in
+           REGISTRY["timeseries_mann_kendall"].fn(spark, str(tmp_path)).collect()}
+    up, flat = out["up"], out["flat"]
+    assert (up["s_stat"], up["trend"]) == (20 * 19 // 2, "increasing")
+    # no ties: var18 = n(n-1)(2n+5) = 20*19*45
+    assert up["var_num18"] == 20 * 19 * 45
+    assert up["z2_ppm"] == (190 - 1) ** 2 * 18 * 1_000_000 // (20 * 19 * 45)
+    assert up["z2_ppm"] > 3_841_600  # significant at 5%
+    assert (flat["s_stat"], flat["trend"], flat["var_num18"], flat["z2_ppm"]) == (
+        0, "none", 0, 0)
+
+
+def test_decayed_engagement_halves_per_day(spark, tmp_path):
+    """User A's single 8.0-value event 3 days before the horizon scores
+    8000 >> 3 = 1000; user B holds the horizon with 8.0 -> 8000; the
+    ranking is (score desc, user_id)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 10)
+    rows = [
+        (1, base - timedelta(days=3), 10, 8.0),
+        (2, base, 20, 8.0),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["win_decayed_engagement"].fn(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["user_id"], r["engagement_milli"]) for r in out] == [
+        (1, 20, 8000), (2, 10, 1000)]
+
+
+def test_k_anonymity_histogram_and_cap(spark, tmp_path):
+    """Hand-built quasi-identifier classes of sizes 1, 2, and 6: the
+    histogram reports k_class 1/2/5 (6 capped at k), exact doc shares,
+    and only the capped class satisfies k."""
+    rows = []
+    rows.append((0, "en", "web", 50))                       # class size 1
+    rows += [(1 + i, "de", "web", 150) for i in range(2)]   # class size 2
+    rows += [(10 + i, "fr", "book", 250) for i in range(6)] # class size 6
+    spark.createDataFrame(rows, "doc_id long, lang string, source string, n_chars long") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["k_class"]: r for r in
+           REGISTRY["dq_k_anonymity"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1]["n_groups"], out[1]["n_docs"], out[1]["satisfies_k"]) == (1, 1, False)
+    assert (out[2]["n_groups"], out[2]["n_docs"], out[2]["satisfies_k"]) == (1, 2, False)
+    assert (out[5]["n_groups"], out[5]["n_docs"], out[5]["satisfies_k"]) == (1, 6, True)
+    assert out[5]["doc_share_ppm"] == 6 * 1_000_000 // 9

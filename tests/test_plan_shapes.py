@@ -898,3 +898,33 @@ def test_latency_percentiles_partition_by_cell_no_collect_list(spark, sf_small):
     plan = plan_of(df)
     assert "windowspecdefinition(event_type" in plan
     assert "collect_list" not in plan
+
+
+def test_mann_kendall_pair_join_reads_grid_checkpoint(spark, sf_small):
+    """The O(grid^2) pair join and both correction aggregates must read
+    the checkpointed count grid — the raw event volume is scanned
+    exactly once, never per consumer."""
+    df = REGISTRY["timeseries_mann_kendall"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_decayed_engagement_broadcast_horizon_takeordered(spark, sf_small):
+    """One scan + broadcast 1-row horizon + map-side-combined user sum
+    + TakeOrdered — the cheapest full-corpus recency shape."""
+    df = REGISTRY["win_decayed_engagement"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan") == 2  # ev + horizon pass, no third consumer
+
+
+def test_k_anonymity_count_of_counts_reads_checkpoint(spark, sf_small):
+    """The size histogram and the total both read the checkpointed
+    quasi-identifier group table — documents scanned once."""
+    df = REGISTRY["dq_k_anonymity"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
