@@ -2895,3 +2895,69 @@ def txt_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ),
     )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="WITH "
+    + ",\n".join(_bpe_oracle_parts()[0])
+    + f""",
+    lw AS (
+      SELECT lang, tok AS word, CAST(count(*) AS HUGEINT) AS freq_l
+      FROM (SELECT lang, unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    j AS (
+      SELECT l.lang, l.freq_l, CAST(len(s.seg) AS HUGEINT) AS n_sub
+      FROM lw l JOIN seg{_BPE_ITERS} s USING (word))
+    SELECT lang,
+           CAST(sum(freq_l) AS BIGINT) AS n_words,
+           CAST(sum(freq_l * n_sub) AS BIGINT) AS n_subtokens,
+           CAST(sum(freq_l * n_sub) * 1000000 // sum(freq_l) AS BIGINT)
+             AS fertility_ppm,
+           CAST((sum(freq_l * n_sub) - sum(freq_l)) * 1000000
+                // sum(freq_l * n_sub) AS BIGINT) AS continuation_ppm
+    FROM j GROUP BY lang
+    """,
+    tags=("U2", "A7", "J1"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual-equity metric
+    (Conneau et al. 2020 §A; Rust et al. 2021): how many learned-BPE
+    subwords the tokenizer spends per whitespace word of each language.
+    High fertility for a language means its documents consume more of
+    the sequence budget per unit of content — the quantified 'tokenizer
+    tax' that drives vocabulary-size and data-mixing decisions.
+    continuation_ppm = share of subword tokens that are non-word-initial
+    (the other standard framing of the same budget cost). Uses the SAME
+    trained segmentation as tokenizer_train_bpe/apply_bpe (shared
+    _bpe_train core), so the metric grades the tokenizer that ships.
+
+    Scale: the corpus enters only through the (lang, word) frequency
+    table (vocabulary-bounded per lang, Heaps' law); the segmentation
+    join broadcasts the vocabulary-sized word table; fertility is one
+    map-side-combined aggregate of exact integers (HUGEINT/decimal
+    lifted — freq*len products pass 2^63 at corpus scale)."""
+    _, segs = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    lw = (
+        d.select("lang", F.explode(TOKENS()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("decimal(38,0)").alias("freq_l"))
+    )
+    j = lw.join(
+        F.broadcast(
+            segs.select("word", F.size("seg").cast("decimal(38,0)").alias("n_sub"))
+        ),
+        "word",
+    )
+    return j.groupBy("lang").agg(
+        F.sum("freq_l").cast("long").alias("n_words"),
+        F.sum(F.expr("freq_l * n_sub")).cast("long").alias("n_subtokens"),
+        F.expr(
+            "CAST(sum(freq_l * n_sub) * 1000000 div sum(freq_l) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST((sum(freq_l * n_sub) - sum(freq_l)) * 1000000"
+            " div sum(freq_l * n_sub) AS BIGINT)"
+        ).alias("continuation_ppm"),
+    )

@@ -763,3 +763,151 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+_AR_MINSUP = 5
+_AR_TOP = 50
+
+
+@query(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS n_orders FROM dp),
+    supp AS (SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n FROM dp GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y,
+             CAST(count(*) AS HUGEINT) AS n_both
+      FROM dp a JOIN dp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_AR_MINSUP}),
+    dirs AS (
+      SELECT x AS ante, y AS cons, n_both FROM pairs
+      UNION ALL
+      SELECT y, x, n_both FROM pairs),
+    scored AS (
+      SELECT d.ante, d.cons, CAST(d.n_both AS BIGINT) AS n_both,
+             CAST(sa.n AS BIGINT) AS n_ante, CAST(sc.n AS BIGINT) AS n_cons,
+             CAST(d.n_both * 1000000 // b.n_orders AS BIGINT) AS support_ppm,
+             CAST(d.n_both * 1000000 // sa.n AS BIGINT) AS confidence_ppm,
+             CAST(d.n_both * b.n_orders * 1000000 // (sa.n * sc.n) AS BIGINT)
+               AS lift_ppm
+      FROM dirs d
+      JOIN supp sa ON sa.l_partkey = d.ante
+      JOIN supp sc ON sc.l_partkey = d.cons
+      CROSS JOIN nb b)
+    SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, confidence_ppm DESC,
+                                   ante, cons) AS BIGINT) AS rank,
+           ante, cons, n_both, n_ante, n_cons,
+           support_ppm, confidence_ppm, lift_ppm
+    FROM scored
+    QUALIFY rank <= {_AR_TOP}
+    """,
+    tags=("J7", "A1", "O2", "A7"),
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over order baskets — the Apriori
+    2-itemset layer (Agrawal & Srikant 1994) with the three canonical
+    metrics: support (joint basket share), confidence (P(cons|ante) —
+    directional, so each frequent pair yields TWO rules), and lift
+    (observed co-occurrence over the independence expectation; lift's
+    symmetry and confidence's asymmetry visible side by side is the
+    textbook read). min-support pruning at {_AR_MINSUP} baskets happens
+    ON THE PAIR AGGREGATE before any metric join — the Apriori property
+    applied where it saves the most work.
+
+    Exactness: all three metrics are exact HUGEINT/decimal floor ratios
+    (n_both * n_orders * 1e6 passes 2^63 at scale); ranking is
+    total-ordered (lift, confidence, ante, cons).
+
+    Scale: basket self-join bounded by basket size squared per order
+    (the repo's standard pairwise bound); min-support prunes BEFORE the
+    support joins, so only frequent pairs flow; supports are one
+    map-side-combined count; the basket total is a 1-row broadcast;
+    top-k is TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    dp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = dp.agg(
+        F.countDistinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
+    )
+    supp = dp.groupBy("l_partkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    )
+    a = dp.alias("a")
+    b = dp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("n_both"))
+        .where(F.col("n_both") >= _AR_MINSUP)
+    )
+    dirs = pairs.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "n_both"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("ante"), F.col("x").alias("cons"), "n_both"
+        )
+    )
+    scored = (
+        dirs.join(
+            supp.withColumnRenamed("l_partkey", "ante").withColumnRenamed(
+                "n", "na"
+            ),
+            "ante",
+        )
+        .join(
+            supp.withColumnRenamed("l_partkey", "cons").withColumnRenamed(
+                "n", "nc"
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("na").cast("long").alias("n_ante"),
+            F.col("nc").cast("long").alias("n_cons"),
+            F.expr("CAST(n_both * 1000000 div n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 div na AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * n_orders * 1000000 div (na * nc) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_ppm"), F.desc("confidence_ppm"), "ante", "cons"
+    ).limit(_AR_TOP)
+    return top.select(
+        F.row_number()
+        .over(
+            W.orderBy(F.desc("lift_ppm"), F.desc("confidence_ppm"), "ante", "cons")
+        )
+        .cast("long")
+        .alias("rank"),
+        "ante",
+        "cons",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        "support_ppm",
+        "confidence_ppm",
+        "lift_ppm",
+    )

@@ -1831,3 +1831,43 @@ def test_k_anonymity_histogram_and_cap(spark, tmp_path):
     assert (out[2]["n_groups"], out[2]["n_docs"], out[2]["satisfies_k"]) == (1, 2, False)
     assert (out[5]["n_groups"], out[5]["n_docs"], out[5]["satisfies_k"]) == (1, 6, True)
     assert out[5]["doc_share_ppm"] == 6 * 1_000_000 // 9
+
+
+def test_fertility_internal_consistency(spark, sf_small):
+    """Fertility grades the SAME segmentation the BPE trainer ships:
+    every lang has >= 1 subword per word (fertility >= 1e6), the
+    continuation rate is exactly derivable from the reported integer
+    counts, and after 6 merges SOME word must still split (fertility
+    strictly > 1e6 for at least one lang)."""
+    out = REGISTRY["tokenizer_fertility"].fn(spark, sf_small).collect()
+    assert {r["lang"] for r in out} >= {"en", "de"}
+    for r in out:
+        assert r["fertility_ppm"] >= 1_000_000
+        assert r["continuation_ppm"] == (
+            (r["n_subtokens"] - r["n_words"]) * 1_000_000 // r["n_subtokens"]
+        )
+    assert any(r["fertility_ppm"] > 1_000_000 for r in out)
+
+
+def test_assoc_rules_direction_and_lift(spark, tmp_path):
+    """Hand-built baskets: {A,B} in 5 of 10 baskets, A in 10, B in 5 —
+    rule B->A has confidence 1e6 (B never appears without A), A->B only
+    5e5; lift is symmetric at 5*10*1e6/(10*5) = 1e6; a pair below
+    min-support never surfaces."""
+    rows = []
+    for o in range(10):
+        rows.append((o, 1))               # A in every basket
+        if o < 5:
+            rows.append((o, 2))           # B in half, always with A
+    rows += [(0, 3), (1, 3)]              # C co-occurs only twice: pruned
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(1) \
+        .write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = REGISTRY["assoc_rules_lift"].fn(spark, str(tmp_path)).collect()
+    rules = {(r["ante"], r["cons"]): r for r in out}
+    assert set(rules) == {(1, 2), (2, 1)}  # C pairs below min-support
+    assert rules[(2, 1)]["confidence_ppm"] == 1_000_000
+    assert rules[(1, 2)]["confidence_ppm"] == 500_000
+    assert rules[(1, 2)]["lift_ppm"] == 1_000_000
+    assert rules[(1, 2)]["support_ppm"] == 500_000
+    # deterministic ranking: equal lift -> higher confidence first
+    assert out[0]["ante"] == 2 and out[0]["rank"] == 1

@@ -928,3 +928,21 @@ def test_k_anonymity_count_of_counts_reads_checkpoint(spark, sf_small):
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert final.count("FileScan") == 0
+
+
+def test_fertility_broadcasts_vocab_segmentation(spark, sf_small):
+    """The segmentation join must broadcast the vocabulary-sized word
+    table — the (lang, word) counts never shuffle against it."""
+    df = REGISTRY["tokenizer_fertility"].fn(spark, sf_small)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_assoc_rules_prunes_before_support_joins(spark, sf_small):
+    """Apriori property in the plan: the min-support filter must sit ON
+    the pair aggregate (count >= threshold inside/above the HashAggregate),
+    before the two support joins — only frequent pairs flow."""
+    df = REGISTRY["assoc_rules_lift"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "TakeOrderedAndProject" in final
+    assert final.count("FileScan") == 0  # all paths read the dp checkpoint
