@@ -1904,3 +1904,82 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("var_num_b2"),
     )
+
+
+@query(
+    "eval_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    hist AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM scored GROUP BY score),
+    tot AS (SELECT CAST(sum(np) AS HUGEINT) AS p FROM hist),
+    cum AS (
+      SELECT score,
+             sum(np) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(nn) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM hist)
+    SELECT CAST(score AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp) AS BIGINT)
+             AS precision_ppm,
+           CASE WHEN t.p = 0 THEN 0
+                ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // t.p AS BIGINT) END
+             AS recall_ppm
+    FROM cum CROSS JOIN tot t
+    """,
+    tags=("W3", "A1", "U2"),
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision-recall curve of the English-marker score — one
+    (precision, recall) operating point per DISTINCT THRESHOLD (predict
+    positive iff score >= t): the curve eval_average_precision
+    summarizes, materialized so the consumer picks the operating point.
+    tp/fp at each threshold are descending-suffix sums over the score
+    HISTOGRAM (the same bounded-arity trick as eval_auc_mannwhitney:
+    the per-mille score has <= 1001 distinct values, so the ordered
+    window runs over a histogram, never over documents). Exact floor
+    ratios, HUGEINT/decimal-lifted.
+
+    Scale: one scan -> score histogram (map-side combine); everything
+    downstream is score-arity-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("lang", TOKENS().alias("toks"))
+    hist = (
+        base.select(
+            _en_score_col().alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("np"),
+            F.sum(F.expr("1 - pos")).cast("long").alias("nn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = hist.agg(F.sum("np").cast("decimal(38,0)").alias("p"))
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "score",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nn").over(w).alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.expr(
+            "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div (tp + fp) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN p = 0 THEN 0"
+            " ELSE CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div p AS BIGINT) END"
+        ).alias("recall_ppm"),
+    )

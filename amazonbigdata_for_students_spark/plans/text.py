@@ -2961,3 +2961,105 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(freq_l * n_sub) AS BIGINT)"
         ).alias("continuation_ppm"),
     )
+
+
+@query(
+    "dedup_lsh_precision_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM tok GROUP BY doc_id),
+    band AS (SELECT doc_id, sig0 || sig1 AS k FROM sig),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM band a JOIN band b ON a.k = b.k AND a.doc_id < b.doc_id),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.da
+      JOIN tok tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+      GROUP BY 1, 2),
+    j AS (
+      SELECT CAST(i.ni * 1000000 // (na.n + nb.n - i.ni) AS BIGINT) AS jac
+      FROM inter i
+      JOIN nd na ON na.doc_id = i.da
+      JOIN nd nb ON nb.doc_id = i.db),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS n_cand FROM j)
+    SELECT CAST(least(jac // 100000, 9) AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(jac) AS min_jaccard_ppm,
+           max(jac) AS max_jaccard_ppm,
+           CAST(CAST(count(*) AS HUGEINT) * 1000000 // max(t.n_cand) AS BIGINT)
+             AS share_ppm
+    FROM j CROSS JOIN tot t
+    GROUP BY 1
+    """,
+    tags=("U6", "A1", "J7"),
+)
+def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision audit of the MinHash-LSH dedup configuration — the
+    governance query every dedup pipeline needs before it deletes data:
+    for every candidate pair the 2-wide LSH band (sig0||sig1, the
+    recall-side banding dedup_connected_components links on) proposes,
+    compute the EXACT Jaccard similarity of the distinct-token sets and
+    report the 10-bucket candidate-quality histogram. A heavy low-decile
+    mass means the banding is too loose (false candidates waste the
+    verify stage / delete real data); precision at any threshold is the
+    suffix sum of share_ppm. Uses the SAME signature expressions as the
+    shipping dedup (shared _SIG_SQL / minhash band machinery), so the
+    audit grades the exact config in production.
+
+    Scale: candidate volume is bounded by LSH bucket sizes — the very
+    reduction LSH exists to provide — so the exact-Jaccard join touches
+    only candidate documents' tokens (the cand join semi-filters the
+    token table before the token-keyed intersection shuffle); band-mates
+    share their min-hash token by construction, so the inner
+    intersection join loses no candidate. Output is 10 rows."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band = sig.select("doc_id", F.concat("sig0", "sig1").alias("k"))
+    a = band.select(F.col("doc_id").alias("da"), "k")
+    b = band.select(F.col("doc_id").alias("db"), F.col("k").alias("k2"))
+    cand = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .localCheckpoint(eager=False)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(TOKENS())).alias("tok")
+    )
+    nd = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("da"), "tok")
+    tb = tok.select(F.col("doc_id").alias("db_t"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "da")
+        .join(
+            tb,
+            (F.col("db") == F.col("db_t")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    j = (
+        inter.join(nd.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(nd.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            F.expr("CAST(ni * 1000000 div (na + nb - ni) AS BIGINT)").alias("jac")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = j.agg(F.count("*").cast("decimal(38,0)").alias("n_cand"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("least(jac div 100000, 9)").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("jac").alias("min_jaccard_ppm"),
+            F.max("jac").alias("max_jaccard_ppm"),
+            F.expr(
+                "CAST(CAST(count(*) AS DECIMAL(38,0)) * 1000000"
+                " div max(n_cand) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -1871,3 +1871,47 @@ def test_assoc_rules_direction_and_lift(spark, tmp_path):
     assert rules[(1, 2)]["support_ppm"] == 500_000
     # deterministic ranking: equal lift -> higher confidence first
     assert out[0]["ante"] == 2 and out[0]["rank"] == 1
+
+
+def test_pr_curve_monotone_recall_and_endpoints(spark, tmp_path):
+    """Hand-ranked fixture: thresholds sweep the histogram — recall is
+    non-decreasing as the threshold drops, the loosest threshold has
+    recall 1e6, and each point's exact tp/fp match hand computation."""
+    docs = [
+        (1, "the the the the", "en"),   # score 1000
+        (2, "the qqq www eee", "de"),   # score 250
+        (3, "the zzz xxx ccc", "en"),   # score 250
+        (4, "qqq www eee rrr", "de"),   # score 0
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = sorted(
+        REGISTRY["eval_pr_curve"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: -r["threshold"],
+    )
+    assert [(r["threshold"], r["tp"], r["fp"]) for r in out] == [
+        (1000, 1, 0), (250, 2, 1), (0, 2, 2)]
+    recalls = [r["recall_ppm"] for r in out]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1_000_000
+    assert out[0]["precision_ppm"] == 1_000_000
+    assert out[1]["precision_ppm"] == 666_666
+
+
+def test_lsh_precision_audit_separates_dup_from_collision(spark, tmp_path):
+    """Two identical docs land in decile 9 with Jaccard exactly 1e6;
+    unrelated docs never become candidates (no shared band), so the
+    histogram holds exactly one pair and shares sum to 1e6."""
+    docs = [
+        (1, "alpha beta gamma delta", None),
+        (2, "alpha beta gamma delta", None),
+        (3, "zzz yyy xxx www", None),
+        (4, "one two three four", None),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["dedup_lsh_precision_audit"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["decile"], r["n_pairs"], r["min_jaccard_ppm"],
+            r["max_jaccard_ppm"], r["share_ppm"]) == (9, 1, 1_000_000, 1_000_000, 1_000_000)

@@ -946,3 +946,23 @@ def test_assoc_rules_prunes_before_support_joins(spark, sf_small):
     final = plan_of(df).split("Initial Plan")[0]
     assert "TakeOrderedAndProject" in final
     assert final.count("FileScan") == 0  # all paths read the dp checkpoint
+
+
+def test_pr_curve_windows_histogram_only(spark, sf_small):
+    """The PR sweep's ordered window must run over the checkpointed
+    score histogram (arity-bounded), never over documents — no corpus
+    rescan survives."""
+    df = REGISTRY["eval_pr_curve"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+
+
+def test_lsh_audit_candidates_filter_token_join(spark, sf_small):
+    """The exact-Jaccard intersection must be keyed (token equi-join,
+    no cartesian), with the candidate table checkpointed so both the
+    intersection and the histogram read one LSH pass."""
+    df = REGISTRY["dedup_lsh_precision_audit"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
