@@ -1254,10 +1254,11 @@ _KM_EVENTS = (
 )
 
 
-@query(
-    "eval_kaplan_meier",
-    oracle=f"""
-    WITH spans AS (
+# Shared CTE chain: per-user lifetimes -> censor marks -> per-duration
+# death/censor counts -> risk sets. Consumed by the Kaplan-Meier survival
+# curve AND the Nelson-Aalen cumulative hazard.
+_KM_RISK_CTES = f"""
+    spans AS (
       SELECT user_id,
              (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS t,
              CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
@@ -1277,7 +1278,53 @@ _KM_EVENTS = (
                   - coalesce(sum(d + c) OVER (ORDER BY t
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS n_risk
-      FROM durs),
+      FROM durs)
+"""
+
+
+def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, d, c, n_risk) per distinct lifetime duration — the survival-
+    analysis risk table shared by Kaplan-Meier and Nelson-Aalen (Spark
+    twin of _KM_RISK_CTES). The per-user lifetime table is checkpointed:
+    it feeds BOTH the horizon aggregate and the censor marking — without
+    the cut each consumer re-runs the full events scan + groupBy
+    (fan-out-rescan discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 86400000000"
+        ).alias("t"),
+        F.expr("unix_micros(max(ts))").alias("last_us"),
+    ).localCheckpoint(eager=False)
+    horizon = spans.agg(
+        F.max("last_us").alias("max_us"), F.count("*").cast("long").alias("n_users")
+    )
+    marked = spans.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.expr(
+            f"CASE WHEN last_us >= max_us - {_KM_CENSOR_US} THEN 1 ELSE 0 END"
+        ).alias("cens"),
+        "n_users",
+    )
+    durs = marked.groupBy("t").agg(
+        F.sum(F.expr("1 - cens")).cast("long").alias("d"),
+        F.sum("cens").cast("long").alias("c"),
+        F.max("n_users").alias("n_users"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    return durs.withColumn(
+        "n_risk",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).cast("long"),
+    ).drop("n_users")
+
+
+@query(
+    "eval_kaplan_meier",
+    oracle=f"""
+    WITH {_KM_RISK_CTES},
     terms AS (
       SELECT *,
              CASE WHEN d = 0 THEN 0
@@ -1318,37 +1365,8 @@ def eval_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id), then the risk-set table is bounded by DISTINCT DURATIONS
     (<= observation span in days, ~30 here), so the ordered windows run
     over a constant-size table — never over users or events."""
-    ev = load_table(spark, sf_dir, "events")
-    # checkpoint: the per-user lifetime table feeds BOTH the horizon
-    # aggregate and the censor marking — without the cut each consumer
-    # re-runs the full events scan + groupBy (fan-out-rescan discipline)
-    spans = ev.groupBy("user_id").agg(
-        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 86400000000").alias("t"),
-        F.expr("unix_micros(max(ts))").alias("last_us"),
-    ).localCheckpoint(eager=False)
-    horizon = spans.agg(
-        F.max("last_us").alias("max_us"), F.count("*").cast("long").alias("n_users")
-    )
-    marked = spans.crossJoin(F.broadcast(horizon)).select(
-        "t",
-        F.expr(f"CASE WHEN last_us >= max_us - {_KM_CENSOR_US} THEN 1 ELSE 0 END").alias(
-            "cens"
-        ),
-        "n_users",
-    )
-    durs = marked.groupBy("t").agg(
-        F.sum(F.expr("1 - cens")).cast("long").alias("d"),
-        F.sum("cens").cast("long").alias("c"),
-        F.max("n_users").alias("n_users"),
-    )
-    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
     wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    risked = durs.withColumn(
-        "n_risk",
-        (F.col("n_users") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)))
-        .cast("long"),
-    )
-    terms = risked.withColumn(
+    terms = _km_risk_table(spark, sf_dir).withColumn(
         "term",
         F.expr(
             "CASE WHEN d = 0 THEN 0"
@@ -1489,28 +1507,18 @@ def eval_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Wald SPRT: sequential conversion-rate monitoring -------------------------
-import math as _math
+# The four quantized-nanonat constants (H0: purchase share <= 10%, H1:
+# >= 30%, alpha = beta = 5%) live in streaming/folds.py — ONE definition
+# for this batch eval, the streaming fold, and (via the f-string below)
+# both engines' SQL: the twin-oracle-constant discipline.
+from ..streaming.folds import (  # noqa: E402
+    SPRT_A as _SPRT_A,
+    SPRT_B as _SPRT_B,
+    SPRT_L0 as _SPRT_L0,
+    SPRT_L1 as _SPRT_L1,
+)
 
-_SPRT_P0, _SPRT_P1 = 0.10, 0.30  # H0: purchase share <= 10%, H1: >= 30%
-_SPRT_ALPHA = _SPRT_BETA = 0.05
-
-
-def _sprt_nano(x: float) -> int:
-    """The repo-wide ln quantization: floor(x*1e9 + 0.5), an exact function
-    of the float bits, shared verbatim by both engines via f-string
-    interpolation (the twin-oracle-constant pattern)."""
-    return _math.floor(x * 1e9 + 0.5)
-
-
-_SPRT_L1 = _sprt_nano(_math.log(_SPRT_P1 / _SPRT_P0))  # success increment
-_SPRT_L0 = _sprt_nano(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))  # failure
-_SPRT_A = _sprt_nano(_math.log((1 - _SPRT_BETA) / _SPRT_ALPHA))  # accept H1
-_SPRT_B = _sprt_nano(_math.log(_SPRT_BETA / (1 - _SPRT_ALPHA)))  # accept H0
-
-
-@query(
-    "eval_sprt_boundary",
-    oracle=f"""
+SPRT_ORACLE = f"""
     WITH seq AS (
       SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
                AS day_no,
@@ -1537,7 +1545,12 @@ _SPRT_B = _sprt_nano(_math.log(_SPRT_BETA / (1 - _SPRT_ALPHA)))  # accept H0
            CAST(coalesce(arg_min(cum, rn) FILTER (WHERE crossed),
                          sum(CAST(inc AS HUGEINT))) AS BIGINT) AS llr_nano
     FROM flagged GROUP BY day_no
-    """,
+    """
+
+
+@query(
+    "eval_sprt_boundary",
+    oracle=SPRT_ORACLE,
     tags=("W2", "W3", "F4", "A7"),
 )
 def eval_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1982,4 +1995,71 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN p = 0 THEN 0"
             " ELSE CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div p AS BIGINT) END"
         ).alias("recall_ppm"),
+    )
+
+
+@query(
+    "eval_nelson_aalen",
+    oracle=f"""
+    WITH {_KM_RISK_CTES},
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN n_risk = 0 THEN 0
+                  ELSE CAST(CAST(d AS HUGEINT) * 1000000000 // n_risk AS BIGINT)
+                  END AS term,
+             CASE WHEN n_risk = 0 THEN 0
+                  ELSE CAST(CAST(d AS HUGEINT) * (n_risk - d) * 1000000000
+                            // (CAST(n_risk AS HUGEINT) * n_risk * n_risk)
+                       AS BIGINT) END AS var_term
+      FROM risked)
+    SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_deaths, c AS c_censored,
+           CAST(sum(term) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hazard_cum_nano,
+           CAST(sum(var_term) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hazard_var_nano
+    FROM terms
+    """,
+    tags=("A1", "W3", "F1", "F4"),
+)
+def eval_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimator (Nelson 1972, Aalen
+    1978) over the SAME user-lifetime risk table as eval_kaplan_meier
+    (shared _km_risk_table / _KM_RISK_CTES): H(t) = sum_{t' <= t}
+    d/n_risk — the hazard-scale view of survival that stays finite
+    where K-M's log-product hits extinction, and the quantity whose
+    slope IS the churn rate. Reported as exact 1e-9-scaled floor terms
+    (d*1e9 // n, so the cumulative is an exact integer in both
+    engines), with the Greenwood-style variance accumulator
+    d*(n-d)*1e9 // n^3 riding along for confidence bands.
+
+    Scale: identical to K-M — one events scan, per-user aggregate
+    (checkpointed), then every window runs over the distinct-duration
+    table (bounded by the observation span in days)."""
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    terms = _km_risk_table(spark, sf_dir).select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.expr(
+            "CASE WHEN n_risk = 0 THEN 0"
+            " ELSE CAST(CAST(d AS DECIMAL(38,0)) * 1000000000 div n_risk"
+            " AS BIGINT) END"
+        ).alias("term"),
+        F.expr(
+            "CASE WHEN n_risk = 0 THEN 0"
+            " ELSE CAST(CAST(d AS DECIMAL(38,0)) * (n_risk - d) * 1000000000"
+            " div (CAST(n_risk AS DECIMAL(38,0)) * n_risk * n_risk)"
+            " AS BIGINT) END"
+        ).alias("var_term"),
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_deaths"),
+        F.col("c").alias("c_censored"),
+        F.sum("term").over(wc).cast("long").alias("hazard_cum_nano"),
+        F.sum("var_term").over(wc).cast("long").alias("hazard_var_nano"),
     )

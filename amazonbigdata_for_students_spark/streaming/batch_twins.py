@@ -14,6 +14,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..plans.evals import SPRT_ORACLE
 from ..plans.registry import query
 from ..plans.relational import EVENTS, TOKEN_BUCKET_ORACLE
 
@@ -31,14 +32,17 @@ _EVENTS_RAW = T.StructType(
 )
 
 
-def _final_snapshot(res: DataFrame, key: str = "user_id") -> DataFrame:
+def _final_snapshot(
+    res: DataFrame, key: str = "user_id", order_col: str = "n_events"
+) -> DataFrame:
     """Update-mode drains emit one snapshot row per touched key per
     micro-batch; the per-key FINAL state is the row with the largest
-    n_events (monotone per batch). Shared by the ewma and token-bucket
-    twins — the snapshot-selection rule lives once."""
+    observation count (monotone per batch). Shared by the ewma,
+    token-bucket, and SPRT twins — the snapshot-selection rule lives
+    once."""
     from pyspark.sql import Window as PW
 
-    w = PW.partitionBy(key).orderBy(F.desc("n_events"))
+    w = PW.partitionBy(key).orderBy(F.desc(order_col))
     return res.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
@@ -1412,5 +1416,69 @@ def token_bucket_stream(
     )
     name = "stream_token_bucket" if max_files_per_trigger is None else (
         f"stream_token_bucket_mfpt{max_files_per_trigger}"
+    )
+    return _drain(snap, name, mode="update")
+
+
+@query(
+    "stream_sprt_monitor",
+    oracle=SPRT_ORACLE,
+    tags=("T5", "W2", "F4"),
+)
+def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Wald-SPRT monitor — the stateful-streaming twin of
+    eval_sprt_boundary (same oracle constant, byte-identical answer):
+    per DAY, GroupState carries (cum LLR, n, first-crossing step, its
+    LLR) across micro-batches; each batch folds its rows in (ts,
+    event_id) order onto the carried walk, and once the walk exits
+    (ln B, ln A) the decision FREEZES (first-crossing semantics) while
+    n keeps counting so n_obs matches the batch twin. The four
+    quantized-nanonat constants are imported from the same leaf module
+    the batch eval and both engines' SQL use — one definition, three
+    consumers. This is the online experiment-monitor shape: state is 4
+    longs per day, decisions fire as soon as the evidence crosses, and
+    days already decided cost one comparison per event.
+
+    Same ordering contract as the other update-mode twins: rows sort
+    within a batch; exact iff per-day event time is nondecreasing
+    across batches (true for the single-file availableNow layout and
+    time-partitioned replay)."""
+    return _final_snapshot(
+        sprt_stream(spark, sf_dir), key="day_no", order_col="n_obs"
+    )
+
+
+def sprt_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Build + drain the SPRT stream: the registered query AND the
+    cross-batch decision-carry test drive this one pipeline."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import SPRT_L0, SPRT_L1, sprt_walk_fold
+
+    ev = events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    keyed = ev.select(
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias(
+            "day_no"
+        ),
+        "ts",
+        "event_id",
+        F.expr(
+            f"CASE WHEN event_type = 'purchase' THEN {SPRT_L1}L"
+            f" ELSE {SPRT_L0}L END"
+        ).alias("inc"),
+    )
+    snap = keyed.groupBy("day_no").applyInPandasWithState(
+        sprt_walk_fold,
+        outputStructType=(
+            "day_no long, n_obs long, n_steps long, decision string, llr_nano long"
+        ),
+        stateStructType="cum long, n long, first_rn long, dec_llr long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_sprt_monitor" if max_files_per_trigger is None else (
+        f"stream_sprt_monitor_mfpt{max_files_per_trigger}"
     )
     return _drain(snap, name, mode="update")

@@ -49,3 +49,67 @@ def token_bucket_fold(key, pdfs, state):
             "tokens_end_scaled": [tok],
         }
     )
+
+
+# --- SPRT constants: ONE definition for the batch eval, the streaming ---
+# fold, and (via f-string interpolation in plans/evals.py) both engines'
+# SQL — the twin-oracle-constant discipline. Living here (the leaf
+# module) because the executor-side fold below must read them without
+# dragging the plans registry into Python workers.
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.10, 0.30
+SPRT_ALPHA = SPRT_BETA = 0.05
+
+
+def _sprt_nano(x: float) -> int:
+    """floor(x*1e9 + 0.5): the repo-wide ln quantization."""
+    return _math.floor(x * 1e9 + 0.5)
+
+
+SPRT_L1 = _sprt_nano(_math.log(SPRT_P1 / SPRT_P0))
+SPRT_L0 = _sprt_nano(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_A = _sprt_nano(_math.log((1 - SPRT_BETA) / SPRT_ALPHA))
+SPRT_B = _sprt_nano(_math.log(SPRT_BETA / (1 - SPRT_ALPHA)))
+
+
+def sprt_walk_fold(key, pdfs, state):
+    """Per-day SPRT walk for stream_sprt_monitor. State: (cum, n,
+    first_rn, dec_llr) — the cumulative LLR and observation count carry
+    across micro-batches; once the walk first exits (SPRT_B, SPRT_A)
+    the decision step and its LLR freeze (first-crossing semantics),
+    while n keeps counting so the batch twin's n_obs matches."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["ts", "event_id"])
+    if state.exists:
+        cum, n, first_rn, dec_llr = state.get
+    else:
+        cum, n, first_rn, dec_llr = 0, 0, 0, 0
+    for inc in rows["inc"].to_numpy():
+        cum += int(inc)
+        n += 1
+        if first_rn == 0 and (cum >= SPRT_A or cum <= SPRT_B):
+            first_rn = n
+            dec_llr = cum
+    state.update((cum, n, first_rn, dec_llr))
+    decided = first_rn > 0
+    yield pd.DataFrame(
+        {
+            "day_no": [key[0]],
+            "n_obs": [n],
+            "n_steps": [first_rn if decided else n],
+            "decision": [
+                ("accept_h1" if dec_llr >= SPRT_A else "accept_h0")
+                if decided
+                else "undecided"
+            ],
+            "llr_nano": [dec_llr if decided else cum],
+        }
+    )

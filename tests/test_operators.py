@@ -1915,3 +1915,25 @@ def test_lsh_precision_audit_separates_dup_from_collision(spark, tmp_path):
     r = out[0]
     assert (r["decile"], r["n_pairs"], r["min_jaccard_ppm"],
             r["max_jaccard_ppm"], r["share_ppm"]) == (9, 1, 1_000_000, 1_000_000, 1_000_000)
+
+
+def test_nelson_aalen_shares_km_risk_table(spark, tmp_path):
+    """Same fixture as the K-M test: where K-M extinguishes (d = n_risk
+    at t=10), Nelson-Aalen stays finite — H jumps by exactly d*1e9//n =
+    2e9//2 = 1e9; the censored duration contributes 0 hazard."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(days=27)), (1, base + timedelta(days=29))]
+    for u in (2, 3):
+        rows += [(u, base), (u, base + timedelta(days=10))]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1) \
+        .write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["t_days"]: r for r in
+           REGISTRY["eval_nelson_aalen"].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 10}
+    r2, r10 = got[2], got[10]
+    assert (r2["n_risk"], r2["d_deaths"], r2["hazard_cum_nano"]) == (3, 0, 0)
+    assert (r10["n_risk"], r10["d_deaths"]) == (2, 2)
+    assert r10["hazard_cum_nano"] == 1_000_000_000  # 2e9 // 2, finite at extinction
+    assert r10["hazard_var_nano"] == 0  # d = n -> (n - d) term vanishes

@@ -479,3 +479,56 @@ def test_token_bucket_state_carries_dt_across_microbatches(spark, tmp_path):
     # the snapshot history must show BOTH micro-batches (update mode emits
     # one row per batch for the touched key)
     assert res.count() >= 2
+
+
+def test_sprt_decision_carries_across_microbatches(spark, tmp_path):
+    # Two part files = two micro-batches. Batch 1 holds two purchases
+    # (walk at 2*L1 ~ 2.197e9, inside the band); batch 2 holds one more
+    # purchase that pushes the walk past ln(19) — the carried cum must
+    # make the decision land at step 3, not restart at 1. The three
+    # views after the crossing must count into n_obs but leave the
+    # frozen decision untouched. Drives the SAME builder the registered
+    # query runs (sprt_stream).
+    from amazonbigdata_for_students_spark.plans import REGISTRY  # noqa: F401
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _final_snapshot,
+        sprt_stream,
+    )
+    from amazonbigdata_for_students_spark.streaming.folds import SPRT_L1
+
+    d = tmp_path / "sprtx" / "events.parquet"
+    d.mkdir(parents=True)
+
+    def write_part(name, rows):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(d / name))
+
+    write_part(
+        "part-000.parquet",
+        [(0, "2024-01-01 00:00:00", 1, "purchase", 1.0, "{}"),
+         (1, "2024-01-01 00:00:01", 1, "purchase", 1.0, "{}")],
+    )
+    write_part(
+        "part-001.parquet",
+        [(2, "2024-01-01 00:00:02", 1, "purchase", 1.0, "{}")]
+        + [(3 + i, f"2024-01-01 00:00:0{3 + i}", 1, "view", 1.0, "{}")
+           for i in range(3)],
+    )
+
+    res = sprt_stream(spark, str(tmp_path / "sprtx"), max_files_per_trigger=1)
+    final = _final_snapshot(res, key="day_no", order_col="n_obs").collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r.n_obs, r.n_steps, r.decision, r.llr_nano) == (
+        6, 3, "accept_h1", 3 * SPRT_L1)
+    assert res.count() >= 2  # both micro-batches emitted snapshots
