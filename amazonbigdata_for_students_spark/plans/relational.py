@@ -3581,3 +3581,73 @@ def win_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "engagement_milli",
     )
+
+
+@query(
+    "timeseries_twap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             ts, event_id
+      FROM {EVENTS} ev),
+    held AS (
+      SELECT event_type, v_milli, us,
+             lead(us) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id, us) AS next_us
+      FROM seq),
+    w AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_held,
+             CAST(sum(CAST(v_milli AS HUGEINT) * (next_us - us)) AS HUGEINT)
+               AS vw,
+             CAST(sum(next_us - us) AS HUGEINT) AS dt
+      FROM held WHERE next_us IS NOT NULL
+      GROUP BY 1)
+    SELECT event_type, n_held,
+           CAST(dt AS BIGINT) AS held_us,
+           CAST(vw // dt AS BIGINT) AS twap_milli
+    FROM w
+    """,
+    tags=("W2", "F1", "F4", "A3"),
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP — the
+    finance/ops standard that de-biases irregular sampling: a value held
+    for an hour weighs 3600x one held a second, where the plain mean
+    pretends every observation covers equal time). Step-function
+    semantics: each event's value holds until the type's next event
+    (lead over the per-type order); the last observation has no holding
+    interval and drops. Exact: values quantize once to milli (floor —
+    both engines truncate the same double identically), weights are
+    integer microseconds, and the weighted mean is one HUGEINT/decimal
+    floor division at the end.
+
+    Scale: one scan, one shuffle on the series key, a lag-shaped window
+    per type, map-side-combined weighted sums. The v*dt product reaches
+    ~1e3 * 1e13 us per row and the sum far past 2^63 — lifted."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
+        "ts",
+        "event_id",
+    )
+    wlead = W.partitionBy("event_type").orderBy("ts", "event_id", "us")
+    held = seq.select(
+        "event_type",
+        "v_milli",
+        "us",
+        F.lead("us").over(wlead).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    return held.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_held"),
+        F.sum(F.expr("CAST(v_milli AS DECIMAL(38,0)) * (next_us - us)")).alias("_vw"),
+        F.sum(F.expr("CAST(next_us - us AS DECIMAL(38,0))")).alias("_dt"),
+    ).select(
+        "event_type",
+        "n_held",
+        F.col("_dt").cast("long").alias("held_us"),
+        F.expr("CAST(_vw div _dt AS BIGINT)").alias("twap_milli"),
+    )

@@ -1482,3 +1482,80 @@ def sprt_stream(
         f"stream_sprt_monitor_mfpt{max_files_per_trigger}"
     )
     return _drain(snap, name, mode="update")
+
+
+@query(
+    "stream_percentile_monitor",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist)
+    SELECT event_type, CAST(max(total) AS BIGINT) AS n_obs,
+           CAST(min(CASE WHEN c * 100 >= total * 50 THEN bucket END) AS BIGINT)
+             AS p50_bucket,
+           CAST(min(CASE WHEN c * 100 >= total * 95 THEN bucket END) AS BIGINT)
+             AS p95_bucket,
+           CAST(min(CASE WHEN c * 100 >= total * 99 THEN bucket END) AS BIGINT)
+             AS p99_bucket
+    FROM cum GROUP BY event_type
+    """,
+    tags=("T1", "A9", "A2"),
+)
+def stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online latency-percentile monitor: a STREAMING value-bucket
+    histogram (width-10 buckets) per event type in complete mode, read
+    out as bucketed p50/p95/p99 — the production percentile-dashboard
+    architecture (exact order statistics need the data; a streaming
+    monitor keeps a bounded histogram and reports the bucket containing
+    each percentile, with error bounded by bucket width by
+    construction). Streaming state is |types| x |buckets| rows
+    regardless of feed volume, so the monitor runs forever at any rate.
+    The percentile read-out is deterministic integer arithmetic on the
+    drained histogram (first bucket where cum*100 >= q*total); the
+    oracle computes the identical bucketed answer from the batch table.
+
+    This complements ops_latency_percentiles (exact nearest-rank, batch)
+    with the online approximation the same dashboard serves between
+    batch refreshes."""
+    ev = events_stream(spark, sf_dir)
+    hist = (
+        ev.select(
+            "event_type", F.expr("CAST(floor(value / 10) AS BIGINT)").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    drained = _drain(hist, "stream_percentile_monitor", mode="complete")
+    from pyspark.sql import Window as PW
+
+    wc = (
+        PW.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(PW.unboundedPreceding, PW.currentRow)
+    )
+    wt = PW.partitionBy("event_type")
+    cum = drained.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_obs"),
+        F.min(F.expr("CASE WHEN c * 100 >= total * 50 THEN bucket END"))
+        .cast("long")
+        .alias("p50_bucket"),
+        F.min(F.expr("CASE WHEN c * 100 >= total * 95 THEN bucket END"))
+        .cast("long")
+        .alias("p95_bucket"),
+        F.min(F.expr("CASE WHEN c * 100 >= total * 99 THEN bucket END"))
+        .cast("long")
+        .alias("p99_bucket"),
+    )

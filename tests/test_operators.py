@@ -1937,3 +1937,43 @@ def test_nelson_aalen_shares_km_risk_table(spark, tmp_path):
     assert (r10["n_risk"], r10["d_deaths"]) == (2, 2)
     assert r10["hazard_cum_nano"] == 1_000_000_000  # 2e9 // 2, finite at extinction
     assert r10["hazard_var_nano"] == 0  # d = n -> (n - d) term vanishes
+
+
+def test_twap_weighs_holding_time_not_samples(spark, tmp_path):
+    """Value 100 held 9 seconds then 0 held 1 second: the plain mean of
+    observations is 50, TWAP must be 90000 milli (100*9/10); the final
+    observation (no holding interval) drops."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (1, base, "view", 100.0),
+        (2, base + timedelta(seconds=9), "view", 0.0),
+        (3, base + timedelta(seconds=10), "view", 7.0),  # last: no interval
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["timeseries_twap"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_held"], r["held_us"]) == (2, 10_000_000)
+    assert r["twap_milli"] == 90_000
+
+
+def test_stream_percentile_monitor_bucketed_readout(spark, tmp_path):
+    """95 values at 5.0 and five at 95.0: p50/p95 sit in bucket 0 (the
+    95th ordered value is still low), p99 must jump to bucket 9 — the
+    streaming histogram and the bucketed read-out agree with hand
+    arithmetic."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [(i, base + timedelta(seconds=i), 1, "view",
+             95.0 if i < 5 else 5.0, "{}") for i in range(100)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["stream_percentile_monitor"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_obs"], r["p50_bucket"], r["p95_bucket"], r["p99_bucket"]) == (
+        100, 0, 0, 9)
