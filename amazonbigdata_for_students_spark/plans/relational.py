@@ -3651,3 +3651,85 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_dt").cast("long").alias("held_us"),
         F.expr("CAST(_vw div _dt AS BIGINT)").alias("twap_milli"),
     )
+
+
+@query(
+    "win_rolling_slope",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, h, x,
+             CAST(count(*) OVER win AS HUGEINT) AS n,
+             sum(x) OVER win AS sx,
+             sum(CAST(h AS HUGEINT)) OVER win AS sh,
+             sum(CAST(h AS HUGEINT) * x) OVER win AS shx,
+             sum(CAST(h AS HUGEINT) * h) OVER win AS shh
+      FROM cells
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT event_type, h, n,
+             n * shx - sh * sx AS num,
+             n * shh - sh * sh AS den
+      FROM w)
+    SELECT event_type, CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n_win,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * (abs(num) * 1000 // den) AS BIGINT) AS slope_milli
+    FROM d WHERE n >= 12 AND den > 0
+    """,
+    tags=("W3", "F4", "T2"),
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour OLS trend slope of each event type's hourly count
+    series — the dashboard 'trend arrow' behind every rate panel,
+    computed from the closed-form normal equations over rolling sums:
+    slope = (n*Σhx - Σh*Σx) / (n*Σh² - (Σh)²), reported as exact
+    milli-counts-per-hour. The signed floor is SIGN-SPLIT —
+    sign(num) * (|num|*1000 // den) — because Spark's div truncates
+    toward zero while DuckDB's // floors toward -inf: on the absolute
+    value both engines agree (a divergence the repo's discipline exists
+    to catch). RANGE frame over the hour key so grid gaps shrink the
+    window; n >= 12 warm-up guard as in the Bollinger monitor.
+
+    Scale: event volume collapses to the (type x hour) grid in the
+    first aggregate; the rolling sums run partitioned by type over the
+    bounded grid. h² sums at epoch-hour magnitude exceed 2^63 over a
+    24-row window: HUGEINT/decimal-lifted."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("decimal(38,0)").alias("x"))
+    )
+    win = W.partitionBy("event_type").orderBy("h").rangeBetween(-23, 0)
+    d = cells.select(
+        "event_type",
+        "h",
+        F.count("*").over(win).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum(F.col("h").cast("decimal(38,0)")).over(win).alias("sh"),
+        F.sum(F.col("h").cast("decimal(38,0)") * F.col("x")).over(win).alias("shx"),
+        F.sum(F.col("h").cast("decimal(38,0)") * F.col("h")).over(win).alias("shh"),
+    ).select(
+        "event_type",
+        "h",
+        "n",
+        F.expr("n * shx - sh * sx").alias("num"),
+        F.expr("n * shh - sh * sh").alias("den"),
+    )
+    return d.where(F.expr("n >= 12 AND den > 0")).select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        F.col("n").cast("long").alias("n_win"),
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * (abs(num) * 1000 div den) AS BIGINT)"
+        ).alias("slope_milli"),
+    )

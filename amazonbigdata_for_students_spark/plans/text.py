@@ -3063,3 +3063,111 @@ def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+@query(
+    "corpus_dedup_impact",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS ek,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS nt, text
+      FROM documents),
+    exact_keep AS (
+      SELECT b.* FROM base b
+      JOIN (SELECT ek, min(doc_id) AS keep FROM base GROUP BY ek) k
+        ON b.ek = k.ek AND b.doc_id = k.keep),
+    sig AS (
+      SELECT doc_id, {_SIG_SQL}
+      FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok
+            FROM exact_keep) GROUP BY doc_id),
+    banded AS (
+      SELECT e.doc_id, e.source, e.nt, s.{MINHASH_BAND_SQL.replace(" || ", " || s.")} AS bk
+      FROM exact_keep e LEFT JOIN sig s USING (doc_id)),
+    near_keep AS (
+      SELECT b.* FROM banded b
+      LEFT JOIN (SELECT bk, min(doc_id) AS keep FROM banded
+                 WHERE bk IS NOT NULL GROUP BY bk) k ON b.bk = k.bk
+      WHERE b.bk IS NULL OR b.doc_id = k.keep)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.nt) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE e.doc_id IS NOT NULL) AS BIGINT)
+             AS exact_docs,
+           CAST(coalesce(sum(b.nt) FILTER (WHERE e.doc_id IS NOT NULL), 0)
+                AS BIGINT) AS exact_tokens,
+           CAST(count(*) FILTER (WHERE n.doc_id IS NOT NULL) AS BIGINT)
+             AS near_docs,
+           CAST(coalesce(sum(b.nt) FILTER (WHERE n.doc_id IS NOT NULL), 0)
+                AS BIGINT) AS near_tokens
+    FROM base b
+    LEFT JOIN exact_keep e ON e.doc_id = b.doc_id
+    LEFT JOIN near_keep n ON n.doc_id = b.doc_id
+    GROUP BY b.source
+    """,
+    tags=("U6", "A1", "E3", "A7"),
+)
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-impact report every corpus release ships: per source,
+    documents and tokens at three pipeline stages — raw, after EXACT
+    dedup (md5(text) identity, min-doc_id survivor), and after MinHash-
+    LSH NEAR dedup applied to the exact survivors (the standard order:
+    exact first, it is free; near-dedup on the survivors halves its
+    candidate volume). Zero-token documents carry no signature and pass
+    near-dedup as singletons (same semantics as the signature stage).
+    Uses the SAME signature/band expressions as the shipping dedup, so
+    the report describes exactly what the pipeline would delete.
+
+    Scale: exact stage is one md5 groupBy; signatures are map-only over
+    the survivors; the band stage shuffles k x 32-char keys; the final
+    per-source rollup joins doc-keyed survivor flags back — three
+    keyed hash joins, no pairwise anything (LSH's whole point)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("ek"),
+        F.size(TOKENS()).cast("long").alias("nt"),
+        "text",
+    ).localCheckpoint(eager=False)
+    ek_min = base.groupBy("ek").agg(F.min("doc_id").alias("keep"))
+    exact_keep = (
+        base.join(ek_min, "ek")
+        .where(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "source", "nt", "text")
+        .localCheckpoint(eager=False)
+    )
+    sig = exact_keep.select("doc_id", *minhash_sig_cols()).filter(
+        F.col("sig0").isNotNull()
+    )
+    banded = exact_keep.join(
+        sig.select("doc_id", minhash_band_col().alias("bk")), "doc_id", "left"
+    )
+    bk_min = (
+        banded.where(F.col("bk").isNotNull())
+        .groupBy("bk")
+        .agg(F.min("doc_id").alias("keep"))
+    )
+    near_keep = (
+        banded.join(bk_min, "bk", "left")
+        .where(F.col("bk").isNull() | (F.col("doc_id") == F.col("keep")))
+        .select("doc_id")
+    )
+    flags = (
+        base.select("doc_id", "source", "nt")
+        .join(
+            exact_keep.select("doc_id", F.lit(1).alias("is_exact")), "doc_id", "left"
+        )
+        .join(near_keep.withColumn("is_near", F.lit(1)), "doc_id", "left")
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.count("is_exact").cast("long").alias("exact_docs"),
+        F.coalesce(F.sum(F.expr("CASE WHEN is_exact = 1 THEN nt END")), F.lit(0))
+        .cast("long")
+        .alias("exact_tokens"),
+        F.count("is_near").cast("long").alias("near_docs"),
+        F.coalesce(F.sum(F.expr("CASE WHEN is_near = 1 THEN nt END")), F.lit(0))
+        .cast("long")
+        .alias("near_tokens"),
+    )

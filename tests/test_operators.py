@@ -1977,3 +1977,50 @@ def test_stream_percentile_monitor_bucketed_readout(spark, tmp_path):
     r = REGISTRY["stream_percentile_monitor"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_obs"], r["p50_bucket"], r["p95_bucket"], r["p99_bucket"]) == (
         100, 0, 0, 9)
+
+
+def test_dedup_impact_stage_accounting(spark, tmp_path):
+    """3 exact copies + 1 near-dup (same token SET, different text) +
+    1 unique + 1 empty doc: exact keeps one of the copies, near-dedup
+    then merges the token-set twin into it, the empty doc survives both
+    stages as a singleton, and tokens are accounted per stage."""
+    docs = [
+        (1, "alpha beta gamma", "web"),
+        (2, "alpha beta gamma", "web"),      # exact dup of 1
+        (3, "alpha beta gamma", "web"),      # exact dup of 1
+        (4, "beta alpha gamma alpha", "web"),  # near dup: same token set
+        (5, "totally different words here", "web"),
+        (6, "   ", "web"),                   # zero tokens: no signature
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["corpus_dedup_impact"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_tokens"]) == (6, 3 + 3 + 3 + 4 + 4 + 0)
+    # exact: docs 1 (keeps 2,3's key), 4, 5, 6 survive
+    assert (r["exact_docs"], r["exact_tokens"]) == (4, 3 + 4 + 4 + 0)
+    # near: doc 4 collapses into doc 1's band (identical token set ->
+    # identical minhash); empty doc 6 passes as a singleton
+    assert (r["near_docs"], r["near_tokens"]) == (3, 3 + 4 + 0)
+
+
+def test_rolling_slope_recovers_linear_ramp(spark, tmp_path):
+    """Counts h+1 in hour h: a perfectly linear series must report
+    slope exactly 1000 milli/hour at every warmed-up window; the
+    sign-split floor is checked on a decreasing tail."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(30):
+        for _ in range(h + 1):
+            rows.append((eid, base + timedelta(hours=h), "up")); eid += 1
+    for h in range(30):  # strictly decreasing series
+        for _ in range(60 - 2 * h):
+            rows.append((eid, base + timedelta(hours=h), "down")); eid += 1
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["win_rolling_slope"].fn(spark, str(tmp_path)).collect()
+    ups = [r for r in out if r["event_type"] == "up"]
+    downs = [r for r in out if r["event_type"] == "down"]
+    assert ups and all(r["slope_milli"] == 1000 for r in ups)
+    assert downs and all(r["slope_milli"] == -2000 for r in downs)
