@@ -998,3 +998,219 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         dsum("value").alias("attributed_value"),
     )
+
+
+@query(
+    "clk_growth_accounting",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS d
+      FROM {EVENTS} ev),
+    marked AS (
+      SELECT user_id, d,
+             min(d) OVER (PARTITION BY user_id) AS first_d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ud),
+    daily AS (
+      SELECT d AS day_no,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN d > first_d AND prev_d = d - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN d > first_d AND prev_d < d - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM marked GROUP BY d),
+    walked AS (
+      SELECT *,
+             coalesce(lag(n_active) OVER (ORDER BY day_no), 0) - n_retained
+               AS n_churned,
+             lag(day_no) OVER (ORDER BY day_no) AS prev_day
+      FROM daily)
+    SELECT day_no, n_active, n_new, n_retained, n_resurrected,
+           CASE WHEN prev_day = day_no - 1 THEN CAST(n_churned AS BIGINT)
+                ELSE NULL END AS n_churned,
+           CASE WHEN prev_day = day_no - 1 AND n_churned > 0
+                THEN CAST((n_new + n_resurrected) * 1000000 // n_churned
+                     AS BIGINT)
+                ELSE NULL END AS quick_ratio_ppm
+    FROM walked
+    """,
+    tags=("W2", "A1", "F1", "A4"),
+)
+def clk_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team runs
+    (the Facebook/Social-Capital 'growth accounting' identity): each
+    day's active users split into NEW (first day ever), RETAINED (also
+    active yesterday), and RESURRECTED (active before, but not
+    yesterday); CHURNED = yesterday's actives who didn't return =
+    active(d-1) - retained(d), an identity on the aggregates — no
+    per-user churn row needed. The quick ratio (new + resurrected) /
+    churned is the headline: > 1e6 ppm means the product grows. Both
+    churn columns are NULL on days whose predecessor day is absent from
+    the data (a calendar gap would silently mis-attribute churn).
+
+    Scale: the event volume collapses to DISTINCT (user, day) in one
+    aggregate; the per-user lag/min windows run partitioned by user
+    over that (users x active-days) table; the day-series walk runs
+    over the bounded day grid. No joins at all — two windows and two
+    aggregates."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias(
+                "d"
+            ),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("d")
+    marked = ud.select(
+        "d",
+        F.min("d").over(wu).alias("first_d"),
+        F.lag("d").over(wo).alias("prev_d"),
+    )
+    daily = marked.groupBy(F.col("d").alias("day_no")).agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.expr("CASE WHEN d = first_d THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.expr("CASE WHEN d > first_d AND prev_d = d - 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.expr("CASE WHEN d > first_d AND prev_d < d - 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    wd = W.orderBy("day_no")
+    walked = daily.select(
+        "*",
+        (F.coalesce(F.lag("n_active").over(wd), F.lit(0)) - F.col("n_retained")).alias(
+            "churn_raw"
+        ),
+        F.lag("day_no").over(wd).alias("prev_day"),
+    )
+    return walked.select(
+        "day_no",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.expr(
+            "CASE WHEN prev_day = day_no - 1 THEN CAST(churn_raw AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("n_churned"),
+        F.expr(
+            "CASE WHEN prev_day = day_no - 1 AND churn_raw > 0"
+            " THEN CAST((n_new + n_resurrected) * 1000000 div churn_raw AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("quick_ratio_ppm"),
+    )
+
+
+@query(
+    "clk_time_to_convert",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+      FROM {EVENTS} ev GROUP BY 1),
+    seen AS (SELECT * FROM per_user WHERE fv IS NOT NULL),
+    conv AS (
+      SELECT user_id, CAST(fp - fv AS BIGINT) AS delay_us
+      FROM seen WHERE fp IS NOT NULL AND fp > fv),
+    ranked AS (
+      SELECT delay_us,
+             row_number() OVER (ORDER BY delay_us, user_id) AS rk
+      FROM conv),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM seen) AS BIGINT) AS n_users,
+             CAST(count(*) AS BIGINT) AS n_conv
+      FROM conv)
+    SELECT n_users, n_conv AS n_converted,
+           CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT)
+             AS conv_ppm,
+           max(CASE WHEN rk = (n_conv * 50 + 99) // 100 THEN delay_us END)
+             AS p50_delay_us,
+           max(CASE WHEN rk = (n_conv * 90 + 99) // 100 THEN delay_us END)
+             AS p90_delay_us,
+           max(CASE WHEN rk = (n_conv * 99 + 99) // 100 THEN delay_us END)
+             AS p99_delay_us
+    FROM ranked CROSS JOIN tot
+    GROUP BY n_users, n_conv
+    """,
+    tags=("A9", "W1", "F1", "A7"),
+)
+def clk_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel latency — the growth companion to the
+    conversion rate: for every user, the delay between their FIRST view
+    and their FIRST later purchase; reported as the conversion share
+    plus the exact nearest-rank p50/p90/p99 of the delay distribution
+    (the numbers that decide remarketing windows). 'Converted' = first
+    purchase strictly after first view — the one-aggregate funnel
+    simplification (conditional mins per user), deterministic and
+    engine-identical.
+
+    Scale: one scan -> per-user conditional-min aggregate (map-side
+    combine); the global delay ranking uses the distributed two-pass
+    prefix shape (registry.global_prefix) — no single-node sort of the
+    user dimension; the percentile read-out is one conditional
+    aggregate against the broadcast totals."""
+    from .registry import global_prefix
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN event_type = 'view' THEN unix_micros(ts) END")
+            ).alias("fv"),
+            F.min(
+                F.expr("CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END")
+            ).alias("fp"),
+        )
+        .where(F.col("fv").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    conv = per_user.where(
+        F.col("fp").isNotNull() & (F.col("fp") > F.col("fv"))
+    ).select("user_id", (F.col("fp") - F.col("fv")).cast("long").alias("delay_us"))
+    ranked = global_prefix(conv, [F.col("delay_us"), F.col("user_id")])
+    tot = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.expr("CASE WHEN fp IS NOT NULL AND fp > fv THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_conv"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "n_conv")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN rk = (n_conv * 50 + 99) div 100 THEN delay_us END")
+            ).alias("p50_delay_us"),
+            F.max(
+                F.expr("CASE WHEN rk = (n_conv * 90 + 99) div 100 THEN delay_us END")
+            ).alias("p90_delay_us"),
+            F.max(
+                F.expr("CASE WHEN rk = (n_conv * 99 + 99) div 100 THEN delay_us END")
+            ).alias("p99_delay_us"),
+        )
+        .select(
+            "n_users",
+            F.col("n_conv").alias("n_converted"),
+            F.expr(
+                "CAST(CAST(n_conv AS DECIMAL(38,0)) * 1000000 div n_users AS BIGINT)"
+            ).alias("conv_ppm"),
+            "p50_delay_us",
+            "p90_delay_us",
+            "p99_delay_us",
+        )
+    )

@@ -2969,10 +2969,12 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents),
     sig AS (SELECT doc_id, {_SIG_SQL} FROM tok GROUP BY doc_id),
-    band AS (SELECT doc_id, sig0 || sig1 AS k FROM sig),
+    band AS (SELECT doc_id, {MINHASH_BAND_SQL} AS k FROM sig),
+    canon AS (SELECT k, min(doc_id) AS cd FROM band GROUP BY k),
     cand AS (
-      SELECT a.doc_id AS da, b.doc_id AS db
-      FROM band a JOIN band b ON a.k = b.k AND a.doc_id < b.doc_id),
+      SELECT c.cd AS da, b.doc_id AS db
+      FROM band b JOIN canon c USING (k)
+      WHERE b.doc_id <> c.cd),
     nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
     inter AS (
       SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
@@ -2998,31 +3000,34 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("U6", "A1", "J7"),
 )
 def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision audit of the MinHash-LSH dedup configuration — the
-    governance query every dedup pipeline needs before it deletes data:
-    for every candidate pair the 2-wide LSH band (sig0||sig1, the
-    recall-side banding dedup_connected_components links on) proposes,
-    compute the EXACT Jaccard similarity of the distinct-token sets and
-    report the 10-bucket candidate-quality histogram. A heavy low-decile
-    mass means the banding is too loose (false candidates waste the
-    verify stage / delete real data); precision at any threshold is the
-    suffix sum of share_ppm. Uses the SAME signature expressions as the
-    shipping dedup (shared _SIG_SQL / minhash band machinery), so the
-    audit grades the exact config in production.
+    """Precision audit of the MinHash-LSH dedup — the governance query a
+    pipeline runs before it deletes data: for every COLLAPSE the
+    shipping dedup would perform (dedup_minhash_groups keeps the
+    min-doc_id canonical per full-signature band; every other member is
+    dropped in its favor), compute the EXACT Jaccard between the dropped
+    member and its canonical, and report the 10-bucket quality
+    histogram. Heavy low-decile mass = the banding deletes documents
+    that are NOT near-dups of what they collapse into; precision at any
+    threshold is the suffix sum of share_ppm. Uses the SAME signature /
+    band expressions as the shipping dedup, so the audit grades exactly
+    the production decision set.
 
-    Scale: candidate volume is bounded by LSH bucket sizes — the very
-    reduction LSH exists to provide — so the exact-Jaccard join touches
-    only candidate documents' tokens (the cand join semi-filters the
-    token table before the token-keyed intersection shuffle); band-mates
-    share their min-hash token by construction, so the inner
-    intersection join loses no candidate. Output is 10 rows."""
+    Scale — the audit is LINEAR BY CONSTRUCTION: auditing (member,
+    canonical) pairs instead of all intra-bucket pairs costs sum(sz-1)
+    rows (one per dropped doc — exactly the rows the dedup deletes),
+    where all-pairs is sum(sz^2)/2 and measured DEGENERATE on this
+    corpus (the dense synthetic vocab collapses bands: at sf1 the 4-sig
+    band has a 23k-doc bucket = 281M intra-bucket pairs, while the
+    collapse set is just ~60k pairs). Band-mates share their min-hash
+    token, so the inner intersection join loses no pair. Output is 10
+    rows."""
     sig = dedup_minhash_signatures(spark, sf_dir)
-    band = sig.select("doc_id", F.concat("sig0", "sig1").alias("k"))
-    a = band.select(F.col("doc_id").alias("da"), "k")
-    b = band.select(F.col("doc_id").alias("db"), F.col("k").alias("k2"))
+    band = sig.select("doc_id", minhash_band_col().alias("k"))
+    canon = band.groupBy("k").agg(F.min("doc_id").alias("cd"))
     cand = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("da") < F.col("db")))
-        .select("da", "db")
+        band.join(canon, "k")
+        .where(F.col("doc_id") != F.col("cd"))
+        .select(F.col("cd").alias("da"), F.col("doc_id").alias("db"))
         .localCheckpoint(eager=False)
     )
     d = load_table(spark, sf_dir, "documents")

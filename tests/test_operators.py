@@ -2024,3 +2024,52 @@ def test_rolling_slope_recovers_linear_ramp(spark, tmp_path):
     downs = [r for r in out if r["event_type"] == "down"]
     assert ups and all(r["slope_milli"] == 1000 for r in ups)
     assert downs and all(r["slope_milli"] == -2000 for r in downs)
+
+
+def test_growth_accounting_identity_and_gap_guard(spark, tmp_path):
+    """Hand-built activity: day 0 = users {1,2} (new), day 1 = {1
+    retained, 3 new} (user 2 churns), day 3 = {2 resurrected} — and
+    because day 2 is absent from the data, day 3's churn must be NULL
+    (gap guard), not a mis-attributed count."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    acts = [(1, 0), (2, 0), (1, 1), (3, 1), (2, 3)]
+    rows = [(i, base + timedelta(days=d, minutes=i), u, "view")
+            for i, (u, d) in enumerate(acts)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    d0 = int((base - datetime(1970, 1, 1)).days)
+    out = {r["day_no"] - d0: r for r in
+           REGISTRY["clk_growth_accounting"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 3}
+    assert (out[0]["n_active"], out[0]["n_new"], out[0]["n_churned"]) == (2, 2, None)
+    r1 = out[1]
+    assert (r1["n_active"], r1["n_new"], r1["n_retained"], r1["n_resurrected"],
+            r1["n_churned"], r1["quick_ratio_ppm"]) == (2, 1, 1, 0, 1, 1_000_000)
+    r3 = out[3]
+    assert (r3["n_active"], r3["n_resurrected"], r3["n_churned"],
+            r3["quick_ratio_ppm"]) == (1, 1, None, None)
+
+
+def test_time_to_convert_exact_ranks(spark, tmp_path):
+    """4 viewers, 3 converters with delays 10s/20s/30s (one user
+    purchases BEFORE viewing — not a conversion): conv = 3/4, p50 =
+    rank-2 = 20s, p90/p99 = rank-3 = 30s."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u, delay in [(1, 10), (2, 20), (3, 30)]:
+        rows.append((eid, base, u, "view")); eid += 1
+        rows.append((eid, base + timedelta(seconds=delay), u, "purchase")); eid += 1
+    rows.append((eid, base, 4, "purchase")); eid += 1  # purchase first
+    rows.append((eid, base + timedelta(seconds=5), 4, "view")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["clk_time_to_convert"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_users"], r["n_converted"], r["conv_ppm"]) == (4, 3, 750_000)
+    assert (r["p50_delay_us"], r["p90_delay_us"], r["p99_delay_us"]) == (
+        20_000_000, 30_000_000, 30_000_000)
