@@ -3176,3 +3176,117 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("near_tokens"),
     )
+
+
+_XSRC_TOP = 30
+
+
+@query(
+    "corpus_cross_source_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT source,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM (SELECT source, {SQL_TOKENS} AS toks FROM documents),
+           unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT s.src_a, s.src_b, s.n_shared,
+             za.n AS n_a, zb.n AS n_b,
+             CAST(CAST(s.n_shared AS HUGEINT) * 1000000
+                  // (za.n + zb.n - s.n_shared) AS BIGINT) AS jaccard_ppm
+      FROM shared s
+      JOIN sz za ON za.source = s.src_a
+      JOIN sz zb ON zb.source = s.src_b)
+    SELECT CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, src_a, src_b)
+                AS BIGINT) AS rank,
+           src_a, src_b, n_shared, n_a, n_b, jaccard_ppm
+    FROM scored
+    QUALIFY rank <= {_XSRC_TOP}
+    """,
+    tags=("U6", "A4", "J7", "O2"),
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — which corpus sources share
+    content: exact 3-gram-set Jaccard between every source pair, top
+    {_XSRC_TOP} most-overlapping pairs. The diagnostic behind source
+    weighting and leakage triage (two 'independent' crawls sharing half
+    their shingles are one source for mixing purposes, and a benchmark
+    source overlapping a training source is contamination by
+    definition). Complements decontaminate_overlap (which checks ONE
+    ordained train/test boundary) with the full pairwise matrix.
+
+    Scale: grams deduplicate to DISTINCT (source, gram) first — the
+    shuffle key is the gram, and per-gram fan-out is bounded by the
+    SOURCE-DOMAIN squared, not by document volume; per-source set sizes
+    are one count. With thousands of sources, block the gram join by
+    hash-prefix; at the reference's source arity the matrix is tiny.
+    Exact integers end to end; TakeOrdered top-k."""
+    from pyspark.sql import Window as PW
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", TOKENS().alias("toks"))
+    g = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = g.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), F.col("gram").alias("gram_b"))
+    shared = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    scored = (
+        shared.join(
+            sz.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a"),
+            "src_a",
+        )
+        .join(
+            sz.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b"),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                " div (n_a + n_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    top = scored.orderBy(F.desc("jaccard_ppm"), "src_a", "src_b").limit(_XSRC_TOP)
+    return top.select(
+        F.row_number()
+        .over(PW.orderBy(F.desc("jaccard_ppm"), "src_a", "src_b"))
+        .cast("long")
+        .alias("rank"),
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        "jaccard_ppm",
+    )

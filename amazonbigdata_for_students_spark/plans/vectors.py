@@ -1602,3 +1602,91 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = cov.orderBy(F.abs(F.col("cov_scaled")).desc(), "i", "j").limit(_COV_TOP)
     return top
+
+
+@query(
+    "vec_embedding_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id % 2 AS h, i AS pos,
+             CAST(floor(embedding[i] * 1000000) AS BIGINT) AS qv
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    cent AS (
+      SELECT pos,
+             CAST(sum(CASE WHEN h = 0 THEN qv END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN h = 1 THEN qv END) AS HUGEINT) AS sb
+      FROM q GROUP BY pos),
+    counts AS (
+      SELECT CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
+                  AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
+                  AS BIGINT) AS n_b
+      FROM embeddings),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS dim,
+             sum(sa * sb) AS dot,
+             sum(sa * sa) AS na2,
+             sum(sb * sb) AS nb2
+      FROM cent)
+    SELECT c.n_a, c.n_b, a.dim,
+           CASE WHEN a.na2 = 0 OR a.nb2 = 0 THEN 0
+                ELSE (CASE WHEN a.dot < 0 THEN -1 ELSE 1 END)
+                     * CAST(a.dot * a.dot * 1000000 // (a.na2 * a.nb2)
+                            AS BIGINT) END AS centroid_cos2_sppm
+    FROM agg a CROSS JOIN counts c
+    """,
+    tags=("U5", "A3", "F4", "F7"),
+)
+def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the embedding table
+    into two cohorts (vec_id parity — the stand-in for before/after a
+    model or pipeline change) and report the signed squared cosine
+    between the two cohort CENTROIDS — the cheapest useful drift
+    statistic (a healthy re-run scores ~1e6; a centroid swing is the
+    first sign the upstream encoder or the data mix moved). Components
+    quantize once to integer micros (floor(x*1e6) — identical on the
+    same float bits in both engines), so centroid sums, the dot, and
+    the norms are exact integers and the reported signed cos^2 is an
+    exact floor ratio (the vector lane's sqrt-free discipline).
+
+    Scale: one explode -> per-(cohort, dim) sum (map-side combine;
+    shuffle bounded by 2 x dim rows), then a dim-bounded aggregate.
+    Quantized sums reach n * 1e6 * |x| ~ 1e15 and their squares far
+    past 2^63: HUGEINT/decimal-lifted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("h", "pos", F.expr("CAST(floor(v * 1000000) AS BIGINT)").alias("qv"))
+    cent = q.groupBy("pos").agg(
+        F.sum(F.expr("CASE WHEN h = 0 THEN qv END"))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.expr("CASE WHEN h = 1 THEN qv END"))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+    )
+    counts = e.agg(
+        F.count(F.expr("CASE WHEN vec_id % 2 = 0 THEN vec_id END"))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.expr("CASE WHEN vec_id % 2 = 1 THEN vec_id END"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    agg = cent.agg(
+        F.count("*").cast("long").alias("dim"),
+        F.sum(F.expr("sa * sb")).alias("dot"),
+        F.sum(F.expr("sa * sa")).alias("na2"),
+        F.sum(F.expr("sb * sb")).alias("nb2"),
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_a",
+        "n_b",
+        "dim",
+        F.expr(
+            "CASE WHEN na2 = 0 OR nb2 = 0 THEN 0"
+            " ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)"
+            " * CAST(dot * dot * 1000000 div (na2 * nb2) AS BIGINT) END"
+        ).alias("centroid_cos2_sppm"),
+    )

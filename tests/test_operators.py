@@ -2073,3 +2073,38 @@ def test_time_to_convert_exact_ranks(spark, tmp_path):
     assert (r["n_users"], r["n_converted"], r["conv_ppm"]) == (4, 3, 750_000)
     assert (r["p50_delay_us"], r["p90_delay_us"], r["p99_delay_us"]) == (
         20_000_000, 30_000_000, 30_000_000)
+
+
+def test_cross_source_overlap_exact_jaccard(spark, tmp_path):
+    """Sources A and B share exactly one 3-gram of their two each
+    (jaccard 1/3); source C shares nothing and must not appear."""
+    docs = [
+        (1, "a b c d", "A"),      # grams: "a b c", "b c d"
+        (2, "a b c x", "B"),      # grams: "a b c", "b c x"
+        (3, "q w e r", "C"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["corpus_cross_source_overlap"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"]) == (
+        "A", "B", 1, 2, 2)
+    assert r["jaccard_ppm"] == 1_000_000 // 3
+
+
+def test_embedding_drift_identical_and_opposite_cohorts(spark, tmp_path):
+    """Even/odd cohorts with identical centroids score +1e6; flipping
+    the odd cohort's sign scores -1e6 (the signed cos^2 keeps the
+    direction information a plain cos^2 would lose)."""
+    same = [(i, [1.0, 2.0], 0) for i in range(4)]
+    spark.createDataFrame(same, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "same" / "embeddings.parquet"))
+    r = REGISTRY["vec_embedding_drift"].fn(spark, str(tmp_path / "same")).collect()[0]
+    assert (r["n_a"], r["n_b"], r["dim"], r["centroid_cos2_sppm"]) == (
+        2, 2, 2, 1_000_000)
+    flip = [(i, [1.0, 2.0] if i % 2 == 0 else [-1.0, -2.0], 0) for i in range(4)]
+    spark.createDataFrame(flip, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "flip" / "embeddings.parquet"))
+    r2 = REGISTRY["vec_embedding_drift"].fn(spark, str(tmp_path / "flip")).collect()[0]
+    assert r2["centroid_cos2_sppm"] == -1_000_000
