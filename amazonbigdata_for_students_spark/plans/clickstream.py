@@ -1214,3 +1214,67 @@ def clk_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_delay_us",
         )
     )
+
+
+_JOURNEY_TOP = 20
+
+
+@query(
+    "clk_top_journeys",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM {EVENTS} ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    trips AS (
+      SELECT event_type AS step1, t1 AS step2, t2 AS step3,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL
+      GROUP BY 1, 2, 3)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, step1, step2, step3)
+                AS BIGINT) AS rank,
+           step1, step2, step3, n
+    FROM trips
+    QUALIFY rank <= {_JOURNEY_TOP}
+    """,
+    tags=("W2", "A1", "O2", "A8"),
+)
+def clk_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — the most frequent 3-step event paths across
+    all users (the product-analytics 'Sankey' feed, one order up from
+    clk_markov_transitions' pair probabilities: length-3 paths expose
+    the loops and funnels pairs can't — 'view->click->view' vs
+    'view->click->purchase' tell different stories at the same pair
+    counts). Consecutive-event triples via two leads over each user's
+    (ts, event_id) order; exact counts; deterministic total-ordered
+    top-{_JOURNEY_TOP}.
+
+    Scale: one scan, one shuffle on user_id for the per-user windows
+    (the sessionize shape), then the triple census is a map-side-
+    combined count over a type^3-bounded key domain; TakeOrdered."""
+    from pyspark.sql import Window as PW
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    trips = (
+        seq.where(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = trips.orderBy(F.desc("n"), "step1", "step2", "step3").limit(_JOURNEY_TOP)
+    return top.select(
+        F.row_number()
+        .over(PW.orderBy(F.desc("n"), "step1", "step2", "step3"))
+        .cast("long")
+        .alias("rank"),
+        "step1",
+        "step2",
+        "step3",
+        "n",
+    )

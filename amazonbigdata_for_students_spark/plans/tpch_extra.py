@@ -911,3 +911,136 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confidence_ppm",
         "lift_ppm",
     )
+
+
+@query(
+    "agg_abc_xyz_matrix",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx_line
+      FROM lineitem GROUP BY 1),
+    wk AS (
+      SELECT l_partkey,
+             CAST(epoch_us(date_trunc('week', l_shipdate)) AS BIGINT)
+               // 604800000000 AS w,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    span AS (
+      SELECT CAST(max(w) - min(w) + 1 AS HUGEINT) AS n_weeks FROM wk),
+    xyz AS (
+      SELECT l_partkey,
+             CAST(sum(q) AS HUGEINT) AS s,
+             CAST(sum(q * q) AS HUGEINT) AS sxx
+      FROM wk GROUP BY 1),
+    xcls AS (
+      SELECT x.l_partkey,
+             CASE WHEN x.s = 0 THEN 'Z'
+                  WHEN (sp.n_weeks * x.sxx - x.s * x.s) * 4 < x.s * x.s THEN 'X'
+                  WHEN (sp.n_weeks * x.sxx - x.s * x.s) < x.s * x.s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM xyz x CROSS JOIN span sp),
+    sc AS (SELECT l_partkey, rev, CAST(rev * 1000000 AS HUGEINT) AS rev_sc
+           FROM pr),
+    tot AS (SELECT sum(rev_sc) AS total_sc FROM sc),
+    c AS (
+      SELECT l_partkey, rev, rev_sc,
+             coalesce(sum(rev_sc) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS before_sc
+      FROM sc),
+    abc AS (
+      SELECT l_partkey, rev_sc,
+             CASE WHEN before_sc * 100 < total_sc * 80 THEN 'A'
+                  WHEN before_sc * 100 < total_sc * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c CROSS JOIN tot)
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(a.rev_sc) * 1000000 // (SELECT max(total_sc) FROM tot)
+                AS BIGINT) AS revenue_share_ppm
+    FROM abc a JOIN xcls x USING (l_partkey)
+    GROUP BY 1, 2
+    """,
+    tags=("A7", "W3", "F4", "J7"),
+)
+def agg_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix — the supply-chain planning
+    standard crossing revenue importance (ABC, the Pareto classes of
+    agg_pareto_abc) with demand PREDICTABILITY (XYZ, the squared
+    coefficient of variation of weekly demand): an A-X part is
+    forecastable core revenue, an A-Z part is the planner's nightmare.
+    XYZ thresholds are the textbook CV < 0.5 (X) and CV < 1 (Y),
+    applied as exact integer cross-multiplications on the variance
+    identity over the FULL week grid — weeks with zero demand count
+    (they are what makes demand erratic): with W = span weeks and
+    only nonzero weeks materialized, n*Var = W*sxx - s^2 needs no
+    zero-week rows at all. CV^2 < t^2 <=> (W*sxx - s^2) * (1/t^2
+    factor) < s^2, so X is (..)*4 < s^2 — no division, no sqrt.
+
+    Scale: weekly demand is one (part, week) aggregate; the variance
+    identity needs only per-part sums (map-side combine); ABC reuses
+    the two-pass distributed prefix (registry.global_prefix); the
+    matrix output is <= 9 rows."""
+    from .registry import global_prefix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = (
+        li.select(
+            "l_partkey",
+            F.expr(
+                "unix_timestamp(date_trunc('week', l_shipdate)) div 604800"
+            ).alias("w"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("q0"),
+        )
+        .groupBy("l_partkey", "w")
+        .agg(F.sum("q0").cast("decimal(38,0)").alias("q"))
+        .localCheckpoint(eager=False)
+    )
+    span = wk.agg(
+        F.expr("CAST(max(w) - min(w) + 1 AS DECIMAL(38,0))").alias("n_weeks")
+    )
+    xyz = wk.groupBy("l_partkey").agg(
+        F.sum("q").alias("s"), F.sum(F.expr("q * q")).alias("sxx")
+    )
+    xcls = xyz.crossJoin(F.broadcast(span)).select(
+        "l_partkey",
+        F.expr(
+            "CASE WHEN s = 0 THEN 'Z'"
+            " WHEN (n_weeks * sxx - s * s) * 4 < s * s THEN 'X'"
+            " WHEN (n_weeks * sxx - s * s) < s * s THEN 'Y'"
+            " ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))")
+            ).alias("rev")
+        )
+        .withColumn("rev_sc", F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))"))
+    )
+    ranked = global_prefix(
+        pr, [F.col("rev").desc(), F.col("l_partkey")], [("rev_sc", F.col("rev_sc"))]
+    )
+    tot = ranked.agg(F.max("cum_rev_sc").alias("total_sc"))
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev_sc",
+        "total_sc",
+        F.expr(
+            "CASE WHEN (cum_rev_sc - rev_sc) * 100 < total_sc * 80 THEN 'A'"
+            " WHEN (cum_rev_sc - rev_sc) * 100 < total_sc * 95 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    return abc.join(xcls, "l_partkey").groupBy("abc_class", "xyz_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr(
+            "CAST(sum(rev_sc) * 1000000 div max(total_sc) AS BIGINT)"
+        ).alias("revenue_share_ppm"),
+    )

@@ -2108,3 +2108,44 @@ def test_embedding_drift_identical_and_opposite_cohorts(spark, tmp_path):
         .coalesce(1).write.parquet(str(tmp_path / "flip" / "embeddings.parquet"))
     r2 = REGISTRY["vec_embedding_drift"].fn(spark, str(tmp_path / "flip")).collect()[0]
     assert r2["centroid_cos2_sppm"] == -1_000_000
+
+
+def test_abc_xyz_classes_hand_computed(spark, tmp_path):
+    """Part 1: steady 10/week over 4 weeks (CV=0, class X) and 80% of
+    revenue (class A). Part 2: one 40-unit week out of 4 (CV^2 = 3,
+    class Z), 20% of revenue (B: starts exactly at the 80% boundary).
+    The matrix must be exactly {A-X, B-Z}."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for wk in range(4):
+        rows.append((wk, 1, 2.0, 0.0, 10.0, base + timedelta(weeks=wk)))
+    rows.append((10, 2, 2.0, 0.0, 40.0, base))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double, l_quantity double, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {(r["abc_class"], r["xyz_class"]): r for r in
+           REGISTRY["agg_abc_xyz_matrix"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {("A", "X"), ("B", "Z")}
+    assert out[("A", "X")]["n_parts"] == 1
+    assert out[("A", "X")]["revenue_share_ppm"] == 800_000
+    assert out[("B", "Z")]["revenue_share_ppm"] == 200_000
+
+
+def test_top_journeys_counts_sliding_triples(spark, tmp_path):
+    """One user's path v,c,v,c: triples are (v,c,v) and (c,v,c), once
+    each; ranking breaks the tie lexicographically."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    path = ["view", "click", "view", "click"]
+    rows = [(i, base + timedelta(seconds=i), 1, t) for i, t in enumerate(path)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["clk_top_journeys"].fn(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["step1"], r["step2"], r["step3"], r["n"]) for r in out] == [
+        (1, "click", "view", "click", 1), (2, "view", "click", "view", 1)]
