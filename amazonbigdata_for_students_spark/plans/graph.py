@@ -596,3 +596,189 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+_TEXTRANK_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    from .text import SQL_TOKENS
+
+    its = "".join(
+        "," + _ITER_SQL.format(i=i, prev=i - 1, teleport=_TELEPORT)
+        for i in range(1, _ITERS + 1)
+    )
+    return f"""
+    WITH wpairs AS (
+      SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+      FROM (SELECT {SQL_TOKENS} AS toks FROM documents),
+           unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE toks[i] <> toks[i+1]),
+    edges AS (
+      SELECT a AS src, b AS dst FROM wpairs
+      UNION
+      SELECT b, a FROM wpairs),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_SCALE} AS BIGINT) AS r FROM deg)
+    {its}
+    SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank,
+           node AS word, r AS rank_scaled
+    FROM r{_ITERS}
+    ORDER BY r DESC, node LIMIT {_TEXTRANK_TOP}
+    """
+
+
+@query(
+    "txt_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("U2", "J7", "A1", "O2"),
+)
+def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the corpus-wide word co-occurrence graph (undirected edge
+    between adjacent tokens), top-{_TEXTRANK_TOP} words by stationary
+    importance. The graph-centrality complement to txt_rake_keywords'
+    frequency heuristics: TextRank promotes words that BRIDGE contexts,
+    not just frequent ones. Same scaled-integer update rule as
+    graph_pagerank (r' = 0.15e9 + 85 * sum(r div d) div 100, 3
+    iterations), so the iterative fixpoint is bit-identical to the
+    SQL-unrolled oracle regardless of aggregation order.
+
+    Scale: the edge list is DISTINCT adjacent pairs — vocabulary^2-
+    bounded, not corpus-bounded — built in one explode + distinct;
+    edges and degrees checkpoint once and serve every iteration; each
+    iteration is one keyed join + one map-side-combined aggregate (the
+    Pregel layout); TakeOrdered caps the output before the only global
+    window (top-{_TEXTRANK_TOP} rows)."""
+    from pyspark.sql import Window as PW
+
+    from .text import TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    wpairs = (
+        d.select(TOKENS().alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        wpairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(wpairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=True
+    )
+    r = deg.select(F.col("src").alias("node"), F.lit(_SCALE).cast("long").alias("r"))
+    for _ in range(_ITERS):
+        r = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(
+                    f"CAST({_TELEPORT} + (85 * sum(r div d)) div 100 AS BIGINT)"
+                ).alias("r")
+            )
+        )
+    top = r.orderBy(F.desc("r"), "node").limit(_TEXTRANK_TOP)
+    return top.select(
+        F.row_number()
+        .over(PW.orderBy(F.desc("r"), "node"))
+        .cast("long")
+        .alias("rank"),
+        F.col("node").alias("word"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    dd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+    mins AS (SELECT min(d) AS dmin, CAST(count(*) AS HUGEINT) AS n FROM deg),
+    lnsum AS (
+      SELECT CAST(sum(CAST(floor(
+               ln(CAST(d.d AS DOUBLE) / m.dmin) * 1000000000 + 0.5)
+               AS BIGINT)) AS HUGEINT) AS s_nano,
+             max(m.n) AS n, max(m.dmin) AS dmin
+      FROM deg d CROSS JOIN mins m)
+    SELECT CAST(dd.d AS BIGINT) AS degree, dd.n_nodes,
+           CAST(l.n AS BIGINT) AS n_total,
+           CAST(l.dmin AS BIGINT) AS d_min,
+           CASE WHEN l.s_nano = 0 THEN 0
+                ELSE CAST(1000000 + l.n * 1000000000 * 1000000 // l.s_nano
+                     AS BIGINT) END AS alpha_micro
+    FROM dd CROSS JOIN lnsum l
+    """,
+    tags=("A1", "A4", "F4"),
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution census of the supplier co-supply graph plus
+    the continuous power-law exponent MLE (Clauset, Shalizi & Newman
+    2009: alpha = 1 + n / sum ln(d/dmin)) — the first question asked of
+    any production graph, because every downstream plan choice (salting,
+    orientation bounds, hub caps) depends on whether the tail is heavy.
+    Each ln term quantizes to integer nanonats (the repo's ln
+    discipline), so the MLE is an exact integer ratio — reported in
+    micro-units (alpha_micro = 1e6 means alpha 1.0) on every row of the
+    census for one-pass consumption.
+
+    Scale: degrees from the same edge pipeline as the triangle family;
+    the census is a count-of-counts over the degree table (bounded by
+    distinct degrees); the MLE is one more aggregate over the node
+    dimension. No pairwise anything."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    dd = deg.groupBy("d").agg(F.count("*").cast("long").alias("n_nodes"))
+    mins = deg.agg(
+        F.min("d").alias("dmin"),
+        F.count("*").cast("decimal(38,0)").alias("n_tot"),
+    )
+    lnsum = deg.crossJoin(F.broadcast(mins)).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(ln(CAST(d AS DOUBLE) / dmin) * 1000000000 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s_nano"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("dmin").alias("dmin"),
+    )
+    return dd.crossJoin(F.broadcast(lnsum)).select(
+        F.col("d").cast("long").alias("degree"),
+        "n_nodes",
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.col("dmin").cast("long").alias("d_min"),
+        F.expr(
+            "CASE WHEN s_nano = 0 THEN 0"
+            " ELSE CAST(1000000 + n_tot * 1000000000 * 1000000 div s_nano"
+            " AS BIGINT) END"
+        ).alias("alpha_micro"),
+    )

@@ -2149,3 +2149,35 @@ def test_top_journeys_counts_sliding_triples(spark, tmp_path):
     out = REGISTRY["clk_top_journeys"].fn(spark, str(tmp_path)).collect()
     assert [(r["rank"], r["step1"], r["step2"], r["step3"], r["n"]) for r in out] == [
         (1, "click", "view", "click", 1), (2, "view", "click", "view", 1)]
+
+
+def test_textrank_promotes_bridge_word(spark, tmp_path):
+    """Star-shaped co-occurrence ('hub' adjacent to every other word):
+    TextRank must rank the hub first — centrality, not frequency."""
+    docs = [(1, "aa hub bb hub cc hub dd", None)]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["txt_textrank_keywords"].fn(spark, str(tmp_path)).collect()
+    assert out[0]["word"] == "hub" and out[0]["rank"] == 1
+    assert out[0]["rank_scaled"] > out[1]["rank_scaled"]
+
+
+def test_degree_powerlaw_hand_alpha(spark, tmp_path):
+    """Triangle {1,2,3} + pendant (1,4): degrees 3/2/2/1, dmin=1, and
+    the MLE alpha must equal the exact quantized-ln integer arithmetic
+    (this pins the SCALE — an earlier draft matched the oracle while
+    reporting alpha=1.0 because both engines shared the same mis-scaled
+    formula)."""
+    import math
+
+    rows = [(4, s) for s in (1, 2, 3)] + [(8, s) for s in (1, 4)]
+    spark.createDataFrame(rows, "l_orderkey long, l_suppkey long").coalesce(1) \
+        .write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["degree"]: r for r in
+           REGISTRY["graph_degree_powerlaw"].fn(spark, str(tmp_path)).collect()}
+    assert {(d, r["n_nodes"]) for d, r in out.items()} == {(3, 1), (2, 2), (1, 1)}
+    nano = lambda x: math.floor(x * 1e9 + 0.5)
+    s_nano = nano(math.log(3)) + 2 * nano(math.log(2))
+    expect = 1_000_000 + 4 * 10**9 * 10**6 // s_nano
+    assert all(r["alpha_micro"] == expect for r in out.values())
+    assert 2_000_000 < expect < 3_000_000  # a sane alpha for this shape
