@@ -1609,12 +1609,14 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id % 2 AS h, i AS pos,
-             CAST(floor(embedding[i] * 1000000) AS BIGINT) AS qv
+             CAST(floor(embedding[i] * 1000) AS BIGINT) AS qv
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
     cent AS (
       SELECT pos,
-             CAST(sum(CASE WHEN h = 0 THEN qv END) AS HUGEINT) AS sa,
-             CAST(sum(CASE WHEN h = 1 THEN qv END) AS HUGEINT) AS sb
+             CAST(sum(CASE WHEN h = 0 THEN qv END) AS HUGEINT)
+               // count(CASE WHEN h = 0 THEN 1 END) AS ma,
+             CAST(sum(CASE WHEN h = 1 THEN qv END) AS HUGEINT)
+               // count(CASE WHEN h = 1 THEN 1 END) AS mb
       FROM q GROUP BY pos),
     counts AS (
       SELECT CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
@@ -1624,9 +1626,9 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS dim,
-             sum(sa * sb) AS dot,
-             sum(sa * sa) AS na2,
-             sum(sb * sb) AS nb2
+             sum(ma * mb) AS dot,
+             sum(ma * ma) AS na2,
+             sum(mb * mb) AS nb2
       FROM cent)
     SELECT c.n_a, c.n_b, a.dim,
            CASE WHEN a.na2 = 0 OR a.nb2 = 0 THEN 0
@@ -1644,27 +1646,33 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the two cohort CENTROIDS — the cheapest useful drift
     statistic (a healthy re-run scores ~1e6; a centroid swing is the
     first sign the upstream encoder or the data mix moved). Components
-    quantize once to integer micros (floor(x*1e6) — identical on the
-    same float bits in both engines), so centroid sums, the dot, and
-    the norms are exact integers and the reported signed cos^2 is an
-    exact floor ratio (the vector lane's sqrt-free discipline).
+    quantize once to integer millis (floor(x*1000)) and each centroid
+    coordinate is the TRUNCATED MEAN of its cohort — integer division
+    truncates toward zero in BOTH engines on integer types (verified
+    with negative coordinate sums at two scales), and the mean is
+    crucially BOUNDED BY THE DATA RANGE, not by the row count: the first draft kept raw coordinate SUMS whose squared dot
+    overflowed decimal(38,0) at sf1 (caught by the scale smoke — sums
+    grow with n, means don't). The signed cos^2 of the mean centroids
+    is then an exact small-integer floor ratio.
 
-    Scale: one explode -> per-(cohort, dim) sum (map-side combine;
-    shuffle bounded by 2 x dim rows), then a dim-bounded aggregate.
-    Quantized sums reach n * 1e6 * |x| ~ 1e15 and their squares far
-    past 2^63: HUGEINT/decimal-lifted."""
+    Scale: one explode -> per-(cohort, dim) sum+count (map-side
+    combine; shuffle bounded by 2 x dim rows), then a dim-bounded
+    aggregate. Every product is bounded by (1000*|x|)^2 * dim —
+    n-independent by construction."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         (F.col("vec_id") % 2).alias("h"),
         F.posexplode("embedding").alias("pos", "v"),
-    ).select("h", "pos", F.expr("CAST(floor(v * 1000000) AS BIGINT)").alias("qv"))
+    ).select("h", "pos", F.expr("CAST(floor(v * 1000) AS BIGINT)").alias("qv"))
     cent = q.groupBy("pos").agg(
-        F.sum(F.expr("CASE WHEN h = 0 THEN qv END"))
-        .cast("decimal(38,0)")
-        .alias("sa"),
-        F.sum(F.expr("CASE WHEN h = 1 THEN qv END"))
-        .cast("decimal(38,0)")
-        .alias("sb"),
+        F.expr(
+            "CAST(sum(CASE WHEN h = 0 THEN qv END) AS DECIMAL(38,0))"
+            " div count(CASE WHEN h = 0 THEN 1 END)"
+        ).alias("ma"),
+        F.expr(
+            "CAST(sum(CASE WHEN h = 1 THEN qv END) AS DECIMAL(38,0))"
+            " div count(CASE WHEN h = 1 THEN 1 END)"
+        ).alias("mb"),
     )
     counts = e.agg(
         F.count(F.expr("CASE WHEN vec_id % 2 = 0 THEN vec_id END"))
@@ -1676,9 +1684,9 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = cent.agg(
         F.count("*").cast("long").alias("dim"),
-        F.sum(F.expr("sa * sb")).alias("dot"),
-        F.sum(F.expr("sa * sa")).alias("na2"),
-        F.sum(F.expr("sb * sb")).alias("nb2"),
+        F.sum(F.expr("CAST(ma AS DECIMAL(38,0)) * mb")).alias("dot"),
+        F.sum(F.expr("CAST(ma AS DECIMAL(38,0)) * ma")).alias("na2"),
+        F.sum(F.expr("CAST(mb AS DECIMAL(38,0)) * mb")).alias("nb2"),
     )
     return agg.crossJoin(F.broadcast(counts)).select(
         "n_a",
