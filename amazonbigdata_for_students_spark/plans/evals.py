@@ -1732,10 +1732,13 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dec)
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(n AS BIGINT) AS n, np AS n_pos_decile,
-           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // n_pos AS BIGINT)
-             AS capture_ppm,
-           CAST(CAST(cum_pos AS HUGEINT) * n_docs * 1000000
-                // (CAST(n_pos AS HUGEINT) * cum_n) AS BIGINT) AS lift_ppm
+           CASE WHEN n_pos = 0 THEN 0
+                ELSE CAST(CAST(cum_pos AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+                END AS capture_ppm,
+           CASE WHEN n_pos = 0 THEN 0
+                ELSE CAST(CAST(cum_pos AS HUGEINT) * n_docs * 1000000
+                          // (CAST(n_pos AS HUGEINT) * cum_n) AS BIGINT)
+                END AS lift_ppm
     FROM cum
     """,
     tags=("O1", "W3", "A7", "U2"),
@@ -1787,11 +1790,14 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("np").alias("n_pos_decile"),
         F.expr(
-            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div n_pos AS BIGINT)"
+            "CASE WHEN n_pos = 0 THEN 0 ELSE"
+            " CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div n_pos AS BIGINT)"
+            " END"
         ).alias("capture_ppm"),
         F.expr(
-            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_docs * 1000000"
-            " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
+            "CASE WHEN n_pos = 0 THEN 0 ELSE"
+            " CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_docs * 1000000"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT) END"
         ).alias("lift_ppm"),
     )
 

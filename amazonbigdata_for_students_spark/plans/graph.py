@@ -105,6 +105,50 @@ _TRI_ORACLE = f"""
 """
 
 
+def _tri_pairs_deg(spark: SparkSession, sf_dir: str):
+    """(pairs, deg) — the sampled supplier co-supply edge list (eagerly
+    checkpointed: degrees, orientation, and closure all re-read it) and
+    per-node degrees. Spark twin of _TRI_CTES' pairs/deg, factored once
+    for the triangle, clustering-coefficient, and power-law queries (a
+    /code-review find: three verbatim copies had accumulated)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    return pairs, deg
+
+
+def _tri_oriented(pairs, deg):
+    """Degree-oriented edges (lo -> hi by (degree, id)) off _tri_pairs_deg,
+    eagerly checkpointed — the wedge join consumes it twice."""
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle=_TRI_ORACLE,
@@ -123,38 +167,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     three hash joins + one aggregate, all keyed, no iteration.
     Everything is integer arithmetic: the count hash-matches the SQL twin
     exactly."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 4 == 0
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        pairs.select(F.col("u").alias("n"))
-        .unionAll(pairs.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    pairs, deg = _tri_pairs_deg(spark, sf_dir)
+    oriented = _tri_oriented(pairs, deg)
     e1 = oriented.select(F.col("lo"), F.col("hi").alias("a"))
     e2 = oriented.select(F.col("lo"), F.col("hi").alias("b"))
     wedges = e1.join(e2, "lo").filter(F.col("a") < F.col("b")).select("a", "b")
@@ -538,36 +552,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only closed triangles (3 rows each); the left join against
     the degree table keeps zero-triangle nodes in the output. All keyed
     hash joins + aggregates, no iteration, exact integers end to end."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        pairs.select(F.col("u").alias("n"))
-        .unionAll(pairs.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    pairs, deg = _tri_pairs_deg(spark, sf_dir)
+    oriented = _tri_oriented(pairs, deg)
     e1 = oriented.select("lo", F.col("hi").alias("a"))
     e2 = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("b"))
     wedges = (
@@ -659,9 +645,14 @@ def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(TOKENS().alias("toks"))
         .select(
             F.explode(
+                # sequence(1, 0) descends for 0/1-token docs and the
+                # transform would index out of bounds under ANSI — same
+                # guard as the span-corruption and cross-source queries
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
-                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                    "IF(size(toks) >= 2,"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b)),"
+                    " cast(array() as array<struct<a:string,b:string>>))"
                 )
             ).alias("p")
         )
@@ -738,22 +729,9 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     the census is a count-of-counts over the degree table (bounded by
     distinct degrees); the MLE is one more aggregate over the node
     dimension. No pairwise anything."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    deg = (
-        pairs.select(F.col("u").alias("n"))
-        .unionAll(pairs.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)
-    )
+    pairs, deg = _tri_pairs_deg(spark, sf_dir)
+    # three consumers (census, min/count, ln sum) read the degree table
+    deg = deg.localCheckpoint(eager=False)
     dd = deg.groupBy("d").agg(F.count("*").cast("long").alias("n_nodes"))
     mins = deg.agg(
         F.min("d").alias("dmin"),

@@ -3206,9 +3206,10 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign(num) · num²·1e6 // (dena·denb) — so the hash sees only exact
     integer products (decimal(38,0)/HUGEINT-lifted; num² ≈ (m·Σab)²
     stays under 38 digits for per-hour counts up to ~10^6, far above
-    any real hourly rate at the fixed 720-hour grid). Operands of the
-    floor division are kept non-negative so DuckDB's floor `//` and
-    Spark's truncating `div` agree. Zero-variance lags report 0.
+    any real hourly rate at the fixed 720-hour grid). The floor-division
+    operands are non-negative by construction (num is squared), and on
+    integer types both engines truncate identically anyway.
+    Zero-variance lags report 0.
 
     Scale: the wide data collapses to the (2 × hours) count grid in
     the first groupBy — the lag join is grid × {_XCORR_MAX_LAG + 1},
@@ -3607,7 +3608,8 @@ def win_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1)
     SELECT event_type, n_held,
            CAST(dt AS BIGINT) AS held_us,
-           CAST(vw // dt AS BIGINT) AS twap_milli
+           CASE WHEN dt = 0 THEN NULL
+                ELSE CAST(vw // dt AS BIGINT) END AS twap_milli
     FROM w
     """,
     tags=("W2", "F1", "F4", "A3"),
@@ -3649,7 +3651,11 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_held",
         F.col("_dt").cast("long").alias("held_us"),
-        F.expr("CAST(_vw div _dt AS BIGINT)").alias("twap_milli"),
+        # a type whose held intervals are all zero-length (coarse
+        # timestamps) must report NULL, not crash ANSI division
+        F.expr(
+            "CASE WHEN _dt = 0 THEN NULL ELSE CAST(_vw div _dt AS BIGINT) END"
+        ).alias("twap_milli"),
     )
 
 
@@ -3677,8 +3683,7 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
              n * shh - sh * sh AS den
       FROM w)
     SELECT event_type, CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n_win,
-           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                * (abs(num) * 1000 // den) AS BIGINT) AS slope_milli
+           CAST(num * 1000 // den AS BIGINT) AS slope_milli
     FROM d WHERE n >= 12 AND den > 0
     """,
     tags=("W3", "F4", "T2"),
@@ -3728,8 +3733,5 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("h").cast("long").alias("h"),
         F.col("n").cast("long").alias("n_win"),
-        F.expr(
-            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-            " * (abs(num) * 1000 div den) AS BIGINT)"
-        ).alias("slope_milli"),
+        F.expr("CAST(num * 1000 div den AS BIGINT)").alias("slope_milli"),
     )

@@ -3235,9 +3235,15 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "source",
             F.explode(
+                # sequence(1, 0) DESCENDS ([1, 0]) when the doc has < 3
+                # tokens and the transform would index toks[-1]/toks[size]
+                # (ANSI INVALID_ARRAY_INDEX) — short docs contribute no
+                # grams, same as the oracle's empty generate_series
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
-                    " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                    "IF(size(toks) >= 3,"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])),"
+                    " cast(array() as array<string>))"
                 )
             ).alias("gram"),
         )

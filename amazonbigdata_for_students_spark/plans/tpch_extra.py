@@ -550,6 +550,39 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_TOP = 20
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str):
+    """(dp, supp, pairs) — the distinct basket-membership table, per-item
+    supports, and the a<b co-occurrence pair counts, shared by
+    rec_item_cosine and assoc_rules_lift so the pair semantics (distinct
+    membership, canonical ordering, decimal lifts) cannot drift between
+    the two recommenders. dp is lazily checkpointed: supports and the
+    self-join both consume it."""
+    dp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    supp = dp.groupBy("l_partkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    )
+    a = dp.alias("a")
+    b = dp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("n_both"))
+    )
+    return dp, supp, pairs
+
+
 @query(
     "rec_item_cosine",
     oracle=f"""
@@ -597,27 +630,7 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-orders reaches 1e18·1e6: HUGEINT/decimal(38,0)-lifted."""
     from pyspark.sql import Window as W
 
-    dp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    supp = dp.groupBy("l_partkey").agg(F.count("*").cast("decimal(38,0)").alias("n"))
-    a = dp.alias("a")
-    b = dp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").cast("decimal(38,0)").alias("n_both"))
-    )
+    dp, supp, pairs = _basket_pairs(spark, sf_dir)
     scored = (
         pairs.join(supp.withColumnRenamed("l_partkey", "part_a"), "part_a")
         .withColumnRenamed("n", "na")
@@ -705,7 +718,7 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotal table passes through one task before broadcasting back.
     Everything else is map-side-combined aggregation over the part
     dimension, never raw lineitem rows."""
-    from pyspark.sql import Window as W
+    from .registry import global_prefix
 
     pr = (
         load_table(spark, sf_dir, "lineitem")
@@ -717,44 +730,21 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rev_sc", F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))"))
     )
-    # checkpoint: the ranged per-part table feeds BOTH the subtotal pass
-    # and the main pass — without the cut each consumer re-runs the
-    # lineitem scan + groupBy (the repo's recurring fan-out-rescan find),
-    # and the partition ids must come from ONE range-sampling execution
-    part = (
-        pr.repartitionByRange(8, F.col("rev").desc(), F.col("l_partkey"))
-        .withColumn("_part", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    # the two-pass distributed prefix (rank + cumulative revenue) lives
+    # in registry.global_prefix — shared with agg_abc_xyz_matrix, the
+    # ranked-retrieval evals, and the histogram/shard family (a /code-
+    # review find: this body originally hand-rolled the same 35 lines)
+    ranked = global_prefix(
+        pr, [F.col("rev").desc(), F.col("l_partkey")], [("rev_sc", F.col("rev_sc"))]
     )
-    sizes = part.groupBy("_part").agg(F.sum("rev_sc").alias("sz"))
-    off_w = W.orderBy("_part").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "_part",
-        F.coalesce(F.sum("sz").over(off_w), F.lit(0).cast("decimal(38,0)")).alias(
-            "off"
+    tot = ranked.agg(F.max("cum_rev_sc").alias("total_sc"))
+    cls = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.expr(
+            "CASE WHEN (cum_rev_sc - rev_sc) * 100 < total_sc * 80 THEN 'A'"
+            " WHEN (cum_rev_sc - rev_sc) * 100 < total_sc * 95 THEN 'B'"
+            " ELSE 'C' END"
         ),
-        F.sum("sz").over(W.partitionBy()).alias("total_sc"),
-    )
-    rk_w = (
-        W.partitionBy("_part")
-        .orderBy(F.desc("rev"), "l_partkey")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cls = (
-        part.join(F.broadcast(offsets), "_part")
-        .withColumn(
-            "before_sc",
-            F.coalesce(F.sum("rev_sc").over(rk_w), F.lit(0).cast("decimal(38,0)"))
-            + F.col("off"),
-        )
-        .withColumn(
-            "abc_class",
-            F.expr(
-                "CASE WHEN before_sc * 100 < total_sc * 80 THEN 'A'"
-                " WHEN before_sc * 100 < total_sc * 95 THEN 'B'"
-                " ELSE 'C' END"
-            ),
-        )
     )
     return cls.groupBy("abc_class").agg(
         F.count("*").cast("long").alias("n_parts"),
@@ -828,37 +818,16 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrdered."""
     from pyspark.sql import Window as W
 
-    dp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    dp, supp, all_pairs = _basket_pairs(spark, sf_dir)
     nb = dp.agg(
         F.countDistinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
     )
-    supp = dp.groupBy("l_partkey").agg(
-        F.count("*").cast("decimal(38,0)").alias("n")
-    )
-    a = dp.alias("a")
-    b = dp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.count("*").cast("decimal(38,0)").alias("n_both"))
-        .where(F.col("n_both") >= _AR_MINSUP)
-    )
+    pairs = all_pairs.where(F.col("n_both") >= _AR_MINSUP)
     dirs = pairs.select(
-        F.col("x").alias("ante"), F.col("y").alias("cons"), "n_both"
+        F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "n_both"
     ).unionAll(
         pairs.select(
-            F.col("y").alias("ante"), F.col("x").alias("cons"), "n_both"
+            F.col("part_b").alias("ante"), F.col("part_a").alias("cons"), "n_both"
         )
     )
     scored = (
@@ -918,10 +887,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pr AS (
       SELECT l_partkey,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev,
-             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS s,
-             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
-                      * CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx_line
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
       FROM lineitem GROUP BY 1),
     wk AS (
       SELECT l_partkey,

@@ -1614,9 +1614,9 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (
       SELECT pos,
              CAST(sum(CASE WHEN h = 0 THEN qv END) AS HUGEINT)
-               // count(CASE WHEN h = 0 THEN 1 END) AS ma,
+               // nullif(count(CASE WHEN h = 0 THEN 1 END), 0) AS ma,
              CAST(sum(CASE WHEN h = 1 THEN qv END) AS HUGEINT)
-               // count(CASE WHEN h = 1 THEN 1 END) AS mb
+               // nullif(count(CASE WHEN h = 1 THEN 1 END), 0) AS mb
       FROM q GROUP BY pos),
     counts AS (
       SELECT CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
@@ -1631,7 +1631,8 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(mb * mb) AS nb2
       FROM cent)
     SELECT c.n_a, c.n_b, a.dim,
-           CASE WHEN a.na2 = 0 OR a.nb2 = 0 THEN 0
+           CASE WHEN a.na2 IS NULL OR a.nb2 IS NULL
+                  OR a.na2 = 0 OR a.nb2 = 0 THEN 0
                 ELSE (CASE WHEN a.dot < 0 THEN -1 ELSE 1 END)
                      * CAST(a.dot * a.dot * 1000000 // (a.na2 * a.nb2)
                             AS BIGINT) END AS centroid_cos2_sppm
@@ -1667,11 +1668,11 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = q.groupBy("pos").agg(
         F.expr(
             "CAST(sum(CASE WHEN h = 0 THEN qv END) AS DECIMAL(38,0))"
-            " div count(CASE WHEN h = 0 THEN 1 END)"
+            " div nullif(count(CASE WHEN h = 0 THEN 1 END), 0)"
         ).alias("ma"),
         F.expr(
             "CAST(sum(CASE WHEN h = 1 THEN qv END) AS DECIMAL(38,0))"
-            " div count(CASE WHEN h = 1 THEN 1 END)"
+            " div nullif(count(CASE WHEN h = 1 THEN 1 END), 0)"
         ).alias("mb"),
     )
     counts = e.agg(
@@ -1693,7 +1694,7 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "dim",
         F.expr(
-            "CASE WHEN na2 = 0 OR nb2 = 0 THEN 0"
+            "CASE WHEN na2 IS NULL OR nb2 IS NULL OR na2 = 0 OR nb2 = 0 THEN 0"
             " ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)"
             " * CAST(dot * dot * 1000000 div (na2 * nb2) AS BIGINT) END"
         ).alias("centroid_cos2_sppm"),

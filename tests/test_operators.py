@@ -2181,3 +2181,18 @@ def test_degree_powerlaw_hand_alpha(spark, tmp_path):
     expect = 1_000_000 + 4 * 10**9 * 10**6 // s_nano
     assert all(r["alpha_micro"] == expect for r in out.values())
     assert 2_000_000 < expect < 3_000_000  # a sane alpha for this shape
+
+
+def test_short_docs_degrade_cleanly_in_gram_builders(spark, tmp_path):
+    """0/1/2-token documents must contribute no grams/pairs — Spark
+    sequence(1, 0) DESCENDS, so an unguarded transform indexes out of
+    bounds under ANSI (a /code-review r8 find on two queries at once)."""
+    docs = [(1, "one two", None, "A"), (2, "single", None, "B"),
+            (3, "   ", None, "C"), (4, "a b c d", None, "D")]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string, source string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    # no crash, and only source D (4 tokens) contributes 3-grams -> no pairs
+    assert REGISTRY["corpus_cross_source_overlap"].fn(spark, str(tmp_path)).collect() == []
+    words = {r["word"] for r in
+             REGISTRY["txt_textrank_keywords"].fn(spark, str(tmp_path)).collect()}
+    assert words == {"one", "two", "a", "b", "c", "d"}

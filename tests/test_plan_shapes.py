@@ -831,17 +831,18 @@ def test_clustering_coefficient_reads_checkpoints_no_cartesian(spark, sf_small):
 
 
 def test_pareto_abc_single_partition_only_for_subtotals(spark, sf_small):
-    """The two-pass prefix sum may move ONLY the #partitions-row
-    subtotal table through one task: exactly one SinglePartition
-    exchange, with the ranged repartition present on the main path."""
-    # (the rangepartitioning itself sits inside the checkpoint's lineage,
-    # invisible from the outer plan; the oracle match is its witness —
-    # partition-local prefixes + offsets only equal the global prefix
-    # when the range partitioner ordered the partitions)
+    """The two-pass prefix sum may move ONLY constant-size tables
+    through one task: the #buckets-row offsets window and the 1-row
+    grand-total aggregate — never the part dimension."""
+    # (the rangepartitioning itself sits inside global_prefix's
+    # checkpoint lineage, invisible from the outer plan; the oracle
+    # match is its witness — partition-local prefixes + offsets only
+    # equal the global prefix when the range partitioner ordered the
+    # partitions)
     df = REGISTRY["agg_pareto_abc"].fn(spark, sf_small)
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
-    assert final.count("Exchange SinglePartition") == 1
+    assert final.count("Exchange SinglePartition") <= 2
     assert final.count("FileScan") == 0  # both passes read the checkpoint
 
 
