@@ -3735,3 +3735,127 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_win"),
         F.expr("CAST(num * 1000 div den AS BIGINT)").alias("slope_milli"),
     )
+
+
+# --- Holt-Winters additive seasonal fold --------------------------------------
+# alpha = 1/4, beta = 1/10, gamma = 1/5 as exact rational floor steps;
+# season length 7 (day-of-week). State = [level, trend, step, s0..s6]
+# (10 longs, milli-scaled). The level update appears inlined three times
+# (SQL lambdas have no let-binding); both engines' text is generated from
+# the same python template so the recurrences cannot drift.
+_HW_M = 7
+
+
+def _hw_fold_spark() -> str:
+    L, T, K = "element_at(st, 1)", "element_at(st, 2)", "element_at(st, 3)"
+    S = f"element_at(st, 4 + CAST({K} % {_HW_M} AS INT))"
+    LP = f"((x - {S}) div 4 + (3 * ({L} + {T})) div 4)"
+    TP = f"(({LP} - {L}) div 10 + (9 * {T}) div 10)"
+    SP = f"((x - {LP}) div 5 + (4 * {S}) div 5)"
+    seas = (
+        f"transform(slice(st, 4, {_HW_M}), (v, i) ->"
+        f" IF(i = CAST({K} % {_HW_M} AS INT), {SP}, v))"
+    )
+    return (
+        f"aggregate(xs, cast(array(0,0,0{',0' * _HW_M}) as array<bigint>),"
+        f" (st, x) -> concat(array({LP}, {TP}, {K} + 1), {seas}))"
+    )
+
+
+def _hw_fold_duck() -> str:
+    # list_reduce needs accumulator and element types to MATCH, so each
+    # scalar observation is lifted into a state-shaped list and read back
+    # as xe[1] (the token-bucket twin's trick)
+    L, T, K = "st[1]", "st[2]", "st[3]"
+    S = f"st[4 + CAST({K} % {_HW_M} AS INT)]"
+    LP = f"((xe[1] - {S}) // 4 + (3 * ({L} + {T})) // 4)"
+    TP = f"(({LP} - {L}) // 10 + (9 * {T}) // 10)"
+    SP = f"((xe[1] - {LP}) // 5 + (4 * {S}) // 5)"
+    seas = (
+        f"list_transform(st[4:{3 + _HW_M}], (v, i) ->"
+        f" CASE WHEN i = CAST({K} % {_HW_M} AS INT) + 1 THEN {SP} ELSE v END)"
+    )
+    lifted = (
+        f"list_transform(xs, v -> list_concat([v],"
+        f" CAST([0,0{',0' * _HW_M}] AS BIGINT[])))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST([0,0,0{',0' * _HW_M}] AS BIGINT[]),"
+        f" {lifted}), (st, xe) -> list_concat([{LP}, {TP}, {K} + 1], {seas}))"
+    )
+
+
+@query(
+    "timeseries_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS d,
+             CAST(count(*) * 1000 AS BIGINT) AS x_m
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list(x_m ORDER BY d) AS xs
+      FROM daily GROUP BY 1),
+    folded AS (
+      SELECT event_type, n_days, {_hw_fold_duck()} AS st
+      FROM series)
+    SELECT event_type, n_days,
+           st[1] AS level_milli, st[2] AS trend_milli,
+           st[4 + CAST(st[3] % {_HW_M} AS INT)] AS season_next_milli,
+           st[1] + st[2] + st[4 + CAST(st[3] % {_HW_M} AS INT)]
+             AS forecast_next_milli
+    FROM folded
+    """,
+    tags=("W2", "F7", "A8", "F4"),
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple (additive) exponential smoothing per event
+    type's DAILY count series — level + trend + day-of-week seasonality
+    (Winters 1960), the forecasting workhorse one step above
+    timeseries_holt_trend's double smoothing. alpha=1/4, beta=1/10,
+    gamma=1/5 as exact rational floor steps on milli-scaled integers
+    (integer division truncates identically in both engines, verified
+    for negative trends), zero-initialized state — a documented
+    simplification standard for streaming HW; the recurrence itself is
+    the full textbook triple update with a ROTATING 7-slot seasonal
+    array carried through the fold ([level, trend, step, s0..s6] — the
+    first fold state in the repo with per-step array surgery). Reports
+    the final state plus the one-step-ahead forecast level + trend +
+    season[next].
+
+    Scale: one scan -> (type, day) counts (map-side combine), one
+    shuffle on the series key, the fold runs inside codegen per type
+    over the day-bounded array. Both engines' fold text is generated
+    from ONE python template (the twin-fold discipline)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias(
+                "d"
+            ),
+        )
+        .agg(F.expr("CAST(count(*) * 1000 AS BIGINT)").alias("x_m"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(d, x_m))), s -> s.x_m)").alias(
+            "xs"
+        ),
+    )
+    folded = series.select(
+        "event_type", "n_days", F.expr(_hw_fold_spark()).alias("st")
+    )
+    nxt = f"element_at(st, 4 + CAST(element_at(st, 3) % {_HW_M} AS INT))"
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("element_at(st, 1)").alias("level_milli"),
+        F.expr("element_at(st, 2)").alias("trend_milli"),
+        F.expr(nxt).alias("season_next_milli"),
+        F.expr(f"element_at(st, 1) + element_at(st, 2) + {nxt}").alias(
+            "forecast_next_milli"
+        ),
+    )

@@ -2196,3 +2196,37 @@ def test_short_docs_degrade_cleanly_in_gram_builders(spark, tmp_path):
     words = {r["word"] for r in
              REGISTRY["txt_textrank_keywords"].fn(spark, str(tmp_path)).collect()}
     assert words == {"one", "two", "a", "b", "c", "d"}
+
+
+def test_holt_winters_matches_python_replay(spark, tmp_path):
+    """The fold must equal a plain-Python replay of the same integer
+    recurrence on a planted weekly-seasonal series (counts h(d) =
+    10 + 5*(dow == 2)), including the rotating seasonal slot."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    counts = [10 + (5 if d % 7 == 2 else 0) for d in range(21)]
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d), "view")); eid += 1
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    def trunc_div(a, b):  # both engines truncate toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    L = T = 0
+    S = [0] * 7
+    for k, c in enumerate(counts):
+        x = c * 1000
+        idx = k % 7
+        Lp = trunc_div(x - S[idx], 4) + trunc_div(3 * (L + T), 4)
+        Tp = trunc_div(Lp - L, 10) + trunc_div(9 * T, 10)
+        S[idx] = trunc_div(x - Lp, 5) + trunc_div(4 * S[idx], 5)
+        L, T = Lp, Tp
+    r = REGISTRY["timeseries_holt_winters"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_days"], r["level_milli"], r["trend_milli"]) == (21, L, T)
+    assert r["season_next_milli"] == S[21 % 7]
+    assert r["forecast_next_milli"] == L + T + S[21 % 7]
