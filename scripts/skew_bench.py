@@ -218,6 +218,17 @@ PROBES: list[tuple[str, object, dict]] = [
     ("rate_limit_token_bucket", registry_probe("rate_limit_token_bucket"), {}),
     ("timeseries_concurrent_peak", registry_probe("timeseries_concurrent_peak"), {}),
     ("eval_wilcoxon_signed_rank", registry_probe("eval_wilcoxon_signed_rank"), {}),
+    # r8 analytics-push additions keyed on user_id (hot-key victims) or
+    # day (30-partition parallelism question): time-to-convert reduces a
+    # user to one conditional-min row BEFORE ranking (should be immune),
+    # growth accounting windows over DISTINCT (user, day) so the hot user
+    # collapses to its active days, decayed engagement is a plain sum per
+    # user (combiner handles the hot key), and SPRT's per-day walk puts
+    # the hot user's volume inside ONE day partition's sort.
+    ("clk_time_to_convert", registry_probe("clk_time_to_convert"), {}),
+    ("clk_growth_accounting", registry_probe("clk_growth_accounting"), {}),
+    ("win_decayed_engagement", registry_probe("win_decayed_engagement"), {}),
+    ("eval_sprt_boundary", registry_probe("eval_sprt_boundary"), {}),
 ]
 
 
