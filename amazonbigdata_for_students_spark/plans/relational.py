@@ -3785,9 +3785,7 @@ def _hw_fold_duck() -> str:
     )
 
 
-@query(
-    "timeseries_holt_winters",
-    oracle=f"""
+HOLT_WINTERS_ORACLE = f"""
     WITH daily AS (
       SELECT event_type,
              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
@@ -3807,7 +3805,12 @@ def _hw_fold_duck() -> str:
            st[1] + st[2] + st[4 + CAST(st[3] % {_HW_M} AS INT)]
              AS forecast_next_milli
     FROM folded
-    """,
+    """
+
+
+@query(
+    "timeseries_holt_winters",
+    oracle=HOLT_WINTERS_ORACLE,
     tags=("W2", "F7", "A8", "F4"),
 )
 def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..plans.evals import SPRT_ORACLE
 from ..plans.registry import query
-from ..plans.relational import EVENTS, TOKEN_BUCKET_ORACLE
+from ..plans.relational import EVENTS, HOLT_WINTERS_ORACLE, TOKEN_BUCKET_ORACLE
 
 _COUNTER = itertools.count()
 
@@ -1559,3 +1559,52 @@ def stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p99_bucket"),
     )
+
+
+@query(
+    "stream_holt_winters",
+    oracle=HOLT_WINTERS_ORACLE,
+    tags=("T5", "W2", "F4"),
+)
+def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters forecaster — the stateful twin of
+    timeseries_holt_winters (same oracle constant, byte-identical
+    answer): per event type, GroupState carries the triple-smoothing
+    state (level, trend, step, 7 seasonal slots) PLUS the still-open
+    day's pending count; a day flushes into the recurrence only when a
+    later day arrives, so a day straddling micro-batches enters exactly
+    once, and each batch's snapshot applies the open day as a
+    look-ahead step without storing it. The recurrence is the same
+    python _trunc_div template the batch fold's generated SQL encodes —
+    one definition, three consumers (batch Spark fold, DuckDB
+    list_reduce, streaming GroupState).
+
+    This is the online-forecasting shape: state is 12 longs per series,
+    each event costs one pending increment, and the model is always
+    one flush behind the live edge — exactly how production HW
+    monitors run."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import holt_winters_fold
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias("d"),
+        F.lit(1).alias("one"),
+    )
+    snap = keyed.groupBy("event_type").applyInPandasWithState(
+        holt_winters_fold,
+        outputStructType=(
+            "event_type string, n_days long, level_milli long, trend_milli long,"
+            " season_next_milli long, forecast_next_milli long"
+        ),
+        stateStructType=(
+            "pend_day long, pend_n long, lvl long, trd long, step long,"
+            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(snap, "stream_holt_winters", mode="update")
+    return _final_snapshot(drained, key="event_type", order_col="n_days")

@@ -113,3 +113,72 @@ def sprt_walk_fold(key, pdfs, state):
             "llr_nano": [dec_llr if decided else cum],
         }
     )
+
+
+# --- Holt-Winters constants + fold (twin of plans/relational.py's ---
+# generated SQL folds; alpha = 1/4, beta = 1/10, gamma = 1/5, m = 7)
+HW_M = 7
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — both engines' semantics
+    for the SQL div/// the batch folds use (python's // floors, so the
+    sign needs handling here)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def holt_winters_fold(key, pdfs, state):
+    """Per-type streaming Holt-Winters walk for stream_holt_winters.
+    State: (pend_day, pend_n, lvl, trd, step, s0..s6) — a day's count
+    accumulates in `pending` until a LATER day arrives, then flushes
+    into the triple-smoothing recurrence (a day straddling micro-batches
+    must enter the recurrence exactly once, complete). The emitted
+    snapshot applies the still-pending day as a final step WITHOUT
+    storing it, so each batch reports 'the state if the stream ended
+    now' while later batches can still extend that day."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["d"])
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [-1, 0, 0, 0, 0] + [0] * HW_M
+
+    def step_into(vals, x_m):
+        lvl, trd, k = vals[2], vals[3], vals[4]
+        seas = vals[5:]
+        idx = k % HW_M
+        lp = _trunc_div(x_m - seas[idx], 4) + _trunc_div(3 * (lvl + trd), 4)
+        tp = _trunc_div(lp - lvl, 10) + _trunc_div(9 * trd, 10)
+        seas[idx] = _trunc_div(x_m - lp, 5) + _trunc_div(4 * seas[idx], 5)
+        return vals[:2] + [lp, tp, k + 1] + seas
+
+    for d, n in rows.groupby("d")["one"].sum().items():
+        d = int(d)
+        if st[0] == -1:
+            st[0], st[1] = d, 0
+        if d > st[0]:
+            st = step_into(st, st[1] * 1000)
+            st[0], st[1] = d, 0
+        st[1] += int(n)
+    state.update(tuple(st))
+    view = step_into(st, st[1] * 1000) if st[0] != -1 else st
+    n_days = view[4]
+    nxt = view[5 + (n_days % HW_M)]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n_days],
+            "level_milli": [view[2]],
+            "trend_milli": [view[3]],
+            "season_next_milli": [nxt],
+            "forecast_next_milli": [view[2] + view[3] + nxt],
+        }
+    )

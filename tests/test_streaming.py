@@ -532,3 +532,68 @@ def test_sprt_decision_carries_across_microbatches(spark, tmp_path):
     assert (r.n_obs, r.n_steps, r.decision, r.llr_nano) == (
         6, 3, "accept_h1", 3 * SPRT_L1)
     assert res.count() >= 2  # both micro-batches emitted snapshots
+
+
+def test_holt_winters_day_straddles_microbatches(spark, tmp_path):
+    # Day 0's four events split 2+2 across two micro-batches; day 1's six
+    # arrive in batch 2. The carried pending count must flush day 0 as
+    # ONE observation of 4 (a restart-per-batch fold would flush 2 twice),
+    # and the snapshot applies the open day 1 as a look-ahead step.
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _final_snapshot,
+    )
+    from amazonbigdata_for_students_spark.streaming import batch_twins as bt
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from amazonbigdata_for_students_spark.streaming.folds import holt_winters_fold
+
+    d = tmp_path / "hwx" / "events.parquet"
+    d.mkdir(parents=True)
+
+    def write_part(name, rows):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(d / name))
+
+    write_part("part-000.parquet",
+               [(i, "2024-01-01 00:00:0%d" % i, 1, "view", 1.0, "{}")
+                for i in range(2)])
+    write_part("part-001.parquet",
+               [(2 + i, "2024-01-01 00:01:0%d" % i, 1, "view", 1.0, "{}")
+                for i in range(2)]
+               + [(10 + i, "2024-01-02 00:00:0%d" % i, 1, "view", 1.0, "{}")
+                  for i in range(6)])
+
+    ev = bt.events_stream(spark, str(tmp_path / "hwx"), max_files_per_trigger=1)
+    keyed = ev.select(
+        "event_type",
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias("d"),
+        F.lit(1).alias("one"),
+    )
+    snap = keyed.groupBy("event_type").applyInPandasWithState(
+        holt_winters_fold,
+        outputStructType=(
+            "event_type string, n_days long, level_milli long, trend_milli long,"
+            " season_next_milli long, forecast_next_milli long"
+        ),
+        stateStructType=(
+            "pend_day long, pend_n long, lvl long, trd long, step long,"
+            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = bt._drain(snap, "hw_straddle_test", mode="update")
+    r = _final_snapshot(res, key="event_type", order_col="n_days").collect()[0]
+    # replay: flush day0 (x=4000) then look-ahead day1 (x=6000)
+    assert (r.n_days, r.level_milli, r.trend_milli) == (2, 2325, 222)
+    assert (r.season_next_milli, r.forecast_next_milli) == (0, 2547)
+    assert res.count() >= 2
