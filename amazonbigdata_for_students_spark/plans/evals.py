@@ -2069,3 +2069,101 @@ def eval_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").over(wc).cast("long").alias("hazard_cum_nano"),
         F.sum("var_term").over(wc).cast("long").alias("hazard_var_nano"),
     )
+
+
+# (z_{0.025} + z_{0.2})^2 quantized to micro: two-sided 5% alpha, 80%
+# power — the standard A/B sizing constants, fixed in python so both
+# engines share the exact integer
+_POWER_K_MICRO = 7_848_880
+_POWER_MDE_PCT = 10  # detect a 10% relative lift
+
+
+@query(
+    "eval_power_analysis",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS k,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS HUGEINT) AS n_days
+      FROM events),
+    rates AS (
+      SELECT n, k, n_days,
+             k * 1000000 // n AS p1,
+             (k * 1000000 // n) * (100 + {_POWER_MDE_PCT}) // 100 AS p2
+      FROM base),
+    sized AS (
+      SELECT n, k, n_days, p1, p2,
+             ({_POWER_K_MICRO} * (p1 * (1000000 - p1) + p2 * (1000000 - p2))
+              + (p2 - p1) * (p2 - p1) * 1000000 - 1)
+             // ((p2 - p1) * (p2 - p1) * 1000000) AS n_arm
+      FROM rates)
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_purchases,
+           CAST(p1 AS BIGINT) AS p1_ppm,
+           CAST(p2 AS BIGINT) AS p2_ppm,
+           CAST(n_arm AS BIGINT) AS n_per_arm,
+           CAST((2 * n_arm * n_days + n - 1) // n AS BIGINT) AS days_required,
+           coalesce(n >= 2 * n_arm, FALSE) AS currently_powered
+    FROM sized
+    """,
+    tags=("A3", "F4", "A7"),
+)
+def eval_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from live data — the sample-size
+    calculation every A/B platform runs before a launch: with the
+    observed purchase share as the baseline p1 and a 10% relative MDE
+    (p2 = 1.1*p1), the required per-arm n at two-sided alpha = 5% and
+    80% power is n = (z_a + z_b)^2 * (p1(1-p1) + p2(1-p2)) / (p2-p1)^2.
+    The z-constants quantize ONCE in python to an exact shared micro
+    integer; rates are exact ppm floors; the sizing is one ceiling
+    division (+den-1 idiom), so both engines report the identical n.
+    days_required converts the two-arm total into calendar time at the
+    observed event rate — the number the launch review actually asks
+    for.
+
+    Scale: one scan, one global conditional aggregate (map-side
+    combine), constant output. HUGEINT/decimal-lifted — p*(1e6-p)
+    products at ppm scale reach 2.5e11 and multiply by the 7.8e6
+    constant."""
+    base = load_table(spark, sf_dir, "events").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("k"),
+        F.countDistinct(F.expr("to_date(ts)")).cast("decimal(38,0)").alias(
+            "n_days"
+        ),
+    )
+    rates = base.select(
+        "n",
+        "k",
+        "n_days",
+        F.expr("k * 1000000 div n").alias("p1"),
+        F.expr(f"(k * 1000000 div n) * (100 + {_POWER_MDE_PCT}) div 100").alias(
+            "p2"
+        ),
+    )
+    sized = rates.withColumn(
+        "n_arm",
+        # a zero baseline rate makes p2 = p1 = 0: no finite sample sizes
+        F.expr(
+            f"CASE WHEN p2 = p1 THEN NULL ELSE"
+            f" ({_POWER_K_MICRO} * (p1 * (1000000 - p1) + p2 * (1000000 - p2))"
+            " + (p2 - p1) * (p2 - p1) * 1000000 - 1)"
+            " div ((p2 - p1) * (p2 - p1) * 1000000) END"
+        ),
+    )
+    return sized.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_purchases"),
+        F.col("p1").cast("long").alias("p1_ppm"),
+        F.col("p2").cast("long").alias("p2_ppm"),
+        F.col("n_arm").cast("long").alias("n_per_arm"),
+        F.expr("CAST((2 * n_arm * n_days + n - 1) div n AS BIGINT)").alias(
+            "days_required"
+        ),
+        F.coalesce(F.col("n") >= F.expr("2 * n_arm"), F.lit(False)).alias(
+            "currently_powered"
+        ),
+    )

@@ -220,6 +220,40 @@ SHOWCASE: dict[str, str] = {
         "window join (WindowGroupLimit bounds per-group state), nothing "
         "executes per outer row — no nested-loop stage in the plan."
     ),
+    "agg_pareto_abc": (
+        "ABC classes over the shared registry.global_prefix two-pass rank: the "
+        "only SinglePartition exchanges carry the #buckets-row offsets window and "
+        "the 1-row grand total — the part dimension never funnels through one task."
+    ),
+    "eval_average_precision": (
+        "Ranked-retrieval AP over the same two-pass distributed rank; after the "
+        "checkpoint materializes, no documents rescan survives and the whole "
+        "metric is one aggregate."
+    ),
+    "eval_bootstrap_ci": (
+        "All 40 Poisson replicates in ONE map pass: 80 conditional sums partial-"
+        "aggregate map-side, no explode, no join — the shuffle carries one "
+        "82-column row per partition regardless of volume."
+    ),
+    "timeseries_holt_winters": (
+        "The triple-smoothing fold (rotating 7-slot seasonal array) runs inside "
+        "codegen per series key after one (type, day) map-side-combined count; "
+        "one shuffle total."
+    ),
+    "graph_clustering_coefficient": (
+        "Degree-oriented wedge enumeration (O(m^1.5) bound) read from eager "
+        "checkpoints by every consumer; per-node attribution costs one narrow "
+        "explode+aggregate over closed triangles, never a second enumeration."
+    ),
+    "eval_sprt_boundary": (
+        "The sequential walk's running sum and row_number partition by day — "
+        "per-partition sorts, one integer of state per walk, bounded output."
+    ),
+    "dedup_lsh_precision_audit": (
+        "The audit is LINEAR by construction: only the (member -> canonical) "
+        "collapse pairs the dedup would perform are verified — candidate volume "
+        "equals the rows deleted, not bucket^2; the intersection join is keyed."
+    ),
 }
 
 

@@ -2230,3 +2230,30 @@ def test_holt_winters_matches_python_replay(spark, tmp_path):
     assert (r["n_days"], r["level_milli"], r["trend_milli"]) == (21, L, T)
     assert r["season_next_milli"] == S[21 % 7]
     assert r["forecast_next_milli"] == L + T + S[21 % 7]
+
+
+def test_power_analysis_hand_arithmetic_and_zero_guard(spark, tmp_path):
+    """25% baseline over 80 events on 4 days: p1 = 250000, p2 = 275000,
+    and n_per_arm equals the exact ceiling arithmetic; an all-'view'
+    corpus must report NULL sizes and powered = False, not crash."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [(i, base + timedelta(days=i % 4, minutes=i),
+             "purchase" if i % 4 == 0 else "view") for i in range(80)]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "a" / "events.parquet"))
+    r = REGISTRY["eval_power_analysis"].fn(spark, str(tmp_path / "a")).collect()[0]
+    p1, p2 = 250_000, 275_000
+    num = 7_848_880 * (p1 * (1_000_000 - p1) + p2 * (1_000_000 - p2))
+    den = (p2 - p1) ** 2 * 1_000_000
+    assert (r["p1_ppm"], r["p2_ppm"]) == (p1, p2)
+    assert r["n_per_arm"] == (num + den - 1) // den
+    assert r["days_required"] == (2 * r["n_per_arm"] * 4 + 79) // 80
+    assert r["currently_powered"] is False
+
+    rows2 = [(i, base + timedelta(minutes=i), "view") for i in range(10)]
+    spark.createDataFrame(rows2, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(str(tmp_path / "b" / "events.parquet"))
+    r2 = REGISTRY["eval_power_analysis"].fn(spark, str(tmp_path / "b")).collect()[0]
+    assert r2["n_per_arm"] is None and r2["currently_powered"] is False
