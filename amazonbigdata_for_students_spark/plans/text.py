@@ -3296,3 +3296,79 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "jaccard_ppm",
     )
+
+
+_MATTR_W = 25
+
+
+@query(
+    "txt_lexical_diversity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks, len({SQL_TOKENS}) AS n
+      FROM documents),
+    m AS (
+      SELECT doc_id, n,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             CASE WHEN n > {_MATTR_W}
+                  THEN CAST(list_sum([len(list_distinct(toks[i:i+{_MATTR_W - 1}]))
+                         for i in generate_series(1, n - {_MATTR_W} + 1)])
+                       AS BIGINT)
+                  ELSE NULL END AS win_types
+      FROM t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_types,
+           CASE WHEN n = 0 THEN 0
+                ELSE CAST(n_types * 1000000 // n AS BIGINT) END AS ttr_ppm,
+           CASE WHEN n = 0 THEN 0
+                WHEN n <= {_MATTR_W}
+                  THEN CAST(n_types * 1000000 // n AS BIGINT)
+                ELSE CAST(win_types * 1000000
+                          // ({_MATTR_W} * (n - {_MATTR_W} + 1)) AS BIGINT)
+                END AS mattr_ppm
+    FROM m
+    """,
+    tags=("U2", "F7", "F4"),
+)
+def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: the raw type-token ratio plus
+    MATTR (Covington & McFall 2010's moving-average TTR over a
+    {_MATTR_W}-token sliding window) — the linguistics-standard fix for
+    TTR's length bias (long documents always score lower raw TTR, so a
+    length-stratified quality filter on TTR silently becomes a length
+    filter; MATTR is length-invariant). mattr_ppm is the exact floor of
+    (sum over window positions of window type counts) * 1e6 /
+    (W * positions); documents at or under the window length fall back
+    to raw TTR; zero-token documents report 0s.
+
+    Scale: MAP-ONLY — both statistics are higher-order-function
+    expressions over each doc's own token array (O(n*W) distincts
+    inside codegen, bounded by the length cap any pretraining corpus
+    applies); zero shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TOKENS().alias("toks")).withColumn("n", F.size("toks"))
+    m = t.select(
+        "doc_id",
+        "n",
+        F.expr("CAST(size(array_distinct(toks)) AS BIGINT)").alias("n_types"),
+        F.expr(
+            f"CASE WHEN n > {_MATTR_W} THEN CAST(aggregate("
+            f"transform(sequence(1, n - {_MATTR_W} + 1),"
+            f" i -> size(array_distinct(slice(toks, i, {_MATTR_W})))),"
+            " 0L, (a, x) -> a + x) AS BIGINT) ELSE NULL END"
+        ).alias("win_types"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        "n_types",
+        F.expr(
+            "CASE WHEN n = 0 THEN 0"
+            " ELSE CAST(n_types * 1000000 div n AS BIGINT) END"
+        ).alias("ttr_ppm"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0"
+            f" WHEN n <= {_MATTR_W} THEN CAST(n_types * 1000000 div n AS BIGINT)"
+            f" ELSE CAST(win_types * 1000000"
+            f" div ({_MATTR_W} * (n - {_MATTR_W} + 1)) AS BIGINT) END"
+        ).alias("mattr_ppm"),
+    )

@@ -2257,3 +2257,22 @@ def test_power_analysis_hand_arithmetic_and_zero_guard(spark, tmp_path):
         .coalesce(1).write.parquet(str(tmp_path / "b" / "events.parquet"))
     r2 = REGISTRY["eval_power_analysis"].fn(spark, str(tmp_path / "b")).collect()[0]
     assert r2["n_per_arm"] is None and r2["currently_powered"] is False
+
+
+def test_lexical_diversity_mattr_windows(spark, tmp_path):
+    """A 27-token doc of the pattern a b a b ...: every 25-token window
+    holds exactly 2 types -> MATTR = 2/25 exactly, while raw TTR is
+    2/27; a 4-token all-distinct doc falls back to TTR = 1e6; an empty
+    doc reports clean zeros."""
+    ab = " ".join(["a", "b"] * 13 + ["a"])  # 27 tokens, 2 types
+    docs = [(1, ab), (2, "w x y z"), (3, "   ")]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           REGISTRY["txt_lexical_diversity"].fn(spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_types"]) == (27, 2)
+    assert r1["ttr_ppm"] == 2 * 1_000_000 // 27
+    assert r1["mattr_ppm"] == 2 * 1_000_000 // 25  # every window: 2 types
+    assert (out[2]["ttr_ppm"], out[2]["mattr_ppm"]) == (1_000_000, 1_000_000)
+    assert (out[3]["n_tokens"], out[3]["ttr_ppm"], out[3]["mattr_ppm"]) == (0, 0, 0)
