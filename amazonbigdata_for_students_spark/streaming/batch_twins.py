@@ -1596,15 +1596,22 @@ def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = keyed.groupBy("event_type").applyInPandasWithState(
         holt_winters_fold,
         outputStructType=(
-            "event_type string, n_days long, level_milli long, trend_milli long,"
+            "event_type string, n_obs_total long, n_days long,"
+            " level_milli long, trend_milli long,"
             " season_next_milli long, forecast_next_milli long"
         ),
         stateStructType=(
             "pend_day long, pend_n long, lvl long, trd long, step long,"
-            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long"
+            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long,"
+            " nobs long"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     drained = _drain(snap, "stream_holt_winters", mode="update")
-    return _final_snapshot(drained, key="event_type", order_col="n_days")
+    # n_obs_total is the STRICTLY monotone snapshot selector (n_days
+    # alone ties when a batch only extends the open day); dropped after
+    # selection so the output matches the batch oracle's columns
+    return _final_snapshot(
+        drained, key="event_type", order_col="n_obs_total"
+    ).drop("n_obs_total")

@@ -149,16 +149,16 @@ def holt_winters_fold(key, pdfs, state):
     if state.exists:
         st = list(state.get)
     else:
-        st = [-1, 0, 0, 0, 0] + [0] * HW_M
+        st = [-1, 0, 0, 0, 0] + [0] * HW_M + [0]  # trailing slot: n_obs
 
     def step_into(vals, x_m):
         lvl, trd, k = vals[2], vals[3], vals[4]
-        seas = vals[5:]
+        seas = vals[5:5 + HW_M]
         idx = k % HW_M
         lp = _trunc_div(x_m - seas[idx], 4) + _trunc_div(3 * (lvl + trd), 4)
         tp = _trunc_div(lp - lvl, 10) + _trunc_div(9 * trd, 10)
         seas[idx] = _trunc_div(x_m - lp, 5) + _trunc_div(4 * seas[idx], 5)
-        return vals[:2] + [lp, tp, k + 1] + seas
+        return vals[:2] + [lp, tp, k + 1] + seas + vals[5 + HW_M:]
 
     for d, n in rows.groupby("d")["one"].sum().items():
         d = int(d)
@@ -168,13 +168,20 @@ def holt_winters_fold(key, pdfs, state):
             st = step_into(st, st[1] * 1000)
             st[0], st[1] = d, 0
         st[1] += int(n)
+        st[5 + HW_M] += int(n)
     state.update(tuple(st))
+    n_obs = st[5 + HW_M]
     view = step_into(st, st[1] * 1000) if st[0] != -1 else st
     n_days = view[4]
     nxt = view[5 + (n_days % HW_M)]
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
+            # strictly-monotone snapshot selector: a batch that only
+            # EXTENDS the open day leaves n_days unchanged but must still
+            # outrank the earlier snapshot (n_days alone would tie and
+            # make the final-row pick nondeterministic)
+            "n_obs_total": [n_obs],
             "n_days": [n_days],
             "level_milli": [view[2]],
             "trend_milli": [view[3]],

@@ -563,13 +563,17 @@ def test_holt_winters_day_straddles_microbatches(spark, tmp_path):
         part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
         shutil.copy(part, str(d / name))
 
+    # batch 2 ONLY extends day 0 (same n_days as batch 1 -> the
+    # strictly-monotone n_obs_total selector must pick it); batch 3
+    # opens day 1, flushing day 0 as ONE observation of 4
     write_part("part-000.parquet",
                [(i, "2024-01-01 00:00:0%d" % i, 1, "view", 1.0, "{}")
                 for i in range(2)])
     write_part("part-001.parquet",
                [(2 + i, "2024-01-01 00:01:0%d" % i, 1, "view", 1.0, "{}")
-                for i in range(2)]
-               + [(10 + i, "2024-01-02 00:00:0%d" % i, 1, "view", 1.0, "{}")
+                for i in range(2)])
+    write_part("part-002.parquet",
+               [(10 + i, "2024-01-02 00:00:0%d" % i, 1, "view", 1.0, "{}")
                   for i in range(6)])
 
     ev = bt.events_stream(spark, str(tmp_path / "hwx"), max_files_per_trigger=1)
@@ -581,19 +585,22 @@ def test_holt_winters_day_straddles_microbatches(spark, tmp_path):
     snap = keyed.groupBy("event_type").applyInPandasWithState(
         holt_winters_fold,
         outputStructType=(
-            "event_type string, n_days long, level_milli long, trend_milli long,"
+            "event_type string, n_obs_total long, n_days long,"
+            " level_milli long, trend_milli long,"
             " season_next_milli long, forecast_next_milli long"
         ),
         stateStructType=(
             "pend_day long, pend_n long, lvl long, trd long, step long,"
-            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long"
+            " s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long,"
+            " nobs long"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     res = bt._drain(snap, "hw_straddle_test", mode="update")
-    r = _final_snapshot(res, key="event_type", order_col="n_days").collect()[0]
+    r = _final_snapshot(res, key="event_type", order_col="n_obs_total").collect()[0]
     # replay: flush day0 (x=4000) then look-ahead day1 (x=6000)
-    assert (r.n_days, r.level_milli, r.trend_milli) == (2, 2325, 222)
+    assert (r.n_obs_total, r.n_days, r.level_milli, r.trend_milli) == (
+        10, 2, 2325, 222)
     assert (r.season_next_milli, r.forecast_next_milli) == (0, 2547)
-    assert res.count() >= 2
+    assert res.count() >= 3  # every micro-batch emitted a snapshot
