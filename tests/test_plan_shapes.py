@@ -967,3 +967,30 @@ def test_lsh_audit_candidates_filter_token_join(spark, sf_small):
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert "CartesianProduct" not in final
+
+
+def test_holt_winters_single_shuffle_fold(spark, sf_small):
+    """The HW fold must ride one (type, day) aggregate + one series-key
+    shuffle — no joins, one scan; the recurrence runs inside the
+    aggregate expression."""
+    df = REGISTRY["timeseries_holt_winters"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_power_analysis_is_one_global_aggregate(spark, sf_small):
+    """Sample sizing is one scan + one conditional global aggregate —
+    no join, no window."""
+    df = REGISTRY["eval_power_analysis"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_lexical_diversity_map_only(spark, sf_small):
+    """TTR/MATTR are per-row higher-order expressions: zero exchanges."""
+    df = REGISTRY["txt_lexical_diversity"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
