@@ -742,6 +742,17 @@ class CommitLog:
                 for t in tokens:  # retry of an applied batch: drop the dup
                     shutil.rmtree(os.path.join(self._data_dir, t), ignore_errors=True)
                 return None
+            # head-based, not listdir-max: on a retention-pruned log the
+            # next version continues AFTER the checkpoint, never back-fills
+            # the pruned prefix. ORDER MATTERS: next_v must be read BEFORE
+            # check_conflicts — with the check first, a commit landing in
+            # the window between the check and the head read would advance
+            # the head, let this writer link at interloper+1 WITHOUT ever
+            # seeing it, and silently lose the update (caught as a
+            # once-in-many-suites [0, 0]-conflicts flake under load). With
+            # next_v fixed first, any later-visible commit must itself take
+            # next_v, which fails our link CAS and re-runs the check.
+            next_v = self._contiguous_head() + 1
             if read_version is not None:
                 # pure_add: the commit's file plan does not depend on the
                 # physical token layout — no removes to retire, no pinned
@@ -752,10 +763,6 @@ class CommitLog:
                     key_ranges,
                     pure_add=not removes and not add_versions,
                 )
-            # head-based, not listdir-max: on a retention-pruned log the
-            # next version continues AFTER the checkpoint, never back-fills
-            # the pruned prefix
-            next_v = self._contiguous_head() + 1
             manifest = {
                 "version": next_v,
                 "adds": tokens,

@@ -922,3 +922,47 @@ def test_footprint_markerless_box_is_not_null_free_proof():
     assert not ov({"k": [0, 1, True]}, {"k": [5, 9, False]})
     # and two markerless boxes keep pre-marker numeric semantics
     assert not ov({"k": [0, 1]}, {"k": [5, 9]})
+
+
+def test_commit_detects_interloper_landing_after_conflict_check(spark, tmp_path):
+    # TOCTOU regression (r8, surfaced as a once-in-many-suites [0, 0]-
+    # conflicts flake under load): a commit that becomes visible AFTER our
+    # conflict check but BEFORE our CAS link must still be detected. With
+    # the old ordering (check, THEN read head) the interloper advanced the
+    # head, this writer linked at interloper+1 without ever re-checking,
+    # and the interloper's update was silently shadowed. With next_v fixed
+    # BEFORE the check, the interloper necessarily occupies next_v, our
+    # link fails, and the retry's fresh check raises ConcurrentKeyConflict.
+    import pyspark.sql.functions as F
+
+    from amazonbigdata_for_students_spark.plans.tableformat import (
+        merge_with_conflict_retry,
+    )
+
+    log = CommitLog(str(tmp_path / "t"))
+    s0 = _stage_rows(spark, log, [(1, 10)])
+    log.commit([s0], writer="base")
+
+    interloper = CommitLog(str(tmp_path / "t"))
+    fired = {"n": 0}
+    real_check = log.check_conflicts
+
+    def check_then_interlope(*a, **k):
+        real_check(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            s = _stage_rows(spark, interloper, [(1, 12)])  # +2 against v=10
+            r = interloper.stats_for(spark, s, ["user_id"])
+            interloper.commit([s], writer="interloper", key_ranges=r)
+
+    log.check_conflicts = check_then_interlope
+    won, n_conf = merge_with_conflict_retry(
+        spark,
+        log,
+        ["user_id"],
+        lambda cur: cur.withColumn("v", F.col("v") + 1),
+        writer="main",
+    )
+    assert n_conf == 1  # the interloper was SEEN, never silently shadowed
+    final = log.read_latest_per_key(spark, ["user_id"]).collect()
+    assert [(r.user_id, r.v) for r in final] == [(1, 13)]  # both bumps land
