@@ -2167,3 +2167,65 @@ def eval_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "currently_powered"
         ),
     )
+
+
+@query(
+    "eval_expected_calibration_error",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    bins AS (
+      SELECT least(score // 100, 9) AS bin,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(pos) AS HUGEINT) AS n_pos,
+             CAST(sum(score) AS HUGEINT) AS sum_score
+      FROM scored GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(abs(1000 * n_pos - sum_score)) * 1000 // sum(n) AS BIGINT)
+             AS ece_ppm,
+           CAST(max(abs(1000 * n_pos - sum_score) * 1000 // n) AS BIGINT)
+             AS mce_ppm
+    FROM bins
+    """,
+    tags=("A1", "A3", "U2", "F4"),
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error (Guo et al. 2017) of the
+    English-marker score — the one-number summary of
+    eval_calibration_bins' reliability diagram: ECE = sum over bins of
+    (n_b/N) * |accuracy_b - confidence_b|, MCE the worst bin's gap. The
+    per-bin gap shares the denominator 1000*n_b, so each bin contributes
+    the EXACT integer numerator |1000*n_pos - sum_score| and ECE needs
+    only ONE floor division at the very end — tighter than flooring per
+    bin, and identical in both engines. Uses the same decile binning as
+    the bins query so the two reports never disagree.
+
+    Scale: map-only scoring + one 10-key groupBy + one 10-row aggregate
+    — partial aggregation absorbs everything map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("lang", TOKENS().alias("toks"))
+    bins = (
+        base.select(
+            _en_score_col().alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy(F.least(F.expr("score div 100"), F.lit(9)).alias("bin"))
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
+            F.sum("score").cast("decimal(38,0)").alias("sum_score"),
+        )
+    )
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.expr(
+            "CAST(sum(abs(1000 * n_pos - sum_score)) * 1000 div sum(n) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.expr(
+            "CAST(max(abs(1000 * n_pos - sum_score) * 1000 div n) AS BIGINT)"
+        ).alias("mce_ppm"),
+    )

@@ -760,3 +760,65 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("alpha_micro"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    ed AS (
+      SELECT CAST(du.d AS HUGEINT) AS j, CAST(dv.d AS HUGEINT) AS k
+      FROM pairs p
+      JOIN deg du ON du.n = p.u
+      JOIN deg dv ON dv.n = p.v),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             sum(j + k) AS s1,
+             sum(j * j + k * k) AS s2,
+             sum(j * k) AS s3
+      FROM ed)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN 0
+                ELSE CAST((4 * m * s3 - s1 * s1) * 1000
+                          // (2 * m * s2 - s1 * s1) AS BIGINT) END
+             AS assortativity_milli
+    FROM s
+    """,
+    tags=("J7", "A3", "F4"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-supply graph (Newman
+    2002): the Pearson correlation of endpoint degrees across edges —
+    positive means hubs trade with hubs (social-network shape), negative
+    means hubs fan out to the periphery (internet/supply-chain shape);
+    the single number that predicts how the graph responds to hub
+    failures and how skewed its joins will be. Cleared of divisions by
+    cross-multiplying Newman's formula: r = (4M*Σjk - S1²) /
+    (2M*Σ(j²+k²) - S1²), reported as the exact truncated milli ratio
+    (numerator may be negative: integer division truncates identically
+    in both engines); a degree-regular graph (den = 0) reports 0.
+
+    Scale: two degree joins against the edge list (keyed hash joins)
+    and one 4-sum aggregate — the sums reach M*d² ~ 1e18+ at scale and
+    are HUGEINT/decimal-lifted."""
+    pairs, deg = _tri_pairs_deg(spark, sf_dir)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("j"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("k"))
+    ed = pairs.join(du, "u").join(dv, "v").select(
+        F.col("j").cast("decimal(38,0)").alias("j"),
+        F.col("k").cast("decimal(38,0)").alias("k"),
+    )
+    s = ed.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(F.expr("j + k")).alias("s1"),
+        F.sum(F.expr("j * j + k * k")).alias("s2"),
+        F.sum(F.expr("j * k")).alias("s3"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.expr(
+            "CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN 0"
+            " ELSE CAST((4 * m * s3 - s1 * s1) * 1000"
+            " div (2 * m * s2 - s1 * s1) AS BIGINT) END"
+        ).alias("assortativity_milli"),
+    )

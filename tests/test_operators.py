@@ -2276,3 +2276,32 @@ def test_lexical_diversity_mattr_windows(spark, tmp_path):
     assert r1["mattr_ppm"] == 2 * 1_000_000 // 25  # every window: 2 types
     assert (out[2]["ttr_ppm"], out[2]["mattr_ppm"]) == (1_000_000, 1_000_000)
     assert (out[3]["n_tokens"], out[3]["ttr_ppm"], out[3]["mattr_ppm"]) == (0, 0, 0)
+
+
+def test_ece_single_floor_exactness(spark, tmp_path):
+    """Two bins with hand-known gaps: bin 9 (score 1000, 'the'-saturated
+    docs) holds 1 en + 1 de -> acc 500000 vs conf 1000000 (numerator
+    1000); bin 0 (score 0) holds 1 de -> gap 0. ECE = 1000*1000 // 3."""
+    docs = [
+        (1, "the the the the", "en"),
+        (2, "the the the and", "de"),
+        (3, "zz xx cc vv", "de"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_expected_calibration_error"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_bins"]) == (3, 2)
+    assert r["ece_ppm"] == 1000 * 1000 // 3   # only bin 9 contributes
+    assert r["mce_ppm"] == 1000 * 1000 // 2   # bin 9's own gap: 0.5
+
+
+def test_assortativity_star_is_disassortative(spark, tmp_path):
+    """A star (hub 1 with leaves 2,3,4) is maximally disassortative:
+    Newman's r = -1 exactly -> -1000 milli; check against the integer
+    formula by hand: M=3, j=3,k=1 per edge -> S1=12, S2=30, S3=9,
+    num = 4*3*9 - 144 = -36, den = 2*3*30 - 144 = 36."""
+    rows = [(4 * s, 1) for s in (1, 2, 3)] + [(4 * s, s + 1) for s in (1, 2, 3)]
+    spark.createDataFrame(rows, "l_orderkey long, l_suppkey long").coalesce(1) \
+        .write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = REGISTRY["graph_assortativity"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_edges"], r["assortativity_milli"]) == (3, -1000)
