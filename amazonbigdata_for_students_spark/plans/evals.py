@@ -2229,3 +2229,70 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST(max(abs(1000 * n_pos - sum_score) * 1000 div n) AS BIGINT)"
         ).alias("mce_ppm"),
     )
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(pos) AS HUGEINT) AS k,
+             CAST(sum((score - 1000 * pos) * (score - 1000 * pos)) AS HUGEINT)
+               AS sq
+      FROM scored)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(sq // n AS BIGINT) AS brier_ppm,
+           CAST((n * k - k * k) * 1000000 // (n * n) AS BIGINT)
+             AS brier_ref_ppm,
+           CASE WHEN n * k - k * k = 0 THEN 0
+                ELSE CAST(((n * k - k * k) * 1000000 // (n * n)
+                           - sq // n) * 1000000
+                          // ((n * k - k * k) * 1000000 // (n * n)) AS BIGINT)
+                END AS skill_ppm
+    FROM s
+    """,
+    tags=("A3", "F4", "U2"),
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the English-marker score used as a probability
+    (Brier 1950) — the PROPER scoring rule the eval lane's threshold
+    metrics can't replace: it punishes miscalibrated confidence, not
+    just wrong rankings. With the per-mille score as p*1000, each
+    document contributes the exact integer (score - 1000*y)^2 — already
+    ppm-scaled — so the mean is one floor division. The climatology
+    reference (always predict the base rate) is k*(n-k)/n^2 exactly,
+    and the Brier skill score 1 - BS/BS_ref rides along as an exact ppm
+    ratio: positive skill = the scorer beats knowing only the base
+    rate.
+
+    Scale: one scan, one 3-sum global aggregate (map-side combine);
+    squared milli terms summed over corpus-scale rows pass 2^63 —
+    HUGEINT/decimal-lifted."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("lang", TOKENS().alias("toks")).select(
+        _en_score_col().alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("k"),
+        F.sum(F.expr("(score - 1000 * pos) * (score - 1000 * pos)"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(sq div n AS BIGINT)").alias("brier_ppm"),
+        F.expr(
+            "CAST((n * k - k * k) * 1000000 div (n * n) AS BIGINT)"
+        ).alias("brier_ref_ppm"),
+        F.expr(
+            "CASE WHEN n * k - k * k = 0 THEN 0"
+            " ELSE CAST(((n * k - k * k) * 1000000 div (n * n) - sq div n)"
+            " * 1000000 div ((n * k - k * k) * 1000000 div (n * n)) AS BIGINT)"
+            " END"
+        ).alias("skill_ppm"),
+    )

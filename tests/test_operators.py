@@ -2305,3 +2305,23 @@ def test_assortativity_star_is_disassortative(spark, tmp_path):
         .write.parquet(str(tmp_path / "lineitem.parquet"))
     r = REGISTRY["graph_assortativity"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_edges"], r["assortativity_milli"]) == (3, -1000)
+
+
+def test_brier_score_hand_values_and_skill(spark, tmp_path):
+    """Perfect confident predictions score 0 with skill 1e6; a
+    hand-mixed fixture matches the exact integer arithmetic."""
+    docs = [
+        (1, "the the the the", "en"),   # score 1000, y=1 -> (0)^2
+        (2, "zz xx cc vv", "de"),       # score 0,    y=0 -> 0
+        (3, "the zz xx cc", "de"),      # score 250,  y=0 -> 62500
+        (4, "qq ww ee rr", "en"),       # score 0,    y=1 -> 1000000
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_brier_score"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["brier_ppm"] == (0 + 0 + 62_500 + 1_000_000) // 4
+    # base rate 1/2 -> reference = k(n-k)/n^2 = 4/16 = 250000 ppm
+    assert r["brier_ref_ppm"] == 250_000
+    expect_skill = (250_000 - r["brier_ppm"]) * 1_000_000 // 250_000
+    assert r["skill_ppm"] == expect_skill and r["skill_ppm"] < 0  # bad scorer here
