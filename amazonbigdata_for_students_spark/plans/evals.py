@@ -2248,7 +2248,7 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(sq // n AS BIGINT) AS brier_ppm,
            CAST((n * k - k * k) * 1000000 // (n * n) AS BIGINT)
              AS brier_ref_ppm,
-           CASE WHEN n * k - k * k = 0 THEN 0
+           CASE WHEN (n * k - k * k) * 1000000 // (n * n) = 0 THEN 0
                 ELSE CAST(((n * k - k * k) * 1000000 // (n * n)
                            - sq // n) * 1000000
                           // ((n * k - k * k) * 1000000 // (n * n)) AS BIGINT)
@@ -2290,7 +2290,7 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n * k - k * k) * 1000000 div (n * n) AS BIGINT)"
         ).alias("brier_ref_ppm"),
         F.expr(
-            "CASE WHEN n * k - k * k = 0 THEN 0"
+            "CASE WHEN (n * k - k * k) * 1000000 div (n * n) = 0 THEN 0"
             " ELSE CAST(((n * k - k * k) * 1000000 div (n * n) - sq div n)"
             " * 1000000 div ((n * k - k * k) * 1000000 div (n * n)) AS BIGINT)"
             " END"

@@ -3693,11 +3693,11 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the dashboard 'trend arrow' behind every rate panel,
     computed from the closed-form normal equations over rolling sums:
     slope = (n*Σhx - Σh*Σx) / (n*Σh² - (Σh)²), reported as exact
-    milli-counts-per-hour. The signed floor is SIGN-SPLIT —
-    sign(num) * (|num|*1000 // den) — because Spark's div truncates
-    toward zero while DuckDB's // floors toward -inf: on the absolute
-    value both engines agree (a divergence the repo's discipline exists
-    to catch). RANGE frame over the hour key so grid gaps shrink the
+    milli-counts-per-hour. The plain num*1000 div/// den twin is exact
+    because BOTH engines truncate integer/decimal division toward zero
+    (DuckDB: -35 // 36 = 0, verified) — no sign split is needed; this
+    matches graph_assortativity's statement and the _trunc_div helper.
+    RANGE frame over the hour key so grid gaps shrink the
     window; n >= 12 warm-up guard as in the Bollinger monitor.
 
     Scale: event volume collapses to the (type x hour) grid in the

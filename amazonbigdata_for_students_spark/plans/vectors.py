@@ -1619,9 +1619,9 @@ def vec_gram_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                // nullif(count(CASE WHEN h = 1 THEN 1 END), 0) AS mb
       FROM q GROUP BY pos),
     counts AS (
-      SELECT CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
+      SELECT CAST(count(CASE WHEN vec_id % 2 = 0 THEN vec_id END)
                   AS BIGINT) AS n_a,
-             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
+             CAST(count(CASE WHEN vec_id % 2 = 1 THEN vec_id END)
                   AS BIGINT) AS n_b
       FROM embeddings),
     agg AS (

@@ -98,6 +98,14 @@ def sprt_walk_fold(key, pdfs, state):
         if first_rn == 0 and (cum >= SPRT_A or cum <= SPRT_B):
             first_rn = n
             dec_llr = cum
+    # Saturate cum at the int64 state-schema boundary (Python ints are
+    # unbounded; the long-typed GroupState would silently WRAP). Safe:
+    # an undecided walk is confined to (SPRT_B, SPRT_A) by definition,
+    # so only post-decision accumulation — which never feeds output or
+    # the frozen decision — can reach the clamp. Matches the batch
+    # twin's decimal(38,0) no-wrap contract (eval_sprt_boundary).
+    _I64 = (1 << 63) - 1
+    cum = max(-_I64 - 1, min(_I64, cum))
     state.update((cum, n, first_rn, dec_llr))
     decided = first_rn > 0
     yield pd.DataFrame(
