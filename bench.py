@@ -21,9 +21,45 @@ from amazonbigdata_for_students_spark.plans import REGISTRY
 from amazonbigdata_for_students_spark.session import get_spark
 
 
+def _assert_idle(max_wait: float = 600.0) -> tuple[float, float, bool]:
+    """Idle-box assertion for ``--isolated`` runs: a committed BENCH
+    artifact must measure the ENGINE, not concurrent session load (r8:
+    committed 7.14 s under gate load vs 6.74 s on the same plans idle).
+    Polls the 1-minute loadavg until it falls under max(1.0, 0.05*ncpu)
+    or ``max_wait`` elapses; returns (loadavg, threshold, ok)."""
+    ncpu = os.cpu_count() or 1
+    threshold = max(1.0, 0.05 * ncpu)
+    deadline = time.time() + max_wait
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load, threshold, load <= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    isolated = "--isolated" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BENCH_ISOLATED", "0"
+    ) == "1"
+    idle_info = None
+    if isolated:
+        # Fresh-JVM is inherent to the CLI (each invocation builds its own
+        # SparkSession); the assertion below adds the other half of the
+        # protocol — refuse to stamp numbers measured on a loaded box.
+        load, thr, ok = _assert_idle()
+        idle_info = {
+            "load_1m_at_start": round(load, 2),
+            "idle_threshold": round(thr, 2),
+            "idle_assertion": "ok" if ok else "FAILED",
+        }
+        if not ok:
+            print(
+                f"bench --isolated: box not idle (load {load:.2f} > {thr:.2f})"
+                " after 600s wait; numbers below inherit that load",
+                file=sys.stderr,
+            )
     spark = get_spark(app_name="bench")
 
     # Name-sorted so run order is pinned regardless of registry rotation —
@@ -55,6 +91,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if idle_info is not None:
+        result["isolated"] = idle_info
 
     # Optional scaling sanity (VERDICT r2 item 8): SPARK_GRAFT_BENCH_SCALE=N
     # re-times the suite on an Nx key-shifted replica so scale claims are

@@ -113,6 +113,20 @@ def main() -> None:
         "common to be rare, too rare to be dropped",
     )
     ap.add_argument(
+        "--graph-window",
+        type=int,
+        default=0,
+        help="supplier-locality window W for lineitem supplier assignment "
+        "(0 = uniform over all suppliers, the legacy dense regime). When "
+        "set, each order draws its suppliers from a W-wide window of the "
+        "supplier id space anchored per order, so the co-supply graph's "
+        "average degree is bounded by ~2W-1 CONSTANT ACROSS SF — the "
+        "realistic constant-degree regime (a real supplier co-occurs with "
+        "a bounded partner set; the default uniform draw densifies to "
+        "avg degree ~400 at sf1, which is what made the triangle/"
+        "clustering sf1 walls wedge-bound, VERDICT r8 item 4)",
+    )
+    ap.add_argument(
         "--hot-frac",
         type=float,
         default=0.0,
@@ -211,7 +225,18 @@ def main() -> None:
         .select(
             F.col("o_orderkey").alias("l_orderkey"),
             F.pmod(F.xxhash64("id", F.lit("lpart")), F.lit(n_part)).alias("l_partkey"),
-            F.pmod(F.xxhash64("id", F.lit("lsupp")), F.lit(n_supp)).alias("l_suppkey"),
+            (
+                F.pmod(
+                    F.pmod(F.xxhash64("o_orderkey", F.lit("ganchor")), F.lit(n_supp))
+                    + F.pmod(
+                        F.xxhash64("id", F.lit("lsupp")),
+                        F.lit(min(args.graph_window, n_supp)),
+                    ),
+                    F.lit(n_supp),
+                )
+                if args.graph_window > 0
+                else F.pmod(F.xxhash64("id", F.lit("lsupp")), F.lit(n_supp))
+            ).alias("l_suppkey"),
             F.col("l_linenumber"),
             (F.pmod(F.xxhash64("id", F.lit("lqty")), F.lit(50)) + 1).cast("double").alias("l_quantity"),
             F.round(F.lit(900.0) + u("lprice") * 104100.0, 2).alias("l_extendedprice"),
