@@ -132,6 +132,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "eval_decision_stump", "rec_item_cosine", "eval_sprt_boundary",
     "timeseries_bollinger_breach", "graph_clustering_coefficient",
     "agg_pareto_abc",
+    # -- r9 session additions, landing order --
+    "timeseries_twap_chunked",
 )
 
 _WINDOW_SIZE = 50

@@ -3584,9 +3584,7 @@ def win_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "timeseries_twap",
-    oracle=f"""
+_TWAP_ORACLE = f"""
     WITH seq AS (
       SELECT event_type,
              CAST(epoch_us(ts) AS BIGINT) AS us,
@@ -3611,7 +3609,12 @@ def win_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN dt = 0 THEN NULL
                 ELSE CAST(vw // dt AS BIGINT) END AS twap_milli
     FROM w
-    """,
+    """
+
+
+@query(
+    "timeseries_twap",
+    oracle=_TWAP_ORACLE,
     tags=("W2", "F1", "F4", "A3"),
 )
 def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,6 +3656,82 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_dt").cast("long").alias("held_us"),
         # a type whose held intervals are all zero-length (coarse
         # timestamps) must report NULL, not crash ANSI division
+        F.expr(
+            "CASE WHEN _dt = 0 THEN NULL ELSE CAST(_vw div _dt AS BIGINT) END"
+        ).alias("twap_milli"),
+    )
+
+
+_TWAP_CHUNK_US = 6 * 3_600_000_000  # 6-hour time chunks
+
+
+@query(
+    "timeseries_twap_chunked",
+    oracle=_TWAP_ORACLE,
+    tags=("W2", "F1", "F4", "A3", "A7"),
+)
+def timeseries_twap_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase TWAP — the parallel twin of timeseries_twap, same
+    answer (the oracle IS timeseries_twap's oracle).
+
+    timeseries_twap's per-type lead() window is UNSPLITTABLE and the
+    type key has only 5 values, so every row sorts inside one of 5
+    tasks regardless of cluster width — measured 10-11 s wall /
+    2.1-2.4x straggler at sf10 on BOTH the uniform and hot-key fixtures
+    (scripts/skew_bench.py, r9): the key is maximally hot by
+    construction, the same way clk_sessionize's bot key is.
+
+    The decomposition (clk_sessionize_chunked's recipe applied to a
+    lead window): (1) compute lead(us) WITHIN (event_type, 6-hour time
+    chunk) — each sort is chunk-bounded, parallelism = types x chunks
+    (~600 partitions on the 30-day fixture, weeks x types at 100 TB);
+    (2) per (type, chunk) take the chunk's first event time (min(us) —
+    the window order (ts, event_id, us) is us-major since us IS
+    unix_micros(ts), so equal-ts ties share a chunk and min(us) is the
+    first row's us); (3) each chunk's LAST row (in-chunk lead NULL)
+    takes the next non-empty chunk's first us via a lead over the tiny
+    chunk table, broadcast back. coalesce(in-chunk, cross-chunk)
+    reproduces the global lead exactly; the overall-last event per type
+    stays NULL and drops, as in the one-window form."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
+        "ts",
+        "event_id",
+    ).withColumn("_chk", F.expr(f"us div {_TWAP_CHUNK_US}"))
+    wc = W.partitionBy("event_type", "_chk").orderBy("ts", "event_id", "us")
+    inchunk = seq.select(
+        "event_type", "_chk", "v_milli", "us",
+        F.lead("us").over(wc).alias("_next_in"),
+    )
+    chunk_firsts = seq.groupBy("event_type", "_chk").agg(
+        F.min("us").alias("_first_us")
+    )
+    wn = W.partitionBy("event_type").orderBy("_chk")
+    nxt = chunk_firsts.select(
+        "event_type",
+        "_chk",
+        F.lead("_first_us").over(wn).alias("_next_chunk_us"),
+    )
+    held = (
+        inchunk.join(F.broadcast(nxt), ["event_type", "_chk"])
+        .select(
+            "event_type",
+            "v_milli",
+            "us",
+            F.coalesce("_next_in", "_next_chunk_us").alias("next_us"),
+        )
+        .where(F.col("next_us").isNotNull())
+    )
+    return held.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_held"),
+        F.sum(F.expr("CAST(v_milli AS DECIMAL(38,0)) * (next_us - us)")).alias("_vw"),
+        F.sum(F.expr("CAST(next_us - us AS DECIMAL(38,0))")).alias("_dt"),
+    ).select(
+        "event_type",
+        "n_held",
+        F.col("_dt").cast("long").alias("held_us"),
         F.expr(
             "CASE WHEN _dt = 0 THEN NULL ELSE CAST(_vw div _dt AS BIGINT) END"
         ).alias("twap_milli"),

@@ -229,6 +229,22 @@ PROBES: list[tuple[str, object, dict]] = [
     ("clk_growth_accounting", registry_probe("clk_growth_accounting"), {}),
     ("win_decayed_engagement", registry_probe("win_decayed_engagement"), {}),
     ("eval_sprt_boundary", registry_probe("eval_sprt_boundary"), {}),
+    # r9: the remaining r8 eval/timeseries grouping keys (VERDICT r8 item
+    # 7). Kaplan-Meier reduces each user to ONE (min ts, max ts) span row
+    # via a combiner before anything else touches the data (hot user =
+    # one fat map-side partial, no fat shuffle partition); CUSUM and
+    # Holt-Winters pre-aggregate events to (type, hour)/(type, day) cells
+    # so user skew never reaches a shuffle key; TWAP is the one r8 shape
+    # with a PER-EVENT window over the 5-value type key — always
+    # maximally hot by construction (n/5 rows per partition, user skew
+    # irrelevant), measured here as the unsplittable-window envelope the
+    # same way clk_sessionize is.
+    ("eval_kaplan_meier", registry_probe("eval_kaplan_meier"), {}),
+    ("timeseries_cusum_changepoint", registry_probe("timeseries_cusum_changepoint"), {}),
+    ("timeseries_holt_winters", registry_probe("timeseries_holt_winters"), {}),
+    ("timeseries_twap", registry_probe("timeseries_twap"), {}),
+    # the chunked treatment for TWAP's 2.1-2.4x straggler above
+    ("timeseries_twap_chunked", registry_probe("timeseries_twap_chunked"), {}),
 ]
 
 
@@ -263,7 +279,18 @@ def main() -> None:
     ap.add_argument("--uniform", required=True)
     ap.add_argument("--skewed", required=True)
     ap.add_argument("--one-fixture", nargs=2, metavar=("NAME", "DIR"), default=None)
+    ap.add_argument(
+        "--probes",
+        default=None,
+        help="comma-separated probe-name substrings; only matching probes run",
+    )
     args = ap.parse_args()
+
+    if args.probes:
+        pats = [p for p in args.probes.split(",") if p]
+        PROBES[:] = [
+            row for row in PROBES if any(p in row[0] for p in pats)
+        ]
 
     if args.one_fixture:
         run_fixture(*args.one_fixture)
@@ -284,7 +311,8 @@ def main() -> None:
                 "--one-fixture",
                 fixture_name,
                 sf_dir,
-            ],
+            ]
+            + (["--probes", args.probes] if args.probes else []),
             capture_output=True,
             text=True,
         )

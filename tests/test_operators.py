@@ -1959,6 +1959,42 @@ def test_twap_weighs_holding_time_not_samples(spark, tmp_path):
     assert r["twap_milli"] == 90_000
 
 
+def test_twap_chunked_stitches_chunk_boundary(spark, tmp_path):
+    """Events straddling the 6-hour chunk boundary: the last event of
+    chunk 0 (05:00, value 10) must hold until the first event of chunk 1
+    (07:00) — 2 h — via the cross-chunk stitch, not drop. Hand-computed:
+    10.0 held 05:00->07:00 (2 h) then 40.0 held 07:00->08:00 (1 h) gives
+    TWAP (10*2 + 40*1)/3 = 20000 milli; the 08:00 event drops (no
+    interval). An empty-chunk gap (05:00 -> 07:00 skips no chunk here,
+    so a second type jumps chunks 0 -> 2 to prove non-adjacent stitch)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)  # 00:00, chunk boundary at 06:00, 12:00
+    rows = [
+        (1, base + timedelta(hours=5), "view", 10.0),
+        (2, base + timedelta(hours=7), "view", 40.0),
+        (3, base + timedelta(hours=8), "view", 7.0),  # last: no interval
+        # type 'click': chunk 0 -> chunk 2 (skips the 06:00-12:00 chunk)
+        (4, base + timedelta(hours=1), "click", 100.0),
+        (5, base + timedelta(hours=13), "click", 0.0),  # last of its type
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["timeseries_twap_chunked"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (got["view"]["n_held"], got["view"]["held_us"]) == (2, 3 * 3_600_000_000)
+    assert got["view"]["twap_milli"] == 20_000
+    assert (got["click"]["n_held"], got["click"]["held_us"]) == (1, 12 * 3_600_000_000)
+    assert got["click"]["twap_milli"] == 100_000
+    # identity with the one-window twin on the same fixture
+    a = sorted(map(tuple, REGISTRY["timeseries_twap"].fn(spark, str(tmp_path)).collect()))
+    b = sorted(map(tuple, REGISTRY["timeseries_twap_chunked"].fn(spark, str(tmp_path)).collect()))
+    assert a == b
+
+
 def test_stream_percentile_monitor_bucketed_readout(spark, tmp_path):
     """95 values at 5.0 and five at 95.0: p50/p95 sit in bucket 0 (the
     95th ordered value is still low), p99 must jump to bucket 9 — the
