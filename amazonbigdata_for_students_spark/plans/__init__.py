@@ -133,7 +133,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "timeseries_bollinger_breach", "graph_clustering_coefficient",
     "agg_pareto_abc",
     # -- r9 session additions, landing order --
-    "timeseries_twap_chunked",
+    "timeseries_twap_chunked", "ops_slo_burn_rate", "clk_rolling_wau",
 )
 
 _WINDOW_SIZE = 50

@@ -1278,3 +1278,114 @@ def clk_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step3",
         "n",
     )
+
+
+_WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "clk_rolling_wau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM {EVENTS} ev),
+    spanned AS (
+      SELECT user_id, d,
+             CASE WHEN d - lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                       <= {_WAU_WINDOW_DAYS - 1} THEN 0 ELSE 1 END AS brk
+      FROM ud),
+    seg AS (
+      SELECT user_id, d,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM spanned),
+    ivals AS (
+      SELECT min(d) AS s, max(d) + {_WAU_WINDOW_DAYS - 1} AS e
+      FROM seg GROUP BY user_id, seg_id),
+    diffs AS (
+      SELECT s AS d, CAST(1 AS BIGINT) AS delta FROM ivals
+      UNION ALL
+      SELECT e + 1, -1 FROM ivals),
+    ddays AS (SELECT d, sum(delta) AS delta FROM diffs GROUP BY d),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+    walked AS (
+      SELECT sp.d,
+             sum(coalesce(dd.delta, 0)) OVER (ORDER BY sp.d
+               ROWS UNBOUNDED PRECEDING) AS wau
+      FROM spine sp LEFT JOIN ddays dd ON dd.d = sp.d)
+    SELECT d AS day_no, CAST(wau AS BIGINT) AS wau
+    FROM walked
+    """,
+    tags=("A4", "W2", "A7"),
+)
+def clk_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day distinct active users per day (WAU-by-day) —
+    the growth dashboard's denominator series — computed WITHOUT any
+    per-day distinct-union pass. The trick is the interval difference
+    array: per user, consecutive active days with gaps <= 6 merge into
+    coverage segments [first, last+6] (a user counts toward day d iff
+    some activity falls in [d-6, d], i.e. iff d lies in a coverage
+    segment); each segment becomes two diff rows (+1 at start, -1 past
+    end), and one running sum over the bounded day spine reads off
+    WAU(d) for every day. The naive form — for each day, count distinct
+    users over a 7-day self-join — shuffles the (user, day) table 7x
+    and re-deduplicates per day; the diff array shuffles it once.
+
+    Scale: event volume collapses to DISTINCT (user, day) in one
+    aggregate; the segment windows run per user over their bounded
+    active-day rows (a daily-active bot is ONE segment row); the diff
+    array is 2 rows per segment; only the final running sum touches the
+    day spine — a calendar-bounded grid (30 rows here, ~365/yr at
+    100 TB), the same bounded-grid window every timeseries op uses."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias(
+                "d"
+            ),
+        )
+        .distinct()
+    )
+    wl = W.partitionBy("user_id").orderBy("d")
+    spanned = ud.select(
+        "user_id",
+        "d",
+        F.when(
+            F.col("d") - F.lag("d").over(wl) <= _WAU_WINDOW_DAYS - 1, 0
+        ).otherwise(1).alias("brk"),
+    )
+    seg = spanned.select(
+        "user_id",
+        "d",
+        F.sum("brk").over(wl.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "seg_id"
+        ),
+    )
+    ivals = seg.groupBy("user_id", "seg_id").agg(
+        F.min("d").alias("s"),
+        (F.max("d") + F.lit(_WAU_WINDOW_DAYS - 1)).alias("e"),
+    )
+    diffs = ivals.select(F.col("s").alias("d"), F.lit(1).cast("long").alias("delta")).unionByName(
+        ivals.select((F.col("e") + 1).alias("d"), F.lit(-1).cast("long").alias("delta"))
+    )
+    ddays = diffs.groupBy("d").agg(F.sum("delta").alias("delta"))
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    walked = (
+        spine.join(ddays, "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            "d",
+            F.sum("delta")
+            .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("wau"),
+        )
+    )
+    return walked.select(F.col("d").alias("day_no"), F.col("wau").cast("long").alias("wau"))

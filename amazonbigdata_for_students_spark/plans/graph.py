@@ -822,3 +822,230 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * m * s2 - s1 * s1) AS BIGINT) END"
         ).alias("assortativity_milli"),
     )
+
+
+_LP_CAP = 128  # deterministic per-node neighbor cap (production hub guard)
+_LP_TOPK = 50
+
+
+@query(
+    "graph_jaccard_linkpred",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (
+      SELECT u AS n, v AS nbr FROM pairs
+      UNION ALL SELECT v, u FROM pairs),
+    ranked AS (
+      SELECT n, nbr,
+             row_number() OVER (PARTITION BY n ORDER BY nbr) AS rn
+      FROM adj),
+    capped AS (SELECT n, nbr FROM ranked WHERE rn <= {_LP_CAP}),
+    cdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS cd FROM capped GROUP BY n),
+    wedges AS (
+      SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS common
+      FROM capped x JOIN capped y ON x.n = y.n AND x.nbr < y.nbr
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT w.a, w.b, w.common
+      FROM wedges w LEFT JOIN pairs p ON w.a = p.u AND w.b = p.v
+      WHERE p.u IS NULL),
+    scored AS (
+      SELECT ne.a, ne.b, ne.common,
+             da.cd + db.cd - ne.common AS union_sz,
+             CAST(ne.common * 1000000 // (da.cd + db.cd - ne.common)
+                  AS BIGINT) AS jaccard_ppm
+      FROM nonedge ne
+      JOIN cdeg da ON da.n = ne.a JOIN cdeg db ON db.n = ne.b),
+    audit AS (
+      SELECT CAST(count(*) FILTER (WHERE rn > {_LP_CAP}) AS BIGINT)
+               AS n_capped_rows
+      FROM ranked)
+    SELECT CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, a, b)
+                AS BIGINT) AS rank,
+           a AS part_a, b AS part_b, common, union_sz, jaccard_ppm,
+           (SELECT n_capped_rows FROM audit) AS n_capped_rows
+    FROM scored
+    ORDER BY jaccard_ppm DESC, a, b
+    LIMIT {_LP_TOPK}
+    """,
+    tags=("J7", "A1", "O2", "J2"),
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the part co-purchase graph (edge =
+    two parts in the same sampled order): for every NON-edge pair with a
+    shared neighbor, score |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and return the
+    top-50 predicted links — the classic 'customers who bought X also
+    buy Y' candidate generator (Liben-Nowell & Kleinberg 2003).
+
+    Scale shape: common-neighbor counting is inherently Σ d(c)² wedge
+    work, so the adjacency is DEGREE-CAPPED first — each node keeps its
+    first 128 neighbors by id (deterministic, same rule in both
+    engines), bounding wedge volume at n·128² regardless of hubs; the
+    n_capped_rows audit column reports exactly how many adjacency rows
+    the cap dropped (0 on the fixtures — the co-purchase degree is ~31
+    and CONSTANT ACROSS SF because parts and orders both scale
+    linearly; no silent truncation). Candidates come from a capped-adj
+    self-join keyed on the shared neighbor, existing edges leave via
+    one anti join on the id-canonical pair, Jaccard is exact integer
+    ppm (union = cd(a)+cd(b)-common needs no second pass), and
+    TakeOrdered caps the result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as PW
+
+    adj = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    ranked = adj.select(
+        "n", "nbr", F.row_number().over(PW.partitionBy("n").orderBy("nbr")).alias("rn")
+    )
+    capped = ranked.where(F.col("rn") <= _LP_CAP).select("n", "nbr").localCheckpoint(
+        eager=True
+    )
+    n_capped = ranked.where(F.col("rn") > _LP_CAP).count()  # bounded audit scalar
+    cdeg = capped.groupBy("n").agg(F.count("*").cast("long").alias("cd"))
+    x = capped.select(F.col("n").alias("c"), F.col("nbr").alias("a"))
+    y = capped.select(F.col("n").alias("c"), F.col("nbr").alias("b"))
+    wedges = (
+        x.join(y, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    nonedge = wedges.join(
+        pairs, (wedges.a == pairs.u) & (wedges.b == pairs.v), "left_anti"
+    )
+    scored = (
+        nonedge.join(cdeg.select(F.col("n").alias("a"), F.col("cd").alias("da")), "a")
+        .join(cdeg.select(F.col("n").alias("b"), F.col("cd").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.expr("da + db - common").alias("union_sz"),
+            F.expr("CAST(common * 1000000 div (da + db - common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("jaccard_ppm"), "a", "b").limit(_LP_TOPK)
+    w = PW.orderBy(F.desc("jaccard_ppm"), "a", "b")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "common",
+        "union_sz",
+        "jaccard_ppm",
+        F.lit(n_capped).cast("long").alias("n_capped_rows"),
+    )
+
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+_HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+    a{i}raw AS (
+      SELECT s, CAST(sum(h.hub) AS HUGEINT) AS raw
+      FROM cs JOIN {prev_h} h USING (c) GROUP BY s),
+    a{i} AS (
+      SELECT s, CAST(raw * {_HITS_SCALE}
+                     // (SELECT max(raw) FROM a{i}raw) AS HUGEINT) AS auth
+      FROM a{i}raw),
+    h{i}raw AS (
+      SELECT c, CAST(sum(a.auth) AS HUGEINT) AS raw
+      FROM cs JOIN a{i} a USING (s) GROUP BY c),
+    h{i} AS (
+      SELECT c, CAST(raw * {_HITS_SCALE}
+                     // (SELECT max(raw) FROM h{i}raw) AS HUGEINT) AS hub
+      FROM h{i}raw)""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS HUGEINT) AS hub FROM cs)
+    ,{",".join(steps)}
+    SELECT CAST(row_number() OVER (ORDER BY auth DESC, s) AS BIGINT) AS rank,
+           s AS supplier, CAST(auth AS BIGINT) AS auth_scaled
+    FROM a{_HITS_ITERS}
+    ORDER BY auth DESC, s LIMIT {_HITS_TOPK}
+    """
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    tags=("J7", "A1", "O2"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the
+    customer->supplier trading bipartite, 3 iterations: customers are
+    hubs, suppliers authorities; auth(s) = Σ hub over buying customers,
+    hub(c) = Σ auth over bought-from suppliers. Classic HITS L2-
+    normalizes each half-step; this exact-integer variant MAX-normalizes
+    instead (score * 1e6 div max) — same fixpoint ranking, and every
+    intermediate is an exact integer so the unrolled DuckDB twin agrees
+    bit-for-bit regardless of aggregation order (the graph_pagerank
+    determinism discipline). Top-20 authorities.
+
+    Scale: the distinct (c, s) edge list is one shuffle, checkpointed
+    and reused; each half-step is one keyed join + one map-side-combined
+    sum plus a 1-row max broadcast back — the Pregel layout; sums are
+    decimal-lifted (degree x 1e6 passes 2^63 at corpus scale);
+    TakeOrdered caps the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = cs.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("hub")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = cs.join(hub, "c").groupBy("s").agg(
+            F.sum("hub").cast("decimal(38,0)").alias("raw")
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr(f"CAST(raw * {_HITS_SCALE} div mx AS DECIMAL(38,0))").alias("auth")
+        )
+        hraw = cs.join(auth, "s").groupBy("c").agg(
+            F.sum("auth").cast("decimal(38,0)").alias("raw")
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr(f"CAST(raw * {_HITS_SCALE} div mx AS DECIMAL(38,0))").alias("hub")
+        )
+    from pyspark.sql import Window as PW
+
+    top = auth.orderBy(F.desc("auth"), "s").limit(_HITS_TOPK)
+    w = PW.orderBy(F.desc("auth"), "s")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("s").alias("supplier"),
+        F.col("auth").cast("long").alias("auth_scaled"),
+    )

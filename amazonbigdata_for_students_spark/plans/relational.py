@@ -3941,3 +3941,92 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next_milli"
         ),
     )
+
+
+_SLO_BUDGET_PPM = 200_000  # 20% error budget: burn 1e6 ppm = burning at budget
+_SLO_WEEK_HOURS = 168
+
+
+@query(
+    "ops_slo_burn_rate",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err
+      FROM {EVENTS} ev GROUP BY 1),
+    rolled AS (
+      SELECT h, n, err,
+             sum(n)   OVER win AS n6,
+             sum(err) OVER win AS err6
+      FROM cells
+      WINDOW win AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+    burns AS (
+      SELECT h, n AS n_1h, err AS err_1h,
+             CAST(err * 5000000 // n AS BIGINT) AS burn1_ppm,
+             CAST(err6 * 5000000 // n6 AS BIGINT) AS burn6_ppm
+      FROM rolled)
+    SELECT h, n_1h, err_1h, burn1_ppm, burn6_ppm
+    FROM burns
+    WHERE burn1_ppm >= 1100000 AND burn6_ppm >= 1050000
+    """,
+    tags=("A2", "W3", "F1"),
+)
+def ops_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alert (the Google SRE
+    workbook's multi-burn-rate recipe): with a 20% error budget, each
+    hour's burn = error_rate / budget in ppm (1e6 = burning exactly at
+    budget), and an alert fires only when BOTH the fast window (1 h,
+    >=1.1x budget) and the slow window (6 h rolling, >=1.05x budget)
+    burn hot — the two-window AND is what keeps one noisy hour from
+    paging while still catching sustained burns. Exact integer floors;
+    RANGE frame over the hour key so grid gaps shrink the slow window
+    (an hour with no traffic cannot dilute the burn).
+
+    Scale: event volume collapses to the bounded hourly grid in one
+    map-side-combined aggregate. The rolling window then runs
+    HALO-PARTITIONED by week (h div 168): each week's last 5 cells are
+    replicated into the next week's partition as halo rows, the RANGE
+    window runs within (week + halo), and halo rows are dropped from
+    the output — the rolling sums are exact at any grid length with
+    parallelism = #weeks, no single-partition global window (the
+    DuckDB twin uses the plain global window, so the halo decomposition
+    is verified against the direct formulation row-for-row)."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600000000"
+            ).alias("h"),
+            F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END").alias("e"),
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.sum("e").cast("long").alias("err"))
+    )
+    week = F.expr(f"h div {_SLO_WEEK_HOURS}")
+    own = cells.select("h", "n", "err", week.alias("_wk"), F.lit(0).alias("_halo"))
+    halo = (
+        cells.where(F.expr(f"h % {_SLO_WEEK_HOURS} >= {_SLO_WEEK_HOURS - 5}"))
+        .select("h", "n", "err", (week + 1).alias("_wk"), F.lit(1).alias("_halo"))
+    )
+    win = (
+        W.partitionBy("_wk").orderBy("h").rangeBetween(-5, 0)
+    )
+    rolled = (
+        own.unionByName(halo)
+        .select(
+            "h", "n", "err", "_halo",
+            F.sum("n").over(win).alias("n6"),
+            F.sum("err").over(win).alias("err6"),
+        )
+        .where(F.col("_halo") == 0)
+    )
+    return rolled.select(
+        "h",
+        F.col("n").alias("n_1h"),
+        F.col("err").alias("err_1h"),
+        F.expr("err * 5000000 div n").alias("burn1_ppm"),
+        F.expr("err6 * 5000000 div n6").alias("burn6_ppm"),
+    ).where("burn1_ppm >= 1100000 AND burn6_ppm >= 1050000")

@@ -1615,3 +1615,99 @@ def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_snapshot(
         drained, key="event_type", order_col="n_obs_total"
     ).drop("n_obs_total")
+
+
+def _cusum_oracle() -> str:
+    from .folds import CUSUM_BURN, CUSUM_SCALE, CUSUM_SLACK_DIV, CUSUM_T_MULT
+
+    return f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM {EVENTS} e GROUP BY 1, 2),
+    rn AS (
+      SELECT event_type, h, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM cells),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(x) * {CUSUM_SCALE} // {CUSUM_BURN} AS BIGINT) AS mu_s
+      FROM rn WHERE rn <= {CUSUM_BURN}
+      GROUP BY 1 HAVING count(*) = {CUSUM_BURN}),
+    walk AS (
+      SELECT r.event_type, r.h, m.mu_s,
+             sum(r.x * {CUSUM_SCALE} - (m.mu_s + m.mu_s // {CUSUM_SLACK_DIV}))
+               OVER (PARTITION BY r.event_type ORDER BY r.h
+                     ROWS UNBOUNDED PRECEDING) AS c
+      FROM rn r JOIN mu m USING (event_type) WHERE r.rn > {CUSUM_BURN}),
+    drifted AS (
+      SELECT event_type, h, mu_s,
+             c - least(0, min(c) OVER (PARTITION BY event_type ORDER BY h
+                                       ROWS UNBOUNDED PRECEDING)) AS drift
+      FROM walk),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells FROM cells
+      GROUP BY 1)
+    SELECT d.event_type, t.n_cells, CAST(d.mu_s AS BIGINT) AS mu_scaled,
+           CAST(min(CASE WHEN d.drift >= {CUSUM_T_MULT} * d.mu_s THEN d.h END)
+                AS BIGINT) AS first_alert_h,
+           CAST(max(d.drift) AS BIGINT) AS max_drift
+    FROM drifted d JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "stream_cusum_monitor",
+    oracle=_cusum_oracle(),
+    tags=("T5", "A2", "W2"),
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint monitor (Page 1954) — the online twin
+    of the changepoint family: per event type, the first {BURN} closed
+    hourly cells fix the reference rate mu (a CAUSAL burn-in, unlike the
+    batch timeseries_cusum_changepoint's global mean, which no stream
+    can know); after burn-in each closed hour adds
+    x*1e6 - (mu + mu/10) to the walk, drift = walk - min(0, running
+    min), and the first hour whose drift reaches 5*mu freezes as the
+    changepoint (first-crossing semantics, like the SPRT walk). Hour
+    cells straddling micro-batches use holt_winters_fold's pending-flush
+    discipline; each batch's snapshot applies the open hour as a
+    look-ahead step without storing it. State is 10 longs per series.
+
+    The DuckDB oracle runs the identical walk as window algebra (the
+    max(0, S + dv) CUSUM recursion is exactly c - least(0, running min
+    c) — Page's reflection identity — so no fold is needed SQL-side):
+    exact integers end to end, byte-identical twins."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import cusum_fold
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT) div 3600000000"
+        ).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    snap = keyed.groupBy("event_type").applyInPandasWithState(
+        cusum_fold,
+        outputStructType=(
+            "event_type string, n_obs_total long, n_cells long,"
+            " mu_scaled long, first_alert_h long, max_drift long"
+        ),
+        stateStructType=(
+            "pend_h long, pend_n long, n_cells long, burn_sum long,"
+            " mu_s long, cum long, mn long, alert_h long, max_drift long,"
+            " n_obs long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(snap, "stream_cusum_monitor", mode="update")
+    return _final_snapshot(
+        drained, key="event_type", order_col="n_obs_total"
+    ).drop("n_obs_total")

@@ -197,3 +197,83 @@ def holt_winters_fold(key, pdfs, state):
             "forecast_next_milli": [view[2] + view[3] + nxt],
         }
     )
+
+
+# --- streaming CUSUM (Page 1954) constants + fold ---
+CUSUM_BURN = 24          # burn-in cells establishing the reference rate
+CUSUM_SLACK_DIV = 10     # slack = mu // 10 (10% allowance per hour)
+CUSUM_T_MULT = 5         # alert threshold = 5 * mu (5 mean-hours of drift)
+CUSUM_SCALE = 1_000_000
+
+
+def cusum_close_cell(st: list, h: int, x: int) -> list:
+    """Advance the CUSUM walk by one CLOSED hourly cell (count x at hour
+    h). Shared by the flush path and the snapshot look-ahead so a batch
+    reports 'the walk if the stream ended now' without storing the open
+    hour. State layout: [pend_h, pend_n, n_cells, burn_sum, mu_s, cum,
+    mn, alert_h, max_drift, n_obs]; mu_s = -1 until the burn-in
+    completes, alert_h = -1 until the first crossing (first-crossing
+    freeze, like the SPRT walk)."""
+    ph, pn, ncl, bs, mu, cum, mn, ah, mx, no = st
+    ncl += 1
+    if ncl <= CUSUM_BURN:
+        bs += x
+        if ncl == CUSUM_BURN:
+            mu = bs * CUSUM_SCALE // CUSUM_BURN
+    else:
+        cum += x * CUSUM_SCALE - (mu + mu // CUSUM_SLACK_DIV)
+        if cum < mn:
+            mn = cum
+        drift = cum - mn  # mn starts at 0: drift = c - least(0, min c)
+        if drift > mx:
+            mx = drift
+        if ah == -1 and drift >= CUSUM_T_MULT * mu:
+            ah = h
+    return [ph, pn, ncl, bs, mu, cum, mn, ah, mx, no]
+
+
+def cusum_fold(key, pdfs, state):
+    """Per-type streaming CUSUM changepoint walk for stream_cusum_monitor.
+    Hour-cell flush discipline is holt_winters_fold's: an hour's count
+    accumulates in `pending` until a LATER hour arrives (a cell
+    straddling micro-batches enters the walk exactly once, complete);
+    the snapshot applies the still-open hour as a look-ahead step
+    WITHOUT storing it. The int64 state boundary cannot wrap: cum moves
+    at most x*1e6 per cell and the walk is drift-bounded by the alert
+    freeze envelope measured at sf1 (see the sprt clamp note)."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["h"])
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [-1, 0, 0, 0, -1, 0, 0, -1, 0, 0]
+    for h, n in rows.groupby("h")["one"].sum().items():
+        h, n = int(h), int(n)
+        if st[0] == -1:
+            st[0], st[1] = h, 0
+        if h > st[0]:
+            st = cusum_close_cell(st, st[0], st[1])
+            st[0], st[1] = h, 0
+        st[1] += n
+        st[9] += n
+    state.update(tuple(st))
+    view = cusum_close_cell(list(st), st[0], st[1]) if st[0] != -1 else list(st)
+    if view[4] == -1:
+        return  # burn-in incomplete: the batch oracle's join drops the type
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_obs_total": [st[9]],  # strictly monotone snapshot selector
+            "n_cells": [view[2]],
+            "mu_scaled": [view[4]],
+            "first_alert_h": [None if view[7] == -1 else view[7]],
+            "max_drift": [view[8]],
+        }
+    )

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""sf100 spill-regime pass for the LLM-pipeline spine (VERDICT r8 item 8).
+
+Times the corpus-build flagship chain at a control SF and at sf100 in ONE
+session (same-session ratios only — host drift across sessions is ±20%):
+corpus_build_pipeline_v7, dedup_minhash_groups -> dedup_connected_components,
+shard_by_token_budget, mix_domain_budget. Prints one JSON line per fixture.
+
+Usage: python scripts/llm_spine_bench.py [--control DIR] [--scale DIR] [--width N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPINE = [
+    "dedup_minhash_groups",
+    "dedup_connected_components",
+    "corpus_build_pipeline_v7",
+    "shard_by_token_budget",
+    "mix_domain_budget",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--control", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale", default=".localdata/sf100")
+    ap.add_argument("--width", default=None, help="shuffle partitions override")
+    args = ap.parse_args()
+    if args.width:
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = args.width
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.session import get_spark
+
+    spark = get_spark(app_name="llm_spine_bench")
+    for label, sf_dir in (("control", args.control), ("scale", args.scale)):
+        times: dict[str, float] = {}
+        for name in SPINE:
+            t0 = time.time()
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 1)
+            print(
+                f"{label:8s} {name:32s} {times[name]:8.1f}s  {n} rows",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "fixture": sf_dir,
+                    "label": label,
+                    "total_sec": round(sum(times.values()), 1),
+                    "stages": times,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

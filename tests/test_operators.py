@@ -2361,3 +2361,64 @@ def test_brier_score_hand_values_and_skill(spark, tmp_path):
     assert r["brier_ref_ppm"] == 250_000
     expect_skill = (250_000 - r["brier_ppm"]) * 1_000_000 // 250_000
     assert r["skill_ppm"] == expect_skill and r["skill_ppm"] < 0  # bad scorer here
+
+
+def test_slo_burn_rate_two_window_and_halo(spark, tmp_path):
+    """Hand-computed multi-window burn with a week-boundary halo case.
+    Budget 20%: burn1 = err*5e6//n. Hours 0-2 (week 0): 1, 3, 4 errors
+    in 10 events — h1 trips the fast window (1.5e6) but its 6h burn is
+    exactly 1.0e6 < 1.05e6 (the AND suppresses the page); h2 trips both
+    (2.0e6, 8/30 -> 1333333). Hours 166-168 straddle the week-1
+    boundary: h168's 6h window must see h166+h167 across the partition
+    cut (the halo rows), giving (0+5+3)/30 -> 1333333 ppm."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows = []
+    eid = 0
+
+    def hour(h, n_err, n_total=10):
+        nonlocal eid
+        out = []
+        for i in range(n_total):
+            out.append(
+                (eid, base + timedelta(hours=h, minutes=i),
+                 "error" if i < n_err else "view")
+            )
+            eid += 1
+        return out
+
+    for h, e in ((0, 1), (1, 3), (2, 4), (166, 0), (167, 5), (168, 3)):
+        rows += hour(h, e)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["h"]: r for r in
+           REGISTRY["ops_slo_burn_rate"].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 167, 168}
+    assert (got[2]["burn1_ppm"], got[2]["burn6_ppm"]) == (2_000_000, 1_333_333)
+    assert (got[167]["burn1_ppm"], got[167]["burn6_ppm"]) == (2_500_000, 1_250_000)
+    assert (got[168]["burn1_ppm"], got[168]["burn6_ppm"]) == (1_500_000, 1_333_333)
+
+
+def test_rolling_wau_interval_diff_array(spark, tmp_path):
+    """User 1 active days {0, 3, 20}, user 2 active day {0}: coverage
+    segments [0,9]+[20,26] and [0,6]. Hand-walked WAU: days 0-6 -> 2,
+    days 7-9 -> 1, days 10-19 -> 0, day 20 -> 1 (spine ends at the last
+    OBSERVED day, so the [21,26] tail never emits)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1, 12)
+    rows = [(1, base), (1, base + timedelta(days=3)), (1, base + timedelta(days=20)),
+            (2, base)]
+    spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["day_no"]: r["wau"] for r in
+           REGISTRY["clk_rolling_wau"].fn(spark, str(tmp_path)).collect()}
+    expect = {d: 2 for d in range(0, 7)}
+    expect.update({d: 1 for d in range(7, 10)})
+    expect.update({d: 0 for d in range(10, 20)})
+    expect[20] = 1
+    assert got == expect
