@@ -134,6 +134,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "agg_pareto_abc",
     # -- r9 session additions, landing order --
     "timeseries_twap_chunked", "ops_slo_burn_rate", "clk_rolling_wau",
+    "graph_jaccard_linkpred", "graph_hits", "stream_cusum_monitor",
 )
 
 _WINDOW_SIZE = 50

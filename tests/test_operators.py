@@ -2422,3 +2422,62 @@ def test_rolling_wau_interval_diff_array(spark, tmp_path):
     expect.update({d: 0 for d in range(10, 20)})
     expect[20] = 1
     assert got == expect
+
+
+def test_jaccard_linkpred_predicts_missing_edge(spark, tmp_path):
+    """Parts {1,2,3} + {3,4} + {2,4} co-purchased: the only non-edge is
+    (1,4) with N(1)=N(4)={2,3} — common 2, union 2, Jaccard exactly 1e6.
+    Order keys are multiples of 4 so the sample filter keeps them."""
+    rows = [(0, 1), (0, 2), (0, 3), (4, 3), (4, 4), (8, 2), (8, 4)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = REGISTRY["graph_jaccard_linkpred"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["rank"], r["part_a"], r["part_b"]) == (1, 1, 4)
+    assert (r["common"], r["union_sz"], r["jaccard_ppm"]) == (2, 2, 1_000_000)
+    assert r["n_capped_rows"] == 0
+
+
+def test_hits_max_normalized_hand_walk(spark, tmp_path):
+    """Two customers, two suppliers: c1 buys from {s1, s2}, c2 from
+    {s1}. Hand-walked 3 max-normalized iterations: a1 = (1e6, 5e5),
+    h1 = (1e6, 666666), a2 = (1e6, 600000), h2 = (1e6, 625000),
+    a3 = (1e6, 1e12 // 1625000 = 615384)."""
+    spark.createDataFrame(
+        [(1, 101), (2, 102)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 11)], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["rank"]: r for r in
+           REGISTRY["graph_hits"].fn(spark, str(tmp_path)).collect()}
+    assert (got[1]["supplier"], got[1]["auth_scaled"]) == (11, 1_000_000)
+    assert (got[2]["supplier"], got[2]["auth_scaled"]) == (12, 615_384)
+
+
+def test_stream_cusum_alert_fires_on_burst(spark, tmp_path):
+    """24 burn-in hours at 10 events fix mu = 1e7; hour 24 runs +25
+    (drift 14e6 < 5mu), hour 25 bursts to 60 (cum 63e6 >= 5e7) — the
+    changepoint freezes at h25, found by the LOOK-AHEAD step since hour
+    25 never closes. n_cells counts the open hour: 26."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for h in range(24):
+        for i in range(10):
+            rows.append((eid, base + timedelta(hours=h, minutes=i % 60), "view"))
+            eid += 1
+    for h, n in ((24, 25), (25, 60)):
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, seconds=i), "view"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["stream_cusum_monitor"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["event_type"] == "view"
+    assert (r["n_cells"], r["mu_scaled"]) == (26, 10_000_000)
+    assert (r["first_alert_h"], r["max_drift"]) == (25, 63_000_000)
