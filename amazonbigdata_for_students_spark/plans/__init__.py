@@ -135,6 +135,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     # -- r9 session additions, landing order --
     "timeseries_twap_chunked", "ops_slo_burn_rate", "clk_rolling_wau",
     "graph_jaccard_linkpred", "graph_hits", "stream_cusum_monitor",
+    "eval_tost_equivalence", "stream_slo_burn_monitor",
 )
 
 _WINDOW_SIZE = 50

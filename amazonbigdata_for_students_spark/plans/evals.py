@@ -2296,3 +2296,112 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("skill_ppm"),
     )
+
+
+# TOST constants: z_{0.05} = 1.6448536269514722; z^2 quantized once to
+# ppb — the twin-oracle-constant discipline (both engines compare against
+# the identical integer).
+TOST_Z2_PPB = 2_705_543_454
+TOST_MARGIN_PPM = 50_000  # +-5% equivalence margin on the en-rate
+
+
+@query(
+    "eval_tost_equivalence",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id % 2 AS cohort,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    s AS (
+      SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN cohort = 0 THEN pos END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN cohort = 1 THEN pos END) AS BIGINT) AS k2
+      FROM marked),
+    q AS (
+      SELECT n1, n2,
+             k1 * 1000000 // n1 AS p1,
+             k2 * 1000000 // n2 AS p2
+      FROM s),
+    v AS (
+      SELECT n1, n2, p1, p2, p1 - p2 AS d,
+             p1 * (1000000 - p1) // n1 + p2 * (1000000 - p2) // n2 AS se2
+      FROM q)
+    SELECT n1 AS n_a, n2 AS n_b,
+           CAST(p1 AS BIGINT) AS p_a_ppm, CAST(p2 AS BIGINT) AS p_b_ppm,
+           CAST(d AS BIGINT) AS diff_ppm,
+           CASE WHEN d + {TOST_MARGIN_PPM} >= 0
+                 AND CAST(d + {TOST_MARGIN_PPM} AS HUGEINT)
+                     * (d + {TOST_MARGIN_PPM}) * 1000000000
+                     >= {TOST_Z2_PPB} * CAST(se2 AS HUGEINT)
+                 AND {TOST_MARGIN_PPM} - d >= 0
+                 AND CAST({TOST_MARGIN_PPM} - d AS HUGEINT)
+                     * ({TOST_MARGIN_PPM} - d) * 1000000000
+                     >= {TOST_Z2_PPB} * CAST(se2 AS HUGEINT)
+                THEN 'equivalent' ELSE 'not_equivalent' END AS verdict
+    FROM v
+    """,
+    tags=("A3", "F4", "F5"),
+)
+def eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) — the statistically
+    correct way to claim two pipelines are THE SAME (a non-significant
+    difference test proves nothing): split documents into two cohorts
+    (doc_id parity — the A/A stand-in for before/after a pipeline
+    change), and declare the English-rates equivalent iff BOTH one-sided
+    z-tests reject at alpha = 0.05: (d + margin)/se >= z AND
+    (margin - d)/se >= z, margin = 5%. The statistic is defined on
+    ppm-QUANTIZED rates (p = k*1e6 div n, unpooled se^2 in ppm^2 with
+    the same floors) so every comparison is exact integer algebra in
+    both engines — the square-both-sides form (d+m)^2 * 1e9 >=
+    z^2_ppb * se2 needs no square root, and the sign guards keep the
+    squaring monotone.
+
+    Scale: one scan, one 4-sum global aggregate (map-side combine), one
+    row of integer arithmetic. The quantized-rate contract also bounds
+    every product: (2e6)^2 * 1e9 ~ 4e21, decimal/HUGEINT-lifted."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        (F.col("doc_id") % 2).alias("cohort"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).agg(
+        F.expr("CAST(sum(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT)").alias("n2"),
+        F.expr("CAST(sum(CASE WHEN cohort = 0 THEN pos END) AS BIGINT)").alias("k1"),
+        F.expr("CAST(sum(CASE WHEN cohort = 1 THEN pos END) AS BIGINT)").alias("k2"),
+    )
+    q = s.select(
+        "n1",
+        "n2",
+        F.expr("k1 * 1000000 div n1").alias("p1"),
+        F.expr("k2 * 1000000 div n2").alias("p2"),
+    ).select(
+        "n1",
+        "n2",
+        "p1",
+        "p2",
+        F.expr("p1 - p2").alias("d"),
+        F.expr(
+            "p1 * (1000000 - p1) div n1 + p2 * (1000000 - p2) div n2"
+        ).alias("se2"),
+    )
+    m = TOST_MARGIN_PPM
+    z2 = TOST_Z2_PPB
+    cond = (
+        f"d + {m} >= 0"
+        f" AND CAST(d + {m} AS DECIMAL(38,0)) * (d + {m}) * 1000000000"
+        f"     >= {z2} * CAST(se2 AS DECIMAL(38,0))"
+        f" AND {m} - d >= 0"
+        f" AND CAST({m} - d AS DECIMAL(38,0)) * ({m} - d) * 1000000000"
+        f"     >= {z2} * CAST(se2 AS DECIMAL(38,0))"
+    )
+    return q.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.col("p1").cast("long").alias("p_a_ppm"),
+        F.col("p2").cast("long").alias("p_b_ppm"),
+        F.col("d").cast("long").alias("diff_ppm"),
+        F.expr(
+            f"CASE WHEN {cond} THEN 'equivalent' ELSE 'not_equivalent' END"
+        ).alias("verdict"),
+    )

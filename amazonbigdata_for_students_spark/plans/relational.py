@@ -3947,9 +3947,7 @@ _SLO_BUDGET_PPM = 200_000  # 20% error budget: burn 1e6 ppm = burning at budget
 _SLO_WEEK_HOURS = 168
 
 
-@query(
-    "ops_slo_burn_rate",
-    oracle=f"""
+SLO_BURN_ORACLE = f"""
     WITH cells AS (
       SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) // 3600000000 AS h,
              CAST(count(*) AS BIGINT) AS n,
@@ -3970,7 +3968,12 @@ _SLO_WEEK_HOURS = 168
     SELECT h, n_1h, err_1h, burn1_ppm, burn6_ppm
     FROM burns
     WHERE burn1_ppm >= 1100000 AND burn6_ppm >= 1050000
-    """,
+    """
+
+
+@query(
+    "ops_slo_burn_rate",
+    oracle=SLO_BURN_ORACLE,
     tags=("A2", "W3", "F1"),
 )
 def ops_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..plans.evals import SPRT_ORACLE
 from ..plans.registry import query
-from ..plans.relational import EVENTS, HOLT_WINTERS_ORACLE, TOKEN_BUCKET_ORACLE
+from ..plans.relational import (
+    EVENTS,
+    HOLT_WINTERS_ORACLE,
+    SLO_BURN_ORACLE,
+    TOKEN_BUCKET_ORACLE,
+)
 
 _COUNTER = itertools.count()
 
@@ -1711,3 +1716,61 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_snapshot(
         drained, key="event_type", order_col="n_obs_total"
     ).drop("n_obs_total")
+
+
+@query(
+    "stream_slo_burn_monitor",
+    oracle=SLO_BURN_ORACLE,
+    tags=("T5", "A2", "W3"),
+)
+def stream_slo_burn_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-window SLO burn monitor — the stateful twin of
+    ops_slo_burn_rate (same oracle via the registration below,
+    byte-identical alert rows). A real SLO is ONE series, so the fold is
+    single-keyed: state carries the open hour's (n, err) plus a ring of
+    the last 5 CLOSED cells — the slow window's RANGE semantics (a gap
+    hour shrinks the window: ring cells older than h-5 are filtered at
+    compute time, never summed). Hours straddling micro-batches use the
+    pending-flush discipline; every closed hour EMITS with its verdict
+    (a partial hour can look alerting then cool off, so alert rows are
+    filtered AFTER final-snapshot selection, not at emit time); the
+    open hour rides each batch as a look-ahead row that its eventual
+    close row outranks via the strictly-monotone n_obs_total selector.
+
+    Single-key throughput is the Python-stateful envelope (~100k
+    rows/s, BENCH streaming leg) — the same shape a production
+    single-series SLO evaluator has; the hourly pre-aggregation a real
+    deployment would add upstream is measured separately in the batch
+    twin (which collapses volume BEFORE the walk)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import slo_burn_fold
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        F.lit("slo").alias("series"),
+        F.expr(
+            "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT) div 3600000000"
+        ).alias("h"),
+        F.lit(1).alias("one"),
+        F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END").alias("err"),
+    )
+    snap = keyed.groupBy("series").applyInPandasWithState(
+        slo_burn_fold,
+        outputStructType=(
+            "h long, n_1h long, err_1h long, burn1_ppm long,"
+            " burn6_ppm long, alert boolean, n_obs_total long"
+        ),
+        stateStructType=(
+            "pend_h long, pend_n long, pend_e long,"
+            " r0h long, r0n long, r0e long, r1h long, r1n long, r1e long,"
+            " r2h long, r2n long, r2e long, r3h long, r3n long, r3e long,"
+            " r4h long, r4n long, r4e long, n_obs long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(snap, "stream_slo_burn_monitor", mode="update")
+    final = _final_snapshot(drained, key="h", order_col="n_obs_total")
+    return final.where("alert").drop("alert", "n_obs_total")
+

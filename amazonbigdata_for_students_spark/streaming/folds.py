@@ -277,3 +277,86 @@ def cusum_fold(key, pdfs, state):
             "max_drift": [view[8]],
         }
     )
+
+
+# --- streaming SLO burn-rate constants + fold (twin of ---
+# plans/relational.py's ops_slo_burn_rate literals: 20% budget ->
+# burn = err * 5e6 // n; fast window >= 1.1e6 AND slow >= 1.05e6)
+SLO_FAST_PPM = 1_100_000
+SLO_SLOW_PPM = 1_050_000
+SLO_WINDOW = 6  # slow window: current + 5 preceding hours (RANGE)
+
+
+def slo_close_cell(st: list, emit: list, h: int, n: int, e: int) -> list:
+    """Close one hourly cell against the last-5-closed ring, append its
+    row (with alert verdict) to emit, and rotate the ring. Shared by the
+    flush path and the snapshot look-ahead (which passes a COPY of the
+    state so the open hour is never stored). Ring slots may hold cells
+    older than h-5 after a traffic gap — the RANGE semantics filter at
+    compute time, exactly like the batch twin's RANGE frame."""
+    ring = st[3:18]  # 5 x (h, n, err), oldest first
+    n6, e6 = n, e
+    for j in range(0, 15, 3):
+        if ring[j] >= 0 and ring[j] >= h - (SLO_WINDOW - 1):
+            n6 += ring[j + 1]
+            e6 += ring[j + 2]
+    burn1 = e * 5_000_000 // n
+    burn6 = e6 * 5_000_000 // n6
+    emit.append(
+        (h, n, e, burn1, burn6, burn1 >= SLO_FAST_PPM and burn6 >= SLO_SLOW_PPM)
+    )
+    st = st[:3] + ring[3:] + [h, n, e] + st[18:]  # rotate oldest out
+    return st
+
+
+def slo_burn_fold(key, pdfs, state):
+    """Global-series streaming SLO burn monitor for
+    stream_slo_burn_monitor. A real SLO is ONE series, so the fold runs
+    single-keyed (state: pending cell + 5-cell ring + n_obs = 19
+    longs); hour cells straddling micro-batches use the pending-flush
+    discipline, and each batch re-emits the open hour as a look-ahead
+    row. Every closed hour emits (not just alerts): a partial hour can
+    look like an alert and then cool off, so the verdict must be
+    re-selectable per hour — the registered query filters alert rows
+    AFTER final-snapshot selection."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["h"])
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [-1, 0, 0] + [-1, 0, 0] * 5 + [0]
+    emit: list = []
+    g = rows.groupby("h").agg(n=("one", "sum"), e=("err", "sum"))
+    for h, row in g.iterrows():
+        h, n, e = int(h), int(row["n"]), int(row["e"])
+        if st[0] == -1:
+            st[0], st[1], st[2] = h, 0, 0
+        if h > st[0]:
+            st = slo_close_cell(st, emit, st[0], st[1], st[2])
+            st[0], st[1], st[2] = h, 0, 0
+        st[1] += n
+        st[2] += e
+        st[18] += n
+    state.update(tuple(st))
+    if st[0] != -1:
+        slo_close_cell(list(st), emit, st[0], st[1], st[2])  # look-ahead
+    if not emit:
+        return
+    yield pd.DataFrame(
+        {
+            "h": [r[0] for r in emit],
+            "n_1h": [r[1] for r in emit],
+            "err_1h": [r[2] for r in emit],
+            "burn1_ppm": [r[3] for r in emit],
+            "burn6_ppm": [r[4] for r in emit],
+            "alert": [r[5] for r in emit],
+            "n_obs_total": [st[18]] * len(emit),
+        }
+    )

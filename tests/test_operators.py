@@ -2481,3 +2481,28 @@ def test_stream_cusum_alert_fires_on_burst(spark, tmp_path):
     assert r["event_type"] == "view"
     assert (r["n_cells"], r["mu_scaled"]) == (26, 10_000_000)
     assert (r["first_alert_h"], r["max_drift"]) == (25, 63_000_000)
+
+
+def test_tost_equivalence_needs_power_not_just_small_diff(spark, tmp_path):
+    """Same 2% rate difference, two sample sizes: at n=1000/cohort the
+    CI is too wide to claim equivalence within the 5% margin
+    ((d+m)^2*1e9 = 9e17 < z2*se2 = 1.352e18); at n=10000 the same
+    difference IS equivalent (9e17 >= 1.352e17) — the TOST asymmetry a
+    plain significance test gets backwards. Hand-computed with the
+    ppm-quantized se2 floors."""
+    def write(path, n_per, k1, k2):
+        rows = []
+        for i in range(n_per):  # even ids -> cohort 0
+            rows.append((2 * i, "en" if i < k1 else "fr"))
+            rows.append((2 * i + 1, "en" if i < k2 else "fr"))
+        spark.createDataFrame(rows, "doc_id long, lang string").coalesce(1) \
+            .write.parquet(str(path / "documents.parquet"))
+
+    small = tmp_path / "small"; small.mkdir()
+    big = tmp_path / "big"; big.mkdir()
+    write(small, 1000, 500, 520)
+    write(big, 10000, 5000, 5200)
+    r_small = REGISTRY["eval_tost_equivalence"].fn(spark, str(small)).collect()[0]
+    r_big = REGISTRY["eval_tost_equivalence"].fn(spark, str(big)).collect()[0]
+    assert (r_small["diff_ppm"], r_small["verdict"]) == (-20_000, "not_equivalent")
+    assert (r_big["diff_ppm"], r_big["verdict"]) == (-20_000, "equivalent")

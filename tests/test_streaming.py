@@ -604,3 +604,95 @@ def test_holt_winters_day_straddles_microbatches(spark, tmp_path):
         10, 2, 2325, 222)
     assert (r.season_next_milli, r.forecast_next_milli) == (0, 2547)
     assert res.count() >= 3  # every micro-batch emitted a snapshot
+
+
+def test_slo_stream_partial_hour_alert_cools_off(spark, tmp_path):
+    # Batch 1: hour 0 (10 ev, 1 err) closes clean when hour 1 opens with
+    # a hot partial (2 ev, 2 err -> look-ahead burn1 = 5e6: ALERT row
+    # emitted). Batch 2 cools hour 1 with 18 clean events (final 2/20 =
+    # 500000: NOT an alert) and opens hour 2 hot (6/10 errors). A fold
+    # that emitted only alert rows would leave batch 1's stale hour-1
+    # alert as the final word; the close row must outrank and clear it.
+    from amazonbigdata_for_students_spark.streaming import batch_twins as bt
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _final_snapshot,
+    )
+
+    d = tmp_path / "slox" / "events.parquet"
+    d.mkdir(parents=True)
+
+    def write_part(name, rows):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(d / name))
+
+    def hour_rows(eid0, hour, n, n_err):
+        return [
+            (eid0 + i, "2024-01-01 %02d:%02d:00" % (hour, i), 1,
+             "error" if i < n_err else "view", 1.0, "{}")
+            for i in range(n)
+        ]
+
+    write_part(
+        "part-000.parquet",
+        hour_rows(0, 0, 10, 1) + hour_rows(100, 1, 2, 2),
+    )
+    write_part(
+        "part-001.parquet",
+        hour_rows(200, 1, 18, 0) + hour_rows(300, 2, 10, 6),
+    )
+
+    # drive the registered query's exact pipeline but with per-file
+    # triggers so the cool-off genuinely spans micro-batches
+    ev = bt.events_stream(spark, str(tmp_path / "slox"), max_files_per_trigger=1)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from amazonbigdata_for_students_spark.streaming.folds import slo_burn_fold
+
+    keyed = ev.select(
+        F.lit("slo").alias("series"),
+        F.expr(
+            "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT) div 3600000000"
+        ).alias("h"),
+        F.lit(1).alias("one"),
+        F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END").alias("err"),
+    )
+    snap = keyed.groupBy("series").applyInPandasWithState(
+        slo_burn_fold,
+        outputStructType=(
+            "h long, n_1h long, err_1h long, burn1_ppm long,"
+            " burn6_ppm long, alert boolean, n_obs_total long"
+        ),
+        stateStructType=(
+            "pend_h long, pend_n long, pend_e long,"
+            " r0h long, r0n long, r0e long, r1h long, r1n long, r1e long,"
+            " r2h long, r2n long, r2e long, r3h long, r3n long, r3e long,"
+            " r4h long, r4n long, r4e long, n_obs long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = bt._drain(snap, "slo_straddle_test", mode="update")
+    rows = res.collect()
+    h0 = min(r["h"] for r in rows)
+    # the batch-1 look-ahead DID alert on the hot partial hour 1 —
+    # the scenario a naive emit-only-alerts fold can't retract
+    assert any(r["h"] == h0 + 1 and r["alert"] for r in rows)
+    final = _final_snapshot(res, key="h", order_col="n_obs_total")
+    alerts = final.where("alert").collect()
+    got = {r["h"] - h0: r for r in alerts}
+    assert list(got) == [2]
+    r2 = got[2]
+    assert (r2["n_1h"], r2["err_1h"]) == (10, 6)
+    assert (r2["burn1_ppm"], r2["burn6_ppm"]) == (3_000_000, 1_125_000)
+    # and the cooled hour 1 is present in the drain as a non-alert final
+    f1 = final.where(F.col("h") == h0 + 1).collect()[0]
+    assert (f1["n_1h"], f1["err_1h"], f1["alert"]) == (20, 2, False)
