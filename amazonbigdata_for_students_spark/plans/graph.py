@@ -963,21 +963,22 @@ def _hits_oracle() -> str:
     steps = []
     prev_h = "h0"
     for i in range(1, _HITS_ITERS + 1):
+        # max-normalize via a window over the SAME select: each CTE level
+        # is referenced exactly ONCE downstream, keeping DuckDB's
+        # CTE-inlining linear (a scalar `(SELECT max(raw) FROM a{{i}}raw)`
+        # references the level twice and the inline tree doubles per
+        # iteration — measured as a >57 GB spill at sf1)
         steps.append(f"""
-    a{i}raw AS (
-      SELECT s, CAST(sum(h.hub) AS HUGEINT) AS raw
-      FROM cs JOIN {prev_h} h USING (c) GROUP BY s),
     a{i} AS (
-      SELECT s, CAST(raw * {_HITS_SCALE}
-                     // (SELECT max(raw) FROM a{i}raw) AS HUGEINT) AS auth
-      FROM a{i}raw),
-    h{i}raw AS (
-      SELECT c, CAST(sum(a.auth) AS HUGEINT) AS raw
-      FROM cs JOIN a{i} a USING (s) GROUP BY c),
+      SELECT s, CAST(raw * {_HITS_SCALE} // max(raw) OVER ()
+                     AS HUGEINT) AS auth
+      FROM (SELECT s, CAST(sum(h.hub) AS HUGEINT) AS raw
+            FROM cs JOIN {prev_h} h USING (c) GROUP BY s)),
     h{i} AS (
-      SELECT c, CAST(raw * {_HITS_SCALE}
-                     // (SELECT max(raw) FROM h{i}raw) AS HUGEINT) AS hub
-      FROM h{i}raw)""")
+      SELECT c, CAST(raw * {_HITS_SCALE} // max(raw) OVER ()
+                     AS HUGEINT) AS hub
+      FROM (SELECT c, CAST(sum(a.auth) AS HUGEINT) AS raw
+            FROM cs JOIN a{i} a USING (s) GROUP BY c))""")
         prev_h = f"h{i}"
     return f"""
     WITH cs AS (
