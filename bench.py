@@ -21,7 +21,7 @@ from amazonbigdata_for_students_spark.plans import REGISTRY
 from amazonbigdata_for_students_spark.session import get_spark
 
 
-def _assert_idle(max_wait: float = 600.0) -> tuple[float, float, bool]:
+def _assert_idle(max_wait: float = 240.0) -> tuple[float, float, bool]:
     """Idle-box assertion for ``--isolated`` runs: a committed BENCH
     artifact must measure the ENGINE, not concurrent session load (r8:
     committed 7.14 s under gate load vs 6.74 s on the same plans idle).
@@ -40,9 +40,14 @@ def _assert_idle(max_wait: float = 600.0) -> tuple[float, float, bool]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    isolated = "--isolated" in sys.argv[1:] or os.environ.get(
-        "SPARK_GRAFT_BENCH_ISOLATED", "0"
-    ) == "1"
+    # Isolation is the DEFAULT (VERDICT r8 item 3: the committed r8
+    # artifact was measured under concurrent verification load). Opt out
+    # with --no-isolated / SPARK_GRAFT_BENCH_ISOLATED=0 for iterative
+    # local runs where the wait is unwanted.
+    isolated = (
+        "--no-isolated" not in sys.argv[1:]
+        and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
+    )
     idle_info = None
     if isolated:
         # Fresh-JVM is inherent to the CLI (each invocation builds its own
