@@ -994,3 +994,71 @@ def test_lexical_diversity_map_only(spark, sf_small):
     plan = plan_of(df)
     assert "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_twap_chunked_broadcasts_chunk_table(spark, sf_small):
+    """The cross-chunk stitch must be a BROADCAST join of the tiny
+    chunk-firsts table (types x chunks rows), and both windows must be
+    (type, chunk)-partitioned or chunk-table-sized — no single-partition
+    event-level window (that is the wall the query exists to remove)."""
+    df = REGISTRY["timeseries_twap_chunked"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_slo_burn_halo_no_global_window(spark, sf_small):
+    """The rolling burn must run partitioned by week (halo rows), never
+    as a global single-partition window over the hour grid."""
+    df = REGISTRY["ops_slo_burn_rate"].fn(spark, sf_small)
+    plan = plan_of(df)
+    # every Window operator carries a partition spec (no 'Window [..], []'
+    # empty-partition form, which Spark logs as the single-partition WARN)
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "windowspecdefinition(_wk" in line or "partitionBy" in line, line
+    assert plan.count("FileScan") == 2  # own + halo read of the same cells
+
+
+def test_rolling_wau_one_fact_shuffle_then_bounded(spark, sf_small):
+    """Event volume must collapse to DISTINCT (user, day) before any
+    window; the only windows after the per-user segment pass run over
+    the bounded day spine."""
+    df = REGISTRY["clk_rolling_wau"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the per-user lag/cumsum windows are user-partitioned
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_jaccard_linkpred_keyed_wedges_no_cartesian(spark, sf_small):
+    """Candidate generation must be the capped-adjacency self-join keyed
+    on the shared neighbor — no cartesian, and the existing-edge removal
+    must be an anti join."""
+    df = REGISTRY["graph_jaccard_linkpred"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+    assert "LeftAnti" in final
+
+
+def test_hits_halfsteps_are_keyed_joins(spark, sf_small):
+    """Each HITS half-step is one keyed join + one aggregate off the
+    checkpointed edge list; the max-normalizations ride 1-row broadcast
+    grafts, so the only nested-loop joins allowed are those scalar
+    crossJoins (guarded: every one must be BroadcastNestedLoopJoin,
+    never CartesianProduct)."""
+    df = REGISTRY["graph_hits"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_tost_is_one_global_aggregate(spark, sf_small):
+    """TOST is one scan + one 4-sum global aggregate + scalar algebra —
+    no join, no window."""
+    df = REGISTRY["eval_tost_equivalence"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
