@@ -136,6 +136,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "timeseries_twap_chunked", "ops_slo_burn_rate", "clk_rolling_wau",
     "graph_jaccard_linkpred", "graph_hits", "stream_cusum_monitor",
     "eval_tost_equivalence", "stream_slo_burn_monitor",
+    "timeseries_burstiness", "eval_srm_guardrail", "seq_fim_transform",
+    "quality_perplexity_buckets",
 )
 
 _WINDOW_SIZE = 50

@@ -1389,3 +1389,85 @@ def clk_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return walked.select(F.col("d").alias("day_no"), F.col("wau").cast("long").alias("wau"))
+
+
+# chi^2_{1, p=0.001} = 10.827566170..., quantized once to ppm — the
+# twin-oracle-constant discipline
+SRM_CHI2_PPM = 10_827_566
+
+
+@query(
+    "eval_srm_guardrail",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                       - 1 < 8
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM {EVENTS} ev),
+    s AS (
+      SELECT CAST(coalesce(sum(CASE WHEN variant = 'control' THEN 1 END), 0)
+                  AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN variant = 'treatment' THEN 1 END), 0)
+                  AS BIGINT) AS n2
+      FROM assigned)
+    SELECT n1 AS n_control, n2 AS n_treatment,
+           n1 - n2 AS delta_units,
+           CAST((n1 - n2) * (n1 - n2) * 1000 // (n1 + n2) AS BIGINT)
+             AS chi2_milli,
+           CASE WHEN (n1 - n2) * (n1 - n2) * 1000000
+                     >= {SRM_CHI2_PPM} * (n1 + n2)
+                THEN 'SRM' ELSE 'ok' END AS verdict
+    FROM s
+    """,
+    tags=("A3", "F4", "F5"),
+)
+def eval_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first check every
+    experimentation platform runs before reading an A/B test: under the
+    50/50 md5-nibble assignment (the SAME rule as ab_test_analysis, so
+    this guards that experiment's actual traffic), the unit-count
+    imbalance chi-square (n1-n2)^2/(n1+n2) must stay under
+    chi^2_{1, p=0.001} = 10.8276 — anything past it means the
+    assignment, logging, or filtering is broken and every downstream
+    readout is invalid (Fabijan et al. 2019). Exact integer algebra:
+    the verdict cross-multiplies against the ppm-quantized critical
+    value; chi2_milli is the floor-scaled statistic.
+
+    Scale: one DISTINCT user pass (the assignment is a pure hash — no
+    join against an assignment table), one 2-sum aggregate, one row."""
+    ev = load_table(spark, sf_dir, "events")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    assigned = ev.select("user_id").distinct().select(
+        F.when(nibble < 8, "control").otherwise("treatment").alias("variant")
+    )
+    s = assigned.agg(
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN variant = 'control' THEN 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN variant = 'treatment' THEN 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("n2"),
+    )
+    return s.select(
+        F.col("n1").alias("n_control"),
+        F.col("n2").alias("n_treatment"),
+        F.expr("n1 - n2").alias("delta_units"),
+        F.expr(
+            "CAST((n1 - n2) * (n1 - n2) * 1000 div (n1 + n2) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            f"CASE WHEN (n1 - n2) * (n1 - n2) * 1000000"
+            f" >= {SRM_CHI2_PPM} * (n1 + n2)"
+            f" THEN 'SRM' ELSE 'ok' END"
+        ).alias("verdict"),
+    )

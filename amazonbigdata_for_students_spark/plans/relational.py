@@ -4033,3 +4033,66 @@ def ops_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("err * 5000000 div n").alias("burn1_ppm"),
         F.expr("err6 * 5000000 div n6").alias("burn6_ppm"),
     ).where("burn1_ppm >= 1100000 AND burn6_ppm >= 1050000")
+
+
+@query(
+    "timeseries_burstiness",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               // 3600000000 AS h,
+             CAST(count(*) AS HUGEINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx,
+             sum(x * x) AS sxx
+      FROM cells GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST((n * sxx - sx * sx) * 1000 // (n * sx) AS BIGINT)
+             AS fano_milli
+    FROM s
+    """,
+    tags=("A3", "F4", "F1"),
+)
+def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's arrival process: the Fano factor
+    (index of dispersion) of hourly counts, F = Var/Mean — 1000 milli
+    for a Poisson process, >> 1000 for bursty traffic (bot storms,
+    thundering herds), < 1000 for rate-limited/paced flows. The ops
+    statistic behind 'is this alert volume organic'. Exact closed form:
+    F_milli = (n*Σx² - (Σx)²) * 1000 div (n*Σx) (population variance
+    over mean, cleared of nested divisions by cross-multiplying).
+
+    Scale: event volume collapses onto the bounded (type, hour) grid in
+    one map-side-combined aggregate; the moment sums are a second
+    3-sum aggregate over the grid. Σx² at corpus scale passes 2^63 —
+    HUGEINT/decimal-lifted."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600000000"
+            ).alias("h"),
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("x"))
+    )
+    s = cells.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 div (n * sx) AS BIGINT)"
+        ).alias("fano_milli"),
+    )

@@ -901,3 +901,118 @@ def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_right",
         "pmi_ratio_scaled",
     )
+
+
+@query(
+    "quality_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents),
+         big AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
+         cb AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+         cu AS (SELECT w1 AS w, count(*) AS c FROM big GROUP BY w1),
+         v AS (SELECT count(DISTINCT u) AS vs FROM
+                 (SELECT unnest(toks) AS u FROM toks)),
+         scored AS (
+           SELECT b.doc_id,
+                  CAST(round(ln((cb.c + 1.0) / (cu.c + v.vs)), 6)
+                       AS DECIMAL(18,6)) AS lp
+           FROM big b JOIN cb ON b.bg = cb.bg
+                      JOIN cu ON b.w1 = cu.w, v),
+         per_doc AS (
+           SELECT s.doc_id, t.lang,
+                  CAST(CAST(sum(s.lp) * 1000000 AS HUGEINT)
+                       // count(*) AS BIGINT) AS mlp
+           FROM scored s JOIN toks t USING (doc_id)
+           GROUP BY 1, 2),
+         bucketed AS (
+           SELECT lang, mlp,
+                  ntile(3) OVER (PARTITION BY lang ORDER BY mlp DESC, doc_id)
+                    AS tercile
+           FROM per_doc)
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(mlp) AS BIGINT) AS min_mlp,
+           CAST(max(mlp) AS BIGINT) AS max_mlp
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+    tags=("U2", "W4", "A7"),
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank documents by mean per-bigram log-probability (the
+    same add-1-smoothed bigram model as txt_perplexity_filter) and cut
+    into head/middle/tail terciles — the standard web-corpus quality
+    tiering that downstream mixing weights consume (head = fluent,
+    tail = garbled/boilerplate). The per-doc score quantizes to an
+    exact integer (sum(lp)*1e6 div n_bigrams, lp already
+    decimal(18,6)-quantized per bigram) and the tercile is ntile over
+    the deterministic (mlp, doc_id) order, so both engines cut
+    identically even on ties.
+
+    Scale: the count tables are vocabulary-bounded (Heaps' law); the
+    per-doc reduction is one map-side-combined aggregate. The ntile
+    window ranks per LANGUAGE (the corpus-scale sort CCNet itself pays
+    at build time); a 100 TB deployment would swap the exact tercile
+    for histogram-derived thresholds joined back — the plan downstream
+    of the cut is unchanged, which is why the exact form is the one
+    checked here."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TOKENS().alias("toks")
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(
+            x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")
+        ),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bg"
+    )
+    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = d.select(F.explode("toks").alias("u")).agg(
+        F.countDistinct("u").alias("vs")
+    )
+    lp = F.round(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        big.join(cb, "bg")
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(lp) * 1000000 AS DECIMAL(38,0))"
+                " div count(*) AS BIGINT)"
+            ).alias("mlp")
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    bucketed = per_doc.select(
+        "lang",
+        "mlp",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy(F.desc("mlp"), "doc_id"))
+        .alias("tercile"),
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.expr(
+            "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+            " ELSE 'tail' END"
+        ).alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("mlp").cast("long").alias("min_mlp"),
+        F.max("mlp").cast("long").alias("max_mlp"),
+    )

@@ -1936,3 +1936,109 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_en_docs"),
     )
+
+
+@query(
+    "seq_fim_transform",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    cuts AS (
+      SELECT doc_id, t, len(t) AS L,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || '|fim1'), 1, 1)) - 1)
+               * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || '|fim1'), 2, 1)) - 1
+               AS b1,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || '|fim2'), 1, 1)) - 1)
+               * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || '|fim2'), 2, 1)) - 1
+               AS b2
+      FROM toks),
+    pts AS (
+      SELECT doc_id, t, L,
+             least(b1 % (L + 1), b2 % (L + 1)) AS lo,
+             greatest(b1 % (L + 1), b2 % (L + 1)) AS hi
+      FROM cuts)
+    SELECT doc_id,
+           CAST(L AS BIGINT) AS n_tokens,
+           CAST(lo AS BIGINT) AS n_prefix,
+           CAST(hi - lo AS BIGINT) AS n_middle,
+           CAST(L - hi AS BIGINT) AS n_suffix,
+           -- array_to_string(empty) is NULL in DuckDB ('' in Spark)
+           md5(coalesce(array_to_string(t[1:lo], ' '), '') || '<M>'
+               || coalesce(array_to_string(t[hi+1:L], ' '), '') || '<F>'
+               || coalesce(array_to_string(t[lo+1:hi], ' '), ''))
+             AS psm_digest
+    FROM pts
+    """,
+    tags=("F7", "F8", "U2"),
+)
+def seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) — the data
+    op behind FIM-capable code/text models: each document's token
+    sequence splits at two DETERMINISTIC cut points (two md5-derived
+    bytes mod L+1 of the stable doc key — reprocessing-stable like
+    every sampling decision in this lane) into (prefix, middle,
+    suffix), re-emitted in PSM order prefix <M> suffix <F> middle. The
+    psm_digest fingerprints the exact reordered sequence so the twins
+    verify the full transform, not just the cut arithmetic; the section
+    lengths are the training-time curriculum knobs (middle-span
+    distribution).
+
+    Scale: map-only — tokenize, two md5s, three array slices per row;
+    no shuffle at all. The digest keeps the checked payload at 32 chars
+    per doc regardless of document length."""
+    from .text import TOKENS
+
+    _HEX16 = "0123456789abcdef"
+
+    def byte_of(salt: str):
+        h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{salt}")))
+        return (
+            (F.instr(F.lit(_HEX16), F.substring(h, 1, 1)) - 1) * 16
+            + F.instr(F.lit(_HEX16), F.substring(h, 2, 1))
+            - 1
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        TOKENS().alias("t"),
+        byte_of("fim1").alias("b1"),
+        byte_of("fim2").alias("b2"),
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("L"),
+        F.expr("least(b1 % (size(t) + 1), b2 % (size(t) + 1))").alias("lo"),
+        F.expr("greatest(b1 % (size(t) + 1), b2 % (size(t) + 1))").alias("hi"),
+    )
+    return toks.select(
+        "doc_id",
+        F.col("L").cast("long").alias("n_tokens"),
+        F.col("lo").cast("long").alias("n_prefix"),
+        F.expr("hi - lo").cast("long").alias("n_middle"),
+        F.expr("L - hi").cast("long").alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.array_join(F.slice("t", F.lit(1), F.col("lo")), " "),
+                F.lit("<M>"),
+                F.array_join(
+                    F.slice(
+                        "t",
+                        F.col("hi") + 1,
+                        F.col("L") - F.col("hi"),
+                    ),
+                    " ",
+                ),
+                F.lit("<F>"),
+                F.array_join(
+                    F.slice("t", F.col("lo") + 1, F.col("hi") - F.col("lo")), " "
+                ),
+            )
+        ).alias("psm_digest"),
+    )

@@ -2506,3 +2506,110 @@ def test_tost_equivalence_needs_power_not_just_small_diff(spark, tmp_path):
     r_big = REGISTRY["eval_tost_equivalence"].fn(spark, str(big)).collect()[0]
     assert (r_small["diff_ppm"], r_small["verdict"]) == (-20_000, "not_equivalent")
     assert (r_big["diff_ppm"], r_big["verdict"]) == (-20_000, "equivalent")
+
+
+def test_burstiness_fano_factor_hand_values(spark, tmp_path):
+    """Hourly counts [2, 6] give Fano = ((2*40 - 64) * 1000) / (2*8) =
+    1000 milli (population variance 4 over mean 4); a flat [4, 4] series
+    gives exactly 0 — the paced-flow signature."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h, n in ((0, 2), (1, 6)):
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=i), "bursty")); eid += 1
+    for h in (0, 1):
+        for i in range(4):
+            rows.append((eid, base + timedelta(hours=h, minutes=i), "paced")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in
+           REGISTRY["timeseries_burstiness"].fn(spark, str(tmp_path)).collect()}
+    assert (got["bursty"]["n_hours"], got["bursty"]["n_events"]) == (2, 8)
+    assert got["bursty"]["fano_milli"] == 1000
+    assert got["paced"]["fano_milli"] == 0
+
+
+def test_srm_guardrail_detects_broken_assignment(spark, tmp_path):
+    """Users filtered to land ONLY in control (md5 nibble < 8): a clean
+    50/50 assignment can't produce it, chi2 = n*1000 milli trips the
+    p<0.001 critical value; a mirror fixture with the true mixed
+    population stays 'ok'. Expected counts derived with hashlib — the
+    same md5 both engines use."""
+    import hashlib
+    from datetime import datetime
+
+    def nibble(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16)
+
+    control_only = [u for u in range(2000) if nibble(u) < 8][:30]
+    ts = datetime(2024, 1, 1)
+    broken = tmp_path / "broken"; broken.mkdir()
+    spark.createDataFrame(
+        [(i, ts, u) for i, u in enumerate(control_only)],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.parquet(str(broken / "events.parquet"))
+    r = REGISTRY["eval_srm_guardrail"].fn(spark, str(broken)).collect()[0]
+    assert (r["n_control"], r["n_treatment"]) == (30, 0)
+    assert r["chi2_milli"] == 30_000
+    assert r["verdict"] == "SRM"
+
+    mixed = tmp_path / "mixed"; mixed.mkdir()
+    users = list(range(2000))
+    n1 = sum(1 for u in users if nibble(u) < 8)
+    spark.createDataFrame(
+        [(i, ts, u) for i, u in enumerate(users)],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.parquet(str(mixed / "events.parquet"))
+    r = REGISTRY["eval_srm_guardrail"].fn(spark, str(mixed)).collect()[0]
+    assert (r["n_control"], r["n_treatment"]) == (n1, 2000 - n1)
+    assert r["verdict"] == "ok"
+
+
+def test_fim_transform_cuts_and_digest(spark, tmp_path):
+    """One document, cuts derived with hashlib exactly as both engines
+    derive them; the PSM digest must equal md5 of the hand-assembled
+    prefix<M>suffix<F>middle string."""
+    import hashlib
+
+    text = "alpha beta gamma delta epsilon"
+    toks = text.split()
+    L = len(toks)
+
+    def byte_of(salt):
+        h = hashlib.md5(f"7|{salt}".encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    c1, c2 = byte_of("fim1") % (L + 1), byte_of("fim2") % (L + 1)
+    lo, hi = min(c1, c2), max(c1, c2)
+    expected = hashlib.md5(
+        (" ".join(toks[:lo]) + "<M>" + " ".join(toks[hi:]) + "<F>"
+         + " ".join(toks[lo:hi])).encode()
+    ).hexdigest()
+    spark.createDataFrame(
+        [(7, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["seq_fim_transform"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_tokens"], r["n_prefix"], r["n_middle"], r["n_suffix"]) == (
+        L, lo, hi - lo, L - hi)
+    assert r["psm_digest"] == expected
+
+
+def test_perplexity_buckets_head_is_most_fluent(spark, tmp_path):
+    """Six docs, one language: three repeat the corpus-dominant bigram
+    (high logprob), three are unique gibberish (low). Terciles must cut
+    2/2/2 with the repeated-bigram docs in 'head' (ntile orders by mlp
+    DESC — CCNet's head = LOWEST perplexity)."""
+    fluent = "the cat sat the cat sat the cat sat"
+    rows = [(i, fluent, "en") for i in range(3)]
+    rows += [(10 + i, f"zz{i} qq{i} ww{i} rr{i}", "en") for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["bucket"]: r for r in
+           REGISTRY["quality_perplexity_buckets"].fn(spark, str(tmp_path)).collect()}
+    assert {b: got[b]["n_docs"] for b in got} == {"head": 2, "middle": 2, "tail": 2}
+    assert got["head"]["min_mlp"] >= got["middle"]["max_mlp"]
+    assert got["middle"]["min_mlp"] >= got["tail"]["max_mlp"]
