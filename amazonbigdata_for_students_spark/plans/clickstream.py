@@ -1414,10 +1414,10 @@ SRM_CHI2_PPM = 10_827_566
       FROM assigned)
     SELECT n1 AS n_control, n2 AS n_treatment,
            n1 - n2 AS delta_units,
-           CAST((n1 - n2) * (n1 - n2) * 1000 // (n1 + n2) AS BIGINT)
-             AS chi2_milli,
-           CASE WHEN (n1 - n2) * (n1 - n2) * 1000000
-                     >= {SRM_CHI2_PPM} * (n1 + n2)
+           CAST(CAST(n1 - n2 AS HUGEINT) * (n1 - n2) * 1000 // (n1 + n2)
+                AS BIGINT) AS chi2_milli,
+           CASE WHEN CAST(n1 - n2 AS HUGEINT) * (n1 - n2) * 1000000
+                     >= CAST({SRM_CHI2_PPM} AS HUGEINT) * (n1 + n2)
                 THEN 'SRM' ELSE 'ok' END AS verdict
     FROM s
     """,
@@ -1462,12 +1462,17 @@ def eval_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_control"),
         F.col("n2").alias("n_treatment"),
         F.expr("n1 - n2").alias("delta_units"),
+        # (n1-n2)^2 * 1e6 passes 2^63 past ~3e6 units' imbalance — the
+        # exact regime the guardrail exists for; decimal-lifted so a
+        # catastrophic SRM can never wrap back under the critical value
+        # (/code-review r9 find)
         F.expr(
-            "CAST((n1 - n2) * (n1 - n2) * 1000 div (n1 + n2) AS BIGINT)"
+            "CAST(CAST(n1 - n2 AS DECIMAL(38,0)) * (n1 - n2) * 1000"
+            " div (n1 + n2) AS BIGINT)"
         ).alias("chi2_milli"),
         F.expr(
-            f"CASE WHEN (n1 - n2) * (n1 - n2) * 1000000"
-            f" >= {SRM_CHI2_PPM} * (n1 + n2)"
+            f"CASE WHEN CAST(n1 - n2 AS DECIMAL(38,0)) * (n1 - n2) * 1000000"
+            f" >= CAST({SRM_CHI2_PPM} AS DECIMAL(38,0)) * (n1 + n2)"
             f" THEN 'SRM' ELSE 'ok' END"
         ).alias("verdict"),
     )

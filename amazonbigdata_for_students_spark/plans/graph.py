@@ -915,7 +915,11 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = ranked.where(F.col("rn") <= _LP_CAP).select("n", "nbr").localCheckpoint(
         eager=True
     )
-    n_capped = ranked.where(F.col("rn") > _LP_CAP).count()  # bounded audit scalar
+    # bounded audit scalar off the two checkpointed tables — |adj| is
+    # exactly 2|pairs|, so the dropped-row count needs NO second pass
+    # over the row_number window (/code-review r9 find: the earlier
+    # ranked.where(rn > cap).count() re-ran the adjacency sort)
+    n_capped = 2 * pairs.count() - capped.count()
     cdeg = capped.groupBy("n").agg(F.count("*").cast("long").alias("cd"))
     x = capped.select(F.col("n").alias("c"), F.col("nbr").alias("a"))
     y = capped.select(F.col("n").alias("c"), F.col("nbr").alias("b"))

@@ -1942,7 +1942,10 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seq_fim_transform",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+      -- NULL text = empty token list in BOTH engines (otherwise every
+      -- downstream cut/slice NULL-propagates differently per engine)
+      SELECT doc_id, coalesce({SQL_TOKENS}, CAST([] AS VARCHAR[])) AS t
+      FROM documents),
     cuts AS (
       SELECT doc_id, t, len(t) AS L,
              (strpos('0123456789abcdef',
@@ -2007,7 +2010,7 @@ def seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        TOKENS().alias("t"),
+        F.coalesce(TOKENS(), F.expr("CAST(array() AS ARRAY<STRING>)")).alias("t"),
         byte_of("fim1").alias("b1"),
         byte_of("fim2").alias("b2"),
     ).select(

@@ -265,8 +265,13 @@ def cusum_fold(key, pdfs, state):
         st[9] += n
     state.update(tuple(st))
     view = cusum_close_cell(list(st), st[0], st[1]) if st[0] != -1 else list(st)
-    if view[4] == -1:
-        return  # burn-in incomplete: the batch oracle's join drops the type
+    if view[2] <= CUSUM_BURN:
+        # no post-burn-in walk step yet: the batch oracle's walk CTE has
+        # no rows for this type (rn > BURN) and its inner join drops it —
+        # a series with EXACTLY 24 cells must also emit nothing here
+        # (/code-review r9 find: the earlier mu-set guard emitted a row
+        # at ncl == 24 that the oracle never produces)
+        return
     yield pd.DataFrame(
         {
             "event_type": [key[0]],

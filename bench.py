@@ -53,7 +53,8 @@ def main() -> None:
         # Fresh-JVM is inherent to the CLI (each invocation builds its own
         # SparkSession); the assertion below adds the other half of the
         # protocol — refuse to stamp numbers measured on a loaded box.
-        load, thr, ok = _assert_idle()
+        max_wait = 240.0
+        load, thr, ok = _assert_idle(max_wait)
         idle_info = {
             "load_1m_at_start": round(load, 2),
             "idle_threshold": round(thr, 2),
@@ -62,7 +63,7 @@ def main() -> None:
         if not ok:
             print(
                 f"bench --isolated: box not idle (load {load:.2f} > {thr:.2f})"
-                " after 600s wait; numbers below inherit that load",
+                f" after {max_wait:.0f}s wait; numbers below inherit that load",
                 file=sys.stderr,
             )
     spark = get_spark(app_name="bench")

@@ -2613,3 +2613,34 @@ def test_perplexity_buckets_head_is_most_fluent(spark, tmp_path):
     assert {b: got[b]["n_docs"] for b in got} == {"head": 2, "middle": 2, "tail": 2}
     assert got["head"]["min_mlp"] >= got["middle"]["max_mlp"]
     assert got["middle"]["min_mlp"] >= got["tail"]["max_mlp"]
+
+
+def test_stream_cusum_exactly_burn_in_cells_emits_nothing(spark, tmp_path):
+    """A series with EXACTLY 24 hourly cells has a complete burn-in but
+    zero walk steps: the oracle's rn > 24 join drops it, so the fold
+    must emit nothing too (/code-review r9 twin-divergence find)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows = [(h * 10 + i, base + timedelta(hours=h, minutes=i), "view")
+            for h in range(24) for i in range(3)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    assert REGISTRY["stream_cusum_monitor"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_fim_null_text_is_empty_sequence(spark, tmp_path):
+    """NULL text must behave as an empty token list in BOTH engines:
+    n_tokens 0 and psm_digest md5('<M><F>'), never a NULL digest
+    (/code-review r9 twin-divergence find)."""
+    import hashlib
+
+    spark.createDataFrame(
+        [(1, None), (2, "one two")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           REGISTRY["seq_fim_transform"].fn(spark, str(tmp_path)).collect()}
+    assert got[1]["n_tokens"] == 0
+    assert got[1]["psm_digest"] == hashlib.md5(b"<M><F>").hexdigest()
+    assert got[2]["psm_digest"] is not None
