@@ -137,7 +137,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "graph_jaccard_linkpred", "graph_hits", "stream_cusum_monitor",
     "eval_tost_equivalence", "stream_slo_burn_monitor",
     "timeseries_burstiness", "eval_srm_guardrail", "seq_fim_transform",
-    "quality_perplexity_buckets",
+    "quality_perplexity_buckets", "dedup_cosine_threshold_sweep",
+    "clk_funnel_windowed", "dq_freshness_by_type",
 )
 
 _WINDOW_SIZE = 50

@@ -1476,3 +1476,111 @@ def eval_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 'SRM' ELSE 'ok' END"
         ).alias("verdict"),
     )
+
+
+_FUNNEL_WINDOWS_H = (24, 72, 168)
+
+
+@query(
+    "clk_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM {EVENTS} e
+                WHERE event_type = 'view' GROUP BY user_id),
+    windows AS (SELECT unnest({list(_FUNNEL_WINDOWS_H)}) AS w_hours),
+    s2 AS (
+      SELECT w.w_hours, e.user_id, min(e.ts) AS t2
+      FROM {EVENTS} e
+      JOIN s1 ON e.user_id = s1.user_id
+      CROSS JOIN windows w
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND epoch_us(e.ts) - epoch_us(s1.t1) <= w.w_hours * 3600000000
+      GROUP BY 1, 2),
+    s3 AS (
+      SELECT s2.w_hours, e.user_id
+      FROM {EVENTS} e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND epoch_us(e.ts) - epoch_us(s2.t2) <= s2.w_hours * 3600000000
+      GROUP BY 1, 2)
+    SELECT w.w_hours AS window_hours,
+           (SELECT count(*) FROM s1) AS n_viewed,
+           CAST(coalesce((SELECT count(*) FROM s2 WHERE s2.w_hours = w.w_hours), 0)
+                AS BIGINT) AS n_clicked_within,
+           CAST(coalesce((SELECT count(*) FROM s3 WHERE s3.w_hours = w.w_hours), 0)
+                AS BIGINT) AS n_purchased_within
+    FROM windows w
+    """,
+    tags=("J8", "A3", "F1"),
+)
+def clk_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel — the bounded-attribution variant of
+    funnel_conversion every product team ALSO runs (unbounded funnels
+    overstate conversion: a purchase six months after the first view is
+    not that view's credit). For each window W in {{24h, 72h, 168h}}:
+    users whose first view was followed by a click within W, then a
+    purchase within W of that click — a RANGE-join chain (theta join on
+    the time delta), swept over all three windows in ONE pass via a
+    broadcast windows table (the thresholds-explode pattern, not a
+    re-run per window).
+
+    Scale: the chain stays user-co-partitioned like funnel_conversion
+    (every shuffle keys on user_id; the 3-row windows table broadcasts);
+    per-(user, window) state is two timestamps. The range predicate
+    rides the equi-join as a post-filter, so no interval index is
+    needed — the join is never a cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    windows = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(w,) for w in _FUNNEL_WINDOWS_H], "w_hours long"
+        )
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .crossJoin(windows)
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.expr("unix_micros(ts) - unix_micros(t1)")
+                <= F.col("w_hours") * 3_600_000_000
+            )
+        )
+        .groupBy("w_hours", "user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.expr("unix_micros(ts) - unix_micros(t2)")
+                <= F.col("w_hours") * 3_600_000_000
+            )
+        )
+        .groupBy("w_hours", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_viewed"))
+    c2 = s2.groupBy("w_hours").agg(F.count("*").alias("n_clicked_within"))
+    c3 = s3.groupBy("w_hours").agg(F.count("*").alias("n_purchased_within"))
+    return (
+        windows.join(c2, "w_hours", "left")
+        .join(c3, "w_hours", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("w_hours").alias("window_hours"),
+            F.col("n_viewed").cast("long"),
+            F.coalesce("n_clicked_within", F.lit(0)).cast("long").alias(
+                "n_clicked_within"
+            ),
+            F.coalesce("n_purchased_within", F.lit(0)).cast("long").alias(
+                "n_purchased_within"
+            ),
+        )
+    )

@@ -2412,3 +2412,50 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
         ).alias("doc_share_ppm"),
     )
+
+
+_FRESHNESS_SLA_US = 24 * 3_600_000_000  # 24h staleness budget per series
+
+
+@query(
+    "dq_freshness_by_type",
+    oracle=f"""
+    WITH last AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS} ev GROUP BY 1),
+    hz AS (SELECT max(last_us) AS max_us FROM last)
+    SELECT l.event_type, l.n AS n_events,
+           CAST((h.max_us - l.last_us) // 1000000 AS BIGINT) AS lag_sec,
+           CASE WHEN h.max_us - l.last_us > {_FRESHNESS_SLA_US}
+                THEN 'stale' ELSE 'fresh' END AS verdict
+    FROM last l CROSS JOIN hz h
+    """,
+    tags=("A3", "F1", "F5"),
+)
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series data-freshness audit — the first page of every
+    pipeline-health dashboard: each event type's last-seen timestamp,
+    its lag behind the freshest series (the watermark proxy a real
+    deployment compares against wall clock), and a stale/fresh verdict
+    against a 24 h staleness SLA. A silently-dead producer shows up
+    here days before anyone reads its downstream metrics.
+
+    Scale: one map-side-combined (type) aggregate + a 1-row horizon
+    broadcast. Nothing touches event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.groupBy("event_type").agg(
+        F.expr("CAST(max(unix_micros(ts)) AS BIGINT)").alias("last_us"),
+        F.count("*").cast("long").alias("n"),
+    )
+    hz = last.agg(F.max("last_us").alias("max_us"))
+    return last.crossJoin(F.broadcast(hz)).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr("CAST((max_us - last_us) div 1000000 AS BIGINT)").alias("lag_sec"),
+        F.expr(
+            f"CASE WHEN max_us - last_us > {_FRESHNESS_SLA_US}"
+            f" THEN 'stale' ELSE 'fresh' END"
+        ).alias("verdict"),
+    )

@@ -1699,3 +1699,100 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(dot * dot * 1000000 div (na2 * nb2) AS BIGINT) END"
         ).alias("centroid_cos2_sppm"),
     )
+
+
+_SWEEP_THRESHOLDS = (300, 400, 500, 600, 700)  # cosine milli
+
+
+@query(
+    "dedup_cosine_threshold_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    thresholds AS (
+      SELECT unnest({list(_SWEEP_THRESHOLDS)}) AS thr_milli),
+    hits AS (
+      SELECT t.thr_milli, unnest([p.va, p.vb]) AS x
+      FROM pairs p JOIN thresholds t
+        ON p.cos * 1000 >= t.thr_milli),
+    per_thr AS (
+      SELECT thr_milli,
+             CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT x) AS BIGINT) AS n_docs_affected
+      FROM hits GROUP BY thr_milli)
+    SELECT t.thr_milli,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           coalesce(p.n_docs_affected, 0) AS n_docs_affected
+    FROM thresholds t LEFT JOIN per_thr p USING (thr_milli)
+    """,
+    tags=("U5", "U6", "A4"),
+)
+def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve — the tuning audit every
+    embedding-dedup deployment runs before picking its knob: for each
+    candidate cosine threshold, how many near-dup pairs fire and how
+    many distinct documents they touch (the aggressive-vs-conservative
+    trade-off made visible; SemDeDup-style pipelines publish exactly
+    this curve). Pairs come from ONE label-blocked pass (the
+    vec_neardup_pairs blocking); each pair then fans out to the
+    thresholds it clears — the sweep costs one extra |thresholds|-way
+    explode over candidate pairs, never a re-scoring pass per
+    threshold. Similarities use the repo's round-to-6-decimals float
+    discipline, and threshold comparison is against exact milli
+    constants, so both engines bucket identically.
+
+    Scale: blocked pairwise (per-label blocks), norms precomputed
+    per-vector, thresholds explode only over PAIRS (bounded by block
+    size), map-side-combined counts; distinct-doc counts shuffle
+    (threshold, doc) keys only."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(sim, 6).alias("cos"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "thr_milli long"
+    )
+    hits = pairs.join(
+        F.broadcast(thr), F.expr("cos * 1000 >= thr_milli")
+    )
+    per_thr = (
+        hits.select("thr_milli", F.explode(F.array("va", "vb")).alias("x"))
+        .groupBy("thr_milli")
+        .agg(
+            F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_pairs"),
+            F.countDistinct("x").cast("long").alias("n_docs_affected"),
+        )
+    )
+    return (
+        F.broadcast(thr).alias("t")
+        .join(per_thr.alias("p"), "thr_milli", "left")
+        .select(
+            "thr_milli",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+    )

@@ -2644,3 +2644,77 @@ def test_fim_null_text_is_empty_sequence(spark, tmp_path):
     assert got[1]["n_tokens"] == 0
     assert got[1]["psm_digest"] == hashlib.md5(b"<M><F>").hexdigest()
     assert got[2]["psm_digest"] is not None
+
+
+def test_threshold_sweep_monotone_and_hand_counts(spark, tmp_path):
+    """Three same-label unit-ish vectors: a=b (cos 1.0), c orthogonal
+    to both. Pairs: (a,b)=1.0, (a,c)=0.0, (b,c)=0.0. Sweep must report
+    1 pair / 2 docs at every threshold (only a-b clears 0.3+), and a
+    fourth vector at cos ~0.5 to b lands in {300, 400, 500} only."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),
+        # cos(4,1) = cos(4,2) = cos60 = 0.5; cos(4,3) = sin60 ~ 0.866
+        (4, [math.cos(math.pi / 3), math.sin(math.pi / 3)], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["thr_milli"]: r for r in
+           REGISTRY["dedup_cosine_threshold_sweep"].fn(spark, str(tmp_path)).collect()}
+    assert sorted(got) == [300, 400, 500, 600, 700]
+    # thr 300-500: pairs (1,2), (1,4), (2,4), (3,4) = 4 pairs, 4 docs
+    for t in (300, 400, 500):
+        assert (got[t]["n_pairs"], got[t]["n_docs_affected"]) == (4, 4), t
+    # thr 600-700: (1,2) at 1.0 and (3,4) at ~0.866
+    for t in (600, 700):
+        assert (got[t]["n_pairs"], got[t]["n_docs_affected"]) == (2, 4), t
+    # monotone non-increasing in the threshold
+    pair_counts = [got[t]["n_pairs"] for t in sorted(got)]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+
+
+def test_funnel_windowed_credits_only_inside_window(spark, tmp_path):
+    """User 1 converts view->click (+30h)->purchase (+30h): inside 72h
+    and 168h, outside 24h. User 2 converts fully within 2h: inside all
+    three. Hand-checked per window."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, "view"),
+        (2, 1, base + timedelta(hours=30), "click"),
+        (3, 1, base + timedelta(hours=60), "purchase"),
+        (4, 2, base, "view"),
+        (5, 2, base + timedelta(hours=1), "click"),
+        (6, 2, base + timedelta(hours=2), "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["window_hours"]: r for r in
+           REGISTRY["clk_funnel_windowed"].fn(spark, str(tmp_path)).collect()}
+    assert all(got[w]["n_viewed"] == 2 for w in got)
+    assert (got[24]["n_clicked_within"], got[24]["n_purchased_within"]) == (1, 1)
+    assert (got[72]["n_clicked_within"], got[72]["n_purchased_within"]) == (2, 2)
+    assert (got[168]["n_clicked_within"], got[168]["n_purchased_within"]) == (2, 2)
+
+
+def test_freshness_flags_dead_series(spark, tmp_path):
+    """Type 'heartbeat' last seen 48h before type 'live': stale under
+    the 24h SLA with lag_sec = 172800; 'live' is fresh with lag 0."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 3)
+    rows = [(1, base - timedelta(hours=48), "heartbeat"), (2, base, "live")]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in
+           REGISTRY["dq_freshness_by_type"].fn(spark, str(tmp_path)).collect()}
+    assert (got["heartbeat"]["lag_sec"], got["heartbeat"]["verdict"]) == (
+        172_800, "stale")
+    assert (got["live"]["lag_sec"], got["live"]["verdict"]) == (0, "fresh")
