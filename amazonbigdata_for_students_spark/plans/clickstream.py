@@ -1584,3 +1584,129 @@ def clk_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Shapley weights x 4! for |S| = 0..3 (|S|! * (4-1-|S|)! — exact
+# integers, so the attribution stays rational with denominator 24)
+_SHAPLEY_W = (6, 2, 2, 6)
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+
+
+@query(
+    "clk_attribution_shapley",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS pt FROM {EVENTS} e
+      WHERE event_type = 'purchase' GROUP BY 1),
+    touched AS (
+      SELECT DISTINCT e.user_id,
+             CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END AS bit
+      FROM {EVENTS} e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.pt IS NULL OR e.ts < fp.pt)),
+    masks AS (
+      SELECT t.user_id,
+             CAST(sum(t.bit) AS BIGINT) AS mask,
+             CASE WHEN max(fp.pt) IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM touched t LEFT JOIN fp ON t.user_id = fp.user_id
+      GROUP BY t.user_id),
+    stats AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM masks GROUP BY mask),
+    coal AS (
+      SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT c.s,
+             coalesce(CAST(st.k * 1000000 // st.n AS BIGINT), 0) AS v
+      FROM coal c LEFT JOIN stats st ON st.mask = c.s),
+    ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                                 ('signup', 4), ('error', 8)) AS t(name, bit)),
+    terms AS (
+      SELECT ch.name,
+             CASE bit_count(CAST(v0.s AS BIGINT) & 15)
+                  WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+               * (v1.v - v0.v) AS term
+      FROM ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = (v0.s | ch.bit))
+    SELECT name AS channel,
+           CAST(sum(term) AS BIGINT) AS shapley_x24_ppm
+    FROM terms GROUP BY 1
+    """,
+    tags=("A3", "F7", "J1", "F5"),
+)
+def clk_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (Shapley 1953 applied per
+    Zhao et al. 2018 'Shapley Value Methods for Attribution Modeling')
+    — the game-theoretically fair split of conversion credit across the
+    four non-purchase channels: the coalition value v(S) is the
+    observed conversion rate of users whose pre-purchase touched-set is
+    exactly S, and each channel's credit is the factorial-weighted sum
+    of its marginal contributions v(S ∪ i) - v(S) over all 2^3 subsets
+    not containing it. Exact rational arithmetic: weights are
+    multiplied by 4! = 24 (so the output is shapley_x24_ppm, integer,
+    possibly negative for channels that correlate with non-conversion)
+    and v quantizes to ppm by floor — both engines agree bit-for-bit.
+
+    Scale: the event volume collapses to DISTINCT (user, channel-bit)
+    rows gated by the user's first-purchase time (one user-keyed
+    aggregate + one keyed left join); everything after `stats` is
+    algebra over at most 16 coalition rows x 4 channels — driver-safe
+    constants, broadcast joins."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    bit = F.expr(
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2"
+        " WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END"
+    )
+    touched = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("pt").isNull() | (F.col("ts") < F.col("pt")))
+        .select("user_id", bit.alias("bit"), "pt")
+        .distinct()
+    )
+    masks = touched.groupBy("user_id").agg(
+        F.expr("CAST(sum(DISTINCT bit) AS BIGINT)").alias("mask"),
+        F.expr("CASE WHEN max(pt) IS NOT NULL THEN 1 ELSE 0 END").alias("conv"),
+    )
+    stats = masks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    coal = ev.sparkSession.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        coal.join(stats, coal.s == stats.mask, "left")
+        .select(
+            "s",
+            F.coalesce(
+                F.expr("CAST(k * 1000000 div n AS BIGINT)"), F.lit(0)
+            ).alias("v"),
+        )
+    )
+    ch = ev.sparkSession.createDataFrame(
+        list(_SHAPLEY_CHANNELS), "name string, bit long"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    terms = (
+        ch.crossJoin(F.broadcast(v0))
+        .filter(F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = (s0 | bit)"))
+        .select(
+            "name",
+            F.expr(
+                "CASE bit_count(s0 & 15) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END * (vb - va)"
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy(F.col("name").alias("channel")).agg(
+        F.sum("term").cast("long").alias("shapley_x24_ppm")
+    )

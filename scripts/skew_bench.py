@@ -245,6 +245,12 @@ PROBES: list[tuple[str, object, dict]] = [
     ("timeseries_twap", registry_probe("timeseries_twap"), {}),
     # the chunked treatment for TWAP's 2.1-2.4x straggler above
     ("timeseries_twap_chunked", registry_probe("timeseries_twap_chunked"), {}),
+    # r9 session additions touching user_id: rolling WAU collapses the
+    # hot user to its DISTINCT (user, day) rows (<= retention days)
+    # before any window — immune by collapse; the windowed funnel's
+    # chain is min-timestamp aggregates per user (combiner)
+    ("clk_rolling_wau", registry_probe("clk_rolling_wau"), {}),
+    ("clk_funnel_windowed", registry_probe("clk_funnel_windowed"), {}),
 ]
 
 

@@ -2718,3 +2718,31 @@ def test_freshness_flags_dead_series(spark, tmp_path):
     assert (got["heartbeat"]["lag_sec"], got["heartbeat"]["verdict"]) == (
         172_800, "stale")
     assert (got["live"]["lag_sec"], got["live"]["verdict"]) == (0, "fresh")
+
+
+def test_shapley_attribution_hand_game(spark, tmp_path):
+    """Four users: A(view->purchase), B(view only), C(view+click->
+    purchase), D(click only). v(view)=500000, v(view|click)=1e6,
+    v(click)=0, absent coalitions 0. Hand-expanded factorial sums (x24):
+    view 5e6, click 1e6, signup=error=-3e6 (untouched channels take
+    negative credit because every S∪{i} coalition is unobserved — the
+    documented v(absent)=0 convention), and efficiency holds:
+    sum = 24*(v(full)-v(empty)) = 0."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, "view"), (2, 1, base + timedelta(hours=1), "purchase"),
+        (3, 2, base, "view"),
+        (4, 3, base, "view"), (5, 3, base + timedelta(minutes=30), "click"),
+        (6, 3, base + timedelta(hours=1), "purchase"),
+        (7, 4, base, "click"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["channel"]: r["shapley_x24_ppm"] for r in
+           REGISTRY["clk_attribution_shapley"].fn(spark, str(tmp_path)).collect()}
+    assert got == {"view": 5_000_000, "click": 1_000_000,
+                   "signup": -3_000_000, "error": -3_000_000}
+    assert sum(got.values()) == 0
