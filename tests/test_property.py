@@ -423,3 +423,89 @@ def test_token_bucket_fold_split_invariance_and_bounds(gaps, split):
     assert n == len(ts)
     assert 1 <= adm <= n
     assert 0 <= tok <= 10000
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),  # user
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_wau_interval_diff_array_equals_bruteforce(user_days):
+    """clk_rolling_wau's twins SHARE the segment/diff-array formulation
+    (oracle parity cannot catch an algebra bug in it — the
+    graph_degree_powerlaw lesson), so the algorithm itself is proven
+    here against the definitional brute force: WAU(d) = #users active
+    in [d-6, d], for arbitrary activity sets."""
+    K = 7
+    # the shared algorithm: per-user segments (gap <= K-1) -> coverage
+    # intervals [start, last+K-1] -> +-1 diffs -> running sum over spine
+    diffs: dict[int, int] = {}
+    for days in user_days.values():
+        ds = sorted(days)
+        seg_start = prev = ds[0]
+        segs = []
+        for d in ds[1:]:
+            if d - prev <= K - 1:
+                prev = d
+            else:
+                segs.append((seg_start, prev + K - 1))
+                seg_start = prev = d
+        segs.append((seg_start, prev + K - 1))
+        for s, e in segs:
+            diffs[s] = diffs.get(s, 0) + 1
+            diffs[e + 1] = diffs.get(e + 1, 0) - 1
+    lo = min(min(d) for d in user_days.values())
+    hi = max(max(d) for d in user_days.values())
+    run, got = 0, {}
+    for d in range(lo, hi + 1):
+        run += diffs.get(d, 0)
+        got[d] = run
+    brute = {
+        d: sum(
+            1
+            for days in user_days.values()
+            if any(d - (K - 1) <= a <= d for a in days)
+        )
+        for d in range(lo, hi + 1)
+    }
+    assert got == brute
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=16, max_size=16
+    )
+)
+def test_shapley_factorial_weights_equal_permutation_sum(vvals):
+    """clk_attribution_shapley's twins SHARE the x24 factorial-weight
+    formula, so the weights are proven here against the definitional
+    permutation enumeration: for every channel i,
+    sum over orderings of [v(before ∪ i) - v(before)] equals
+    sum over S not containing i of |S|!(3-|S|)! * [v(S|i) - v(S)]."""
+    from itertools import permutations
+
+    v = {s: vvals[s] for s in range(16)}
+    bits = [1, 2, 4, 8]
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+
+    def popcount(x):
+        return bin(x).count("1")
+
+    for b in bits:
+        formula = sum(
+            w[popcount(s)] * (v[s | b] - v[s]) for s in range(16) if not s & b
+        )
+        perm_sum = 0
+        for order in permutations(bits):
+            before = 0
+            for c in order:
+                if c == b:
+                    perm_sum += v[before | b] - v[before]
+                    break
+                before |= c
+        assert formula == perm_sum
