@@ -1710,3 +1710,106 @@ def clk_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy(F.col("name").alias("channel")).agg(
         F.sum("term").cast("long").alias("shapley_x24_ppm")
     )
+
+
+@query(
+    "clk_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) AS BIGINT) // 604800000000 AS cohort_w
+      FROM {EVENTS} e GROUP BY 1),
+    csize AS (
+      SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY 1),
+    buys AS (
+      SELECT f.cohort_w,
+             CAST(epoch_us(e.ts) AS BIGINT) // 604800000000 - f.cohort_w
+               AS age_w,
+             e.user_id,
+             CAST(floor(e.value * 1000) AS BIGINT) AS v_milli
+      FROM {EVENTS} e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'),
+    cells AS (
+      SELECT cohort_w, age_w,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+             CAST(sum(v_milli) AS BIGINT) AS revenue_milli
+      FROM buys GROUP BY 1, 2),
+    cum AS (
+      SELECT c.cohort_w, c.age_w, c.n_buyers, c.revenue_milli, s.n_users,
+             sum(c.revenue_milli) OVER (PARTITION BY c.cohort_w
+               ORDER BY c.age_w ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM cells c JOIN csize s USING (cohort_w))
+    SELECT cohort_w, age_w, n_users AS cohort_size, n_buyers,
+           revenue_milli,
+           CAST(cum_rev AS BIGINT) AS cum_revenue_milli,
+           CAST(cum_rev // n_users AS BIGINT) AS ltv_per_user_milli
+    FROM cum
+    """,
+    tags=("A3", "W3", "J1", "F1"),
+)
+def clk_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-finance readout behind
+    every payback-period decision: users cohorted by first-activity
+    week, purchase revenue accumulated by cohort age (weeks since
+    joining), reported per (cohort, age) as the running cumulative and
+    the per-user LTV (cum div cohort size — exact integer milli, the
+    money discipline). Reading down a column compares cohort quality at
+    equal age; the row-wise curve is what gets extrapolated against
+    CAC.
+
+    Scale: one user-keyed min aggregate (the cohort assignment), one
+    keyed join of purchases against it, one (cohort, age) cell
+    aggregate with distinct-buyer count — then the cumulative window
+    runs over the BOUNDED (cohorts x ages) grid, not events. Revenue
+    sums are int64-safe at fixture scale and the oracle's HUGEINT-free
+    form is deliberate: milli-money at 100 TB needs the dsum2 lift
+    documented in the r6 envelope note, which the cum window would
+    inherit by a one-line cast."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(unix_micros(min(ts)) AS BIGINT) div 604800000000"
+        ).alias("cohort_w")
+    )
+    csize = firsts.groupBy("cohort_w").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_w",
+            F.expr(
+                "CAST(unix_micros(ts) AS BIGINT) div 604800000000 - cohort_w"
+            ).alias("age_w"),
+            "user_id",
+            F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
+        )
+    )
+    cells = buys.groupBy("cohort_w", "age_w").agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.sum("v_milli").cast("long").alias("revenue_milli"),
+    )
+    wc = W.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cells.join(csize, "cohort_w").select(
+        "cohort_w",
+        "age_w",
+        F.col("n_users").alias("cohort_size"),
+        "n_buyers",
+        "revenue_milli",
+        F.sum("revenue_milli").over(wc).alias("cum_rev"),
+    )
+    return cum.select(
+        "cohort_w",
+        "age_w",
+        "cohort_size",
+        "n_buyers",
+        "revenue_milli",
+        F.col("cum_rev").cast("long").alias("cum_revenue_milli"),
+        F.expr("CAST(cum_rev div cohort_size AS BIGINT)").alias(
+            "ltv_per_user_milli"
+        ),
+    )

@@ -2746,3 +2746,33 @@ def test_shapley_attribution_hand_game(spark, tmp_path):
     assert got == {"view": 5_000_000, "click": 1_000_000,
                    "signup": -3_000_000, "error": -3_000_000}
     assert sum(got.values()) == 0
+
+
+def test_cohort_ltv_hand_curve(spark, tmp_path):
+    """Two users join in week 0 (one never buys), one in week 1. Buyer
+    purchases 10.5 at age 0 and 2.25 at age 1: cohort-0 curve is
+    cum 10500 -> 12750 milli, LTV per user (size 2) 5250 -> 6375; the
+    week-1 cohort has no purchases and emits no rows."""
+    from datetime import datetime, timedelta
+
+    w0 = datetime(1970, 1, 1)  # epoch week 0
+    rows = [
+        (1, 1, w0, "view", 0.0),
+        (2, 1, w0 + timedelta(days=1), "purchase", 10.5),
+        (3, 1, w0 + timedelta(days=8), "purchase", 2.25),
+        (4, 2, w0, "view", 0.0),
+        (5, 3, w0 + timedelta(days=7), "view", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {(r["cohort_w"], r["age_w"]): r for r in
+           REGISTRY["clk_cohort_ltv"].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {(0, 0), (0, 1)}
+    r00, r01 = got[(0, 0)], got[(0, 1)]
+    assert (r00["cohort_size"], r00["n_buyers"]) == (2, 1)
+    assert (r00["revenue_milli"], r00["cum_revenue_milli"]) == (10_500, 10_500)
+    assert r00["ltv_per_user_milli"] == 5_250
+    assert (r01["revenue_milli"], r01["cum_revenue_milli"]) == (2_250, 12_750)
+    assert r01["ltv_per_user_milli"] == 6_375
