@@ -139,7 +139,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "timeseries_burstiness", "eval_srm_guardrail", "seq_fim_transform",
     "quality_perplexity_buckets", "dedup_cosine_threshold_sweep",
     "clk_funnel_windowed", "dq_freshness_by_type",
-    "clk_attribution_shapley", "clk_cohort_ltv",
+    "clk_attribution_shapley", "clk_cohort_ltv", "stream_funnel_stage",
 )
 
 _WINDOW_SIZE = 50

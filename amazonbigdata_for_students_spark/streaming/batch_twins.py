@@ -1774,3 +1774,67 @@ def stream_slo_burn_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _final_snapshot(drained, key="h", order_col="n_obs_total")
     return final.where("alert").drop("alert", "n_obs_total")
 
+
+
+@query(
+    "stream_funnel_stage",
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM {EVENTS} e
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM {EVENTS} e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM {EVENTS} e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM {EVENTS} e GROUP BY 1)
+    SELECT n.user_id, n.n_events,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM n
+    LEFT JOIN s1 ON n.user_id = s1.user_id
+    LEFT JOIN s2 ON n.user_id = s2.user_id
+    LEFT JOIN s3 ON n.user_id = s3.user_id
+    """,
+    tags=("T5", "J3", "W2"),
+)
+def stream_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time per-user funnel tracker — the streaming twin of
+    funnel_conversion's first-passage chain (the live 'where is this
+    user in the funnel' readout powering in-session interventions):
+    GroupState per user carries (first view, first click strictly
+    after it, first purchase strictly after that, n) — three
+    timestamps, advanced incrementally; the emitted stage is the
+    chain's depth. The batch oracle computes the identical chain as
+    three min-aggregates + left joins, so the incremental advance is
+    checked against the declarative first-passage definition, not a
+    copy of itself.
+
+    Same ordering contract as the other update-mode twins (exact iff
+    per-user event time is nondecreasing across batches); state is 4
+    longs per user — the bounded-state shape a billion-user funnel
+    needs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import funnel_stage_fold
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    snap = keyed.groupBy("user_id").applyInPandasWithState(
+        funnel_stage_fold,
+        outputStructType="user_id long, n_events long, funnel_stage long",
+        stateStructType="v_us long, c_us long, p_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(snap, "stream_funnel_stage", mode="update")
+    return _final_snapshot(drained, key="user_id", order_col="n_events")

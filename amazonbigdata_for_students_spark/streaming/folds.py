@@ -365,3 +365,44 @@ def slo_burn_fold(key, pdfs, state):
             "n_obs_total": [st[18]] * len(emit),
         }
     )
+
+
+def funnel_stage_fold(key, pdfs, state):
+    """Per-user streaming funnel tracker for stream_funnel_stage.
+    State: (v_us, c_us, p_us, n) — the first-passage chain
+    view -> click-strictly-after -> purchase-strictly-after, advanced
+    incrementally (first view seen; first click with ts > v; first
+    purchase with ts > c). Matches the batch chain exactly under the
+    update-twin ordering contract (per-key event time nondecreasing
+    across batches); within a batch rows sort by (ts, event_id).
+    Sentinel -1 = stage not reached."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["us", "event_id"])
+    if state.exists:
+        v, c, p, n = state.get
+    else:
+        v, c, p, n = -1, -1, -1, 0
+    for t, us in zip(rows["event_type"].to_numpy(), rows["us"].to_numpy()):
+        us = int(us)
+        n += 1
+        if v == -1 and t == "view":
+            v = us
+        elif v != -1 and c == -1 and t == "click" and us > v:
+            c = us
+        elif c != -1 and p == -1 and t == "purchase" and us > c:
+            p = us
+    state.update((v, c, p, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "funnel_stage": [3 if p != -1 else 2 if c != -1 else 1 if v != -1 else 0],
+        }
+    )

@@ -696,3 +696,66 @@ def test_slo_stream_partial_hour_alert_cools_off(spark, tmp_path):
     # and the cooled hour 1 is present in the drain as a non-alert final
     f1 = final.where(F.col("h") == h0 + 1).collect()[0]
     assert (f1["n_1h"], f1["err_1h"], f1["alert"]) == (20, 2, False)
+
+
+def test_funnel_stage_advances_across_microbatches(spark, tmp_path):
+    # view in batch 1, click in batch 2, purchase in batch 3: the chain
+    # must advance incrementally to stage 3. A second user's click
+    # arrives BEFORE their view (stage stays 1 — strictly-after
+    # semantics), a third user's click ties the view timestamp exactly
+    # (also stays 1: ts > v is strict).
+    from amazonbigdata_for_students_spark.streaming import batch_twins as bt
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _final_snapshot,
+    )
+    from amazonbigdata_for_students_spark.streaming.folds import funnel_stage_fold
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = tmp_path / "fsx" / "events.parquet"
+    d.mkdir(parents=True)
+
+    def write_part(name, rows):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(d / name))
+
+    write_part("part-000.parquet", [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "click", 0.0, "{}"),   # click first
+        (3, "2024-01-01 00:00:05", 2, "view", 0.0, "{}"),
+        (4, "2024-01-01 00:00:10", 3, "view", 0.0, "{}"),
+        (5, "2024-01-01 00:00:10", 3, "click", 0.0, "{}"),   # ties view ts
+    ])
+    write_part("part-001.parquet", [
+        (6, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+    ])
+    write_part("part-002.parquet", [
+        (7, "2024-01-01 00:02:00", 1, "purchase", 0.0, "{}"),
+    ])
+
+    ev = bt.events_stream(spark, str(tmp_path / "fsx"), max_files_per_trigger=1)
+    keyed = ev.select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_id", "event_type"
+    )
+    snap = keyed.groupBy("user_id").applyInPandasWithState(
+        funnel_stage_fold,
+        outputStructType="user_id long, n_events long, funnel_stage long",
+        stateStructType="v_us long, c_us long, p_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = bt._drain(snap, "funnel_stage_test", mode="update")
+    final = {r["user_id"]: r for r in
+             _final_snapshot(res, key="user_id", order_col="n_events").collect()}
+    assert (final[1]["funnel_stage"], final[1]["n_events"]) == (3, 3)
+    assert final[2]["funnel_stage"] == 1  # pre-view click never counts
+    assert final[3]["funnel_stage"] == 1  # equal-ts click is not strictly after
