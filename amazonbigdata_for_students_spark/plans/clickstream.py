@@ -589,14 +589,34 @@ def clk_trending_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# md5-nibble 50/50 variant assignment — ONE definition serving
+# ab_test_analysis AND eval_srm_guardrail (the guardrail's premise is
+# that it checks the exact assignment the experiment reads; a third
+# in-file copy would let them silently diverge — /code-review r9 find)
+VARIANT_SQL = """CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'control' ELSE 'treatment' END"""
+
+
+def variant_col():
+    """Spark twin of VARIANT_SQL."""
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    return F.when(nibble < 8, "control").otherwise("treatment")
+
+
 @query(
     "ab_test_analysis",
     oracle=f"""
     WITH assigned AS (
       SELECT user_id,
-             CASE WHEN strpos('0123456789abcdef',
-                              substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
-                  THEN 'control' ELSE 'treatment' END AS variant
+             {VARIANT_SQL} AS variant
       FROM (SELECT DISTINCT user_id FROM {EVENTS} e)
     ),
     acts AS (
@@ -628,20 +648,11 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-variant rollup; the assignment never shuffles (it rides the
     groupBy's hash partitioning)."""
     ev = load_table(spark, sf_dir, "events")
-    nibble = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
     per_user = ev.groupBy("user_id").agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
     )
-    assigned = per_user.withColumn(
-        "variant", F.when(nibble < 8, "control").otherwise("treatment")
-    )
+    assigned = per_user.withColumn("variant", variant_col())
     return assigned.groupBy("variant").agg(
         F.count("*").alias("n_users"),
         F.sum("n_clicks").cast("long").alias("total_clicks"),
@@ -1401,10 +1412,7 @@ SRM_CHI2_PPM = 10_827_566
     oracle=f"""
     WITH assigned AS (
       SELECT DISTINCT user_id,
-             CASE WHEN strpos('0123456789abcdef',
-                              substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
-                       - 1 < 8
-                  THEN 'control' ELSE 'treatment' END AS variant
+             {VARIANT_SQL} AS variant
       FROM {EVENTS} ev),
     s AS (
       SELECT CAST(coalesce(sum(CASE WHEN variant = 'control' THEN 1 END), 0)
@@ -1438,15 +1446,8 @@ def eval_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one DISTINCT user pass (the assignment is a pure hash — no
     join against an assignment table), one 2-sum aggregate, one row."""
     ev = load_table(spark, sf_dir, "events")
-    nibble = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
     assigned = ev.select("user_id").distinct().select(
-        F.when(nibble < 8, "control").otherwise("treatment").alias("variant")
+        variant_col().alias("variant")
     )
     s = assigned.agg(
         F.expr(
@@ -1563,8 +1564,8 @@ def clk_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("w_hours") * 3_600_000_000
             )
         )
-        .groupBy("w_hours", "user_id")
-        .agg(F.count("*").alias("_n"))
+        .select("w_hours", "user_id")
+        .distinct()
     )
     n1 = s1.agg(F.count("*").alias("n_viewed"))
     c2 = s2.groupBy("w_hours").agg(F.count("*").alias("n_clicked_within"))
@@ -1626,7 +1627,8 @@ _SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
     terms AS (
       SELECT ch.name,
              CASE bit_count(CAST(v0.s AS BIGINT) & 15)
-                  WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+                  WHEN 0 THEN {_SHAPLEY_W[0]} WHEN 1 THEN {_SHAPLEY_W[1]}
+                  WHEN 2 THEN {_SHAPLEY_W[2]} ELSE {_SHAPLEY_W[3]} END
                * (v1.v - v0.v) AS term
       FROM ch
       JOIN v v0 ON (v0.s & ch.bit) = 0
@@ -1702,8 +1704,9 @@ def clk_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "name",
             F.expr(
-                "CASE bit_count(s0 & 15) WHEN 0 THEN 6 WHEN 1 THEN 2"
-                " WHEN 2 THEN 2 ELSE 6 END * (vb - va)"
+                f"CASE bit_count(s0 & 15) WHEN 0 THEN {_SHAPLEY_W[0]}"
+                f" WHEN 1 THEN {_SHAPLEY_W[1]} WHEN 2 THEN {_SHAPLEY_W[2]}"
+                f" ELSE {_SHAPLEY_W[3]} END * (vb - va)"
             ).alias("term"),
         )
     )

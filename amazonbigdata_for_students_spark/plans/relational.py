@@ -4044,9 +4044,14 @@ def ops_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                // 3600000000 AS h,
              CAST(count(*) AS HUGEINT) AS x
       FROM {EVENTS} ev GROUP BY 1, 2),
+    -- the Fano factor is over the FULL hourly series of each type's
+    -- active span: silent hours are real zero observations (dropping
+    -- them biases F toward 'paced' for any sparse series — and both
+    -- engines would share the bias, so it is fixed by construction,
+    -- not caught by the gate)
     s AS (
       SELECT event_type,
-             CAST(count(*) AS HUGEINT) AS n,
+             CAST(max(h) - min(h) + 1 AS HUGEINT) AS n,
              sum(x) AS sx,
              sum(x * x) AS sxx
       FROM cells GROUP BY 1)
@@ -4064,7 +4069,11 @@ def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (index of dispersion) of hourly counts, F = Var/Mean — 1000 milli
     for a Poisson process, >> 1000 for bursty traffic (bot storms,
     thundering herds), < 1000 for rate-limited/paced flows. The ops
-    statistic behind 'is this alert volume organic'. Exact closed form:
+    statistic behind 'is this alert volume organic'. The series is each
+    type's FULL active span (max h - min h + 1): silent hours are real
+    zero observations — they contribute nothing to the moment sums, so
+    the densified grid costs only the span arithmetic, never a spine
+    join. Exact closed form:
     F_milli = (n*Σx² - (Σx)²) * 1000 div (n*Σx) (population variance
     over mean, cleared of nested divisions by cross-multiplying).
 
@@ -4083,8 +4092,10 @@ def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("decimal(38,0)").alias("x"))
     )
+    # silent hours are zero observations: they add nothing to the moment
+    # sums, so densifying the grid is just n = active-span length
     s = cells.groupBy("event_type").agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.expr("CAST(max(h) - min(h) + 1 AS DECIMAL(38,0))").alias("n"),
         F.sum("x").alias("sx"),
         F.sum(F.expr("x * x")).alias("sxx"),
     )

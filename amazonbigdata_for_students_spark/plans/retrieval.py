@@ -225,10 +225,12 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "txt_perplexity_filter",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+
+# ONE definition of the add-1-smoothed bigram model — SQL CTE chain and
+# Spark builder — shared by txt_perplexity_filter and
+# quality_perplexity_buckets (the 'same model' invariant held by code,
+# not by manual copy-sync — /code-review r9 find).
+_PPLX_SQL_CTES = f"""toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
          big AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
                  FROM toks, unnest(range(1, len(toks))) AS u(i)),
          cb AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
@@ -241,7 +243,47 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS DECIMAL(18,6)) AS lp
            FROM big b JOIN cb ON b.bg = cb.bg
                       JOIN cu ON b.w1 = cu.w, v
-         )
+         )"""
+
+
+def _scored_bigrams(d):
+    """(doc_id, lp) per bigram occurrence under the add-1-smoothed
+    bigram model trained on the corpus itself — the Spark twin of
+    _PPLX_SQL_CTES' `scored`. `d` must carry (doc_id, toks)."""
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda x, y: F.struct(
+            x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")
+        ),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bg"
+    )
+    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = (
+        d.select(F.explode("toks").alias("u"))
+        .agg(F.countDistinct("u").alias("vs"))
+    )
+    lp = F.round(
+        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
+    ).cast("decimal(18,6)")
+    # cb/cu grow with corpus vocabulary (Heaps' law) — no forced
+    # broadcast; AQE converts to BHJ at runtime only when they fit
+    return (
+        big.join(cb, "bg")
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+
+
+@query(
+    "txt_perplexity_filter",
+    oracle=f"""
+    WITH {_PPLX_SQL_CTES}
     SELECT doc_id,
            count(*) AS n_bigrams,
            CAST(sum(lp) AS DOUBLE) AS total_logprob
@@ -265,34 +307,7 @@ def txt_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the count tables are |vocab| and |unique bigrams| rows,
     while the corpus stream itself never shuffles on document data."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", TOKENS().alias("toks"))
-    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice("toks", 1, n1),
-        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
-        lambda x, y: F.struct(
-            x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")
-        ),
-    )
-    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.bg"
-    )
-    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
-    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = (
-        d.select(F.explode("toks").alias("u"))
-        .agg(F.countDistinct("u").alias("vs"))
-    )
-    lp = F.round(
-        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
-    ).cast("decimal(18,6)")
-    scored = (
-        # cb/cu grow with corpus vocabulary (Heaps' law) — no forced
-        # broadcast; AQE converts to BHJ at runtime only when they fit
-        big.join(cb, "bg")
-        .join(cu, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp.alias("lp"))
-    )
+    scored = _scored_bigrams(d)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("lp").cast("double").alias("total_logprob"),
@@ -906,24 +921,12 @@ def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_perplexity_buckets",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents),
-         big AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
-                 FROM toks, unnest(range(1, len(toks))) AS u(i)),
-         cb AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-         cu AS (SELECT w1 AS w, count(*) AS c FROM big GROUP BY w1),
-         v AS (SELECT count(DISTINCT u) AS vs FROM
-                 (SELECT unnest(toks) AS u FROM toks)),
-         scored AS (
-           SELECT b.doc_id,
-                  CAST(round(ln((cb.c + 1.0) / (cu.c + v.vs)), 6)
-                       AS DECIMAL(18,6)) AS lp
-           FROM big b JOIN cb ON b.bg = cb.bg
-                      JOIN cu ON b.w1 = cu.w, v),
+    WITH {_PPLX_SQL_CTES},
          per_doc AS (
-           SELECT s.doc_id, t.lang,
+           SELECT s.doc_id, d.lang,
                   CAST(CAST(sum(s.lp) * 1000000 AS HUGEINT)
                        // count(*) AS BIGINT) AS mlp
-           FROM scored s JOIN toks t USING (doc_id)
+           FROM scored s JOIN documents d USING (doc_id)
            GROUP BY 1, 2),
          bucketed AS (
            SELECT lang, mlp,
@@ -963,31 +966,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", TOKENS().alias("toks")
     )
-    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice("toks", 1, n1),
-        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
-        lambda x, y: F.struct(
-            x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")
-        ),
-    )
-    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.bg"
-    )
-    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
-    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = d.select(F.explode("toks").alias("u")).agg(
-        F.countDistinct("u").alias("vs")
-    )
-    lp = F.round(
-        F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vs"))), 6
-    ).cast("decimal(18,6)")
-    scored = (
-        big.join(cb, "bg")
-        .join(cu, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp.alias("lp"))
-    )
+    scored = _scored_bigrams(d.select("doc_id", "toks"))
     per_doc = (
         scored.groupBy("doc_id")
         .agg(

@@ -2522,6 +2522,12 @@ def test_burstiness_fano_factor_hand_values(spark, tmp_path):
     for h in (0, 1):
         for i in range(4):
             rows.append((eid, base + timedelta(hours=h, minutes=i), "paced")); eid += 1
+    # sparse: 1 event at h0 and 1 at h100 — the 99 silent hours are real
+    # zero observations, so n=101, F = (101*2 - 4)*1000 // 202 = 980
+    # (near-Poisson), NOT the active-hours-only 0 that would misread a
+    # sparse series as paced (/code-review r9 find)
+    for h in (0, 100):
+        rows.append((eid, base + timedelta(hours=h), "sparse")); eid += 1
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, event_type string"
     ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
@@ -2530,6 +2536,7 @@ def test_burstiness_fano_factor_hand_values(spark, tmp_path):
     assert (got["bursty"]["n_hours"], got["bursty"]["n_events"]) == (2, 8)
     assert got["bursty"]["fano_milli"] == 1000
     assert got["paced"]["fano_milli"] == 0
+    assert (got["sparse"]["n_hours"], got["sparse"]["fano_milli"]) == (101, 980)
 
 
 def test_srm_guardrail_detects_broken_assignment(spark, tmp_path):
