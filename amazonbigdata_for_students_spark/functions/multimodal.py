@@ -87,6 +87,26 @@ class WavDecoder(Decoder):
             frames = w.getnframes()
         return rate, ch, (frames * 1000) // rate
 
+    def decode_wav_silence(
+        self, content: bytes, threshold: int = 16384
+    ) -> tuple[int, int]:
+        """(n_samples, n_silent): silence = |sample| < threshold over the
+        decoded 16-bit PCM — the VAD-style gate speech pipelines run
+        before feature extraction. Pure integer comparisons so an SQL
+        oracle that reconstructs the PCM source reproduces it exactly."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            pcm = w.readframes(w.getnframes())
+        n = len(pcm) // 2
+        silent = 0
+        for i in range(n):
+            s16 = int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+            if -threshold < s16 < threshold:
+                silent += 1
+        return n, silent
+
     def decode_features(self, kind: str, mime: str, content: bytes, dim: int) -> np.ndarray:
         import io
         import wave

@@ -1007,3 +1007,88 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "dhash_bits", "n_set"])
 
     return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)
+
+
+_SILENCE_THRESHOLD = 16384  # |int16| < 2^14 counts as silence (VAD gate)
+
+
+@query(
+    "mm_wav_silence_ratio",
+    oracle=f"""
+    WITH au AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS L,
+             1 + (doc_id % 2) AS ch
+      FROM documents
+      WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0),
+    samp AS (
+      SELECT doc_id,
+             CAST(L * ch AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN ord(substr(text,
+                        CAST((2 * k + 1) % L AS INT) + 1, 1)) <= 63
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      FROM au, unnest(range(0, L * ch)) AS u(k)
+      GROUP BY 1, 2)
+    SELECT doc_id AS media_id, n_samples, n_silent,
+           CAST(n_silent * 1000000 // n_samples AS BIGINT) AS silence_ppm
+    FROM samp
+    """,
+    tags=("U1", "F8", "A3"),
+)
+def mm_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence detection through the REAL codec: synthesize
+    each audio doc's RIFF/WAV PCM (samples tile the text bytes, frames =
+    n_chars — the mm_wav_stats media), decode the BYTES back with the
+    stdlib wave reader, and count samples with |s| < 2^14 — the
+    silence-trim gate every speech-dataset pipeline runs before feature
+    extraction. The oracle reconstructs the same PCM arithmetic straight
+    from the text bytes (sample k's high byte is text[(2k+1) mod L], so
+    for the fixtures' ASCII text silence <=> that byte <= 63): a header
+    mis-write, frame mis-count, or endianness slip anywhere in the
+    synth/decode round-trip flips the hash.
+
+    Scale: one mapInPandas over the audio docs (Arrow-batched, media
+    never leaves the scan stage); output is 3 integers per file. The
+    decode loop is per-file Python over bounded PCM (n_chars*ch
+    samples) — the codec seam a production deployment swaps for a
+    vectorized VAD."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = readers.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_silent", T.LongType()),
+            T.StructField("silence_ppm", T.LongType()),
+        ]
+    )
+    dec = multimodal.WavDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                wav = multimodal.synth_wav(
+                    sample_rate=8000 + (doc_id % 4) * 4000,
+                    n_channels=1 + (doc_id % 2),
+                    n_frames=int(n_chars),
+                    seed_bytes=(text or "").encode("utf-8"),
+                )
+                n, silent = dec.decode_wav_silence(wav, _SILENCE_THRESHOLD)
+                rows.append(
+                    (doc_id, n, silent, silent * 1_000_000 // n if n else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "n_silent", "silence_ppm"],
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(run, out_schema)

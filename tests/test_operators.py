@@ -2783,3 +2783,18 @@ def test_cohort_ltv_hand_curve(spark, tmp_path):
     assert r00["ltv_per_user_milli"] == 5_250
     assert (r01["revenue_milli"], r01["cum_revenue_milli"]) == (2_250, 12_750)
     assert r01["ltv_per_user_milli"] == 6_375
+
+
+def test_wav_silence_hand_samples(spark, tmp_path):
+    """doc 1 ('ab', stereo): every sample's high byte is 'b' (98) ->
+    0 silent of 4. doc 4 ('a b', mono): samples (97,32)=8289 silent,
+    (98,97)=24930 and (32,98)=25120 loud -> 1 of 3, ppm 333333."""
+    rows = [(1, "ab", 2), (4, "a b", 3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["media_id"]: r for r in
+           REGISTRY["mm_wav_silence_ratio"].fn(spark, str(tmp_path)).collect()}
+    assert (got[1]["n_samples"], got[1]["n_silent"]) == (4, 0)
+    assert (got[4]["n_samples"], got[4]["n_silent"]) == (3, 1)
+    assert got[4]["silence_ppm"] == 333_333

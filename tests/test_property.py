@@ -509,3 +509,34 @@ def test_shapley_factorial_weights_equal_permutation_sum(vvals):
                     break
                 before |= c
         assert formula == perm_sum
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000]),
+    ch=st.integers(min_value=1, max_value=2),
+    frames=st.integers(min_value=1, max_value=300),
+    seed=st.binary(min_size=1, max_size=48),
+)
+def test_wav_silence_roundtrip_any_shape(rate, ch, frames, seed):
+    """decode_wav_silence through the real codec must equal the silence
+    count computed directly from the tiled seed bytes — arbitrary
+    rates/channels/frames/seeds (including high-bit bytes, where the
+    int16 goes NEGATIVE and the |s| < threshold gate is two-sided)."""
+    from amazonbigdata_for_students_spark.functions.multimodal import (
+        WavDecoder,
+        synth_wav,
+    )
+
+    wav = synth_wav(rate, ch, frames, seed)
+    n, silent = WavDecoder().decode_wav_silence(wav, 16384)
+    need = frames * ch * 2
+    pcm = (seed * (need // len(seed) + 1))[:need]
+    want = sum(
+        1
+        for i in range(frames * ch)
+        if -16384
+        < int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+        < 16384
+    )
+    assert (n, silent) == (frames * ch, want)
