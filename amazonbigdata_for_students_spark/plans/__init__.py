@@ -140,7 +140,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "quality_perplexity_buckets", "dedup_cosine_threshold_sweep",
     "clk_funnel_windowed", "dq_freshness_by_type",
     "clk_attribution_shapley", "clk_cohort_ltv", "stream_funnel_stage",
-    "mm_wav_silence_ratio",
+    "mm_wav_silence_ratio", "graph_modularity",
 )
 
 _WINDOW_SIZE = 50

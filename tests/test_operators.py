@@ -2798,3 +2798,21 @@ def test_wav_silence_hand_samples(spark, tmp_path):
     assert (got[1]["n_samples"], got[1]["n_silent"]) == (4, 0)
     assert (got[4]["n_samples"], got[4]["n_silent"]) == (3, 1)
     assert got[4]["silence_ppm"] == 333_333
+
+
+def test_modularity_hand_score_on_two_edges(spark, tmp_path):
+    """Two disjoint c-s edges: synchronous LPA 2-cycles on bipartite
+    graphs, so after 3 rounds every node holds its NEIGHBOR's label —
+    4 singleton communities, zero intra-community edges, d_c = 1 each,
+    m = 2: Q_ppm = sum(4*2*0 - 1) * 1e6 div (4*4) = -250000. The
+    negative score is exactly what the modularity gate exists to catch
+    (truncation toward zero identical in both engines)."""
+    spark.createDataFrame(
+        [(1, 101), (2, 102)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 11), (2, 12)], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = REGISTRY["graph_modularity"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_communities"], r["n_edges"]) == (4, 2)
+    assert r["modularity_ppm"] == -250_000
