@@ -1085,17 +1085,23 @@ def _modularity_oracle() -> str:
     WITH {_EDGES_SQL},
     l0 AS (SELECT src AS node, src AS lbl FROM deg)
     {its},
-    und AS (SELECT 'c' || c AS a, 's' || s AS b FROM pairs),
+    -- MATERIALIZED: lab is referenced three times and und twice below;
+    -- DuckDB inlines plain CTEs per reference, which re-runs the whole
+    -- 3-round LPA chain (and the pairs join) per mention — measured as
+    -- a 617 s OOM at sf1 before materialization (the graph_hits
+    -- CTE-inlining lesson, second instance)
+    lab AS MATERIALIZED (SELECT node, lbl FROM l{_LPA_ITERS}),
+    und AS MATERIALIZED (SELECT 'c' || c AS a, 's' || s AS b FROM pairs),
     m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
     ec AS (
       SELECT la.lbl, CAST(count(*) AS HUGEINT) AS e_c
       FROM und u
-      JOIN l{_LPA_ITERS} la ON u.a = la.node
-      JOIN l{_LPA_ITERS} lb ON u.b = lb.node AND la.lbl = lb.lbl
+      JOIN lab la ON u.a = la.node
+      JOIN lab lb ON u.b = lb.node AND la.lbl = lb.lbl
       GROUP BY 1),
     dc AS (
       SELECT l.lbl, CAST(sum(d.d) AS HUGEINT) AS d_c
-      FROM l{_LPA_ITERS} l JOIN deg d ON d.src = l.node GROUP BY 1),
+      FROM lab l JOIN deg d ON d.src = l.node GROUP BY 1),
     terms AS (
       SELECT dc.lbl, coalesce(ec.e_c, 0) AS e_c, dc.d_c, m.m
       FROM dc LEFT JOIN ec USING (lbl) CROSS JOIN m)
