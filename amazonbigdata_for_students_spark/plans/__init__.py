@@ -140,7 +140,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "quality_perplexity_buckets", "dedup_cosine_threshold_sweep",
     "clk_funnel_windowed", "dq_freshness_by_type",
     "clk_attribution_shapley", "clk_cohort_ltv", "stream_funnel_stage",
-    "mm_wav_silence_ratio", "graph_modularity",
+    "mm_wav_silence_ratio", "graph_modularity", "timeseries_max_drawdown",
+    "ops_availability_nines",
 )
 
 _WINDOW_SIZE = 50

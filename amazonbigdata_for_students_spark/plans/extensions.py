@@ -2459,3 +2459,88 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 'stale' ELSE 'fresh' END"
         ).alias("verdict"),
     )
+
+
+_AVAIL_ERR_BUDGET_PCT = 25  # an hour 'meets SLO' iff errors <= 25% of events
+
+
+@query(
+    "ops_availability_nines",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err
+      FROM {EVENTS} ev GROUP BY 1),
+    marked AS (
+      SELECT h, CASE WHEN err * 100 <= n * {_AVAIL_ERR_BUDGET_PCT}
+                     THEN 1 ELSE 0 END AS up
+      FROM cells),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(up) AS BIGINT) AS n_up
+      FROM marked)
+    SELECT n_hours, n_up,
+           CAST(n_up * 1000000 // n_hours AS BIGINT) AS availability_ppm,
+           CASE WHEN n_up * 100000 >= n_hours * 99990 THEN '4+'
+                WHEN n_up * 10000 >= n_hours * 9990 THEN '3'
+                WHEN n_up * 1000 >= n_hours * 990 THEN '2'
+                WHEN n_up * 100 >= n_hours * 90 THEN '1'
+                ELSE '<1' END AS nines
+    FROM s
+    """,
+    tags=("A2", "F5", "A3"),
+)
+def ops_availability_nines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability 'nines' scorecard — the SLA summary every service
+    review opens with: an hour meets SLO iff its error fraction stays
+    within the 25% budget (err*100 <= n*25, exact cross-multiplied);
+    availability is the up-hour fraction in ppm, classified into the
+    nines ladder (>=90% one nine, >=99% two, >=99.9% three, >=99.99%
+    four-plus — each tier an exact integer comparison, no float
+    percentage anywhere). The complement of ops_slo_burn_rate: burn
+    rates page on fast breaches, this scores the long-run record.
+
+    Scale: event volume collapses onto the bounded hourly grid in one
+    map-side-combined aggregate; everything after is a 2-sum global
+    aggregate and one row of ladder algebra."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "CAST(unix_micros(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600000000"
+            ).alias("h")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")
+            ).alias("err"),
+        )
+    )
+    s = cells.select(
+        F.expr(
+            f"CASE WHEN err * 100 <= n * {_AVAIL_ERR_BUDGET_PCT}"
+            " THEN 1 ELSE 0 END"
+        ).alias("up")
+    ).agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("up").cast("long").alias("n_up"),
+    )
+    return s.select(
+        "n_hours",
+        "n_up",
+        F.expr("CAST(n_up * 1000000 div n_hours AS BIGINT)").alias(
+            "availability_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n_up * 100000 >= n_hours * 99990 THEN '4+'"
+            " WHEN n_up * 10000 >= n_hours * 9990 THEN '3'"
+            " WHEN n_up * 1000 >= n_hours * 990 THEN '2'"
+            " WHEN n_up * 100 >= n_hours * 90 THEN '1'"
+            " ELSE '<1' END"
+        ).alias("nines"),
+    )

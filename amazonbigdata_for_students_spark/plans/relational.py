@@ -4107,3 +4107,88 @@ def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n * sxx - sx * sx) * 1000 div (n * sx) AS BIGINT)"
         ).alias("fano_milli"),
     )
+
+
+@query(
+    "timeseries_max_drawdown",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    walked AS (
+      SELECT event_type, d, x,
+             max(x) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cells),
+    dd AS (
+      SELECT event_type, d, x, peak, peak - x AS drawdown,
+             CAST((peak - x) * 1000000 // peak AS BIGINT) AS dd_ppm
+      FROM walked)
+    SELECT event_type,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown,
+           CAST(max(dd_ppm) AS BIGINT) AS max_drawdown_ppm,
+           CAST(min(CASE WHEN dd_ppm = (SELECT max(d2.dd_ppm) FROM dd d2
+                                        WHERE d2.event_type = dd.event_type)
+                    THEN d END) AS BIGINT) AS trough_day
+    FROM dd
+    GROUP BY event_type
+    """,
+    tags=("W3", "A3", "F1"),
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's daily-count series — the
+    peak-to-trough statistic finance runs on equity curves and ops runs
+    on traffic ('how far below the best day have we fallen, at worst'):
+    drawdown(d) = running_max - x(d), reported absolute and as exact
+    ppm of the then-current peak, plus the first day attaining the
+    worst ppm. One running-max window per type over the bounded daily
+    grid; the trough day is the min-day argmax, deterministic on ties.
+
+    Scale: event volume collapses onto (type, day) cells in one
+    map-side-combined aggregate; windows run per type over the bounded
+    grid; the argmax is a per-type max broadcast back (the oracle's
+    correlated subquery form, expressed as one extra tiny join)."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wpk = W.partitionBy("event_type").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dd = cells.select(
+        "event_type",
+        "d",
+        F.expr("CAST(0 AS BIGINT)").alias("_z"),
+        (F.max("x").over(wpk) - F.col("x")).alias("drawdown"),
+        F.expr(
+            "CAST((max(x) OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x)"
+            " * 1000000 div max(x) OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("dd_ppm"),
+    ).drop("_z")
+    worst = dd.groupBy("event_type").agg(
+        F.max("drawdown").cast("long").alias("max_drawdown"),
+        F.max("dd_ppm").cast("long").alias("max_drawdown_ppm"),
+    )
+    trough = (
+        dd.join(
+            F.broadcast(
+                worst.select("event_type", F.col("max_drawdown_ppm").alias("_w"))
+            ),
+            "event_type",
+        )
+        .where(F.col("dd_ppm") == F.col("_w"))
+        .groupBy("event_type")
+        .agg(F.min("d").cast("long").alias("trough_day"))
+    )
+    return worst.join(trough, "event_type")

@@ -2816,3 +2816,46 @@ def test_modularity_hand_score_on_two_edges(spark, tmp_path):
     r = REGISTRY["graph_modularity"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_communities"], r["n_edges"]) == (4, 2)
     assert r["modularity_ppm"] == -250_000
+
+
+def test_max_drawdown_hand_walk(spark, tmp_path):
+    """Daily counts 5, 3, 8, 2: running peaks 5,5,8,8 -> drawdowns
+    0,2,0,6; worst absolute 6 at day 3, worst ppm 750000 (6/8)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for day, n in ((0, 5), (1, 3), (2, 8), (3, 2)):
+        for i in range(n):
+            rows.append((eid, base + timedelta(days=day, minutes=i), "view"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["timeseries_max_drawdown"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["max_drawdown"], r["max_drawdown_ppm"], r["trough_day"]) == (
+        6, 750_000, 3)
+
+
+def test_availability_nines_ladder(spark, tmp_path):
+    """100 hours, 1 breached (50% errors): availability 99% exactly ->
+    '2' nines (the >=99% tier is an exact integer comparison, so the
+    boundary case cannot float-flip)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for h in range(100):
+        n_err = 2 if h == 7 else 0  # hour 7: 2 errors of 4 = 50% > 25%
+        for i in range(4):
+            rows.append(
+                (eid, base + timedelta(hours=h, minutes=i),
+                 "error" if i < n_err else "view")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["ops_availability_nines"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_hours"], r["n_up"]) == (100, 99)
+    assert (r["availability_ppm"], r["nines"]) == (990_000, "2")
