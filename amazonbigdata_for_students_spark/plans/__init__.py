@@ -142,6 +142,9 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "clk_attribution_shapley", "clk_cohort_ltv", "stream_funnel_stage",
     "mm_wav_silence_ratio", "graph_modularity", "timeseries_max_drawdown",
     "ops_availability_nines",
+    "eval_diff_in_diff", "eval_cuped_adjustment", "eval_qini_uplift",
+    "eval_fleiss_kappa", "eval_kendall_tau", "dq_l_diversity",
+    "retrieval_rbo_overlap",
 )
 
 _WINDOW_SIZE = 50

@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import load_table
+from .clickstream import VARIANT_SQL, variant_col
 from .registry import query
+from .relational import EVENTS
 from .text import (
     LANG_HITS_SQL,
     LANG_PRED_CASE_SQL,
@@ -2404,4 +2406,577 @@ def eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {cond} THEN 'equivalent' ELSE 'not_equivalent' END"
         ).alias("verdict"),
+    )
+
+
+# --- Causal-inference readouts over the experiment assignment -----------------
+# Per-event exact micro-scaled value: double -> decimal(38,6) (never at a
+# 6-decimal midpoint, so both engines round identically) -> x 1e6 -> exact
+# integer. Everything downstream is integer algebra.
+_VMICRO_SPARK = "CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS DECIMAL(38,0))"
+_VMICRO_DUCK = "CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS HUGEINT)"
+
+
+@query(
+    "eval_diff_in_diff",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mid2
+      FROM {EVENTS} e),
+    cells AS (
+      SELECT {VARIANT_SQL} AS variant,
+             CASE WHEN epoch_us(ts) * 2 < (SELECT mid2 FROM b)
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum({_VMICRO_DUCK}) AS sv
+      FROM {EVENTS} e GROUP BY 1, 2),
+    m AS (
+      SELECT variant, period, n_events,
+             CAST(sv // n_events AS BIGINT) AS mean_micro
+      FROM cells)
+    SELECT
+      CAST(min(CASE WHEN variant = 'treatment' AND period = 'pre'
+               THEN n_events END) AS BIGINT) AS n_treat_pre,
+      CAST(min(CASE WHEN variant = 'treatment' AND period = 'post'
+               THEN n_events END) AS BIGINT) AS n_treat_post,
+      CAST(min(CASE WHEN variant = 'control' AND period = 'pre'
+               THEN n_events END) AS BIGINT) AS n_ctrl_pre,
+      CAST(min(CASE WHEN variant = 'control' AND period = 'post'
+               THEN n_events END) AS BIGINT) AS n_ctrl_post,
+      CAST(min(CASE WHEN variant = 'treatment' AND period = 'pre'
+               THEN mean_micro END) AS BIGINT) AS treat_pre_micro,
+      CAST(min(CASE WHEN variant = 'treatment' AND period = 'post'
+               THEN mean_micro END) AS BIGINT) AS treat_post_micro,
+      CAST(min(CASE WHEN variant = 'control' AND period = 'pre'
+               THEN mean_micro END) AS BIGINT) AS ctrl_pre_micro,
+      CAST(min(CASE WHEN variant = 'control' AND period = 'post'
+               THEN mean_micro END) AS BIGINT) AS ctrl_post_micro,
+      CAST(min(CASE WHEN variant = 'treatment' AND period = 'post'
+               THEN mean_micro END)
+           - min(CASE WHEN variant = 'treatment' AND period = 'pre'
+                 THEN mean_micro END)
+           - min(CASE WHEN variant = 'control' AND period = 'post'
+                 THEN mean_micro END)
+           + min(CASE WHEN variant = 'control' AND period = 'pre'
+                 THEN mean_micro END) AS BIGINT) AS did_micro
+    FROM m
+    """,
+    tags=("A3", "F1", "F8"),
+)
+def eval_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card-Krueger form) over the
+    experiment assignment — the causal readout a growth team runs when
+    the treatment landed mid-stream and a plain post-only comparison
+    would absorb the secular trend: DiD = (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre) on mean event value. The pre/post boundary
+    is the exact midpoint of the observed time span (integer compare
+    2*us < min+max, no division), the arm is the shared md5-nibble
+    rule (clickstream.VARIANT_SQL — the SAME assignment the experiment
+    reads), and each cell mean is the exact micro-scaled value sum
+    floor-divided by the cell count, so the estimator is pure integer
+    algebra in both engines.
+
+    Scale: one bounds aggregate (min/max, map-side combined), one scan
+    into a 4-cell aggregate, then constant-size arithmetic. The bounds
+    row broadcasts; nothing data-sized shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mid2")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            variant_col().alias("variant"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) * 2 < mid2 THEN 'pre' ELSE 'post' END"
+            ).alias("period"),
+            F.expr(_VMICRO_SPARK).alias("vmicro"),
+        )
+        .groupBy("variant", "period")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("vmicro").alias("sv"),
+        )
+        .select(
+            "variant",
+            "period",
+            "n_events",
+            F.expr("CAST(sv div n_events AS BIGINT)").alias("mean_micro"),
+        )
+    )
+
+    def cell(v: str, p: str, c: str) -> str:
+        return f"min(CASE WHEN variant = '{v}' AND period = '{p}' THEN {c} END)"
+
+    return cells.agg(
+        F.expr(f"CAST({cell('treatment', 'pre', 'n_events')} AS BIGINT)").alias(
+            "n_treat_pre"
+        ),
+        F.expr(f"CAST({cell('treatment', 'post', 'n_events')} AS BIGINT)").alias(
+            "n_treat_post"
+        ),
+        F.expr(f"CAST({cell('control', 'pre', 'n_events')} AS BIGINT)").alias(
+            "n_ctrl_pre"
+        ),
+        F.expr(f"CAST({cell('control', 'post', 'n_events')} AS BIGINT)").alias(
+            "n_ctrl_post"
+        ),
+        F.expr(f"CAST({cell('treatment', 'pre', 'mean_micro')} AS BIGINT)").alias(
+            "treat_pre_micro"
+        ),
+        F.expr(f"CAST({cell('treatment', 'post', 'mean_micro')} AS BIGINT)").alias(
+            "treat_post_micro"
+        ),
+        F.expr(f"CAST({cell('control', 'pre', 'mean_micro')} AS BIGINT)").alias(
+            "ctrl_pre_micro"
+        ),
+        F.expr(f"CAST({cell('control', 'post', 'mean_micro')} AS BIGINT)").alias(
+            "ctrl_post_micro"
+        ),
+        F.expr(
+            f"CAST({cell('treatment', 'post', 'mean_micro')}"
+            f" - {cell('treatment', 'pre', 'mean_micro')}"
+            f" - {cell('control', 'post', 'mean_micro')}"
+            f" + {cell('control', 'pre', 'mean_micro')} AS BIGINT)"
+        ).alias("did_micro"),
+    )
+
+
+@query(
+    "eval_cuped_adjustment",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(ts)) + max(epoch_us(ts)) AS BIGINT) AS mid2
+      FROM {EVENTS} e),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) * 2 < (SELECT mid2 FROM b)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) * 2 < (SELECT mid2 FROM b)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS y
+      FROM {EVENTS} e GROUP BY user_id),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM per_user),
+    th AS (
+      SELECT n, sx,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                  ELSE CAST((n * sxy - sx * sy) * 1000000
+                            // (n * sxx - sx * sx) AS BIGINT)
+             END AS theta_ppm
+      FROM g),
+    arms AS (
+      SELECT {VARIANT_SQL} AS variant,
+             CAST(count(*) AS HUGEINT) AS n_users,
+             CAST(sum(x) AS HUGEINT) AS sxa, CAST(sum(y) AS HUGEINT) AS sya
+      FROM per_user GROUP BY 1)
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(sya * 1000000 // n_users AS BIGINT) AS mean_y_ppm,
+           CAST(sxa * 1000000 // n_users AS BIGINT) AS mean_x_ppm,
+           theta_ppm,
+           CAST(sya * 1000000 // n_users
+                - CAST(theta_ppm AS HUGEINT)
+                  * (sxa * 1000000 // n_users - sx * 1000000 // n)
+                  // 1000000 AS BIGINT) AS adj_mean_y_ppm
+    FROM arms, th
+    ORDER BY variant
+    """,
+    tags=("A3", "F8", "J10"),
+)
+def eval_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    industry-standard experiment sharpener: regress the post-period
+    per-user metric y on the pre-period covariate x (theta =
+    cov(x,y)/var(x), pooled across arms as the method requires) and
+    report each arm's adjusted mean y - theta*(x - x_bar). The
+    pre/post boundary is the exact span midpoint; theta and the means
+    are exact ppm integers, and the adjustment composes the three
+    floor-quantized terms in a FIXED order (documented part of the
+    twin contract: mean_y - theta*(mean_x - grand_x) div 1e6), so both
+    engines produce bit-identical rows.
+
+    Scale: one user-keyed aggregate (the only data-sized shuffle), a
+    5-sum global moment aggregate, a 2-row arm aggregate, and a
+    broadcast of the 1-row theta — the per-user table never shuffles
+    twice; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mid2")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN unix_micros(ts) * 2 < mid2 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.expr("CASE WHEN unix_micros(ts) * 2 < mid2 THEN 0 ELSE 1 END")
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = pu.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    th = g.select(
+        "n",
+        "sx",
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            " ELSE CAST((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) AS BIGINT) END"
+        ).alias("theta_ppm"),
+    )
+    arms = pu.withColumn("variant", variant_col()).groupBy("variant").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("sxa"),
+        F.sum("y").cast("decimal(38,0)").alias("sya"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("CAST(sya * 1000000 div n_users AS BIGINT)").alias(
+                "mean_y_ppm"
+            ),
+            F.expr("CAST(sxa * 1000000 div n_users AS BIGINT)").alias(
+                "mean_x_ppm"
+            ),
+            "theta_ppm",
+            F.expr(
+                "CAST(sya * 1000000 div n_users"
+                " - CAST(theta_ppm AS DECIMAL(38,0))"
+                "   * (sxa * 1000000 div n_users - sx * 1000000 div n)"
+                "   div 1000000 AS BIGINT)"
+            ).alias("adj_mean_y_ppm"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "eval_qini_uplift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {VARIANT_SQL} AS variant,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS score,
+             CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') > 0
+                  THEN 1 ELSE 0 END AS conv
+      FROM {EVENTS} e GROUP BY user_id),
+    cells AS (
+      SELECT score,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_t,
+             CAST(sum(CASE WHEN variant = 'control' THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_c
+      FROM per_user GROUP BY score),
+    cum AS (
+      SELECT score,
+             sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+             sum(conv_t) OVER w AS cc_t, sum(conv_c) OVER w AS cc_c
+      FROM cells
+      WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(score AS BIGINT) AS score,
+           CAST(cn_t AS BIGINT) AS cum_n_treat,
+           CAST(cn_c AS BIGINT) AS cum_n_ctrl,
+           CAST(cc_t AS BIGINT) AS cum_conv_treat,
+           CAST(cc_c AS BIGINT) AS cum_conv_ctrl,
+           CASE WHEN cn_c = 0 THEN 0
+                ELSE CAST((CAST(cc_t AS HUGEINT) * cn_c
+                           - CAST(cc_c AS HUGEINT) * cn_t) * 1000000
+                          // cn_c AS BIGINT)
+           END AS qini_micro
+    FROM cum ORDER BY score DESC
+    """,
+    tags=("A3", "W3", "F8"),
+)
+def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007) — the targeting readout an
+    uplift model is graded on: rank users by a targeting score (here
+    their click count), and at each score threshold report the
+    incremental conversions the treatment bought, qini(s) =
+    conv_t(s) - conv_c(s) * n_t(s)/n_c(s), as an exact micro-scaled
+    integer (cross-multiplied, one floor division by the control
+    count). Arms come from the shared md5-nibble assignment so the
+    curve grades the experiment that actually ran.
+
+    Scale: one user-keyed aggregate (the only data-sized shuffle)
+    collapses onto score cells bounded by the distinct click-count
+    domain — the cumulative window runs over that bounded curve table,
+    never over users."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("score"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cells = (
+        pu.withColumn("variant", variant_col())
+        .groupBy("score")
+        .agg(
+            F.sum(F.expr("CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_t"),
+            F.sum(F.expr("CASE WHEN variant = 'control' THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_c"),
+            F.sum(
+                F.expr("CASE WHEN variant = 'treatment' THEN conv ELSE 0 END")
+            )
+            .cast("long")
+            .alias("conv_t"),
+            F.sum(
+                F.expr("CASE WHEN variant = 'control' THEN conv ELSE 0 END")
+            )
+            .cast("long")
+            .alias("conv_c"),
+        )
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cells.select(
+        "score",
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("n_c").over(w).alias("cn_c"),
+        F.sum("conv_t").over(w).alias("cc_t"),
+        F.sum("conv_c").over(w).alias("cc_c"),
+    )
+    return cum.select(
+        F.col("score").cast("long").alias("score"),
+        F.col("cn_t").cast("long").alias("cum_n_treat"),
+        F.col("cn_c").cast("long").alias("cum_n_ctrl"),
+        F.col("cc_t").cast("long").alias("cum_conv_treat"),
+        F.col("cc_c").cast("long").alias("cum_conv_ctrl"),
+        F.expr(
+            "CASE WHEN cn_c = 0 THEN 0"
+            " ELSE CAST((CAST(cc_t AS DECIMAL(38,0)) * cn_c"
+            " - CAST(cc_c AS DECIMAL(38,0)) * cn_t) * 1000000"
+            " div cn_c AS BIGINT) END"
+        ).alias("qini_micro"),
+    ).orderBy(F.col("score").desc())
+
+
+# Fleiss-kappa rater panel: three deterministic document-quality raters
+# (length, token count, sentence-punctuation), each a pure column
+# expression shared verbatim by the Spark plan and the DuckDB oracle.
+_FLEISS_R = 3
+_FLEISS_HI_DUCK = (
+    "(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
+    f" + CASE WHEN len({SQL_TOKENS}) >= 25 THEN 1 ELSE 0 END"
+    " + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2"
+    " THEN 1 ELSE 0 END)"
+)
+_FLEISS_HI_SPARK = (
+    "(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
+    " + CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
+    " x -> x != '')) >= 25 THEN 1 ELSE 0 END"
+    " + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2"
+    " THEN 1 ELSE 0 END)"
+)
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle=f"""
+    WITH votes AS (
+      SELECT {_FLEISS_HI_DUCK} AS h FROM documents),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(h * h + (3 - h) * (3 - h)) AS HUGEINT) AS ssq,
+             CAST(sum(h) AS HUGEINT) AS chi
+      FROM votes),
+    t AS (
+      SELECT n, ssq - 3 * n AS a, 6 * n AS d1,
+             chi * chi + (3 * n - chi) * (3 * n - chi) AS b,
+             9 * n * n AS t
+      FROM g)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(a * 1000000 // d1 AS BIGINT) AS pbar_ppm,
+           CAST(b * 1000000 // t AS BIGINT) AS pe_ppm,
+           CASE WHEN t - b = 0 THEN 0
+                ELSE CAST((a * t - b * d1) * 1000000 // (d1 * (t - b))
+                          AS BIGINT)
+           END AS kappa_ppm
+    FROM t
+    """,
+    tags=("A3", "F2", "F7"),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (1971) — chance-corrected agreement among MORE
+    than two raters, the statistic annotation pipelines report when a
+    labeling panel grades the corpus (Cohen's kappa, already in the
+    lane, only handles two). The panel here is three deterministic
+    quality raters the repo can re-run anywhere: chars >= 150,
+    tokens >= 25, and >= 2 sentence periods, each voting hi/lo per
+    document. With binary categories the per-item agreement is
+    (h^2 + (3-h)^2 - 3)/6 for h hi-votes, so one 3-sum scan yields
+    P_bar = A/(6n), P_e = (c_hi^2 + c_lo^2)/(9n^2), and kappa =
+    (A*T - B*6n) / (6n*(T - B)) — all exact HUGEINT/decimal algebra,
+    reported ppm-scaled with the all-agree degenerate case guarded.
+
+    Scale: one scan, one constant-width aggregate (map-side combine),
+    one row of integer arithmetic; products stay under 10^38 to one
+    billion documents by the decimal(38,0) lift."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(F.expr(_FLEISS_HI_SPARK).alias("h")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("h * h + (3 - h) * (3 - h)"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+        F.sum("h").cast("decimal(38,0)").alias("chi"),
+    )
+    t = g.select(
+        "n",
+        F.expr("ssq - 3 * n").alias("a"),
+        F.expr("6 * n").alias("d1"),
+        F.expr("chi * chi + (3 * n - chi) * (3 * n - chi)").alias("b"),
+        F.expr("9 * n * n").alias("t"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(a * 1000000 div d1 AS BIGINT)").alias("pbar_ppm"),
+        F.expr("CAST(b * 1000000 div t AS BIGINT)").alias("pe_ppm"),
+        F.expr(
+            "CASE WHEN t - b = 0 THEN 0"
+            " ELSE CAST((a * t - b * d1) * 1000000 div (d1 * (t - b))"
+            " AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )
+
+
+@query(
+    "eval_kendall_tau",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))
+                  AS BIGINT) AS mid2
+      FROM orders),
+    rev AS (
+      SELECT c_nationkey AS nk,
+             CASE WHEN epoch_us(o_orderdate) * 2 < (SELECT mid2 FROM b)
+                  THEN 'h1' ELSE 'h2' END AS half,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    r1 AS (
+      SELECT nk, row_number() OVER (ORDER BY rev DESC, nk) AS r
+      FROM rev WHERE half = 'h1'),
+    r2 AS (
+      SELECT nk, row_number() OVER (ORDER BY rev DESC, nk) AS r
+      FROM rev WHERE half = 'h2'),
+    ranks AS (
+      SELECT r1.nk, r1.r AS ra, r2.r AS rb FROM r1 JOIN r2 USING (nk)),
+    pairs AS (
+      SELECT CAST(count(*) FILTER (WHERE (x.ra - y.ra) * (x.rb - y.rb) > 0)
+                  AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE (x.ra - y.ra) * (x.rb - y.rb) < 0)
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS np
+      FROM ranks x JOIN ranks y ON x.nk < y.nk)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ranks) AS n_nations,
+           np AS n_pairs, c AS concordant, d AS discordant,
+           CAST((c - d) * 1000000 // np AS BIGINT) AS tau_ppm
+    FROM pairs
+    """,
+    tags=("A3", "W1", "J7"),
+)
+def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a) between each nation's revenue
+    RANK in the first and second half of the order history — the
+    rank-stability statistic a marketplace runs to ask 'did the league
+    table reshuffle?' (Spearman, already in the lane, correlates the
+    rank VALUES; Kendall counts pairwise inversions and is the one
+    auditors quote). Revenue per (nation, half) sums exactly through
+    decimal(38,6); ranks are row_number over the bounded nation table
+    with a nationkey tiebreak, so the permutation is deterministic;
+    concordant/discordant come from the nation x nation self-join —
+    bounded at 25^2 pairs REGARDLESS of corpus size (row_number makes
+    ties impossible, so tau-a's denominator n(n-1)/2 is exact).
+
+    Scale: the only data-sized work is the orders-customer join +
+    (nation, half) aggregate; everything after runs on a <= 50-row
+    table (the global rank window is a single-partition sort over 25
+    rows — bounded by the nation domain, not the data)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    b = o.agg(
+        (
+            F.min(F.unix_micros("o_orderdate"))
+            + F.max(F.unix_micros("o_orderdate"))
+        ).alias("mid2")
+    )
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr(
+                "CASE WHEN unix_micros(o_orderdate) * 2 < mid2"
+                " THEN 'h1' ELSE 'h2' END"
+            ).alias("half"),
+            F.col("o_totalprice").cast("decimal(38,6)").alias("p"),
+        )
+        .groupBy("nk", "half")
+        .agg(F.sum("p").alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    wr = W.orderBy(F.col("rev").desc(), "nk")
+    r1 = rev.where(F.col("half") == "h1").select(
+        "nk", F.row_number().over(wr).alias("ra")
+    )
+    r2 = rev.where(F.col("half") == "h2").select(
+        "nk", F.row_number().over(wr).alias("rb")
+    )
+    ranks = r1.join(r2, "nk").localCheckpoint(eager=False)
+    x = ranks.select(
+        F.col("nk").alias("xnk"), F.col("ra").alias("xra"), F.col("rb").alias("xrb")
+    )
+    y = ranks.select(
+        F.col("nk").alias("ynk"), F.col("ra").alias("yra"), F.col("rb").alias("yrb")
+    )
+    pairs = x.join(y, F.col("xnk") < F.col("ynk")).agg(
+        F.count(
+            F.when(F.expr("(xra - yra) * (xrb - yrb) > 0"), 1)
+        )
+        .cast("long")
+        .alias("c"),
+        F.count(
+            F.when(F.expr("(xra - yra) * (xrb - yrb) < 0"), 1)
+        )
+        .cast("long")
+        .alias("d"),
+        F.count("*").cast("long").alias("np"),
+    )
+    n_n = ranks.agg(F.count("*").cast("long").alias("n_nations"))
+    return pairs.crossJoin(F.broadcast(n_n)).select(
+        "n_nations",
+        F.col("np").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr("CAST((c - d) * 1000000 div np AS BIGINT)").alias("tau_ppm"),
     )

@@ -2544,3 +2544,78 @@ def ops_availability_nines(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE '<1' END"
         ).alias("nines"),
     )
+
+
+_LDIV_L = 3  # minimum sensitive-value diversity for release
+
+
+@query(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3),
+    sizes AS (
+      SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_orders) AS BIGINT) AS n_orders
+      FROM cells GROUP BY l)
+    SELECT CAST(l AS BIGINT) AS l_class, n_groups, n_orders,
+           l >= {_LDIV_L} AS satisfies_l,
+           CAST(CAST(n_orders AS HUGEINT) * 1000000
+                // (SELECT sum(n_orders) FROM cells) AS BIGINT)
+             AS order_share_ppm
+    FROM sizes
+    """,
+    tags=("A1", "A4", "J1"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    gate k-anonymity (dq_k_anonymity) cannot provide: a class can be
+    k-large yet leak the sensitive attribute if every member SHARES it
+    (the homogeneity attack). Quasi-identifier = (market segment,
+    nation, account-balance bucket — floor(bal/500), an IEEE-identical
+    float op in both engines); sensitive attribute = order priority;
+    per QI class, l =
+    count of DISTINCT sensitive values observed. Output is the
+    l-histogram: how many classes (and how much row mass) sit at each
+    diversity level, with the l >= 3 release verdict and each level's
+    exact ppm share.
+
+    Scale: the orders-customer join is the only data-sized stage (AQE
+    broadcasts the dimension); the QI aggregate is map-side combined
+    with a bounded distinct (priority domain is 5), and the histogram
+    runs over the QI-domain-bounded class table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr("CAST(floor(c_acctbal / 500) AS BIGINT)").alias("bal_bucket"),
+        )
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("n_orders").cast("decimal(38,0)").alias("total"))
+    sizes = cells.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("l").cast("long").alias("l_class"),
+        "n_groups",
+        "n_orders",
+        (F.col("l") >= _LDIV_L).alias("satisfies_l"),
+        F.expr(
+            "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 div total"
+            " AS BIGINT)"
+        ).alias("order_share_ppm"),
+    )

@@ -995,3 +995,121 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mlp").cast("long").alias("min_mlp"),
         F.max("mlp").cast("long").alias("max_mlp"),
     )
+
+
+# --- Rank-biased overlap between two corpus rankings --------------------------
+# RBO (Webber et al., TOIS 2010), truncated at depth D with p = 9/10,
+# cleared of fractions: rbo = (1-p) * sum_d p^(d-1) * ov_d / d
+#                           = NUM / (10^D * lcm(1..D))  with
+# NUM = sum_d 9^(d-1) * 10^(D-d) * (lcm/d) * ov_d.  Every weight is a
+# precomputed integer literal shared verbatim by both engines, so the
+# score is one exact HUGEINT/decimal dot product and a floor division.
+_RBO_DEPTH = 10
+_RBO_LCM = 2520  # lcm(1..10)
+_RBO_W = {
+    d: 9 ** (d - 1) * 10 ** (_RBO_DEPTH - d) * (_RBO_LCM // d)
+    for d in range(1, _RBO_DEPTH + 1)
+}
+_RBO_DEN = 10**_RBO_DEPTH * _RBO_LCM
+_RBO_W_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {w}" for d, w in _RBO_W.items())
+    + " END"
+)
+
+
+@query(
+    "retrieval_rbo_overlap",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT doc_id, p1 FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                 AS p1
+        FROM documents) WHERE p1 <= {_RBO_DEPTH}),
+    r2 AS (
+      SELECT doc_id, p2 FROM (
+        SELECT doc_id, row_number()
+                 OVER (ORDER BY len({SQL_TOKENS}) DESC, doc_id) AS p2
+        FROM documents) WHERE p2 <= {_RBO_DEPTH}),
+    m AS (SELECT p1, p2 FROM r1 JOIN r2 USING (doc_id)),
+    depths AS (SELECT unnest(generate_series(1, {_RBO_DEPTH})) AS d),
+    ov AS (
+      SELECT d,
+             CAST(count(*) FILTER (WHERE p1 <= d AND p2 <= d) AS BIGINT)
+               AS ov
+      FROM depths LEFT JOIN m ON TRUE GROUP BY d),
+    wt AS (SELECT d, ov, {_RBO_W_CASE} AS w FROM ov)
+    SELECT CAST(d AS BIGINT) AS depth, ov AS n_overlap,
+           CAST(ov * 1000000 // d AS BIGINT) AS agreement_ppm,
+           CAST(sum(CAST(w AS HUGEINT) * ov)
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                * 1000000 // {_RBO_DEN} AS BIGINT) AS rbo_cum_ppm
+    FROM wt ORDER BY d
+    """,
+    tags=("O2", "W3", "J3"),
+)
+def retrieval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two top-10
+    corpus rankings — the top-weighted, non-conjoint similarity measure
+    IR teams use to answer 'did the ranker change what users actually
+    see?' where Kendall/Spearman (whole-permutation, conjoint) cannot.
+    Ranking A orders documents by raw length, ranking B by token count
+    — two real quality signals that mostly but not perfectly agree.
+    p = 0.9 truncated at depth 10, cleared of ALL fractions: each
+    depth's weight 9^(d-1)*10^(10-d)*(2520/d) is a precomputed integer
+    literal, so the curve (per-depth overlap, agreement ppm, cumulative
+    RBO ppm) is exact integer algebra in both engines.
+
+    Scale: each ranking is a TakeOrdered top-10 (no global sort
+    materializes — Spark's orderBy+limit plans as per-partition top-k +
+    a 10-row merge); everything downstream (position join, depth grid,
+    weighted prefix sum) runs on <= 10-row tables."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "n_chars", F.size(TOKENS()).alias("n_tokens")
+    )
+    top1 = base.orderBy(F.col("n_chars").desc(), "doc_id").limit(_RBO_DEPTH)
+    top2 = base.orderBy(F.col("n_tokens").desc(), "doc_id").limit(_RBO_DEPTH)
+    r1 = top1.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("p1"),
+    )
+    r2 = top2.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_tokens").desc(), "doc_id"))
+        .alias("p2"),
+    )
+    m = r1.join(r2, "doc_id").select("p1", "p2")
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    ov = (
+        depths.join(F.broadcast(m), F.lit(True), "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.expr("p1 <= d AND p2 <= d"), 1))
+            .cast("long")
+            .alias("ov")
+        )
+    )
+    wt = ov.withColumn("w", F.expr(_RBO_W_CASE))
+    wcum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return wt.select(
+        F.col("d").cast("long").alias("depth"),
+        F.col("ov").alias("n_overlap"),
+        F.expr("CAST(ov * 1000000 div d AS BIGINT)").alias("agreement_ppm"),
+        (
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * ov")).over(wcum)
+            * F.lit(1000000)
+        )
+        .cast("decimal(38,0)")
+        .alias("_num"),
+    ).select(
+        "depth",
+        "n_overlap",
+        "agreement_ppm",
+        F.expr(f"CAST(_num div {_RBO_DEN} AS BIGINT)").alias("rbo_cum_ppm"),
+    ).orderBy("depth")

@@ -2859,3 +2859,194 @@ def test_availability_nines_ladder(spark, tmp_path):
     r = REGISTRY["ops_availability_nines"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_hours"], r["n_up"]) == (100, 99)
     assert (r["availability_ppm"], r["nines"]) == (990_000, "2")
+
+
+# --- round-9 wave 7: causal/agreement/rank evals + privacy + RBO --------------
+# Variant assignment (md5 first nibble of str(user_id), <8 => control):
+# users 0-5, 7, 8, 10 are treatment; 6, 9, 11 are control.
+
+
+def test_diff_in_diff_hand_walk(spark, tmp_path):
+    """Treat means 2.0 pre / 5.0 post, control 1.0 / 2.0 ->
+    DiD = (5-2) - (2-1) = 2.0 = 2,000,000 micro."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+    rows = [
+        # treatment (user 0): pre values 1, 3; post values 4, 6
+        (1, base, 0, 1.0),
+        (2, base + timedelta(days=1), 0, 3.0),
+        (3, base + timedelta(days=9), 0, 4.0),
+        (4, base + timedelta(days=10), 0, 6.0),
+        # control (user 6): pre 1, 1; post 2, 2
+        (5, base, 6, 1.0),
+        (6, base + timedelta(days=1), 6, 1.0),
+        (7, base + timedelta(days=9), 6, 2.0),
+        (8, base + timedelta(days=10), 6, 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["eval_diff_in_diff"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_treat_pre"], r["n_treat_post"]) == (2, 2)
+    assert (r["treat_pre_micro"], r["treat_post_micro"]) == (2_000_000, 5_000_000)
+    assert (r["ctrl_pre_micro"], r["ctrl_post_micro"]) == (1_000_000, 2_000_000)
+    assert r["did_micro"] == 2_000_000
+
+
+def test_cuped_hand_walk(spark, tmp_path):
+    """y = 2x for every user -> theta = 2.0 exactly, and the adjusted
+    means of both arms collapse to the same value (all between-arm
+    variance in y is explained by x)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+    # (user, x pre-events, y post-events): treat 0:(1,2) 1:(2,4),
+    # ctrl 6:(3,6) 9:(4,8)
+    spec = [(0, 1, 2), (1, 2, 4), (6, 3, 6), (9, 4, 8)]
+    rows, eid = [], 0
+    for u, x, y in spec:
+        for i in range(x):
+            rows.append((eid, base + timedelta(hours=i), u)); eid += 1
+        for i in range(y):
+            rows.append((eid, base + timedelta(days=10) - timedelta(hours=i), u))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["variant"]: r
+        for r in REGISTRY["eval_cuped_adjustment"].fn(spark, str(tmp_path)).collect()
+    }
+    t, c = out["treatment"], out["control"]
+    assert t["theta_ppm"] == 2_000_000 and c["theta_ppm"] == 2_000_000
+    assert (t["mean_y_ppm"], t["mean_x_ppm"]) == (3_000_000, 1_500_000)
+    assert (c["mean_y_ppm"], c["mean_x_ppm"]) == (7_000_000, 3_500_000)
+    # grand mean x = 2.5; adj = y - 2*(x - 2.5): both arms -> 5.0
+    assert t["adj_mean_y_ppm"] == 5_000_000
+    assert c["adj_mean_y_ppm"] == 5_000_000
+
+
+def test_qini_uplift_hand_walk(spark, tmp_path):
+    """Treat: u0 (1 click, converts), u1 (0 clicks, no). Control: u6
+    (1 click, no), u9 (0 clicks, converts). Qini at score>=1 =
+    1 - 0*(1/1) = 1.0; at score>=0 = 1 - 1*(2/2) = 0."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+    rows = [
+        (1, base, 0, "click"), (2, base + timedelta(hours=1), 0, "purchase"),
+        (3, base, 1, "view"),
+        (4, base, 6, "click"),
+        (5, base, 9, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    rows = REGISTRY["eval_qini_uplift"].fn(spark, str(tmp_path)).collect()
+    assert [r["score"] for r in rows] == [1, 0]
+    top = rows[0]
+    assert (top["cum_n_treat"], top["cum_n_ctrl"]) == (1, 1)
+    assert (top["cum_conv_treat"], top["cum_conv_ctrl"]) == (1, 0)
+    assert top["qini_micro"] == 1_000_000
+    full = rows[1]
+    assert (full["cum_n_treat"], full["cum_n_ctrl"]) == (2, 2)
+    assert full["qini_micro"] == 0
+
+
+def test_fleiss_kappa_hand_walk(spark, tmp_path):
+    """Two docs all-hi (h=3), two all-lo (h=0): perfect agreement with a
+    50/50 category split -> P_bar = 1, P_e = 1/2, kappa = 1."""
+    hi_text = " ".join(f"w{i}" for i in range(25)) + ". second sentence."
+    rows = [
+        (1, hi_text, 200),
+        (2, hi_text, 200),
+        (3, "tiny doc", 50),
+        (4, "tiny doc", 50),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_fleiss_kappa"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["pbar_ppm"] == 1_000_000
+    assert r["pe_ppm"] == 500_000
+    assert r["kappa_ppm"] == 1_000_000
+
+
+def test_kendall_tau_reversed_ranks(spark, tmp_path):
+    """Three nations whose revenue ranking fully reverses between the
+    halves: every pair discordant -> tau = -1."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "c_custkey long, c_nationkey int"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        # h1 (day 0): nation revenues 300 > 200 > 100
+        (1, 1, 300.0, base), (2, 2, 200.0, base), (3, 3, 100.0, base),
+        # h2 (day 100): reversed 100 < 200 < 300
+        (4, 1, 100.0, base + timedelta(days=100)),
+        (5, 2, 200.0, base + timedelta(days=100)),
+        (6, 3, 300.0, base + timedelta(days=100)),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    r = REGISTRY["eval_kendall_tau"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_nations"], r["n_pairs"]) == (3, 3)
+    assert (r["concordant"], r["discordant"]) == (0, 3)
+    assert r["tau_ppm"] == -1_000_000
+
+
+def test_l_diversity_histogram(spark, tmp_path):
+    """One QI cell with two priorities (l=2, 3 orders), one with a single
+    priority (l=1, 1 order): exact histogram + ppm shares."""
+    from datetime import datetime
+
+    base = datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, "AUTO", 0, 100.0), (2, "AUTO", 0, 120.0), (3, "BLDG", 1, 600.0)],
+        "c_custkey long, c_mktsegment string, c_nationkey int,"
+        " c_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 1, "1-URGENT", base), (2, 1, "2-HIGH", base),
+            (3, 2, "1-URGENT", base),
+            (4, 3, "3-MEDIUM", base),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["l_class"]: r
+        for r in REGISTRY["dq_l_diversity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (out[2]["n_groups"], out[2]["n_orders"]) == (1, 3)
+    assert (out[1]["n_groups"], out[1]["n_orders"]) == (1, 1)
+    assert out[2]["order_share_ppm"] == 750_000
+    assert out[1]["order_share_ppm"] == 250_000
+    assert not out[1]["satisfies_l"] and not out[2]["satisfies_l"]
+
+
+def test_rbo_identical_rankings(spark, tmp_path):
+    """15 docs where char-rank == token-rank: overlap d at every depth,
+    agreement 1e6, and truncated RBO(p=0.9, depth 10) =
+    floor((10^10 - 9^10) / 10^4) ppm = 651321."""
+    rows = [
+        (i, "tok " * (100 - i), 1000 - i) for i in range(15)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["retrieval_rbo_overlap"].fn(spark, str(tmp_path)).collect()
+    assert [r["depth"] for r in out] == list(range(1, 11))
+    for r in out:
+        assert r["n_overlap"] == r["depth"]
+        assert r["agreement_ppm"] == 1_000_000
+    assert out[0]["rbo_cum_ppm"] == 100_000  # (1-p) alone at depth 1
+    assert out[-1]["rbo_cum_ppm"] == 651_321
