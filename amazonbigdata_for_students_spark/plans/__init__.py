@@ -145,6 +145,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "eval_diff_in_diff", "eval_cuped_adjustment", "eval_qini_uplift",
     "eval_fleiss_kappa", "eval_kendall_tau", "dq_l_diversity",
     "retrieval_rbo_overlap",
+    "decontaminate_minhash", "seq_nsp_pairs", "tokenizer_vocab_coverage",
 )
 
 _WINDOW_SIZE = 50

@@ -3372,3 +3372,90 @@ def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({_MATTR_W} * (n - {_MATTR_W} + 1)) AS BIGINT) END"
         ).alias("mattr_ppm"),
     )
+
+
+_VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKENS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      FROM freq),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_occurrences
+      FROM freq),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_COVERAGE_KS)}])
+             AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           t.n_types, t.n_occurrences,
+           CAST(r.cum_n AS BIGINT) AS covered_occurrences,
+           CAST(CAST(r.cum_n AS HUGEINT) * 1000000 // t.n_occurrences
+                AS BIGINT) AS coverage_ppm
+    FROM ks, tot t
+    JOIN ranked r
+      ON r.rk = CASE WHEN k < t.n_types THEN k ELSE t.n_types END
+    ORDER BY k
+    """,
+    tags=("A1", "O1", "W3"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the engineering number behind every
+    tokenizer-budget decision ('how much of the corpus do the top-K
+    word types cover?'), the direct complement of the law-fitting
+    queries (txt_heaps_law estimates type growth, corpus_zipf_slope the
+    rank-frequency exponent; this reports the exact cumulative mass):
+    token types ranked by (frequency DESC, token) with an exact
+    inclusive prefix sum, read off at K = 10 / 100 / 1000 (clamped to
+    the vocabulary size), coverage as exact ppm of all occurrences.
+
+    Scale: one token-count aggregate (map-side combined, vocab-bounded
+    output), then the rank + prefix sum runs over the TYPE table via
+    the two-pass distributed prefix shape (registry.global_prefix) —
+    never a single-node sort of the corpus; the K probe is a broadcast
+    join against a 3-row constant table."""
+    from .registry import global_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TOKENS()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = global_prefix(
+        freq, [F.col("n").desc(), F.col("tok")], [("occ", F.col("n"))]
+    )
+    tot = freq.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_COVERAGE_KS], "k long"
+    ).crossJoin(F.broadcast(tot))
+    probe = ks.withColumn(
+        "rk_eff",
+        F.expr("CASE WHEN k < n_types THEN k ELSE n_types END"),
+    )
+    return (
+        ranked.select("rk", F.col("cum_occ"))
+        .join(F.broadcast(probe), F.col("rk") == F.col("rk_eff"))
+        .select(
+            "k",
+            "n_types",
+            "n_occurrences",
+            F.col("cum_occ").cast("long").alias("covered_occurrences"),
+            F.expr(
+                "CAST(CAST(cum_occ AS DECIMAL(38,0)) * 1000000"
+                " div n_occurrences AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("k")
+    )

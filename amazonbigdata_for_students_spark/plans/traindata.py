@@ -17,6 +17,7 @@ from .registry import query
 from .relational import EVENTS
 from .text import (
     SQL_TOKENS,
+    TOKENS,
     _GOPHER_PASS_PRED,
     containment_sql_ctes,
     gopher_measures_sql_cte,
@@ -2045,3 +2046,167 @@ def seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("psm_digest"),
     )
+
+
+@query(
+    "decontaminate_minhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok
+      FROM documents),
+    sig AS (SELECT doc_id, {_PIPE_SIG_SQL} FROM tok GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig0 || sig1 AS k FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig2 || sig3 AS k FROM sig),
+    bench AS (
+      SELECT DISTINCT band, k, doc_id AS bench_id FROM bands
+      WHERE doc_id < 20),
+    hits AS (
+      SELECT b.doc_id, b.band, be.bench_id
+      FROM bands b JOIN bench be USING (band, k)
+      WHERE b.doc_id >= 20)
+    SELECT doc_id,
+           CAST(count(DISTINCT band) AS BIGINT) AS n_bands_hit,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_partners
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("U6", "J1", "A4"),
+)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded benchmark decontamination — the SCALE path the
+    exact-shingle pass (decontaminate_overlap) cannot take at 100 TB:
+    exact overlap must broadcast every benchmark n-gram and stream all
+    corpus shingles through the join, while the banded form reduces each
+    document to k=4 md5-minhash components FIRST (map-only, the
+    dedup_minhash_signatures stage) and joins only the two width-2 band
+    keys against the benchmark's — the shuffled payload is 2 keys per
+    document regardless of document length. Width-2 banding fires at
+    Jaccard^2 per band, the recall/precision middle ground: a
+    candidates-then-verify deployment would re-check hits with the
+    exact pass over the FLAGGED subset only. Reports, per flagged
+    corpus document, how many of the 2 bands hit and how many distinct
+    benchmark documents (doc_id < 20, the same stand-in set as
+    decontaminate_overlap) it collided with.
+
+    Scale: signature stage map-only; the benchmark band table is
+    |benchmark|-bounded and broadcast; one doc-keyed aggregate."""
+    from .text import dedup_minhash_signatures
+
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.concat("sig0", "sig1").alias("k"),
+    ).unionAll(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            F.concat("sig2", "sig3").alias("k"),
+        )
+    )
+    bench = (
+        bands.filter(F.col("doc_id") < 20)
+        .select("band", "k", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    return (
+        bands.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), ["band", "k"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("band").cast("long").alias("n_bands_hit"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_partners"),
+        )
+    )
+
+
+_NSP_SEG = 10  # tokens per segment
+
+
+@query(
+    "seq_nsp_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, toks, CAST(len(toks) // {_NSP_SEG} AS BIGINT) AS n_seg
+      FROM tok WHERE len(toks) // {_NSP_SEG} >= 3),
+    i AS (
+      SELECT doc_id, toks, n_seg,
+             unnest(generate_series(0, CAST(n_seg - 2 AS INTEGER))) AS i
+      FROM seg)
+    SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, 1 AS label,
+           array_to_string(list_slice(toks, i * {_NSP_SEG} + 1,
+                                      i * {_NSP_SEG} + {_NSP_SEG}), ' ')
+             AS text_a,
+           array_to_string(list_slice(toks, (i + 1) * {_NSP_SEG} + 1,
+                                      (i + 1) * {_NSP_SEG} + {_NSP_SEG}), ' ')
+             AS text_b
+    FROM i
+    UNION ALL
+    SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, 0 AS label,
+           array_to_string(list_slice(toks, i * {_NSP_SEG} + 1,
+                                      i * {_NSP_SEG} + {_NSP_SEG}), ' ')
+             AS text_a,
+           array_to_string(list_slice(toks,
+               ((i + 2) % n_seg) * {_NSP_SEG} + 1,
+               ((i + 2) % n_seg) * {_NSP_SEG} + {_NSP_SEG}), ' ')
+             AS text_b
+    FROM i
+    """,
+    tags=("U2", "F7", "P5"),
+)
+def seq_nsp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-segment-prediction pair construction (the BERT-style NSP /
+    segment-ordering objective, built on 10-token segments because the
+    corpus has no sentence punctuation): for every document with >= 3
+    full segments, each position i emits a POSITIVE pair (segment i,
+    segment i+1, label 1) and a NEGATIVE pair (segment i, segment
+    (i+2) mod n_seg, label 0) — the offset-derangement pick is a pure
+    function of (doc, i), so the pair set is deterministic and
+    reproducible across reprocessing (n_seg >= 3 guarantees the
+    negative is never the true successor: (i+2) mod n = i+1 would need
+    n = 1). A production variant would draw negatives cross-document
+    via a hash-bucket join; the in-document form keeps the op
+    shuffle-free while exercising the identical pair/label schema.
+
+    Scale: entirely map-side — per-document explode of a bounded
+    segment index, array slices on the already-tokenized column; no
+    join, no window, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select("doc_id", TOKENS().alias("toks"))
+        .withColumn("n_seg", F.expr(f"size(toks) div {_NSP_SEG}"))
+        .filter(F.col("n_seg") >= 3)
+    )
+    i = seg.select(
+        "doc_id",
+        "toks",
+        "n_seg",
+        F.explode(F.sequence(F.lit(0), (F.col("n_seg") - 2).cast("int"))).alias(
+            "i"
+        ),
+    )
+
+    def seg_text(idx_sql: str) -> str:
+        return (
+            f"array_join(slice(toks, ({idx_sql}) * {_NSP_SEG} + 1,"
+            f" {_NSP_SEG}), ' ')"
+        )
+
+    pos = i.select(
+        "doc_id",
+        F.col("i").cast("long").alias("pair_idx"),
+        F.lit(1).alias("label"),
+        F.expr(seg_text("i")).alias("text_a"),
+        F.expr(seg_text("i + 1")).alias("text_b"),
+    )
+    neg = i.select(
+        "doc_id",
+        F.col("i").cast("long").alias("pair_idx"),
+        F.lit(0).alias("label"),
+        F.expr(seg_text("i")).alias("text_a"),
+        F.expr(seg_text("(i + 2) % n_seg")).alias("text_b"),
+    )
+    return pos.unionAll(neg)

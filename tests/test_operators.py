@@ -3050,3 +3050,66 @@ def test_rbo_identical_rankings(spark, tmp_path):
         assert r["agreement_ppm"] == 1_000_000
     assert out[0]["rbo_cum_ppm"] == 100_000  # (1-p) alone at depth 1
     assert out[-1]["rbo_cum_ppm"] == 651_321
+
+
+# --- round-9 wave 8: LLM-corpus lane additions --------------------------------
+
+
+def test_decontaminate_minhash_exact_dup_hits(spark, tmp_path):
+    """A corpus doc identical to a benchmark doc shares all 4 signature
+    components -> both width-2 bands hit, one distinct partner; a
+    token-disjoint doc hits nothing."""
+    rows = [
+        (5, "alpha beta gamma delta epsilon"),          # benchmark (id < 20)
+        (100, "alpha beta gamma delta epsilon"),        # exact duplicate
+        (101, "zulu yankee xray whiskey victor"),       # disjoint
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["decontaminate_minhash"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {100}
+    assert out[100]["n_bands_hit"] == 2
+    assert out[100]["n_bench_partners"] == 1
+
+
+def test_nsp_pairs_segments_and_derangement(spark, tmp_path):
+    """35 tokens -> 3 full 10-token segments -> positions 0 and 1, each
+    with a positive (next segment) and a negative ((i+2) mod 3); a
+    25-token doc (2 segments) emits nothing."""
+    toks = " ".join(f"t{i}" for i in range(35))
+    spark.createDataFrame(
+        [(1, toks), (2, " ".join(f"s{i}" for i in range(25)))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["seq_nsp_pairs"].fn(spark, str(tmp_path)).collect()
+    assert all(r["doc_id"] == 1 for r in rows)
+    seg = lambda i: " ".join(f"t{j}" for j in range(i * 10, i * 10 + 10))
+    got = {(r["pair_idx"], r["label"]): (r["text_a"], r["text_b"]) for r in rows}
+    assert len(got) == 4
+    assert got[(0, 1)] == (seg(0), seg(1))
+    assert got[(1, 1)] == (seg(1), seg(2))
+    assert got[(0, 0)] == (seg(0), seg(2))   # (0+2) % 3 = 2
+    assert got[(1, 0)] == (seg(1), seg(0))   # (1+2) % 3 = 0
+
+
+def test_vocab_coverage_curve(spark, tmp_path):
+    """12 types with frequency i (i=1..12), 78 occurrences: top-10 cover
+    75/78 = 961538 ppm; K=100/1000 clamp to the full vocabulary."""
+    text = " ".join(" ".join(f"w{i:02d}" for _ in range(i)) for i in range(1, 13))
+    spark.createDataFrame([(1, text)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["k"]: r
+        for r in REGISTRY["tokenizer_vocab_coverage"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[10]["n_types"] == 12 and rows[10]["n_occurrences"] == 78
+    assert rows[10]["covered_occurrences"] == 75
+    assert rows[10]["coverage_ppm"] == 961_538
+    for k in (100, 1000):
+        assert rows[k]["covered_occurrences"] == 78
+        assert rows[k]["coverage_ppm"] == 1_000_000
