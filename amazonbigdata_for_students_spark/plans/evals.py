@@ -2959,7 +2959,7 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = ranks.select(
         F.col("nk").alias("ynk"), F.col("ra").alias("yra"), F.col("rb").alias("yrb")
     )
-    pairs = x.join(y, F.col("xnk") < F.col("ynk")).agg(
+    pairs = x.join(F.broadcast(y), F.col("xnk") < F.col("ynk")).agg(
         F.count(
             F.when(F.expr("(xra - yra) * (xrb - yrb) > 0"), 1)
         )

@@ -1062,3 +1062,142 @@ def test_tost_is_one_global_aggregate(spark, sf_small):
     plan = plan_of(df)
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+# --- round-9 waves 7-8 + tail additions ---------------------------------------
+
+
+def test_max_drawdown_windows_per_type(spark, sf_small):
+    """Running-max/ppm windows run per event_type over the bounded daily
+    grid — never a single-partition global window — and the trough
+    argmax is a broadcast of the tiny per-type worst table."""
+    df = REGISTRY["timeseries_max_drawdown"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "windowspecdefinition(event_type" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_availability_nines_no_window(spark, sf_small):
+    """The nines scorecard is hour-cell aggregate -> global aggregate —
+    one scan, no window, no join."""
+    df = REGISTRY["ops_availability_nines"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_diff_in_diff_bounds_broadcast_no_window(spark, sf_small):
+    """DiD is two scans (bounds + cells) stitched by a 1-row broadcast
+    graft; the estimator itself is a 4-cell conditional aggregate —
+    no window, no cartesian."""
+    df = REGISTRY["eval_diff_in_diff"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_single_user_shuffle(spark, sf_small):
+    """CUPED's only data-sized shuffle is the per-user aggregate; theta
+    rides a 1-row broadcast, and there is no window anywhere."""
+    df = REGISTRY["eval_cuped_adjustment"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qini_window_runs_on_score_cells(spark, sf_small):
+    """The cumulative window must consume the score-bucketed curve table
+    (post-aggregate), never raw user rows: exactly one scan feeds a
+    user-keyed aggregate, then a score aggregate, then the window."""
+    df = REGISTRY["eval_qini_uplift"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan
+    # window input is the aggregated cells: the plan nests the window
+    # above at least two HashAggregate pairs (user, then score)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_fleiss_kappa_one_scan_no_join(spark, sf_small):
+    """The rater panel is per-row column algebra + one constant-width
+    global aggregate."""
+    df = REGISTRY["eval_fleiss_kappa"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_kendall_tau_bounded_pair_join(spark, sf_small):
+    """The pair count is a non-equi self-join of the <=25-row rank table
+    (broadcast nested loop, never CartesianProduct); rank windows run
+    over the same bounded table."""
+    df = REGISTRY["eval_kendall_tau"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_l_diversity_broadcasts_dimension(spark, sf_small):
+    """The orders-customer join must broadcast the dimension; the
+    histogram runs over the QI-bounded class table off one checkpoint."""
+    # The checkpoint hides the join subtree from the final plan, so the
+    # pin has two halves: (a) the histogram and the total share ONE
+    # materialization of the QI class table (no FileScan above the
+    # checkpoint — same shape pin as dq_k_anonymity), and (b) the
+    # class-table fragment itself — rebuilt without the checkpoint —
+    # broadcasts the customer dimension.
+    df = REGISTRY["dq_l_diversity"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert final.count("FileScan") == 0
+    assert "CartesianProduct" not in final
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    assert "BroadcastHashJoin" in plan_of(cells)
+
+
+def test_rbo_rankings_are_takeordered(spark, sf_small):
+    """Both top-10 rankings must plan as TakeOrdered (per-partition
+    top-k + 10-row merge), never a global Sort of the corpus."""
+    df = REGISTRY["retrieval_rbo_overlap"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_minhash_broadcasts_bench_bands(spark, sf_small):
+    """The benchmark band table is |benchmark|-bounded and must
+    broadcast; the corpus side reaches the join as 2 band keys per doc
+    (map-only signatures — no explode-shuffle of tokens)."""
+    df = REGISTRY["decontaminate_minhash"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nsp_pairs_map_only(spark, sf_small):
+    """Pair construction is per-document explode + array slices:
+    zero exchanges, zero joins."""
+    df = REGISTRY["seq_nsp_pairs"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_vocab_coverage_rank_is_range_partitioned(spark, sf_small):
+    """The type ranking must use the two-pass distributed prefix shape
+    (repartitionByRange over the vocab table), and the K probe must be
+    a broadcast join — no single-partition corpus window."""
+    df = REGISTRY["tokenizer_vocab_coverage"].fn(spark, sf_small)
+    df.collect()
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
