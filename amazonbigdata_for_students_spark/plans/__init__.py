@@ -146,6 +146,8 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "eval_fleiss_kappa", "eval_kendall_tau", "dq_l_diversity",
     "retrieval_rbo_overlap",
     "decontaminate_minhash", "seq_nsp_pairs", "tokenizer_vocab_coverage",
+    "er_fellegi_sunter", "eval_krippendorff_alpha", "mix_dedup_weighted",
+    "eval_forecast_mase",
 )
 
 _WINDOW_SIZE = 50

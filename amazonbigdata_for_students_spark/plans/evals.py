@@ -2980,3 +2980,96 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("discordant"),
         F.expr("CAST((c - d) * 1000000 div np AS BIGINT)").alias("tau_ppm"),
     )
+
+
+# Krippendorff rater panel: the length and punctuation raters always
+# vote; the token rater ABSTAINS inside its uncertainty band — the
+# missing-data case alpha exists for (and Fleiss cannot handle).
+_KRIPP_VOTES_DUCK = f"""
+      SELECT CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END
+             + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2
+                    THEN 1 ELSE 0 END
+             + CASE WHEN len({SQL_TOKENS}) >= 30 THEN 1 ELSE 0 END AS h,
+             CASE WHEN len({SQL_TOKENS}) >= 30
+                    OR len({SQL_TOKENS}) < 20 THEN 3 ELSE 2 END AS m
+      FROM documents"""
+_KRIPP_VOTES_SPARK = (
+    "CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
+    " + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2"
+    " THEN 1 ELSE 0 END"
+    " + CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
+    " x -> x != '')) >= 30 THEN 1 ELSE 0 END AS h",
+    "CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
+    " x -> x != '')) >= 30"
+    " OR size(filter(split(lower(trim(text)), '\\\\s+'),"
+    " x -> x != '')) < 20 THEN 3 ELSE 2 END AS m",
+)
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH votes AS ({_KRIPP_VOTES_DUCK}),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_items,
+             CAST(sum(m) AS HUGEINT) AS n_tot,
+             CAST(sum(h) AS HUGEINT) AS n_hi,
+             CAST(sum(h * (m - h) * (2 // (m - 1))) AS HUGEINT) AS o
+      FROM votes)
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_tot AS BIGINT) AS n_pairable,
+           CAST(n_hi AS BIGINT) AS n_hi,
+           CAST(n_tot - n_hi AS BIGINT) AS n_lo,
+           CAST(o * 1000000 // n_tot AS BIGINT) AS do_ppm,
+           CAST(2 * n_hi * (n_tot - n_hi) * 1000000
+                // (n_tot * (n_tot - 1)) AS BIGINT) AS de_ppm,
+           CASE WHEN n_hi * (n_tot - n_hi) = 0 THEN 0
+                ELSE CAST(1000000 - o * (n_tot - 1) * 1000000
+                          // (2 * n_hi * (n_tot - n_hi)) AS BIGINT)
+           END AS alpha_ppm
+    FROM g
+    """,
+    tags=("A3", "F2", "F5"),
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, binary categories) — the
+    agreement coefficient annotation teams need when raters can
+    ABSTAIN: the token rater here votes only outside its [20, 30)
+    uncertainty band, so items carry 2 or 3 ratings and Fleiss' kappa
+    (fixed panel) no longer applies. With binary categories the
+    coincidence algebra collapses exactly: o(hi,lo)+o(lo,hi) =
+    sum_i h_i(m_i-h_i) * 2/(m_i-1) — an INTEGER because m_i-1 is 1 or
+    2 — and alpha = 1 - O(n_tot-1)/(2 n_hi n_lo), one cross-multiplied
+    floor division (do_ppm/de_ppm are reported for the audit but alpha
+    is NOT computed from the floored pair — the docstringed
+    quantization-order contract). Degenerate all-one-category corpora
+    report 0 (alpha undefined, guarded identically cross-engine).
+
+    Scale: one scan, one 4-sum global aggregate (map-side combine),
+    one row of integer algebra; the decimal/HUGEINT lift keeps
+    O*(n_tot-1)*1e6 inside 10^38 past a billion documents."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.selectExpr(*_KRIPP_VOTES_SPARK).agg(
+        F.count("*").cast("decimal(38,0)").alias("n_items"),
+        F.sum("m").cast("decimal(38,0)").alias("n_tot"),
+        F.sum("h").cast("decimal(38,0)").alias("n_hi"),
+        F.sum(F.expr("h * (m - h) * (2 div (m - 1))"))
+        .cast("decimal(38,0)")
+        .alias("o"),
+    )
+    return g.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_tot").cast("long").alias("n_pairable"),
+        F.col("n_hi").cast("long").alias("n_hi"),
+        F.expr("CAST(n_tot - n_hi AS BIGINT)").alias("n_lo"),
+        F.expr("CAST(o * 1000000 div n_tot AS BIGINT)").alias("do_ppm"),
+        F.expr(
+            "CAST(2 * n_hi * (n_tot - n_hi) * 1000000"
+            " div (n_tot * (n_tot - 1)) AS BIGINT)"
+        ).alias("de_ppm"),
+        F.expr(
+            "CASE WHEN n_hi * (n_tot - n_hi) = 0 THEN 0"
+            " ELSE CAST(1000000 - o * (n_tot - 1) * 1000000"
+            " div (2 * n_hi * (n_tot - n_hi)) AS BIGINT) END"
+        ).alias("alpha_ppm"),
+    )

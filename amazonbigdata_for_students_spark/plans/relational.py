@@ -4192,3 +4192,126 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").cast("long").alias("trough_day"))
     )
     return worst.join(trough, "event_type")
+
+
+@query(
+    "eval_forecast_mase",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    sp AS (
+      SELECT event_type, min(d) + (max(d) - min(d)) * 4 // 5 AS cut
+      FROM cells GROUP BY 1),
+    naive AS (
+      SELECT c.event_type,
+             CAST(sum(abs(c.x - p.x)) AS BIGINT) AS sae_n,
+             CAST(count(*) AS BIGINT) AS n_n
+      FROM cells c
+      JOIN cells p ON c.event_type = p.event_type AND p.d = c.d - 1
+      JOIN sp ON sp.event_type = c.event_type
+      WHERE c.d <= sp.cut GROUP BY 1),
+    seas AS (
+      SELECT c.event_type,
+             CAST(sum(abs(c.x - p.x)) AS BIGINT) AS sae_f,
+             CAST(count(*) AS BIGINT) AS n_f
+      FROM cells c
+      JOIN cells p ON c.event_type = p.event_type AND p.d = c.d - 7
+      JOIN sp ON sp.event_type = c.event_type
+      WHERE c.d > sp.cut GROUP BY 1)
+    SELECT naive.event_type AS event_type,
+           n_n AS n_train_pairs, n_f AS n_test_pairs,
+           sae_n AS train_naive_sae, sae_f AS test_seasonal_sae,
+           CASE WHEN sae_n = 0 OR n_f = 0 THEN 0
+                ELSE CAST(CAST(sae_f AS HUGEINT) * n_n * 1000000
+                          // (CAST(sae_n AS HUGEINT) * n_f) AS BIGINT)
+           END AS mase_ppm
+    FROM naive JOIN seas ON naive.event_type = seas.event_type
+    """,
+    tags=("A3", "J7", "F1"),
+)
+def eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest scored by MASE (Hyndman-Koehler 2006) — the
+    scale-free accuracy number the timeseries lane's smoothers
+    (holt_trend, holt_winters) get graded with in production: on each
+    type's daily-count series, the last fifth of the span is the test
+    window, the forecaster is week-over-week seasonal naive
+    (x_hat(d) = x(d-7)), and the scaling denominator is the in-sample
+    one-step naive MAE (x(d) vs x(d-1)) over the training window.
+    MASE < 1 means the weekly structure beats carrying yesterday
+    forward. Both MAEs are exact integer sums of absolute count
+    differences; the ratio is one cross-multiplied floor division, so
+    the metric hash-matches cross-engine with zero float window.
+    Missing days drop out of both legs identically (the lag is an
+    inner self-join on d-1 / d-7, not a positional window).
+
+    Scale: event volume collapses onto (type, day) cells in one
+    map-side-combined aggregate; both lag joins and the split bounds
+    run over the bounded daily-grid table."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    sp = cells.groupBy("event_type").agg(
+        (F.min("d") + F.expr("(max(d) - min(d)) * 4 div 5")).alias("cut")
+    )
+    c = cells.select(
+        F.col("event_type").alias("et"), F.col("d"), F.col("x")
+    )
+    p1 = cells.select(
+        F.col("event_type").alias("et"),
+        (F.col("d") + 1).alias("pd1"),
+        F.col("x").alias("px"),
+    )
+    p7 = cells.select(
+        F.col("event_type").alias("et"),
+        (F.col("d") + 7).alias("pd7"),
+        F.col("x").alias("px"),
+    )
+    spb = F.broadcast(
+        sp.select(F.col("event_type").alias("et"), "cut")
+    )
+    naive = (
+        c.join(p1, (c.et == p1.et) & (c.d == p1.pd1))
+        .drop(p1.et)
+        .join(spb, "et")
+        .where(F.col("d") <= F.col("cut"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.abs(F.col("x") - F.col("px"))).cast("long").alias("sae_n"),
+            F.count("*").cast("long").alias("n_n"),
+        )
+    )
+    seas = (
+        c.join(p7, (c.et == p7.et) & (c.d == p7.pd7))
+        .drop(p7.et)
+        .join(spb, "et")
+        .where(F.col("d") > F.col("cut"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.abs(F.col("x") - F.col("px"))).cast("long").alias("sae_f"),
+            F.count("*").cast("long").alias("n_f"),
+        )
+    )
+    return naive.join(seas, "et").select(
+        F.col("et").alias("event_type"),
+        F.col("n_n").alias("n_train_pairs"),
+        F.col("n_f").alias("n_test_pairs"),
+        F.col("sae_n").alias("train_naive_sae"),
+        F.col("sae_f").alias("test_seasonal_sae"),
+        F.expr(
+            "CASE WHEN sae_n = 0 OR n_f = 0 THEN 0"
+            " ELSE CAST(CAST(sae_f AS DECIMAL(38,0)) * n_n * 1000000"
+            " div (CAST(sae_n AS DECIMAL(38,0)) * n_f) AS BIGINT) END"
+        ).alias("mase_ppm"),
+    )

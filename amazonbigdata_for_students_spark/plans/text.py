@@ -3459,3 +3459,230 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- Fellegi-Sunter probabilistic record linkage ------------------------------
+# Shared blocking CTEs (identical text to join_fuzzy_blocked's oracle).
+_FS_PAIR_CTES = """
+    t AS (
+      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
+    ),
+    b0 AS (
+      SELECT doc_id, pfx,
+             string_split(pfx, ' ')[1] AS tok1,
+             coalesce(string_split(pfx, ' ')[2], '') AS tok2,
+             length(pfx) // 8 AS lb
+      FROM t
+    ),
+    sz AS (SELECT tok1, count(*) AS c FROM b0 GROUP BY tok1),
+    b AS (
+      SELECT doc_id, pfx,
+             CASE WHEN sz.c > 500
+                  THEN b0.tok1 || ' ' || b0.tok2 || '|' || CAST(b0.lb AS VARCHAR)
+                  ELSE b0.tok1 END AS blk
+      FROM b0 JOIN sz USING (tok1)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, c.doc_id AS db,
+             levenshtein(a.pfx, c.pfx) AS dist
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.pfx, c.pfx) <= 8
+    )"""
+
+_FS_FIELDS = ("lang", "source", "lb", "tok1")
+_FS_ANCHOR_DIST = 2
+_FS_UPPER_MICRO = 2_000_000  # >= 2 nats of evidence => match
+_FS_LN = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _fs_weight_sql(i: int) -> str:
+    """Agreement/disagreement log-weights for field i from clamped ppm
+    m/u — shared text between the Spark plan and the DuckDB oracle
+    (both engines take ln of the SAME exact integer)."""
+    wa = f"{_FS_LN.format(x=f'm{i}')} - {_FS_LN.format(x=f'u{i}')}"
+    wd = (
+        f"{_FS_LN.format(x=f'1000000 - m{i}')}"
+        f" - {_FS_LN.format(x=f'1000000 - u{i}')}"
+    )
+    return f"({wa}) AS wa{i}, ({wd}) AS wd{i}"
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH {_FS_PAIR_CTES},
+    f AS (
+      SELECT doc_id, lang, source, n_chars // 100 AS lb,
+             string_split(substring(lower(trim(text)), 1, 40), ' ')[1]
+               AS tok1
+      FROM documents),
+    feat AS (
+      SELECT p.da, p.db, p.dist,
+             CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END AS ag1,
+             CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END AS ag2,
+             CASE WHEN fa.lb = fb.lb THEN 1 ELSE 0 END AS ag3,
+             CASE WHEN fa.tok1 = fb.tok1 THEN 1 ELSE 0 END AS ag4
+      FROM pairs p JOIN f fa ON p.da = fa.doc_id
+                   JOIN f fb ON p.db = fb.doc_id),
+    anch AS (
+      SELECT CAST(count(*) AS BIGINT) AS na,
+             CAST(coalesce(sum(ag1), 0) AS BIGINT) AS s1,
+             CAST(coalesce(sum(ag2), 0) AS BIGINT) AS s2,
+             CAST(coalesce(sum(ag3), 0) AS BIGINT) AS s3,
+             CAST(coalesce(sum(ag4), 0) AS BIGINT) AS s4
+      FROM feat WHERE dist <= {_FS_ANCHOR_DIST}),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM f),
+    uu AS (
+      SELECT
+        (SELECT sum(CAST(c AS HUGEINT) * c)
+         FROM (SELECT count(*) AS c FROM f GROUP BY lang)) AS q1,
+        (SELECT sum(CAST(c AS HUGEINT) * c)
+         FROM (SELECT count(*) AS c FROM f GROUP BY source)) AS q2,
+        (SELECT sum(CAST(c AS HUGEINT) * c)
+         FROM (SELECT count(*) AS c FROM f GROUP BY lb)) AS q3,
+        (SELECT sum(CAST(c AS HUGEINT) * c)
+         FROM (SELECT count(*) AS c FROM f GROUP BY tok1)) AS q4),
+    mu AS (
+      SELECT
+        {", ".join(
+            f"CASE WHEN na = 0 THEN 500000 ELSE"
+            f" least(greatest(s{i} * 1000000 // na, 1), 999999) END AS m{i},"
+            f" least(greatest(CAST(q{i} * 1000000 // (n * n) AS BIGINT),"
+            f" 1), 999999) AS u{i}"
+            for i in range(1, 5)
+        )}
+      FROM anch, nn, uu),
+    w AS (SELECT {", ".join(_fs_weight_sql(i) for i in range(1, 5))} FROM mu),
+    scored AS (
+      SELECT feat.*,
+             {" + ".join(
+                 f"(CASE WHEN ag{i} = 1 THEN wa{i} ELSE wd{i} END)"
+                 for i in range(1, 5)
+             )} AS score
+      FROM feat, w)
+    SELECT CASE WHEN score >= {_FS_UPPER_MICRO} THEN 'match'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'non_match' END AS decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score_micro,
+           CAST(max(score) AS BIGINT) AS max_score_micro
+    FROM scored GROUP BY 1
+    """,
+    tags=("U6", "J7", "F4"),
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
+    scoring layer the rule-based resolver (er_resolve_entities) lacks:
+    instead of a hard levenshtein cutoff, each blocked candidate pair
+    is scored by summed log-likelihood-ratio weights per comparison
+    field, with the m-probabilities ESTIMATED from an anchor set
+    (near-certain matches: prefix distance <= 2) and the
+    u-probabilities from the population field marginals (P(agree |
+    random pair) = sum of squared value shares — the textbook
+    estimator, exact integer algebra over the marginal counts).
+    Weights quantize by the repo ln discipline (ln of an exact clamped
+    ppm integer, floor(x*1e6+0.5)), so the match / possible /
+    non-match decision counts hash-match cross-engine. Upper threshold
+    2 nats; clamping m,u into [1, 999999] ppm keeps both log terms
+    finite (the all-agree anchor field would otherwise put ln(0) in
+    the disagreement weight).
+
+    Scale: candidate generation is the hierarchical blocked join
+    (join_fuzzy_blocked — candidates-then-verify, never all-pairs);
+    m/u estimation is two constant-width aggregates (anchor scan +
+    field marginals); scoring broadcasts the 1-row weight table onto
+    the pair stream."""
+    pairs = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db"), "dist"
+    )
+    f = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 100").alias("lb"),
+        F.split(F.substring(F.lower(F.trim("text")), 1, 40), " ")
+        .getItem(0)
+        .alias("tok1"),
+    )
+    fa = f.select(*[F.col(c).alias(f"a_{c}") for c in f.columns])
+    fb = f.select(*[F.col(c).alias(f"b_{c}") for c in f.columns])
+    feat = (
+        pairs.join(fa, pairs.da == fa.a_doc_id)
+        .join(fb, pairs.db == fb.b_doc_id)
+        .select(
+            "da",
+            "db",
+            "dist",
+            *[
+                F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1)
+                .otherwise(0)
+                .alias(f"ag{i}")
+                for i, c in zip(range(1, 5), _FS_FIELDS)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    anch = feat.filter(F.col("dist") <= _FS_ANCHOR_DIST).agg(
+        F.count("*").cast("long").alias("na"),
+        *[
+            F.coalesce(F.sum(f"ag{i}"), F.lit(0)).cast("long").alias(f"s{i}")
+            for i in range(1, 5)
+        ],
+    )
+    nn = f.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    us = [
+        f.groupBy(c)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias(f"q{i}")
+        )
+        for i, c in zip(range(1, 5), _FS_FIELDS)
+    ]
+    mu_in = anch.crossJoin(F.broadcast(nn))
+    for u in us:
+        mu_in = mu_in.crossJoin(F.broadcast(u))
+    mu = mu_in.selectExpr(
+        *[
+            e
+            for i in range(1, 5)
+            for e in (
+                f"CASE WHEN na = 0 THEN 500000 ELSE"
+                f" least(greatest(s{i} * 1000000 div na, 1), 999999) END"
+                f" AS m{i}",
+                f"least(greatest(CAST(q{i} * 1000000 div (n * n) AS BIGINT),"
+                f" 1), 999999) AS u{i}",
+            )
+        ]
+    )
+    w = mu.selectExpr(
+        *[
+            e
+            for i in range(1, 5)
+            for e in (
+                f"{_FS_LN.format(x=f'm{i}')}"
+                f" - {_FS_LN.format(x=f'u{i}')} AS wa{i}",
+                f"{_FS_LN.format(x=f'1000000 - m{i}')}"
+                f" - {_FS_LN.format(x=f'1000000 - u{i}')} AS wd{i}",
+            )
+        ]
+    )
+    scored = feat.crossJoin(F.broadcast(w)).withColumn(
+        "score",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN ag{i} = 1 THEN wa{i} ELSE wd{i} END)"
+                for i in range(1, 5)
+            )
+        ),
+    )
+    return scored.groupBy(
+        F.expr(
+            f"CASE WHEN score >= {_FS_UPPER_MICRO} THEN 'match'"
+            " WHEN score >= 0 THEN 'possible'"
+            " ELSE 'non_match' END"
+        ).alias("decision")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("score").cast("long").alias("min_score_micro"),
+        F.max("score").cast("long").alias("max_score_micro"),
+    )

@@ -2210,3 +2210,83 @@ def seq_nsp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(seg_text("(i + 2) % n_seg")).alias("text_b"),
     )
     return pos.unionAll(neg)
+
+
+@query(
+    "mix_dedup_weighted",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok
+      FROM documents),
+    sig AS (SELECT doc_id, {_PIPE_SIG_SQL} FROM tok GROUP BY doc_id),
+    band AS (SELECT doc_id, {_PIPE_BAND_SQL} AS k FROM sig),
+    cs AS (SELECT k, CAST(count(*) AS BIGINT) AS sz FROM band GROUP BY k),
+    wdoc AS (
+      SELECT doc_id, CAST(1000000 // sz AS BIGINT) AS w
+      FROM band JOIN cs USING (k)),
+    per AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS eff_micro
+      FROM wdoc JOIN documents d USING (doc_id) GROUP BY d.source)
+    SELECT source, n_docs, eff_micro,
+           CAST(CAST(eff_micro AS HUGEINT) * 1000000
+                // (SELECT sum(eff_micro) FROM per) AS BIGINT)
+             AS eff_share_ppm,
+           CAST((CAST(n_docs AS HUGEINT) * 1000000 - eff_micro) * 1000000
+                // (CAST(n_docs AS HUGEINT) * 1000000) AS BIGINT)
+             AS dedup_discount_ppm
+    FROM per
+    """,
+    tags=("U6", "A3", "J1"),
+)
+def mix_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup loss weighting — the mixture-side alternative to
+    dropping near-duplicates: every document keeps flowing, but its
+    training weight is 1/|cluster| (cluster = the full-width MinHash
+    band of dedup_minhash_groups, singletons weigh 1), so a 40-copy
+    boilerplate family contributes ONE document of gradient mass
+    instead of forty. Reported per source: raw count, effective
+    (weighted) mass in micro-docs, each source's share of the
+    DEDUPLICATED mixture, and the discount the weighting applied —
+    exactly the numbers a mixture rebalancer consumes downstream
+    (mix_domain_budget's budgets then run on effective mass, not raw
+    counts). Weight quantizes as 1e6 div size (exact in both engines).
+
+    Scale: map-only signatures -> one band-key aggregate (the
+    dedup_minhash_groups shape) -> size join back on the band key ->
+    one source aggregate; nothing pairwise, nothing corpus-wide beyond
+    the two keyed shuffles."""
+    from .text import dedup_minhash_signatures, minhash_band_col
+
+    d = load_table(spark, sf_dir, "documents")
+    band = dedup_minhash_signatures(spark, sf_dir).select(
+        "doc_id", minhash_band_col().alias("k")
+    )
+    cs = band.groupBy("k").agg(F.count("*").alias("sz"))
+    wdoc = band.join(cs, "k").select(
+        "doc_id", F.expr("CAST(1000000 div sz AS BIGINT)").alias("w")
+    )
+    per = (
+        wdoc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("eff_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("eff_micro").cast("decimal(38,0)").alias("te"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "eff_micro",
+        F.expr(
+            "CAST(CAST(eff_micro AS DECIMAL(38,0)) * 1000000 div te"
+            " AS BIGINT)"
+        ).alias("eff_share_ppm"),
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000 - eff_micro)"
+            " * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("dedup_discount_ppm"),
+    )

@@ -3113,3 +3113,165 @@ def test_vocab_coverage_curve(spark, tmp_path):
     for k in (100, 1000):
         assert rows[k]["covered_occurrences"] == 78
         assert rows[k]["coverage_ppm"] == 1_000_000
+
+
+# --- round-9 wave 10: FS linkage, Krippendorff, soft dedup, MASE --------------
+
+
+def test_fellegi_sunter_mirror(spark, tmp_path):
+    """Python-mirror property test: recompute m/u estimates, quantized
+    ln weights, and per-pair scores independently (math.log + the same
+    floor quantization) from the fixture, and require identical
+    decision counts and score extrema."""
+    import math
+    from itertools import combinations
+
+    # one block (shared first token), controlled prefix distances:
+    # docs 1,2 identical (dist 0 -> anchor, all fields agree);
+    # docs 3,4 near the pair but differing in lang/source/length fields.
+    rows = [
+        (1, "acme alpha beta gamma", "en", "web", 100),
+        (2, "acme alpha beta gamma", "en", "web", 100),
+        (3, "acme alpha beta gamm", "de", "web", 100),
+        (4, "acme alpha beta gam", "en", "book", 300),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    fields = {
+        d: (r[2], r[3], r[4] // 100, r[1].split(" ")[0])
+        for d, r in ((row[0], row) for row in rows)
+    }
+    pfx = {r[0]: r[1][:40].lower().strip() for r in rows}
+    pairs = [
+        (a, b, lev(pfx[a], pfx[b]))
+        for a, b in combinations(sorted(pfx), 2)
+        if lev(pfx[a], pfx[b]) <= 8
+    ]
+    anchors = [p for p in pairs if p[2] <= 2]
+    n = len(rows)
+    qln = lambda x: math.floor(math.log(x) * 1_000_000 + 0.5)
+    exp_counts = {}
+    exp_scores = {}
+    for i in range(4):
+        agree = lambda p, i=i: fields[p[0]][i] == fields[p[1]][i]
+        na = len(anchors)
+        m = (
+            500_000
+            if na == 0
+            else min(max(sum(agree(p) for p in anchors) * 1_000_000 // na, 1), 999_999)
+        )
+        from collections import Counter
+
+        cnt = Counter(fields[d][i] for d in fields)
+        u = min(
+            max(sum(c * c for c in cnt.values()) * 1_000_000 // (n * n), 1),
+            999_999,
+        )
+        exp_scores[i] = (
+            qln(m) - qln(u),
+            qln(1_000_000 - m) - qln(1_000_000 - u),
+        )
+    decisions = {}
+    smin, smax = {}, {}
+    for p in pairs:
+        s = sum(
+            exp_scores[i][0 if fields[p[0]][i] == fields[p[1]][i] else 1]
+            for i in range(4)
+        )
+        d = "match" if s >= 2_000_000 else ("possible" if s >= 0 else "non_match")
+        decisions[d] = decisions.get(d, 0) + 1
+        smin[d] = min(smin.get(d, s), s)
+        smax[d] = max(smax.get(d, s), s)
+    out = {
+        r["decision"]: r
+        for r in REGISTRY["er_fellegi_sunter"].fn(spark, str(tmp_path)).collect()
+    }
+    assert {k: v["n_pairs"] for k, v in out.items()} == decisions
+    for k, v in out.items():
+        assert v["min_score_micro"] == smin[k]
+        assert v["max_score_micro"] == smax[k]
+    # the identical anchor pair carries the most evidence in the fixture
+    # (4 near-uniform fields cap the evidence below the 2-nat match bar —
+    # on the real corpus the match tier populates; see the sf0.01 gate)
+    assert max(v["max_score_micro"] for v in out.values()) == smax["possible"]
+
+
+def test_krippendorff_hand_walk(spark, tmp_path):
+    """2 all-hi items (m=3), 2 all-lo items with the token rater
+    abstaining (m=2), 1 split item (hi/lo/lo, m=3): O=2, n_tot=13,
+    n_hi=7 -> alpha = 1 - 2*12/(2*7*6) = 0.714286."""
+    hi = " ".join(f"w{i}" for i in range(30)) + ". second."  # 32 toks, 2 dots
+    lo_abstain = " ".join(f"w{i}" for i in range(22))  # 22 toks: abstains
+    split = " ".join(f"w{i}" for i in range(10))  # 10 toks: votes lo
+    rows = [
+        (1, hi, 200), (2, hi, 200),
+        (3, lo_abstain, 50), (4, lo_abstain, 50),
+        (5, split, 200),  # r1 hi (chars), r2 lo (toks<20), r3 lo (no dots)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_krippendorff_alpha"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_items"], r["n_pairable"], r["n_hi"], r["n_lo"]) == (5, 13, 7, 6)
+    assert r["do_ppm"] == 153_846
+    assert r["de_ppm"] == 538_461
+    assert r["alpha_ppm"] == 714_286
+
+
+def test_dedup_weighted_shares(spark, tmp_path):
+    """Source s1: an identical pair (w=0.5 each) + one unique; s2: one
+    unique. Effective mass 2.0 vs 1.0; discounts 1/3 and 0."""
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma delta", "s1"),
+        (3, "epsilon zeta eta theta", "s1"),
+        (4, "iota kappa lambda mu", "s2"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in REGISTRY["mix_dedup_weighted"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (out["s1"]["n_docs"], out["s1"]["eff_micro"]) == (3, 2_000_000)
+    assert (out["s2"]["n_docs"], out["s2"]["eff_micro"]) == (1, 1_000_000)
+    assert out["s1"]["eff_share_ppm"] == 666_666
+    assert out["s2"]["eff_share_ppm"] == 333_333
+    assert out["s1"]["dedup_discount_ppm"] == 333_333
+    assert out["s2"]["dedup_discount_ppm"] == 0
+
+
+def test_forecast_mase_alternating_series(spark, tmp_path):
+    """Period-2 alternation over 10 days (cut = day 7): weekly lag-7
+    forecasts flip parity so both test days err by 2 (SAE 4 over 2);
+    the in-sample naive errs by 2 every day (SAE 14 over 7) ->
+    MASE = (4/2)/(14/7) = 1.0 exactly."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for d in range(10):
+        n = 10 if d % 2 == 0 else 12
+        for i in range(n):
+            rows.append((eid, base + timedelta(days=d, minutes=i), "view"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["eval_forecast_mase"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_train_pairs"], r["n_test_pairs"]) == (7, 2)
+    assert (r["train_naive_sae"], r["test_seasonal_sae"]) == (14, 4)
+    assert r["mase_ppm"] == 1_000_000

@@ -1201,3 +1201,41 @@ def test_vocab_coverage_rank_is_range_partitioned(spark, sf_small):
     plan = plan_of(df)
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fellegi_sunter_blocked_candidates_broadcast_weights(spark, sf_small):
+    """FS scoring must ride the blocked candidate join (never all-pairs)
+    and broadcast the 1-row weight table onto the pair stream: no
+    CartesianProduct anywhere in the final plan."""
+    df = REGISTRY["er_fellegi_sunter"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_krippendorff_one_scan_no_join(spark, sf_small):
+    """Alpha is per-row vote algebra + one 4-sum global aggregate."""
+    df = REGISTRY["eval_krippendorff_alpha"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_dedup_weighted_band_keyed_no_cartesian(spark, sf_small):
+    """Soft-dedup weights reuse the map-only signature stage: the only
+    joins are the band-size join and the source attach, plus the 1-row
+    total graft — no pairwise expansion."""
+    df = REGISTRY["mix_dedup_weighted"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_forecast_mase_keyed_lag_joins_no_window(spark, sf_small):
+    """Both forecast legs are keyed self-joins of the bounded daily-cell
+    table — no window, no cartesian."""
+    df = REGISTRY["eval_forecast_mase"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "Window" not in final
+    assert "CartesianProduct" not in final
