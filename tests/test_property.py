@@ -540,3 +540,161 @@ def test_wav_silence_roundtrip_any_shape(rate, ch, frames, seed):
         < 16384
     )
     assert (n, silent) == (frames * ch, want)
+
+
+# --- round-9 wave 7-10 algebra ------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    perm=st.permutations(list(range(12))),
+    overlap_seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_rbo_integer_weights_equal_exact_rational(perm, overlap_seed):
+    """retrieval_rbo_overlap's fraction-free integer weights must equal
+    the exact rational RBO at every depth: Fraction reference vs the
+    precomputed 9^(d-1)*10^(10-d)*(2520/d) dot product, both floored to
+    ppm. Ranking B is a (seeded) permutation of A restricted to 12
+    candidates, so prefixes overlap partially at every depth."""
+    from fractions import Fraction
+
+    from amazonbigdata_for_students_spark.plans.retrieval import (
+        _RBO_DEN,
+        _RBO_DEPTH,
+        _RBO_W,
+    )
+
+    r1 = list(range(12))[:_RBO_DEPTH]
+    r2 = perm[:_RBO_DEPTH]
+    p = Fraction(9, 10)
+    num = 0
+    exact = Fraction(0)
+    for d in range(1, _RBO_DEPTH + 1):
+        ov = len(set(r1[:d]) & set(r2[:d]))
+        num += _RBO_W[d] * ov
+        exact += (1 - p) * p ** (d - 1) * Fraction(ov, d)
+        got_ppm = num * 1_000_000 // _RBO_DEN
+        ref_ppm = (exact * 1_000_000).numerator // (exact * 1_000_000).denominator
+        assert got_ppm == ref_ppm
+    assert 0 <= got_ppm <= 651_321  # truncated-RBO ceiling at depth 10
+
+
+@settings(max_examples=200, deadline=None)
+@given(perm=st.permutations(list(range(2, 14))))
+def test_kendall_cleared_form_equals_definition(perm):
+    """eval_kendall_tau's (C-D)*1e6 div pairs must equal tau-a computed
+    from the inversion definition with exact rationals (int() = the
+    toward-zero truncation both engines' div applies)."""
+    from fractions import Fraction
+
+    n = len(perm)
+    ra = {v: i + 1 for i, v in enumerate(sorted(perm))}
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (i - j) * (perm[i] - perm[j])
+            if s > 0:
+                c += 1
+            elif s < 0:
+                d += 1
+    np_ = n * (n - 1) // 2
+    got = (
+        (c - d) * 1_000_000 // np_
+        if (c - d) >= 0
+        else -((-(c - d)) * 1_000_000 // np_)
+    )
+    ref = int(Fraction(c - d, np_) * 1_000_000)
+    assert got == ref
+    ident = list(range(n))
+    assert sum(1 for i in range(n) for j in range(i + 1, n)) == np_
+    # full reversal and identity hit the exact endpoints
+    assert (np_ - 0) * 1_000_000 // np_ == 1_000_000
+
+
+@settings(max_examples=300, deadline=None)
+@given(hs=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=60))
+def test_fleiss_cleared_form_equals_textbook(hs):
+    """eval_fleiss_kappa's cross-multiplied integer kappa must equal the
+    textbook (P_bar - P_e)/(1 - P_e) computed with exact rationals,
+    under the same toward-zero quantization."""
+    from fractions import Fraction
+
+    n = len(hs)
+    a = sum(h * h + (3 - h) * (3 - h) for h in hs) - 3 * n
+    d1 = 6 * n
+    chi = sum(hs)
+    b = chi * chi + (3 * n - chi) * (3 * n - chi)
+    t = 9 * n * n
+    if t - b == 0:
+        return  # degenerate guard path (all-one-category)
+    num = a * t - b * d1
+    got = (
+        num * 1_000_000 // (d1 * (t - b))
+        if num >= 0
+        else -((-num) * 1_000_000 // (d1 * (t - b)))
+    )
+    pbar = Fraction(a, d1)
+    pe = Fraction(b, t)
+    ref = int((pbar - pe) / (1 - pe) * 1_000_000)
+    assert got == ref
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from([2, 3]),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_krippendorff_cleared_form_equals_coincidence(pairs):
+    """eval_krippendorff_alpha's collapsed integer form must equal the
+    coincidence-matrix definition (exact rationals): alpha =
+    1 - D_o/D_e with D_o = sum h(m-h)*2/(m-1) / n_tot and D_e =
+    2*n_hi*n_lo/(n_tot*(n_tot-1))."""
+    from fractions import Fraction
+
+    votes = [(min(h, m), m) for h, m in pairs]
+    n_tot = sum(m for _, m in votes)
+    n_hi = sum(h for h, _ in votes)
+    n_lo = n_tot - n_hi
+    if n_hi * n_lo == 0:
+        return  # guard path
+    o = sum(h * (m - h) * (2 // (m - 1)) for h, m in votes)
+    got = 1_000_000 - o * (n_tot - 1) * 1_000_000 // (2 * n_hi * n_lo)
+    d_o = Fraction(o, n_tot)
+    d_e = Fraction(2 * n_hi * n_lo, n_tot * (n_tot - 1))
+    ref_alpha = 1 - d_o / d_e
+    # got composes 1e6 - floor(x); the reference floors the same term
+    ref = 1_000_000 - (
+        (Fraction(o * (n_tot - 1), 2 * n_hi * n_lo) * 1_000_000).numerator
+        // (Fraction(o * (n_tot - 1), 2 * n_hi * n_lo) * 1_000_000).denominator
+    )
+    assert got == ref
+    # and the collapsed algebra IS the coincidence formula (exact check)
+    assert 1 - d_o / d_e == ref_alpha
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=3, max_size=40),
+    a=st.integers(min_value=1, max_value=5),
+    b=st.integers(min_value=0, max_value=20),
+)
+def test_cuped_theta_recovers_exact_linear_coefficient(xs, a, b):
+    """When y = a*x + b exactly, eval_cuped_adjustment's integer theta
+    (n*Sxy - Sx*Sy)*1e6 div (n*Sxx - Sx^2) must be exactly a*1e6 —
+    cov(x, ax+b) = a*var(x) with no remainder."""
+    if len(set(xs)) < 2:
+        return  # var(x)=0 guard path
+    ys = [a * x + b for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    assert den > 0
+    assert (n * sxy - sx * sy) * 1_000_000 // den == a * 1_000_000
