@@ -148,6 +148,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "decontaminate_minhash", "seq_nsp_pairs", "tokenizer_vocab_coverage",
     "er_fellegi_sunter", "eval_krippendorff_alpha", "mix_dedup_weighted",
     "eval_forecast_mase",
+    "timeseries_dominant_period", "eval_rouge_pairs",
 )
 
 _WINDOW_SIZE = 50

@@ -4315,3 +4315,101 @@ def eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(sae_n AS DECIMAL(38,0)) * n_f) AS BIGINT) END"
         ).alias("mase_ppm"),
     )
+
+
+# Shared ACF CTE text for the dominant-period argmax (identical cells/
+# tot/lags chain to timeseries_autocorrelation's oracle).
+_ACF_CTES = f"""
+    cells AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               // 3600000000 AS h,
+             count(*) AS x
+      FROM {EVENTS} ev GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM cells GROUP BY 1),
+    lags AS (
+      SELECT a.event_type, k.k,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(a.x * b.x) AS HUGEINT) AS sab,
+             CAST(sum(a.x) AS HUGEINT) AS sa,
+             CAST(sum(b.x) AS HUGEINT) AS sb
+      FROM cells a
+      JOIN unnest(generate_series(1, 24)) AS k(k) ON true
+      JOIN cells b ON b.event_type = a.event_type AND b.h = a.h + k.k
+      GROUP BY 1, 2),
+    acf AS (
+      SELECT l.event_type, CAST(l.k AS BIGINT) AS k,
+             CAST((t.n * t.n * l.sab - t.n * t.s * (l.sa + l.sb)
+                   + l.m * t.s * t.s) * 1000000
+                  // (t.n * t.n * t.sxx - t.n * t.s * t.s) AS BIGINT)
+               AS acf_ppm
+      FROM lags l JOIN tot t USING (event_type))"""
+
+
+@query(
+    "timeseries_dominant_period",
+    oracle=f"""
+    WITH {_ACF_CTES},
+    best AS (
+      SELECT event_type, max(acf_ppm) AS best_acf_ppm
+      FROM acf WHERE k >= 2 GROUP BY event_type),
+    arg AS (
+      SELECT a.event_type,
+             CAST(min(a.k) AS BIGINT) AS dominant_lag_hours,
+             CAST(min(b.best_acf_ppm) AS BIGINT) AS best_acf_ppm
+      FROM acf a JOIN best b
+        ON a.event_type = b.event_type AND a.acf_ppm = b.best_acf_ppm
+      WHERE a.k >= 2 GROUP BY a.event_type)
+    SELECT arg.event_type AS event_type, dominant_lag_hours, best_acf_ppm,
+           CAST(acf.acf_ppm AS BIGINT) AS acf1_ppm,
+           best_acf_ppm > acf.acf_ppm AS beats_lag1
+    FROM arg JOIN acf ON acf.event_type = arg.event_type AND acf.k = 1
+    """,
+    tags=("W2", "F4", "J8"),
+)
+def timeseries_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection — the order-selection readout the ACF
+    exists for, shipped as its own query so a scheduler can consume it
+    without re-deriving the argmax: per series, the lag in [2, 24]
+    hours with the highest exact-integer ACF (min-lag deterministic on
+    ties), that peak value, the lag-1 ACF for reference, and the
+    beats_lag1 verdict (a true periodic component outscores plain
+    burst persistence; a monotone-decay series reports false and the
+    'period' is just the slowest decay point). Composes the REGISTERED
+    timeseries_autocorrelation plan — same cells/moments/lag-join
+    chain, so the two queries cannot drift.
+
+    Scale: inherits the ACF shape (grid x 24 lag join over the
+    time-bounded hourly grid); the argmax adds two joins over the
+    #series x 24 ACF table — constant-size regardless of corpus."""
+    acf = timeseries_autocorrelation(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    k2 = acf.filter(F.col("k") >= 2)
+    best = k2.groupBy("event_type").agg(
+        F.max("acf_ppm").alias("best_acf_ppm")
+    )
+    arg = (
+        k2.join(F.broadcast(best), "event_type")
+        .where(F.col("acf_ppm") == F.col("best_acf_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").cast("long").alias("dominant_lag_hours"),
+            F.min("best_acf_ppm").cast("long").alias("best_acf_ppm"),
+        )
+    )
+    acf1 = acf.filter(F.col("k") == 1).select(
+        "event_type", F.col("acf_ppm").alias("acf1_ppm")
+    )
+    return arg.join(F.broadcast(acf1), "event_type").select(
+        "event_type",
+        "dominant_lag_hours",
+        "best_acf_ppm",
+        "acf1_ppm",
+        (F.col("best_acf_ppm") > F.col("acf1_ppm")).alias("beats_lag1"),
+    )

@@ -3686,3 +3686,167 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score_micro"),
         F.max("score").cast("long").alias("max_score_micro"),
     )
+
+
+_BIGRAMS_DUCK = (
+    f"list_transform(generate_series(2, len({SQL_TOKENS})),"
+    f" i -> {SQL_TOKENS}[i-1] || ' ' || {SQL_TOKENS}[i])"
+)
+
+
+@query(
+    "eval_rouge_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok
+      FROM documents),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM tok GROUP BY doc_id),
+    band AS (SELECT doc_id, {MINHASH_BAND_SQL} AS k FROM sig),
+    canon AS (SELECT k, min(doc_id) AS canonical_id FROM band GROUP BY k),
+    pairs AS (
+      SELECT b.doc_id, c.canonical_id
+      FROM band b JOIN canon c USING (k)
+      WHERE b.doc_id <> c.canonical_id),
+    uni AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    big AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM documents)
+      GROUP BY doc_id, bg),
+    sz AS (
+      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n1,
+             CAST(greatest(len({SQL_TOKENS}) - 1, 0) AS BIGINT) AS n2
+      FROM documents),
+    ov1 AS (
+      SELECT p.doc_id, p.canonical_id,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM pairs p
+      JOIN uni a ON a.doc_id = p.doc_id
+      JOIN uni b ON b.doc_id = p.canonical_id AND b.tok = a.tok
+      GROUP BY 1, 2),
+    ov2 AS (
+      SELECT p.doc_id, p.canonical_id,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM pairs p
+      JOIN big a ON a.doc_id = p.doc_id
+      JOIN big b ON b.doc_id = p.canonical_id AND b.bg = a.bg
+      GROUP BY 1, 2)
+    SELECT p.doc_id, p.canonical_id,
+           CAST(coalesce(ov1.ov, 0) * 2 * 1000000
+                // (sa.n1 + sb.n1) AS BIGINT) AS rouge1_f1_ppm,
+           CASE WHEN sa.n2 + sb.n2 = 0 THEN 0
+                ELSE CAST(coalesce(ov2.ov, 0) * 2 * 1000000
+                          // (sa.n2 + sb.n2) AS BIGINT)
+           END AS rouge2_f1_ppm
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_id
+    JOIN sz sb ON sb.doc_id = p.canonical_id
+    LEFT JOIN ov1 ON ov1.doc_id = p.doc_id
+                 AND ov1.canonical_id = p.canonical_id
+    LEFT JOIN ov2 ON ov2.doc_id = p.doc_id
+                 AND ov2.canonical_id = p.canonical_id
+    """,
+    tags=("U2", "U6", "F7"),
+)
+def eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/-2 F1 for every near-duplicate candidate against its
+    cluster canonical — the n-gram overlap metric (Lin 2004) that
+    grades summarization/paraphrase quality, here serving as the
+    VERIFY stage of the dedup lane: each MinHash full-band member is
+    scored against the group's min-id canonical with clipped-count
+    (multiset) overlap, F1 = 2*sum(min(c_a, c_b)) / (|a| + |b|) — one
+    exact floor division because clipped P and R share the overlap
+    numerator. Pairs are member->canonical (sum(sz-1) per group,
+    LINEAR — the same collapse-pair discipline as the LSH precision
+    audit, never intra-bucket all-pairs).
+
+    Scale: map-only signatures -> band-keyed canonical join; unigram/
+    bigram count tables shuffle on (doc, gram) with map-side combine;
+    the overlap joins key on (canonical, gram) — the heavy side is
+    bounded by the flagged-pair token mass, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    band = dedup_minhash_signatures(spark, sf_dir).select(
+        "doc_id", minhash_band_col().alias("k")
+    )
+    canon = band.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
+    pairs = (
+        band.join(canon, "k")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+        .localCheckpoint(eager=False)
+    )
+    toks = d.select("doc_id", TOKENS().alias("toks")).localCheckpoint(
+        eager=False
+    )
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array()"
+                    " ELSE transform(sequence(2, size(toks)),"
+                    " i -> concat(toks[i-2], ' ', toks[i-1])) END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    sz = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).cast("long").alias("n2"),
+    )
+
+    def overlap(grams: DataFrame, name: str) -> DataFrame:
+        a = grams.select(
+            F.col("doc_id").alias("m_id"), "g", F.col("c").alias("ca")
+        )
+        b = grams.select(
+            F.col("doc_id").alias("c_id"), "g", F.col("c").alias("cb")
+        )
+        return (
+            pairs.join(a, pairs.doc_id == a.m_id)
+            .join(
+                b,
+                (F.col("canonical_id") == b.c_id) & (a.g == b.g),
+            )
+            .groupBy("doc_id", "canonical_id")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+
+    sa = sz.select(
+        F.col("doc_id").alias("da"),
+        F.col("n1").alias("na1"),
+        F.col("n2").alias("na2"),
+    )
+    sb = sz.select(
+        F.col("doc_id").alias("db"),
+        F.col("n1").alias("nb1"),
+        F.col("n2").alias("nb2"),
+    )
+    out = (
+        pairs.join(sa, pairs.doc_id == sa.da)
+        .join(sb, pairs.canonical_id == sb.db)
+        .join(overlap(uni, "ov1"), ["doc_id", "canonical_id"], "left")
+        .join(overlap(big, "ov2"), ["doc_id", "canonical_id"], "left")
+    )
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        F.expr(
+            "CAST(coalesce(ov1, 0) * 2 * 1000000 div (na1 + nb1) AS BIGINT)"
+        ).alias("rouge1_f1_ppm"),
+        F.expr(
+            "CASE WHEN na2 + nb2 = 0 THEN 0"
+            " ELSE CAST(coalesce(ov2, 0) * 2 * 1000000 div (na2 + nb2)"
+            " AS BIGINT) END"
+        ).alias("rouge2_f1_ppm"),
+    )

@@ -3275,3 +3275,50 @@ def test_forecast_mase_alternating_series(spark, tmp_path):
     assert (r["n_train_pairs"], r["n_test_pairs"]) == (7, 2)
     assert (r["train_naive_sae"], r["test_seasonal_sae"]) == (14, 4)
     assert r["mase_ppm"] == 1_000_000
+
+
+# --- round-9 wave 12: dominant period + ROUGE pair verify ---------------------
+
+
+def test_dominant_period_detects_planted_cycle(spark, tmp_path):
+    """Hourly counts with an exact period-3 cycle: the ACF argmax over
+    lags 2..24 must land on lag 3 and beat the lag-1 decay."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for h in range(30):
+        n = 5 if h % 3 == 0 else 1
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=i), "view"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["timeseries_dominant_period"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["dominant_lag_hours"] == 3
+    assert r["beats_lag1"]
+    assert r["best_acf_ppm"] > 0 > r["acf1_ppm"]
+
+
+def test_rouge_pairs_clipped_counts(spark, tmp_path):
+    """Docs 1,2 identical and doc 3 sharing the distinct-token set (same
+    MinHash band) with one repeated token: pair (2,1) scores 1.0/1.0;
+    pair (3,1) scores 2*4/9 unigrams and 2*3/7 bigrams."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "alpha alpha beta gamma delta"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["doc_id"], r["canonical_id"]): r
+        for r in REGISTRY["eval_rouge_pairs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(2, 1), (3, 1)}
+    assert out[(2, 1)]["rouge1_f1_ppm"] == 1_000_000
+    assert out[(2, 1)]["rouge2_f1_ppm"] == 1_000_000
+    assert out[(3, 1)]["rouge1_f1_ppm"] == 888_888
+    assert out[(3, 1)]["rouge2_f1_ppm"] == 857_142

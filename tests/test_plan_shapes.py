@@ -1239,3 +1239,22 @@ def test_forecast_mase_keyed_lag_joins_no_window(spark, sf_small):
     final = plan_of(df).split("Initial Plan")[0]
     assert "Window" not in final
     assert "CartesianProduct" not in final
+
+
+def test_dominant_period_argmax_over_acf_table(spark, sf_small):
+    """The argmax adds only bounded joins over the #series x 24 ACF
+    table (broadcast), and inherits the ACF's keyed lag join — no
+    cartesian anywhere."""
+    df = REGISTRY["timeseries_dominant_period"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_rouge_pairs_keyed_gram_joins(spark, sf_small):
+    """Pair scoring must stay member->canonical (linear) with gram
+    joins keyed on (doc, gram) — no all-pairs expansion, no cartesian."""
+    df = REGISTRY["eval_rouge_pairs"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
