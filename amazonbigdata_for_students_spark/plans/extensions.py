@@ -1890,6 +1890,16 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
+    return psi_readout(spark, cube)
+
+
+def psi_readout(spark: SparkSession, cube: DataFrame) -> DataFrame:
+    """PSI read-out over the compact (event_type, win, bin, sbin, c)
+    cube — ONE definition consumed by the batch query above AND the
+    streaming twin (streaming/batch_twins.stream_psi_drift_monitor),
+    so the two cannot drift. All inputs are cube-sized; see
+    dq_drift_psi's docstring for the smoothing/rounding contract."""
+    B = _PSI_BINS
     base = (
         cube.filter(F.col("win") == "b")
         .groupBy("event_type", "bin")

@@ -1838,3 +1838,58 @@ def stream_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _drain(snap, "stream_funnel_stage", mode="update")
     return _final_snapshot(drained, key="user_id", order_col="n_events")
+
+
+@query(
+    "stream_psi_drift_monitor",
+    oracle=None,  # bound below to the batch PSI twin's SQL
+    tags=("T1", "A3", "F4"),
+)
+def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — the online twin of dq_drift_psi (same
+    oracle constant, byte-identical answer): the STREAM maintains only
+    the compact (type, window, raw-bin, shifted-bin) count cube in
+    complete mode — bounded at |types| x 2 x 15 x 15 state rows
+    regardless of feed volume, the histogram-monitor shape of
+    stream_percentile_monitor — and the PSI read-out (Laplace
+    smoothing, 6-dp-rounded transcendental terms, decimal sum) runs on
+    the drained cube through plans.extensions.psi_readout, the SAME
+    function the batch query calls, so the smoothing contract cannot
+    fork. This is the production architecture: the expensive part
+    (fact-volume binning) is the streaming aggregate; the dashboard
+    read-out is cube-sized batch algebra between refreshes."""
+    from ..plans.extensions import _PSI_BINS, _PSI_W, psi_readout
+
+    ev = events_stream(spark, sf_dir)
+    B, W = _PSI_BINS, _PSI_W
+    win = (
+        F.when(F.dayofmonth("ts").between(1, 7), F.lit("b"))
+        .when(F.dayofmonth("ts").between(15, 21), F.lit("c"))
+    )
+
+    def binned(col):
+        return F.least(F.floor(col / W).cast("long"), F.lit(B - 1))
+
+    cube = (
+        ev.select(
+            "event_type",
+            win.alias("win"),
+            binned(F.col("value")).alias("bin"),
+            binned(F.col("value") * 1.5).alias("sbin"),
+        )
+        .groupBy("event_type", "win", "bin", "sbin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # localCheckpoint re-bases the memory-sink table on a fresh RDD scan:
+    # psi_readout self-joins the cube three ways, and the memory table's
+    # plan carries fixed attribute ids that would conflict across those
+    # branches (the batch path checkpoints its cube for the same reason).
+    drained = _drain(
+        cube, "stream_psi_drift_monitor", mode="complete"
+    ).localCheckpoint(eager=True)
+    return psi_readout(spark, drained)
+
+
+from ..plans import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_psi_drift_monitor"].oracle = _REG["dq_drift_psi"].oracle

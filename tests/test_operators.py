@@ -3322,3 +3322,38 @@ def test_rouge_pairs_clipped_counts(spark, tmp_path):
     assert out[(2, 1)]["rouge2_f1_ppm"] == 1_000_000
     assert out[(3, 1)]["rouge1_f1_ppm"] == 888_888
     assert out[(3, 1)]["rouge2_f1_ppm"] == 857_142
+
+
+def test_stream_psi_equals_batch_twin(spark, tmp_path):
+    """The streaming PSI monitor must reproduce dq_drift_psi row-for-row
+    on a fixture with a planted scale drift: base week values ~U[0,30],
+    current week shifted up — both the raw and 1.5x-shifted PSIs and
+    the drifted verdict match the batch twin exactly."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        for i in range(40):
+            rows.append(
+                (eid, datetime(1995, 1, d, 8, 0) + timedelta(minutes=i),
+                 float((i * 7) % 30), "view")
+            )
+            eid += 1
+    for d in (15, 16, 17, 18, 19, 20, 21):
+        for i in range(40):
+            rows.append(
+                (eid, datetime(1995, 1, d, 8, 0) + timedelta(minutes=i),
+                 float((i * 7) % 30 + 40), "view")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    batch = REGISTRY["dq_drift_psi"].fn(spark, str(tmp_path)).collect()
+    stream = REGISTRY["stream_psi_drift_monitor"].fn(spark, str(tmp_path)).collect()
+    key = lambda r: r["event_type"]
+    assert sorted(map(tuple, batch), key=lambda t: t[0]) == sorted(
+        map(tuple, stream), key=lambda t: t[0]
+    )
+    assert batch[0]["drifted"]  # the planted shift must actually alarm
+    assert batch[0]["psi_value"] > 0.1  # raw feed drifted too (location shift)
