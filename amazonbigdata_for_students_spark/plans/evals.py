@@ -3073,3 +3073,183 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_hi * (n_tot - n_hi)) AS BIGINT) END"
         ).alias("alpha_ppm"),
     )
+
+
+# DeLong z^2 at alpha = 0.05 two-sided: 1.959964^2, quantized ppb (the
+# twin-oracle-constant discipline).
+DELONG_Z2_PPB = 3_841_458_821
+
+# The staged-floor variance chain, shared verbatim by both engines.
+# x10 = P*sum(np*t^2) - A^2 with t = 2*cumneg + nn (per-positive placement
+# x 2N) is exact; the two-stage division (first by 4(P-1)N, then the
+# e12-scaled divide by N*P^2) keeps every intermediate inside 10^38 out to
+# ~1e9 positives. The pre-floor loses < 1 unit at the x10/(4(P-1)N) scale
+# — negligible at production counts, and DETERMINISTIC: both engines run
+# this identical expression, so the defined statistic is the chain itself.
+_DELONG_VAR10 = (
+    "CAST(x10 div (4 * (p - 1) * n) AS DECIMAL(38,0))"
+    " * 1000000000000 div (n * p * p)"
+)
+_DELONG_VAR01 = (
+    "CAST(x01 div (4 * (n - 1) * p) AS DECIMAL(38,0))"
+    " * 1000000000000 div (p * n * n)"
+)
+
+
+@query(
+    "eval_auc_delong",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_AUC_SCORE_SQL} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    hist AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM scored GROUP BY score),
+    cum AS (
+      SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumneg,
+             CAST(coalesce(sum(np) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumpos
+      FROM hist),
+    g AS (
+      SELECT CAST(sum(np) AS HUGEINT) AS p, CAST(sum(nn) AS HUGEINT) AS n,
+             sum(CAST(np AS HUGEINT) * (2 * cumneg + nn)) AS a,
+             sum(CAST(np AS HUGEINT) * CAST(2 * cumneg + nn AS HUGEINT)
+                 * (2 * cumneg + nn)) AS t2s,
+             sum(CAST(nn AS HUGEINT)
+                 * CAST(2 * ((SELECT sum(np) FROM hist) - cumpos - np) + np
+                        AS HUGEINT)) AS b,
+             sum(CAST(nn AS HUGEINT)
+                 * CAST(2 * ((SELECT sum(np) FROM hist) - cumpos - np) + np
+                        AS HUGEINT)
+                 * (2 * ((SELECT sum(np) FROM hist) - cumpos - np) + np))
+               AS u2s
+      FROM cum),
+    v AS (
+      SELECT p, n,
+             CAST(a * 1000000 // (2 * n * p) AS BIGINT) AS auc_ppm,
+             p * t2s - a * a AS x10,
+             n * u2s - b * b AS x01
+      FROM g WHERE p > 1 AND n > 1),
+    w AS (
+      SELECT p, n, auc_ppm,
+             CAST(CAST(x10 // (4 * (p - 1) * n) AS HUGEINT)
+                  * 1000000000000 // (n * p * p) AS BIGINT)
+               AS var10_e12,
+             CAST(CAST(x01 // (4 * (n - 1) * p) AS HUGEINT)
+                  * 1000000000000 // (p * n * n) AS BIGINT)
+               AS var01_e12
+      FROM v)
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           auc_ppm, var10_e12, var01_e12,
+           var10_e12 + var01_e12 AS var_e12,
+           CAST(auc_ppm - 500000 AS HUGEINT)
+             * (auc_ppm - 500000) * 1000000000
+             >= {DELONG_Z2_PPB} * CAST(var10_e12 + var01_e12 AS HUGEINT)
+             AS significant
+    FROM w
+    """,
+    tags=("A3", "W3", "F4"),
+)
+def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance for the ROC-AUC (DeLong et al. 1988) — the
+    number that turns eval_auc_mannwhitney's point estimate into an
+    inference: var(AUC) = var(V10)/P + var(V01)/N over the per-positive
+    and per-negative placement values, computed ENTIRELY on the
+    <= 1001-bucket score histogram (placements are constant within a
+    score bucket, so the second moments are bucket sums — never a scan
+    of row pairs). Placements clear their halves by the x2N / x2P
+    lift (t = 2*cumneg + nn, u = 2*pos_above + np, the midrank tie
+    credit exact), the variance numerators P*sum(np t^2) - A^2 /
+    N*sum(nn u^2) - B^2 are exact integers, and the e12-scaled
+    variance uses the documented staged-floor chain (see module
+    constant) so every intermediate stays inside decimal(38)/HUGEINT
+    out to a billion documents. The significance verdict vs AUC = 0.5
+    is the squared-z cleared inequality against the ppb-quantized
+    1.96^2 — no square root anywhere. Degenerate corpora (P <= 1 or
+    N <= 1) emit zero rows (the variance is undefined).
+
+    Scale: identical shape to the Mann-Whitney AUC — one scan, one
+    score-histogram shuffle (<= 1001 groups), windows and moments on
+    the histogram only."""
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.select("lang", TOKENS().alias("toks"))
+        .select(
+            _en_score_col().alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("np"),
+            F.sum(F.expr("1 - pos")).cast("long").alias("nn"),
+        )
+    )
+    wnd = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wnd), F.lit(0)).cast("long").alias("cumneg"),
+        F.coalesce(F.sum("np").over(wnd), F.lit(0)).cast("long").alias("cumpos"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    g = cum.withColumn("ptot", F.sum("np").over(wall)).agg(
+        F.sum("np").cast("decimal(38,0)").alias("p"),
+        F.sum("nn").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("CAST(np AS DECIMAL(38,0)) * (2 * cumneg + nn)")).alias(
+            "a"
+        ),
+        F.sum(
+            F.expr(
+                "CAST(np AS DECIMAL(38,0))"
+                " * CAST(2 * cumneg + nn AS DECIMAL(38,0))"
+                " * (2 * cumneg + nn)"
+            )
+        ).alias("t2s"),
+        F.sum(
+            F.expr(
+                "CAST(nn AS DECIMAL(38,0))"
+                " * CAST(2 * (ptot - cumpos - np) + np AS DECIMAL(38,0))"
+            )
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                "CAST(nn AS DECIMAL(38,0))"
+                " * CAST(2 * (ptot - cumpos - np) + np AS DECIMAL(38,0))"
+                " * (2 * (ptot - cumpos - np) + np)"
+            )
+        ).alias("u2s"),
+    )
+    v = g.filter(F.expr("p > 1 AND n > 1")).select(
+        "p",
+        "n",
+        F.expr("CAST(a * 1000000 div (2 * n * p) AS BIGINT)").alias("auc_ppm"),
+        F.expr("p * t2s - a * a").alias("x10"),
+        F.expr("n * u2s - b * b").alias("x01"),
+    )
+    w = v.select(
+        "p",
+        "n",
+        "auc_ppm",
+        F.expr(f"CAST({_DELONG_VAR10} AS BIGINT)").alias("var10_e12"),
+        F.expr(f"CAST({_DELONG_VAR01} AS BIGINT)").alias("var01_e12"),
+    )
+    return w.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        "auc_ppm",
+        "var10_e12",
+        "var01_e12",
+        (F.col("var10_e12") + F.col("var01_e12")).alias("var_e12"),
+        F.expr(
+            "CAST(auc_ppm - 500000 AS DECIMAL(38,0))"
+            " * (auc_ppm - 500000) * 1000000000"
+            f" >= {DELONG_Z2_PPB}"
+            " * CAST(var10_e12 + var01_e12 AS DECIMAL(38,0))"
+        ).alias("significant"),
+    )

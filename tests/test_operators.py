@@ -3357,3 +3357,25 @@ def test_stream_psi_equals_batch_twin(spark, tmp_path):
     )
     assert batch[0]["drifted"]  # the planted shift must actually alarm
     assert batch[0]["psi_value"] > 0.1  # raw feed drifted too (location shift)
+
+
+def test_auc_delong_histogram_chain(spark, tmp_path):
+    """Mirror the DeLong placement/variance chain on a 5-doc fixture
+    with a score tie across classes: two high-marker positives, one
+    zero-marker positive tied with the two zero-marker negatives.
+    A = 10 -> AUC = 10/12; x10 = 8, x01 = 0, and the staged-floor
+    variance chain zeroes both at this scale (8 div 16 = 0)."""
+    markers = "the of and to in is was for on as"
+    rows = [
+        (1, markers, "en"), (2, markers, "en"),
+        (3, "zz qq ww rr", "en"),
+        (4, "zz qq ww rr", "de"), (5, "zz qq ww rr", "fr"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_auc_delong"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["auc_ppm"] == 833_333
+    assert (r["var10_e12"], r["var01_e12"], r["var_e12"]) == (0, 0, 0)
+    assert r["significant"]

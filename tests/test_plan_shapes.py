@@ -1258,3 +1258,13 @@ def test_rouge_pairs_keyed_gram_joins(spark, sf_small):
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
     assert "CartesianProduct" not in final
+
+
+def test_auc_delong_runs_on_score_histogram(spark, sf_small):
+    """DeLong must inherit the Mann-Whitney shape: one scan, one
+    score-histogram shuffle, windows over the <=1001-bucket table —
+    never a row-pair join."""
+    df = REGISTRY["eval_auc_delong"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
