@@ -149,7 +149,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "er_fellegi_sunter", "eval_krippendorff_alpha", "mix_dedup_weighted",
     "eval_forecast_mase",
     "timeseries_dominant_period", "eval_rouge_pairs",
-    "stream_psi_drift_monitor", "eval_auc_delong",
+    "stream_psi_drift_monitor", "eval_auc_delong", "sql_execute_immediate",
 )
 
 _WINDOW_SIZE = 50

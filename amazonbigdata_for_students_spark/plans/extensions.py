@@ -2629,3 +2629,48 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("order_share_ppm"),
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS rev_above
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(floor(max(o_totalprice)) AS BIGINT) // 2
+                          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("F6", "A3", "P2"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL through session variables + EXECUTE IMMEDIATE — the
+    Spark 4 surface a governed query service uses when the STATEMENT
+    itself is data (stored report definitions, admin tooling): DECLARE
+    a typed session variable, EXECUTE IMMEDIATE ... INTO to capture a
+    data-derived threshold (half the max order value, exact integer via
+    floor-div), then EXECUTE IMMEDIATE a parameterized statement
+    binding the variable with USING — no string splicing anywhere, the
+    same injection-safe posture as sql_params_identifier but with the
+    statement text late-bound. The oracle is the equivalent static
+    query with a scalar subquery: parameters resolve before analysis,
+    so the optimized plan (pushed filter, partial agg) is identical to
+    the literal form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ei")
+    spark.sql("DECLARE OR REPLACE VARIABLE ei_thr BIGINT")
+    spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT CAST(floor(max(o_totalprice)) AS BIGINT) div 2"
+        " FROM orders_ei' INTO ei_thr"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT o_orderpriority,"
+        "         CAST(count(*) AS BIGINT) AS n_above,"
+        "         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+        "           AS rev_above"
+        "  FROM orders_ei WHERE o_totalprice > ?"
+        "  GROUP BY o_orderpriority' USING ei_thr"
+    )

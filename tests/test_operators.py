@@ -3379,3 +3379,26 @@ def test_auc_delong_histogram_chain(spark, tmp_path):
     assert r["auc_ppm"] == 833_333
     assert (r["var10_e12"], r["var01_e12"], r["var_e12"]) == (0, 0, 0)
     assert r["significant"]
+
+
+def test_execute_immediate_binds_data_derived_threshold(spark, tmp_path):
+    """The INTO-captured variable must equal floor(max)/2 and the USING
+    bind must filter exactly: orders 100, 220, 300 -> threshold 150 ->
+    only the 220 and 300 rows survive."""
+    from datetime import datetime
+
+    base = datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, "1-URGENT", 100.0, base), (2, "1-URGENT", 220.0, base),
+         (3, "2-HIGH", 300.0, base)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["sql_execute_immediate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["1-URGENT"]["n_above"] == 1
+    assert out["1-URGENT"]["rev_above"] == 220.0
+    assert out["2-HIGH"]["n_above"] == 1
+    assert spark.sql("SELECT ei_thr AS t").collect()[0]["t"] == 150
