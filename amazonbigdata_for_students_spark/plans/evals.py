@@ -31,6 +31,7 @@ from .registry import query
 from .relational import EVENTS
 from .text import (
     LANG_HITS_SQL,
+    SPARK_SQL_TOKENS,
     LANG_PRED_CASE_SQL,
     MINHASH_BAND_SQL,
     SQL_TOKENS,
@@ -2793,8 +2794,7 @@ _FLEISS_HI_DUCK = (
 )
 _FLEISS_HI_SPARK = (
     "(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
-    " + CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
-    " x -> x != '')) >= 25 THEN 1 ELSE 0 END"
+    f" + CASE WHEN size({SPARK_SQL_TOKENS}) >= 25 THEN 1 ELSE 0 END"
     " + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2"
     " THEN 1 ELSE 0 END)"
 )
@@ -2997,12 +2997,9 @@ _KRIPP_VOTES_SPARK = (
     "CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
     " + CASE WHEN length(text) - length(replace(text, '.', '')) >= 2"
     " THEN 1 ELSE 0 END"
-    " + CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
-    " x -> x != '')) >= 30 THEN 1 ELSE 0 END AS h",
-    "CASE WHEN size(filter(split(lower(trim(text)), '\\\\s+'),"
-    " x -> x != '')) >= 30"
-    " OR size(filter(split(lower(trim(text)), '\\\\s+'),"
-    " x -> x != '')) < 20 THEN 3 ELSE 2 END AS m",
+    f" + CASE WHEN size({SPARK_SQL_TOKENS}) >= 30 THEN 1 ELSE 0 END AS h",
+    f"CASE WHEN size({SPARK_SQL_TOKENS}) >= 30"
+    f" OR size({SPARK_SQL_TOKENS}) < 20 THEN 3 ELSE 2 END AS m",
 )
 
 

@@ -2602,7 +2602,9 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no forced broadcast: customer scales with sf, so AQE decides
+        # (the q5/q18 convention — a hint here OOMs the driver at 100x)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_mktsegment",
             "c_nationkey",

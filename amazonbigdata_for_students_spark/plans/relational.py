@@ -4344,11 +4344,21 @@ _ACF_CTES = f"""
       GROUP BY 1, 2),
     acf AS (
       SELECT l.event_type, CAST(l.k AS BIGINT) AS k,
+             CAST(l.m AS BIGINT) AS n_pairs,
              CAST((t.n * t.n * l.sab - t.n * t.s * (l.sa + l.sb)
                    + l.m * t.s * t.s) * 1000000
                   // (t.n * t.n * t.sxx - t.n * t.s * t.s) AS BIGINT)
                AS acf_ppm
       FROM lags l JOIN tot t USING (event_type))"""
+
+# Rebind the ACF query's oracle onto the SAME shared CTE chain: the
+# dominant-period query composes the registered Spark plan, so the two
+# oracles must also share one text (the review's drift-risk finding).
+from .registry import REGISTRY as _R  # noqa: E402
+
+_R["timeseries_autocorrelation"].oracle = (
+    f"WITH {_ACF_CTES} SELECT event_type, k, n_pairs, acf_ppm FROM acf"
+)
 
 
 @query(

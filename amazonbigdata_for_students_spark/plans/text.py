@@ -20,6 +20,12 @@ def TOKENS():
     return F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
 # DuckDB-side twin.
 SQL_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+# Spark-SQL-string twin of TOKENS() for call sites that must embed the
+# tokenizer inside a larger F.expr/selectExpr string (the TOKENS/SQL_TOKENS
+# "ONE definition" pair extended to the third consumer kind).
+SPARK_SQL_TOKENS = (
+    "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+)
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1015,10 +1021,11 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_fuzzy_blocked",
-    oracle="""
-    WITH t AS (
+# Hierarchical-blocking CTE text shared by every oracle that consumes the
+# blocked fuzzy candidates (join_fuzzy_blocked, er_resolve_entities,
+# er_fellegi_sunter) — ONE definition so a cap/prefix change cannot
+# silently diverge one consumer's twin (the VARIANT_SQL lesson).
+FUZZY_BLOCK_CTES = """t AS (
       SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
     ),
     b0 AS (
@@ -1035,7 +1042,13 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN b0.tok1 || ' ' || b0.tok2 || '|' || CAST(b0.lb AS VARCHAR)
                   ELSE b0.tok1 END AS blk
       FROM b0 JOIN sz USING (tok1)
-    )
+    )"""
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle=f"""
+    WITH {FUZZY_BLOCK_CTES}
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
            levenshtein(a.pfx, c.pfx) AS dist
     FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
@@ -1328,25 +1341,8 @@ REGISTRY["dedup_span_ngrams_hashed"].oracle = REGISTRY["dedup_span_ngrams"].orac
 
 @query(
     "er_resolve_entities",
-    oracle="""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
-    ),
-    b0 AS (
-      SELECT doc_id, pfx,
-             string_split(pfx, ' ')[1] AS tok1,
-             coalesce(string_split(pfx, ' ')[2], '') AS tok2,
-             length(pfx) // 8 AS lb
-      FROM t
-    ),
-    sz AS (SELECT tok1, count(*) AS c FROM b0 GROUP BY tok1),
-    b AS (
-      SELECT doc_id, pfx,
-             CASE WHEN sz.c > 500
-                  THEN b0.tok1 || ' ' || b0.tok2 || '|' || CAST(b0.lb AS VARCHAR)
-                  ELSE b0.tok1 END AS blk
-      FROM b0 JOIN sz USING (tok1)
-    ),
+    oracle=f"""
+    WITH RECURSIVE {FUZZY_BLOCK_CTES},
     pairs AS (
       SELECT a.doc_id AS a, c.doc_id AS b
       FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
@@ -3463,25 +3459,8 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Fellegi-Sunter probabilistic record linkage ------------------------------
 # Shared blocking CTEs (identical text to join_fuzzy_blocked's oracle).
-_FS_PAIR_CTES = """
-    t AS (
-      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS pfx FROM documents
-    ),
-    b0 AS (
-      SELECT doc_id, pfx,
-             string_split(pfx, ' ')[1] AS tok1,
-             coalesce(string_split(pfx, ' ')[2], '') AS tok2,
-             length(pfx) // 8 AS lb
-      FROM t
-    ),
-    sz AS (SELECT tok1, count(*) AS c FROM b0 GROUP BY tok1),
-    b AS (
-      SELECT doc_id, pfx,
-             CASE WHEN sz.c > 500
-                  THEN b0.tok1 || ' ' || b0.tok2 || '|' || CAST(b0.lb AS VARCHAR)
-                  ELSE b0.tok1 END AS blk
-      FROM b0 JOIN sz USING (tok1)
-    ),
+_FS_PAIR_CTES = f"""
+    {FUZZY_BLOCK_CTES},
     pairs AS (
       SELECT a.doc_id AS da, c.doc_id AS db,
              levenshtein(a.pfx, c.pfx) AS dist
@@ -3777,8 +3756,18 @@ def eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id")
         .localCheckpoint(eager=False)
     )
-    toks = d.select("doc_id", TOKENS().alias("toks")).localCheckpoint(
-        eager=False
+    # prune to flagged docs BEFORE building gram tables: only pair
+    # members are ever scored, so the gram shuffle must be bounded by
+    # the flagged-pair token mass, not the corpus (review finding)
+    pair_docs = (
+        pairs.select("doc_id")
+        .unionAll(pairs.select(F.col("canonical_id").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        d.select("doc_id", TOKENS().alias("toks"))
+        .join(pair_docs, "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
     )
     uni = (
         toks.select("doc_id", F.explode("toks").alias("g"))
