@@ -17,6 +17,7 @@ glue_cf_template.json:139; Firehose partitioned long-term storage
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import time
@@ -63,6 +64,18 @@ def _src_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     return "|".join(parts)
 
 
+def _is_ready(d: str, fp: str) -> bool:
+    ok = os.path.join(d, "_OK")
+    if os.path.exists(ok):
+        with open(ok) as f:
+            return f.read() == fp
+    return False
+
+
+# Build locks held between _cache_dir (not-ready) and _mark: d -> open fd.
+_BUILD_LOCKS: dict[str, object] = {}
+
+
 def _cache_dir(
     sf_dir: str, name: str, tables: tuple[str, ...] = ("events",)
 ) -> tuple[str, bool, str]:
@@ -70,23 +83,41 @@ def _cache_dir(
 
     Ready only when the _OK marker exists AND records the current source
     fingerprint; otherwise the whole fixture dir is cleared so a rebuild
-    never mixes stale files with fresh ones."""
+    never mixes stale files with fresh ones.
+
+    CONCURRENCY: two processes (e.g. the oracle gate and the test suite)
+    can race the check->clear->build->mark window — observed once as a
+    TASK_WRITE_FAILED into a half-cleared _staging dir. A not-ready
+    result now takes an exclusive flock on <dir>.lock, re-checks
+    readiness after acquiring (the other builder may have finished while
+    we blocked), and holds the lock until _mark stamps _OK. A builder
+    that dies releases the flock at process exit and leaves no _OK, so
+    the next caller rebuilds cleanly."""
     d = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
     fp = _src_fingerprint(sf_dir, tables)
-    ok = os.path.join(d, "_OK")
-    ready = False
-    if os.path.exists(ok):
-        with open(ok) as f:
-            ready = f.read() == fp
-    if not ready and os.path.isdir(d):
+    if _is_ready(d, fp):
+        return d, True, fp
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    fd = open(d + ".lock", "w")
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    if _is_ready(d, fp):  # built by the process we were blocked behind
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        fd.close()
+        return d, True, fp
+    if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    return d, ready, fp
+    _BUILD_LOCKS[d] = fd
+    return d, False, fp
 
 
 def _mark(d: str, fp: str) -> None:
     with open(os.path.join(d, "_OK"), "w") as f:
         f.write(fp)
+    fd = _BUILD_LOCKS.pop(d, None)
+    if fd is not None:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        fd.close()
 
 
 # --------------------------------------------------------------------------

@@ -3402,3 +3402,37 @@ def test_execute_immediate_binds_data_derived_threshold(spark, tmp_path):
     assert out["1-URGENT"]["rev_above"] == 220.0
     assert out["2-HIGH"]["n_above"] == 1
     assert spark.sql("SELECT ei_thr AS t").collect()[0]["t"] == 150
+
+
+def test_fixture_cache_build_lock_serializes(tmp_path, monkeypatch):
+    """Two concurrent builders of the same source fixture must serialize
+    on the flock: the second blocks during the first's build and then
+    observes the finished fixture as ready (regression for the
+    TASK_WRITE_FAILED race between the oracle gate and the test suite
+    both rebuilding /tmp/abd_srccache)."""
+    import threading
+    import time
+    from pathlib import Path
+
+    from amazonbigdata_for_students_spark.plans import sources_ops as so
+
+    monkeypatch.setattr(so, "_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x")
+    d, ready, fp = so._cache_dir(str(sf), "fixt")
+    assert not ready
+    results = []
+
+    def second():
+        _d2, r2, _fp2 = so._cache_dir(str(sf), "fixt")
+        results.append(r2)
+
+    t = threading.Thread(target=second)
+    t.start()
+    time.sleep(0.4)
+    assert results == []  # blocked behind the held build lock
+    (Path(d) / "data").write_text("built")
+    so._mark(d, fp)
+    t.join(timeout=10)
+    assert results == [True]  # the waiter saw the finished build, no rebuild
