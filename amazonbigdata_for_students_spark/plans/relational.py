@@ -4423,3 +4423,95 @@ def timeseries_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acf1_ppm",
         (F.col("best_acf_ppm") > F.col("acf1_ppm")).alias("beats_lag1"),
     )
+
+
+@query(
+    "timeseries_croston",
+    oracle=f"""
+    WITH RECURSIVE dem AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS z
+      FROM {EVENTS} e WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    g AS (
+      SELECT user_id,
+             list(d ORDER BY d) AS ds, list(z ORDER BY d) AS zs
+      FROM dem GROUP BY user_id),
+    st AS (
+      SELECT user_id, ds, zs, CAST(1 AS BIGINT) AS t,
+             zs[1] AS sz, CAST(1 AS BIGINT) AS iv
+      FROM g
+      UNION ALL
+      SELECT user_id, ds, zs, t + 1,
+             (zs[t+1] + 3 * sz) // 4,
+             ((ds[t+1] - ds[t]) + 3 * iv) // 4
+      FROM st WHERE t < len(ds)),
+    fin AS (
+      SELECT user_id, t AS n_demands, sz, iv
+      FROM st WHERE t = len(ds))
+    SELECT user_id, n_demands,
+           sz AS size_level, iv AS interval_level,
+           CASE WHEN iv = 0 THEN 0
+                ELSE CAST(sz * 1000000 // iv AS BIGINT)
+           END AS demand_rate_ppm
+    FROM fin
+    """,
+    tags=("W3", "F7", "A3"),
+)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand — the forecaster
+    the Holt family is wrong for: when most periods are zero (per-user
+    purchase days), exponential smoothing of the raw series decays
+    toward zero between demands; Croston instead smooths two separate
+    series AT DEMAND POINTS ONLY — the nonzero demand size and the
+    inter-demand interval (alpha = 1/4 both, integer recurrence
+    s' = (z + 3s) div 4, v' = (gap + 3v) div 4, init s = z_1, v = 1)
+    — and forecasts the demand RATE size/interval, here as an exact
+    ppm ratio. Updating only at demand points means the state arrays
+    hold one entry per DEMAND, not per day: no zero-filled grid ever
+    materializes. Two-field fold state, so the oracle unrolls via the
+    recursive CTE (the holt_trend list_reduce-unsafety lesson) while
+    Spark folds a named_struct inside codegen.
+
+    Scale: one filtered scan -> (user, day) aggregate (map-side
+    combined), one shuffle on the series key, fold inside
+    whole-stage codegen over the per-user demand array."""
+    ev = load_table(spark, sf_dir, "events")
+    dem = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    g = dem.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "z"))).alias("ss")
+    )
+    fold = F.expr(
+        "aggregate(slice(ss, 2, size(ss) - 1), "
+        "named_struct('sz', ss[0].z, 'iv', 1L, 'pd', ss[0].d, 't', 1L), "
+        "(acc, x) -> named_struct("
+        "  'sz', (x.z + 3L * acc.sz) div 4L, "
+        "  'iv', ((x.d - acc.pd) + 3L * acc.iv) div 4L, "
+        "  'pd', x.d, "
+        "  't', acc.t + 1L))"
+    )
+    return (
+        g.select("user_id", fold.alias("st"))
+        .select(
+            "user_id",
+            F.col("st.t").alias("n_demands"),
+            F.col("st.sz").alias("size_level"),
+            F.col("st.iv").alias("interval_level"),
+            F.expr(
+                "CASE WHEN st.iv = 0 THEN 0"
+                " ELSE CAST(CAST(st.sz AS DECIMAL(38,0)) * 1000000"
+                " div st.iv AS BIGINT) END"
+            ).alias("demand_rate_ppm"),
+        )
+    )

@@ -3436,3 +3436,25 @@ def test_fixture_cache_build_lock_serializes(tmp_path, monkeypatch):
     so._mark(d, fp)
     t.join(timeout=10)
     assert results == [True]  # the waiter saw the finished build, no rebuild
+
+
+def test_croston_hand_walk(spark, tmp_path):
+    """User with purchase demands z=4 on day 0, z=8 on day 4, z=2 on
+    day 6: init s=4, v=1; step1: s=(8+12)//4=5, v=(4+3)//4=1;
+    step2: s=(2+15)//4=4, v=(2+3)//4=1 -> rate 4.0/day."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for day, z in ((0, 4), (4, 8), (6, 2)):
+        for i in range(z):
+            rows.append((eid, base + timedelta(days=day, minutes=i), 1, "purchase"))
+            eid += 1
+    rows.append((eid, base + timedelta(days=2), 1, "view"))  # ignored type
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["timeseries_croston"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_demands"] == 3
+    assert (r["size_level"], r["interval_level"]) == (4, 1)
+    assert r["demand_rate_ppm"] == 4_000_000

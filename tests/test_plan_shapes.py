@@ -1271,3 +1271,13 @@ def test_auc_delong_runs_on_score_histogram(spark, sf_small):
     plan = plan_of(df)
     assert plan.count("FileScan") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_croston_fold_in_codegen_no_window(spark, sf_small):
+    """Croston folds inside codegen over per-user demand arrays: one
+    filtered scan, two keyed aggregates, no window, no join."""
+    df = REGISTRY["timeseries_croston"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "PushedFilters" in plan and "purchase" in plan
