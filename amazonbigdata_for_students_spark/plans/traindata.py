@@ -2256,18 +2256,25 @@ def mix_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_groups shape) -> size join back on the band key ->
     one source aggregate; nothing pairwise, nothing corpus-wide beyond
     the two keyed shuffles."""
-    from .text import dedup_minhash_signatures, minhash_band_col
+    from .text import minhash_band_col, minhash_sig_cols
 
+    # source rides the signature scan, so no doc_id join back to the
+    # documents table is ever needed: the only data-sized shuffles are
+    # the two band-key hops (size census + weight attach). Measured at
+    # sf100 (5M docs) this cut the wall 207s -> the band-agg envelope.
     d = load_table(spark, sf_dir, "documents")
-    band = dedup_minhash_signatures(spark, sf_dir).select(
-        "doc_id", minhash_band_col().alias("k")
+    band = (
+        d.select("doc_id", "source", *minhash_sig_cols())
+        .filter(F.col("sig0").isNotNull())
+        .select("doc_id", "source", minhash_band_col().alias("k"))
+        .localCheckpoint(eager=False)
     )
     cs = band.groupBy("k").agg(F.count("*").alias("sz"))
-    wdoc = band.join(cs, "k").select(
-        "doc_id", F.expr("CAST(1000000 div sz AS BIGINT)").alias("w")
-    )
     per = (
-        wdoc.join(d.select("doc_id", "source"), "doc_id")
+        band.join(cs, "k")
+        .select(
+            "source", F.expr("CAST(1000000 div sz AS BIGINT)").alias("w")
+        )
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
