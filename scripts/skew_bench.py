@@ -251,6 +251,16 @@ PROBES: list[tuple[str, object, dict]] = [
     # chain is min-timestamp aggregates per user (combiner)
     ("clk_rolling_wau", registry_probe("clk_rolling_wau"), {}),
     ("clk_funnel_windowed", registry_probe("clk_funnel_windowed"), {}),
+    # r9 second-session additions touching user_id: DiD/CUPED/Qini all
+    # collapse users through map-side-combined aggregates (the variant
+    # hash is a per-row expression, never a shuffle key), so the hot
+    # user should be one fat partial, not a fat partition; Croston folds
+    # a per-user ordered demand ARRAY — the token-bucket monster-key
+    # shape, measured as that envelope.
+    ("eval_diff_in_diff", registry_probe("eval_diff_in_diff"), {}),
+    ("eval_cuped_adjustment", registry_probe("eval_cuped_adjustment"), {}),
+    ("eval_qini_uplift", registry_probe("eval_qini_uplift"), {}),
+    ("timeseries_croston", registry_probe("timeseries_croston"), {}),
 ]
 
 
