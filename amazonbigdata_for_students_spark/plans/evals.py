@@ -3250,3 +3250,112 @@ def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(var10_e12 + var01_e12 AS DECIMAL(38,0))"
         ).alias("significant"),
     )
+
+
+_LL_LN = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+_LL_Q1000 = 6_907_755  # floor(ln(1000)*1e6 + 0.5), the per-mille denominator
+
+
+@query(
+    "eval_log_loss",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(greatest({_AUC_SCORE_SQL}, 1), 999) AS pc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    t AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS k,
+             CAST(sum(y * ({_LL_Q1000} - {_LL_LN.format(x="pc")})
+                      + (1 - y) * ({_LL_Q1000}
+                                   - {_LL_LN.format(x="1000 - pc")}))
+                  AS HUGEINT) AS s
+      FROM scored),
+    b AS (
+      SELECT n, k, s,
+             least(greatest(CAST(k * 1000 // n AS BIGINT), 1), 999) AS pb
+      FROM t),
+    f AS (
+      SELECT n, k, s,
+             k * ({_LL_Q1000} - {_LL_LN.format(x="pb")})
+             + (n - k) * ({_LL_Q1000} - {_LL_LN.format(x="1000 - pb")})
+               AS sb
+      FROM b)
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_pos,
+           CAST(s // n AS BIGINT) AS logloss_micronats,
+           CAST(sb // n AS BIGINT) AS baseline_micronats,
+           CASE WHEN sb = 0 THEN 0
+                ELSE CAST((sb - s) * 1000000 // sb AS BIGINT)
+           END AS skill_ppm
+    FROM f
+    """,
+    tags=("A3", "F4", "U2"),
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log loss (cross-entropy) of the English-marker score used as a
+    probability — the OTHER proper scoring rule next to eval_brier_score,
+    and the one that punishes confident wrongness hardest (a 0.999 on a
+    negative costs ~6.9 nats vs Brier's capped 1). The per-mille score
+    clamps into [1, 999] so both log terms stay finite (the standard
+    epsilon-clip, deterministic in both engines); each document
+    contributes the exact integer micro-nat term y*(ln1000 - ln(pc)) +
+    (1-y)*(ln1000 - ln(1000-pc)) under the repo ln-quantization
+    discipline, so the mean is one floor division. The climatology
+    baseline (always predict the clamped base rate) and the skill score
+    (sb - s)/sb ride along as exact cross-multiplied integers — the same
+    skill framing as the Brier twin, so the two rules can be compared
+    directly.
+
+    Scale: one scan, one 3-sum global aggregate (map-side combine),
+    constant-row integer algebra after."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = lambda x: f"CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+    t = (
+        d.select("lang", TOKENS().alias("toks"))
+        .select(
+            _en_score_col().alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .select(
+            F.expr("least(greatest(score, 1), 999)").alias("pc"), "y"
+        )
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("y").cast("decimal(38,0)").alias("k"),
+            F.sum(
+                F.expr(
+                    f"y * ({_LL_Q1000} - {ln('pc')})"
+                    f" + (1 - y) * ({_LL_Q1000} - {ln('1000 - pc')})"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("s"),
+        )
+    )
+    b = t.select(
+        "n",
+        "k",
+        "s",
+        F.expr(
+            "least(greatest(CAST(k * 1000 div n AS BIGINT), 1), 999)"
+        ).alias("pb"),
+    )
+    f = b.select(
+        "n",
+        "k",
+        "s",
+        F.expr(
+            f"k * ({_LL_Q1000} - {ln('pb')})"
+            f" + (n - k) * ({_LL_Q1000} - {ln('1000 - pb')})"
+        ).alias("sb"),
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_pos"),
+        F.expr("CAST(s div n AS BIGINT)").alias("logloss_micronats"),
+        F.expr("CAST(sb div n AS BIGINT)").alias("baseline_micronats"),
+        F.expr(
+            "CASE WHEN sb = 0 THEN 0"
+            " ELSE CAST((sb - s) * 1000000 div sb AS BIGINT) END"
+        ).alias("skill_ppm"),
+    )

@@ -3458,3 +3458,23 @@ def test_croston_hand_walk(spark, tmp_path):
     assert r["n_demands"] == 3
     assert (r["size_level"], r["interval_level"]) == (4, 1)
     assert r["demand_rate_ppm"] == 4_000_000
+
+
+def test_log_loss_clamped_hand_walk(spark, tmp_path):
+    """A perfect positive (score 1000 -> clamp 999) and a perfect
+    negative (score 0 -> clamp 1) each cost exactly q(1000) - q(999) =
+    1000 micro-nats; the 50/50 climatology baseline costs ln2 =
+    693147 each, and the skill ratio follows the exact integers."""
+    rows = [
+        (1, "the and of is was", "en"),  # all five en markers -> score 1000
+        (2, "zz qq ww rr ss", "de"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = REGISTRY["eval_log_loss"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_pos"]) == (2, 1)
+    assert r["logloss_micronats"] == 1000
+    assert r["baseline_micronats"] == 693_147
+    sb, s = 2 * 693_147, 2 * 1000
+    assert r["skill_ppm"] == (sb - s) * 10**6 // sb

@@ -1281,3 +1281,11 @@ def test_croston_fold_in_codegen_no_window(spark, sf_small):
     assert plan.count("FileScan") == 1
     assert "Window" not in plan and "Join" not in plan
     assert "PushedFilters" in plan and "purchase" in plan
+
+
+def test_log_loss_one_scan_no_join(spark, sf_small):
+    """Log loss is one scan + one 3-sum global aggregate."""
+    df = REGISTRY["eval_log_loss"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
