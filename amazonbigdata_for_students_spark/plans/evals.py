@@ -3309,7 +3309,7 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one 3-sum global aggregate (map-side combine),
     constant-row integer algebra after."""
     d = load_table(spark, sf_dir, "documents")
-    ln = lambda x: f"CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+    ln = lambda x: _LL_LN.format(x=x)  # ONE quantization definition
     t = (
         d.select("lang", TOKENS().alias("toks"))
         .select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import fcntl
 import os
+import threading
 import shutil
 import time
 
@@ -72,8 +73,15 @@ def _is_ready(d: str, fp: str) -> bool:
     return False
 
 
-# Build locks held between _cache_dir (not-ready) and _mark: d -> open fd.
-_BUILD_LOCKS: dict[str, object] = {}
+# Build locks held between _cache_dir (not-ready) and _mark:
+# d -> (open fd, owning thread ident). The thread ident makes a FAILED
+# build self-healing: if the same thread re-enters _cache_dir for a
+# fixture it still holds the lock for (its previous build raised before
+# _mark), it clears and retries under the held lock instead of
+# flock-blocking against itself forever; a DIFFERENT thread (the
+# cross-process simulation the race test uses) still blocks on the
+# flock as intended.
+_BUILD_LOCKS: dict[str, tuple] = {}
 
 
 def _cache_dir(
@@ -95,6 +103,14 @@ def _cache_dir(
     the next caller rebuilds cleanly."""
     d = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
     fp = _src_fingerprint(sf_dir, tables)
+    held = _BUILD_LOCKS.get(d)
+    if held is not None and held[1] == threading.get_ident():
+        # this thread's previous build of d raised before _mark: retry
+        # under the lock it still holds (self-healing, no self-deadlock)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        return d, False, fp
     if _is_ready(d, fp):
         return d, True, fp
     os.makedirs(os.path.dirname(d), exist_ok=True)
@@ -107,17 +123,17 @@ def _cache_dir(
     if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    _BUILD_LOCKS[d] = fd
+    _BUILD_LOCKS[d] = (fd, threading.get_ident())
     return d, False, fp
 
 
 def _mark(d: str, fp: str) -> None:
     with open(os.path.join(d, "_OK"), "w") as f:
         f.write(fp)
-    fd = _BUILD_LOCKS.pop(d, None)
-    if fd is not None:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        fd.close()
+    held = _BUILD_LOCKS.pop(d, None)
+    if held is not None:
+        fcntl.flock(held[0], fcntl.LOCK_UN)
+        held[0].close()
 
 
 # --------------------------------------------------------------------------
@@ -277,7 +293,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     li_t, o_t = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
     d, ready, fp = _cache_dir(sf_dir, "bucketed", tables=("lineitem", "orders"))
-    if not ready or not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(o_t):
+    if ready and not (
+        spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
+    ):
+        # wiped warehouse behind a fresh _OK: drop the marker and re-enter
+        # the LOCKED build path — the rebuild previously ran lock-free
+        # here, the exact concurrent DROP/saveAsTable race class the
+        # fixture lock exists to prevent. If another process rebuilds
+        # while we wait on the lock, the re-entry returns ready and the
+        # tables exist.
+        os.remove(os.path.join(d, "_OK"))
+        d, ready, fp = _cache_dir(
+            sf_dir, "bucketed", tables=("lineitem", "orders")
+        )
+    if not ready:
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         warehouse = warehouse.removeprefix("file:")
         for t, name, key in (("lineitem", li_t, "l_orderkey"), ("orders", o_t, "o_orderkey")):

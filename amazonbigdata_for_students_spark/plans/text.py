@@ -466,8 +466,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows -> no doc row); without the filter their NULL signatures would
     concat to a NULL band key downstream and collapse every empty doc
     into one spurious LSH group."""
+    return minhash_signatures(spark, sf_dir)
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The signature scan with optional carried-through columns — ONE
+    definition of the zero-token filter (see the query docstring above
+    for why NULL signatures must not reach a band key), so consumers
+    that need e.g. the source column (mix_dedup_weighted) cannot fork
+    the empty-doc semantics."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *minhash_sig_cols()).filter(
+    return d.select("doc_id", *extra_cols, *minhash_sig_cols()).filter(
         F.col("sig0").isNotNull()
     )
 

@@ -2256,16 +2256,15 @@ def mix_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_groups shape) -> size join back on the band key ->
     one source aggregate; nothing pairwise, nothing corpus-wide beyond
     the two keyed shuffles."""
-    from .text import minhash_band_col, minhash_sig_cols
+    from .text import minhash_band_col, minhash_signatures
 
-    # source rides the signature scan, so no doc_id join back to the
-    # documents table is ever needed: the only data-sized shuffles are
-    # the two band-key hops (size census + weight attach). Measured at
-    # sf100 (5M docs) this cut the wall 207s -> the band-agg envelope.
-    d = load_table(spark, sf_dir, "documents")
+    # source rides the signature scan (the shared helper carries it), so
+    # no doc_id join back to the documents table is ever needed: the
+    # only data-sized shuffles are the two band-key hops (size census +
+    # weight attach). Measured at sf100 (5M docs) this cut the wall
+    # 207s -> 59s.
     band = (
-        d.select("doc_id", "source", *minhash_sig_cols())
-        .filter(F.col("sig0").isNotNull())
+        minhash_signatures(spark, sf_dir, extra_cols=("source",))
         .select("doc_id", "source", minhash_band_col().alias("k"))
         .localCheckpoint(eager=False)
     )

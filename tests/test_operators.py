@@ -3478,3 +3478,28 @@ def test_log_loss_clamped_hand_walk(spark, tmp_path):
     assert r["baseline_micronats"] == 693_147
     sb, s = 2 * 693_147, 2 * 1000
     assert r["skill_ppm"] == (sb - s) * 10**6 // sb
+
+
+def test_fixture_cache_failed_build_self_heals(tmp_path, monkeypatch):
+    """A build that raises before _mark leaves the lock held; the same
+    thread's next attempt must retry under that lock (clear + rebuild)
+    instead of flock-blocking against itself forever."""
+    from pathlib import Path
+
+    from amazonbigdata_for_students_spark.plans import sources_ops as so
+
+    monkeypatch.setattr(so, "_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x")
+    d, ready, fp = so._cache_dir(str(sf), "fixt")
+    assert not ready
+    (Path(d) / "halfdone").write_text("junk")  # the failed build's debris
+    # the caller raised; no _mark. Re-enter on the same thread:
+    d2, ready2, fp2 = so._cache_dir(str(sf), "fixt")
+    assert d2 == d and not ready2
+    assert not (Path(d) / "halfdone").exists()  # debris cleared on retry
+    (Path(d2) / "data").write_text("built")
+    so._mark(d2, fp2)
+    _d3, ready3, _fp3 = so._cache_dir(str(sf), "fixt")
+    assert ready3

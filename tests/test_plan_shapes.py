@@ -1225,9 +1225,10 @@ def test_krippendorff_one_scan_no_join(spark, sf_small):
 
 
 def test_dedup_weighted_band_keyed_no_cartesian(spark, sf_small):
-    """Soft-dedup weights reuse the map-only signature stage: the only
-    joins are the band-size join and the source attach, plus the 1-row
-    total graft — no pairwise expansion."""
+    """Soft-dedup weights reuse the map-only signature stage (source
+    rides the scan): the only data-sized join is the band-size attach,
+    plus the 1-row total graft — no pairwise expansion, no doc_id join
+    back to documents."""
     df = REGISTRY["mix_dedup_weighted"].fn(spark, sf_small)
     df.collect()
     final = plan_of(df).split("Initial Plan")[0]
