@@ -150,7 +150,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "eval_forecast_mase",
     "timeseries_dominant_period", "eval_rouge_pairs",
     "stream_psi_drift_monitor", "eval_auc_delong", "sql_execute_immediate",
-    "timeseries_croston", "eval_log_loss",
+    "timeseries_croston", "eval_log_loss", "stream_croston_monitor",
 )
 
 _WINDOW_SIZE = 50

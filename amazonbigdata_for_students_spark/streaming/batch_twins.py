@@ -1893,3 +1893,72 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..plans import REGISTRY as _REG  # noqa: E402
 
 _REG["stream_psi_drift_monitor"].oracle = _REG["dq_drift_psi"].oracle
+
+
+@query(
+    "stream_croston_monitor",
+    oracle=None,  # bound below to the batch Croston twin's SQL
+    tags=("T5", "W2", "F4"),
+)
+def stream_croston_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Croston forecaster — the stateful twin of
+    timeseries_croston (same oracle constant, byte-identical answer):
+    per user, GroupState carries (pending demand day, size level,
+    interval level, prev demand day, step count), a purchase day
+    flushing into the recurrences only when a later day arrives — so a
+    demand day straddling micro-batches enters the size/interval
+    smoothing exactly once, complete (the stream_holt_winters
+    contract). The snapshot applies the still-open day without storing
+    it, and the total-demand counter is the strictly-monotone snapshot
+    selector. Intermittent-demand state is 7 longs per user regardless
+    of feed volume.
+
+    Same ordering contract as the other update-mode twins: rows sort
+    within a batch; exact iff per-user demand-day order is
+    nondecreasing across batches (true for availableNow and
+    time-partitioned replay)."""
+    return _final_snapshot(
+        croston_stream(spark, sf_dir), key="user_id", order_col="nobs"
+    ).select(
+        "user_id", "n_demands", "size_level", "interval_level",
+        "demand_rate_ppm",
+    )
+
+
+def croston_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Build + drain the Croston stream: the registered query AND the
+    cross-batch day-straddle test drive this one pipeline."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .folds import croston_fold
+
+    ev = events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    keyed = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").alias(
+            "d"
+        ),
+        F.lit(1).alias("one"),
+    )
+    snap = keyed.groupBy("user_id").applyInPandasWithState(
+        croston_fold,
+        outputStructType=(
+            "user_id long, nobs long, n_demands long, size_level long,"
+            " interval_level long, demand_rate_ppm long"
+        ),
+        stateStructType=(
+            "pend_day long, pend_z long, sz long, iv long, pd long,"
+            " t long, nobs long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_croston_monitor" if max_files_per_trigger is None else (
+        f"stream_croston_monitor_mfpt{max_files_per_trigger}"
+    )
+    return _drain(snap, name, mode="update")
+
+
+_REG["stream_croston_monitor"].oracle = _REG["timeseries_croston"].oracle

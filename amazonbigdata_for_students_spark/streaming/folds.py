@@ -406,3 +406,64 @@ def funnel_stage_fold(key, pdfs, state):
             "funnel_stage": [3 if p != -1 else 2 if c != -1 else 1 if v != -1 else 0],
         }
     )
+
+
+def croston_fold(key, pdfs, state):
+    """Per-user streaming Croston walk for stream_croston_monitor.
+    State: (pend_day, pend_z, sz, iv, pd, t, nobs) — a purchase day's
+    demand accumulates in `pending` until a LATER day arrives, then
+    flushes into the size/interval recurrences exactly once, complete
+    (the holt_winters_fold day-straddle contract). The emitted snapshot
+    applies the still-pending day as a final step WITHOUT storing it,
+    so each batch reports 'the state if the stream ended now'; nobs
+    (total demand observed) is the strictly-monotone snapshot selector.
+    Recurrences mirror timeseries_croston exactly: first demand seeds
+    (sz=z1, iv=1, pd=d1, t=1); each later flush of (d, z) applies
+    sz' = (z + 3sz) div 4, iv' = ((d - pd) + 3iv) div 4 with the same
+    truncating division both engines use."""
+    import pandas as pd  # executor-side
+
+    objs = list(pdfs)
+    if not objs:
+        return
+    rows = pd.concat(objs, ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["d"])
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [-1, 0, 0, 0, 0, 0, 0]  # pend_day pend_z sz iv pd t nobs
+
+    def flush(vals):
+        pd_day, z = vals[0], vals[1]
+        sz, iv, prev, t = vals[2], vals[3], vals[4], vals[5]
+        if t == 0:
+            return [pd_day, z, z, 1, pd_day, 1, vals[6]]
+        sz2 = _trunc_div(z + 3 * sz, 4)
+        iv2 = _trunc_div((pd_day - prev) + 3 * iv, 4)
+        return [pd_day, z, sz2, iv2, pd_day, t + 1, vals[6]]
+
+    for d, z in rows.groupby("d")["one"].sum().items():
+        d, z = int(d), int(z)
+        if st[0] == -1:
+            st[0], st[1] = d, 0
+        if d > st[0]:
+            st = flush(st)
+            st[0], st[1] = d, 0
+        st[1] += z
+        st[6] += z
+    state.update(tuple(st))
+    view = flush(st) if st[0] != -1 else st
+    sz, iv, t = view[2], view[3], view[5]
+    rate = 0 if iv == 0 else (sz * 1_000_000) // iv
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "nobs": [st[6]],
+            "n_demands": [t],
+            "size_level": [sz],
+            "interval_level": [iv],
+            "demand_rate_ppm": [rate],
+        }
+    )

@@ -759,3 +759,51 @@ def test_funnel_stage_advances_across_microbatches(spark, tmp_path):
     assert (final[1]["funnel_stage"], final[1]["n_events"]) == (3, 3)
     assert final[2]["funnel_stage"] == 1  # pre-view click never counts
     assert final[3]["funnel_stage"] == 1  # equal-ts click is not strictly after
+
+
+def test_croston_demand_day_straddles_microbatches(spark, tmp_path):
+    # Two part files = two micro-batches. User 1's day-5 demand is SPLIT
+    # across the batches (2 purchases, then 3 more on the same day plus
+    # 4 on day 9). The carried pending day must let batch 2 EXTEND day 5
+    # before day 9 flushes it: z(day5)=5 seeds (sz=5, iv=1), day 9 then
+    # applies sz=(4+15)//4=4, iv=((9-5)+3)//4=1 -> rate 4.0/day. A fold
+    # that flushed the pending day at the batch boundary would seed from
+    # z=2 and double-count day 5 as two demands.
+    import glob
+    import shutil
+
+    from amazonbigdata_for_students_spark.streaming.batch_twins import (
+        _final_snapshot,
+        croston_stream,
+    )
+
+    d = tmp_path / "cro" / "events.parquet"
+    d.mkdir(parents=True)
+
+    def write_part(name, specs, eid0):
+        rows = [
+            (eid0 + i, ts, 1, "purchase", 1.0, "{}")
+            for i, ts in enumerate(specs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(d / name))
+
+    day5 = "1970-01-06 08:00:00"
+    day9 = "1970-01-10 08:00:00"
+    write_part("part-000.parquet", [day5, day5], 0)
+    write_part("part-001.parquet", [day5, day5, day5, day9, day9, day9, day9], 100)
+
+    res = croston_stream(spark, str(tmp_path / "cro"), max_files_per_trigger=1)
+    final = _final_snapshot(res, key="user_id", order_col="nobs").collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r.n_demands, r.size_level, r.interval_level) == (2, 4, 1)
+    assert r.demand_rate_ppm == 4_000_000
+    assert res.count() >= 2  # update mode emitted a snapshot per batch
