@@ -136,6 +136,20 @@ def _mark(d: str, fp: str) -> None:
         held[0].close()
 
 
+def release_thread_build_locks() -> None:
+    """Release every build lock the CURRENT thread holds — called from
+    the registry wrapper when a query raises mid-build, so a failed
+    build never wedges the other gate threads (check_oracle's pool
+    shares fixtures like 'jsonl' across queries) or other processes.
+    No _OK was stamped, so the next caller clears and rebuilds."""
+    ident = threading.get_ident()
+    for d, held in list(_BUILD_LOCKS.items()):
+        if held[1] == ident:
+            _BUILD_LOCKS.pop(d, None)
+            fcntl.flock(held[0], fcntl.LOCK_UN)
+            held[0].close()
+
+
 # --------------------------------------------------------------------------
 # S1 — hourly CSV batch scan over prefix/YYYY/MM/DD/HH.csv
 # --------------------------------------------------------------------------
@@ -292,17 +306,25 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     source fixtures; tableExists guards a wiped warehouse."""
     suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     li_t, o_t = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
+    # The bucketed tables live in the SESSION catalog (saveAsTable
+    # metadata is per-process even though the files are shared), so a
+    # shared-_OK marker can be fresh while THIS session still cannot see
+    # the tables. Loop: drop the marker (guarded — a concurrent session
+    # may have already dropped it) and re-enter the LOCKED build path
+    # until we either hold the build lock (not ready) or the tables are
+    # visible here. Bounded: each retry means another process re-marked
+    # while we waited, which cannot repeat more times than there are
+    # concurrent sessions.
     d, ready, fp = _cache_dir(sf_dir, "bucketed", tables=("lineitem", "orders"))
-    if ready and not (
-        spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
-    ):
-        # wiped warehouse behind a fresh _OK: drop the marker and re-enter
-        # the LOCKED build path — the rebuild previously ran lock-free
-        # here, the exact concurrent DROP/saveAsTable race class the
-        # fixture lock exists to prevent. If another process rebuilds
-        # while we wait on the lock, the re-entry returns ready and the
-        # tables exist.
-        os.remove(os.path.join(d, "_OK"))
+    for _ in range(5):
+        if not ready or (
+            spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
+        ):
+            break
+        try:
+            os.remove(os.path.join(d, "_OK"))
+        except FileNotFoundError:
+            pass
         d, ready, fp = _cache_dir(
             sf_dir, "bucketed", tables=("lineitem", "orders")
         )

@@ -3503,3 +3503,33 @@ def test_fixture_cache_failed_build_self_heals(tmp_path, monkeypatch):
     so._mark(d2, fp2)
     _d3, ready3, _fp3 = so._cache_dir(str(sf), "fixt")
     assert ready3
+
+
+def test_failed_build_lock_released_for_other_threads(tmp_path, monkeypatch):
+    """The registry wrapper's release hook must free a raising thread's
+    build lock so OTHER threads (the gate pool sharing a fixture) can
+    acquire and build instead of flock-blocking forever."""
+    import threading
+    from pathlib import Path
+
+    from amazonbigdata_for_students_spark.plans import sources_ops as so
+
+    monkeypatch.setattr(so, "_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x")
+    _d, ready, _fp = so._cache_dir(str(sf), "fixt")
+    assert not ready
+    so.release_thread_build_locks()  # what the wrapper does when fn raises
+    results = []
+
+    def second():
+        d2, r2, fp2 = so._cache_dir(str(sf), "fixt")
+        results.append(r2)
+        (Path(d2) / "x").write_text("b")
+        so._mark(d2, fp2)
+
+    t = threading.Thread(target=second)
+    t.start()
+    t.join(timeout=10)
+    assert results == [False]  # acquired and built; no deadlock
