@@ -151,6 +151,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "timeseries_dominant_period", "eval_rouge_pairs",
     "stream_psi_drift_monitor", "eval_auc_delong", "sql_execute_immediate",
     "timeseries_croston", "eval_log_loss", "stream_croston_monitor",
+    "graph_wl_refinement", "retrieval_exposure_parity",
 )
 
 _WINDOW_SIZE = 50

@@ -1173,3 +1173,118 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (4 * max(m) * max(m)) AS BIGINT)"
         ).alias("modularity_ppm"),
     )
+
+
+# --- Weisfeiler-Lehman color refinement ---------------------------------------
+_WL_SUMMARY = """
+      SELECT {r} AS round,
+             CAST(count(DISTINCT lbl) AS BIGINT) AS n_classes,
+             CAST(max(c) AS BIGINT) AS largest_class
+      FROM (SELECT lbl, count(*) AS c FROM l{r} GROUP BY lbl)"""
+
+
+@query(
+    "graph_wl_refinement",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    l0 AS (SELECT src AS node, CAST(d AS VARCHAR) AS lbl FROM deg),
+    l1 AS (
+      SELECT v.node,
+             md5(v.lbl || '|' ||
+                 array_to_string(list(nb.lbl ORDER BY nb.lbl), ',')) AS lbl
+      FROM l0 v
+      JOIN edges e ON e.dst = v.node
+      JOIN l0 nb ON nb.node = e.src
+      GROUP BY v.node, v.lbl),
+    l2 AS (
+      SELECT v.node,
+             md5(v.lbl || '|' ||
+                 array_to_string(list(nb.lbl ORDER BY nb.lbl), ',')) AS lbl
+      FROM l1 v
+      JOIN edges e ON e.dst = v.node
+      JOIN l1 nb ON nb.node = e.src
+      GROUP BY v.node, v.lbl)
+    {_WL_SUMMARY.format(r=0)}
+    UNION ALL {_WL_SUMMARY.format(r=1)}
+    UNION ALL {_WL_SUMMARY.format(r=2)}
+    """,
+    tags=("J7", "A4", "F8"),
+)
+def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (2 rounds) over the trading
+    graph — the canonical-form fingerprint behind graph-isomorphism
+    screening, WL-kernel features, and structural-role discovery: each
+    round rehashes every node's label with the SORTED multiset of its
+    neighbors' labels, so two nodes keep the same color only while
+    their neighborhoods look identical at that depth. Reported as the
+    refinement trajectory (round, #color classes, largest class) — the
+    rate at which classes split is the structure signal (a regular
+    graph never splits; a heterogeneous one shatters in 1-2 rounds).
+    md5 is the cross-engine-stable relabeling hash (the MinHash
+    discipline) and the neighbor multiset concatenates in sorted order,
+    so every label — and therefore the histogram — is bit-identical in
+    both engines.
+
+    Scale: per round, ONE keyed join (edges x labels on the neighbor
+    end) + one collect-sorted aggregate per node — the same
+    billions-of-edges shape as the label-propagation family; rounds are
+    fixed at 2, and the summary reads from node-sized tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), "c").alias("src"),
+        F.concat(F.lit("s"), "s").alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), "s").alias("src"),
+        F.concat(F.lit("c"), "c").alias("dst"),
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    labels = deg.select(
+        F.col("src").alias("node"), F.col("d").cast("string").alias("lbl")
+    ).localCheckpoint(eager=True)
+    rounds = [labels]
+    for _ in range(2):
+        prev = rounds[-1]
+        nb = prev.select(
+            F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl")
+        )
+        nxt = (
+            edges.join(nb, edges.src == nb.nb_node)
+            .select(F.col("dst").alias("node"), "nb_lbl")
+            .groupBy("node")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("nb_lbl")), ","
+                ).alias("nbs")
+            )
+            .join(prev, "node")
+            .select(
+                "node",
+                F.md5(F.concat_ws("|", F.col("lbl"), F.col("nbs"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(nxt)
+    outs = []
+    for r, lr in enumerate(rounds):
+        hist = lr.groupBy("lbl").agg(F.count("*").alias("c"))
+        outs.append(
+            hist.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.countDistinct("lbl").cast("long").alias("n_classes"),
+                F.max("c").cast("long").alias("largest_class"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1113,3 +1113,110 @@ def retrieval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agreement_ppm",
         F.expr(f"CAST(_num div {_RBO_DEN} AS BIGINT)").alias("rbo_cum_ppm"),
     ).orderBy("depth")
+
+
+# --- Exposure parity of a ranking ---------------------------------------------
+# Position-bias weights: round(1e6 / log2(rank+1)) for ranks 1..20,
+# precomputed ONCE as integer literals shared by both engines (the RBO
+# weight-table discipline) — no engine evaluates a transcendental.
+_EXPO_K = 20
+_EXPO_W = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853, 6: 356207,
+    7: 333333, 8: 315465, 9: 301030, 10: 289065, 11: 278943, 12: 270238,
+    13: 262650, 14: 255958, 15: 250000, 16: 244651, 17: 239812,
+    18: 235409, 19: 231378, 20: 227670,
+}
+_EXPO_W_CASE = (
+    "CASE rk " + " ".join(f"WHEN {r} THEN {w}" for r, w in _EXPO_W.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "retrieval_exposure_parity",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents),
+    top AS (
+      SELECT lang, {_EXPO_W_CASE} AS w FROM ranked WHERE rk <= {_EXPO_K}),
+    expo AS (
+      SELECT lang, CAST(sum(w) AS BIGINT) AS w FROM top GROUP BY lang),
+    pop AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang),
+    tot AS (
+      SELECT (SELECT sum(w) FROM expo) AS tw,
+             (SELECT sum(n_docs) FROM pop) AS tn)
+    SELECT p.lang, p.n_docs,
+           CAST(coalesce(e.w, 0) AS BIGINT) AS exposure_weight,
+           CAST(CAST(coalesce(e.w, 0) AS HUGEINT) * 1000000 // t.tw
+                AS BIGINT) AS exposure_share_ppm,
+           CAST(CAST(p.n_docs AS HUGEINT) * 1000000 // t.tn AS BIGINT)
+             AS corpus_share_ppm,
+           CAST(CAST(coalesce(e.w, 0) AS HUGEINT) * 1000000 * t.tn
+                // (t.tw * p.n_docs) AS BIGINT) AS parity_ratio_ppm
+    FROM pop p LEFT JOIN expo e USING (lang), tot t
+    """,
+    tags=("O2", "W1", "A3"),
+)
+def retrieval_exposure_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure parity audit of a ranking (Singh-Joachims 2018) — the
+    ranking-fairness number NDCG cannot give: how much POSITION-BIASED
+    attention each group (language) captures in the top-20 versus its
+    share of the corpus. Exposure uses the standard 1/log2(1+rank)
+    position bias, precomputed as the shared integer weight table, so
+    the audit is exact integer algebra end to end; parity_ratio = 1e6
+    means group attention exactly matches corpus share, above/below
+    flags over/under-exposure (the quantity fairness-aware re-rankers
+    constrain). Groups absent from the top-20 report zero exposure
+    explicitly (LEFT join), never silently vanish.
+
+    Scale: the global ranking materializes only its top-20 (TakeOrdered
+    in the Spark plan); the corpus-share aggregate is map-side
+    combined; everything after runs on |langs|-bounded tables."""
+    d = load_table(spark, sf_dir, "documents")
+    top = (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_EXPO_K)
+    )
+    ranked = top.select(
+        "lang",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    )
+    expo = (
+        ranked.select("lang", F.expr(_EXPO_W_CASE).alias("w"))
+        .groupBy("lang")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    pop = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tw = expo.agg(F.sum("w").cast("decimal(38,0)").alias("tw"))
+    tn = pop.agg(F.sum("n_docs").cast("decimal(38,0)").alias("tn"))
+    return (
+        pop.join(expo, "lang", "left")
+        .crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias(
+                "exposure_weight"
+            ),
+            F.expr(
+                "CAST(CAST(coalesce(w, 0) AS DECIMAL(38,0)) * 1000000"
+                " div tw AS BIGINT)"
+            ).alias("exposure_share_ppm"),
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div tn"
+                " AS BIGINT)"
+            ).alias("corpus_share_ppm"),
+            F.expr(
+                "CAST(CAST(coalesce(w, 0) AS DECIMAL(38,0)) * 1000000 * tn"
+                " div (tw * n_docs) AS BIGINT)"
+            ).alias("parity_ratio_ppm"),
+        )
+    )

@@ -3533,3 +3533,46 @@ def test_failed_build_lock_released_for_other_threads(tmp_path, monkeypatch):
     t.start()
     t.join(timeout=10)
     assert results == [False]  # acquired and built; no deadlock
+
+
+def test_wl_refinement_symmetric_graph_stops_splitting(spark, tmp_path):
+    """c1-{s1,s2}, c2-{s1}: degree classes {2,1} and the graph is
+    label-symmetric across the bipartition, so WL stabilizes at 2
+    classes of size 2 in every round (a regular-structure fingerprint
+    the refinement trajectory makes visible)."""
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["round"]: r
+        for r in REGISTRY["graph_wl_refinement"].fn(spark, str(tmp_path)).collect()
+    }
+    for rnd in (0, 1, 2):
+        assert (rows[rnd]["n_classes"], rows[rnd]["largest_class"]) == (2, 2)
+
+
+def test_exposure_parity_integer_weights(spark, tmp_path):
+    """3 en docs take ranks 1-3, the lone de doc rank 4: exposure and
+    parity follow the precomputed weight table exactly."""
+    rows = [
+        (1, "en", 400), (2, "en", 300), (3, "en", 200), (4, "de", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in REGISTRY["retrieval_exposure_parity"].fn(spark, str(tmp_path)).collect()
+    }
+    w_en = 1_000_000 + 630_930 + 500_000
+    w_de = 430_677
+    tw = w_en + w_de
+    assert out["en"]["exposure_weight"] == w_en
+    assert out["de"]["exposure_weight"] == w_de
+    assert out["en"]["exposure_share_ppm"] == w_en * 10**6 // tw
+    assert out["de"]["corpus_share_ppm"] == 250_000
+    assert out["en"]["parity_ratio_ppm"] == w_en * 10**6 * 4 // (tw * 3)
+    assert out["de"]["parity_ratio_ppm"] == w_de * 10**6 * 4 // (tw * 1)

@@ -1290,3 +1290,21 @@ def test_log_loss_one_scan_no_join(spark, sf_small):
     plan = plan_of(df)
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_wl_refinement_keyed_rounds_no_cartesian(spark, sf_small):
+    """Each WL round is one keyed edge-label join + one collect-sorted
+    aggregate off the checkpointed edge list — no cartesian anywhere."""
+    df = REGISTRY["graph_wl_refinement"].fn(spark, sf_small)
+    df.collect()
+    final = plan_of(df).split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_exposure_parity_top20_is_takeordered(spark, sf_small):
+    """The ranking must materialize only its top-20 (TakeOrdered), with
+    the corpus-share aggregate and the 1-row total grafts broadcast."""
+    df = REGISTRY["retrieval_exposure_parity"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
