@@ -698,3 +698,68 @@ def test_cuped_theta_recovers_exact_linear_coefficient(xs, a, b):
     den = n * sxx - sx * sx
     assert den > 0
     assert (n * sxy - sx * sy) * 1_000_000 // den == a * 1_000_000
+
+
+def _run_croston(batches):
+    """Drive streaming.folds.croston_fold over day-lists with one carried
+    state; return (n_demands, size_level, interval_level, rate_ppm)."""
+    import pandas as pd
+
+    from amazonbigdata_for_students_spark.streaming.folds import croston_fold
+
+    state = _FakeGroupState()
+    last = None
+    for days in batches:
+        if not days:
+            continue
+        pdf = pd.DataFrame({"d": list(days), "one": [1] * len(days)})
+        out = list(croston_fold((1,), iter([pdf]), state))
+        if out:
+            last = out[0].iloc[0]
+    return (
+        int(last["n_demands"]),
+        int(last["size_level"]),
+        int(last["interval_level"]),
+        int(last["demand_rate_ppm"]),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    demands=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # day gap to previous
+            st.integers(min_value=1, max_value=6),  # demand size
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=0, max_value=200),
+)
+def test_croston_fold_split_invariance_matches_recurrence(demands, split):
+    """Folding a demand stream in ONE batch must equal folding with a
+    state hand-off at ANY event split point (days may straddle the
+    split), and both must equal the pure Croston recurrence the batch
+    twin defines: seed (sz=z1, iv=1), then sz'=(z+3sz)//4,
+    iv'=(gap+3iv)//4 at each later demand day."""
+    # materialize the event stream: one row per unit of demand
+    days, d = [], 0
+    series = []
+    for gap, z in demands:
+        d += gap
+        series.append((d, z))
+        days.extend([d] * z)
+    split = min(split, len(days))
+    one = _run_croston([days])
+    two = _run_croston(
+        [days[:split], days[split:]] if 0 < split < len(days) else [days]
+    )
+    assert one == two
+    # pure recurrence reference
+    sz, iv, prev = series[0][1], 1, series[0][0]
+    for dd, z in series[1:]:
+        sz = (z + 3 * sz) // 4
+        iv = ((dd - prev) + 3 * iv) // 4
+        prev = dd
+    rate = 0 if iv == 0 else sz * 1_000_000 // iv
+    assert one == (len(series), sz, iv, rate)
