@@ -1186,9 +1186,23 @@ _WL_SUMMARY = """
 @query(
     "graph_wl_refinement",
     oracle=f"""
-    WITH {_EDGES_SQL},
-    l0 AS (SELECT src AS node, CAST(d AS VARCHAR) AS lbl FROM deg),
-    l1 AS (
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    -- MATERIALIZED: l1 is consumed twice (node + neighbor side of the
+    -- next round); DuckDB would otherwise inline and recompute it,
+    -- which at sf10 spilled past the disk (the graph_hits/modularity
+    -- CTE-inlining lesson, third occurrence)
+    l0 AS MATERIALIZED (
+      SELECT src AS node, CAST(d AS VARCHAR) AS lbl FROM deg),
+    l1 AS MATERIALIZED (
       SELECT v.node,
              md5(v.lbl || '|' ||
                  array_to_string(list(nb.lbl ORDER BY nb.lbl), ',')) AS lbl
@@ -1196,7 +1210,7 @@ _WL_SUMMARY = """
       JOIN edges e ON e.dst = v.node
       JOIN l0 nb ON nb.node = e.src
       GROUP BY v.node, v.lbl),
-    l2 AS (
+    l2 AS MATERIALIZED (
       SELECT v.node,
              md5(v.lbl || '|' ||
                  array_to_string(list(nb.lbl ORDER BY nb.lbl), ',')) AS lbl
