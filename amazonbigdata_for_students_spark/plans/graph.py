@@ -21,18 +21,22 @@ _SCALE = 1_000_000_000  # rank fixed-point: 1.0 == 1e9
 _TELEPORT = 150_000_000  # 0.15 * _SCALE
 _ITERS = 3
 
-_EDGES_SQL = """
-    pairs AS (
+_EDGES_TMPL = """
+    pairs AS {mat}(
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS {mat}(
       SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
       UNION ALL
       SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
     ),
     deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
 """
+_EDGES_SQL = _EDGES_TMPL.format(mat="")
+# MATERIALIZED variant for oracles whose downstream CTEs are consumed
+# more than once (DuckDB inlines by default — the recurring lesson)
+_EDGES_SQL_MAT = _EDGES_TMPL.format(mat="MATERIALIZED ")
 
 _ITER_SQL = """
     r{i} AS (
@@ -1186,20 +1190,11 @@ _WL_SUMMARY = """
 @query(
     "graph_wl_refinement",
     oracle=f"""
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
-      UNION ALL
-      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
-    ),
-    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    -- MATERIALIZED: l1 is consumed twice (node + neighbor side of the
-    -- next round); DuckDB would otherwise inline and recompute it,
-    -- which at sf10 spilled past the disk (the graph_hits/modularity
-    -- CTE-inlining lesson, third occurrence)
+    WITH {_EDGES_SQL_MAT},
+    -- MATERIALIZED throughout: l1 is consumed twice (node + neighbor
+    -- side of the next round); DuckDB would otherwise inline and
+    -- recompute it, which at sf10 spilled past the disk (the fourth
+    -- CTE-inlining catch after hits, modularity, and the r8 pair)
     l0 AS MATERIALIZED (
       SELECT src AS node, CAST(d AS VARCHAR) AS lbl FROM deg),
     l1 AS MATERIALIZED (

