@@ -157,20 +157,34 @@ _ROTATION_ORDER: tuple[str, ...] = (
 _WINDOW_SIZE = 50
 
 
-def driver_green_rounds() -> dict[str, int]:
+def driver_green_rounds(
+    root: str | None = None, limit_files: int | None = None
+) -> dict[str, int]:
     """Query name -> LATEST driver round with a fully-green row
     (rows+schema+hash, no err) across the CORRECTNESS_r*.json files —
     the single green predicate shared by the rotation window and
     gen_coverage's freshness tags (a /code-review r8 find: two
-    hand-rolled copies of this predicate had already drifted)."""
+    hand-rolled copies of this predicate had already drifted).
+
+    `limit_files` restricts to the first N files in sorted order: the
+    COVERAGE.md freshness guard uses it to re-derive the snapshot a
+    committed file was generated from, so a driver dropping
+    CORRECTNESS_r{N+1}.json *after* the builder's final regen no longer
+    reads as staleness (VERDICT r9 item 1)."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     rounds: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if limit_files is not None:
+        files = files[:limit_files]
+    for path in files:
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue

@@ -102,6 +102,70 @@ def driver_rounds() -> tuple[dict[str, int], int]:
     return driver_green_rounds(), len(files)
 
 
+def validate(text: str, root: str) -> list[str]:
+    """Freshness problems in a committed COVERAGE.md, [] if clean.
+
+    VERDICT r9 item 1: the old guard demanded the committed header's
+    CORRECTNESS-file count equal the on-disk count, which the driver's
+    post-final-commit drop always broke (r8, r9). New semantics: the
+    committed file may have been generated from a PREFIX of the on-disk
+    CORRECTNESS files (driver dropped a newer one) — that is fine; what
+    fails is (a) the committed count exceeding on-disk (impossible unless
+    stale/hand-edited), (b) registry drift (missing queries / wrong
+    total), or (c) the table body disagreeing with a regen from the same
+    file prefix the header claims."""
+    import glob
+    import os
+    import re
+
+    from amazonbigdata_for_students_spark.plans import (
+        REGISTRY,
+        driver_green_rounds,
+    )
+
+    problems: list[str] = []
+    m = re.search(r"Registry: \*\*(\d+) queries\*\*", text)
+    if not m:
+        return ["COVERAGE.md header count missing — regenerate"]
+    if int(m.group(1)) != len(REGISTRY):
+        problems.append(
+            f"COVERAGE.md says {m.group(1)} queries but registry has "
+            f"{len(REGISTRY)} — run: python scripts/gen_coverage.py > COVERAGE.md"
+        )
+    missing = [n for n in REGISTRY if f"`{n}`" not in text]
+    if missing:
+        problems.append(f"queries missing from COVERAGE.md: {missing[:10]}")
+
+    m2 = re.search(r"parsed from (\d+) CORRECTNESS files: \*\*(\d+)/(\d+) queries", text)
+    if not m2:
+        return problems + ["driver-verdict header missing — regenerate"]
+    n_committed = int(m2.group(1))
+    n_disk = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if n_committed > n_disk:
+        problems.append(
+            f"committed header claims {n_committed} CORRECTNESS files but only "
+            f"{n_disk} exist on disk — stale or hand-edited; regenerate"
+        )
+        return problems
+    # Re-derive the snapshot the committed file was generated from: the
+    # first n_committed files in sorted order. A newer driver drop beyond
+    # that prefix is expected between the final commit and the next round.
+    rounds = driver_green_rounds(root=root, limit_files=n_committed)
+    n_green = sum(1 for n in REGISTRY if n in rounds)
+    if (int(m2.group(2)), int(m2.group(3))) != (n_green, len(REGISTRY)):
+        problems.append(
+            f"driver-green count drifted: committed {m2.group(2)}/{m2.group(3)} "
+            f"vs recomputed {n_green}/{len(REGISTRY)} from the same "
+            f"{n_committed}-file prefix — regenerate"
+        )
+    for name, rn in list(rounds.items())[:5]:
+        if name in REGISTRY and (
+            f"`{name}`(o,r{rn})" not in text and f"`{name}`(r,r{rn})" not in text
+        ):
+            problems.append(f"{name}: round tag r{rn} missing/stale in COVERAGE.md")
+    return problems
+
+
 def main() -> None:
     by_tag: dict[str, list] = {t: [] for t in OPERATORS}
     for q in REGISTRY.values():
