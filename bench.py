@@ -21,14 +21,20 @@ from amazonbigdata_for_students_spark.plans import REGISTRY
 from amazonbigdata_for_students_spark.session import get_spark
 
 
-def _assert_idle(max_wait: float = 240.0) -> tuple[float, float, bool]:
+def _assert_idle(max_wait: float = 480.0) -> tuple[float, float, bool]:
     """Idle-box assertion for ``--isolated`` runs: a committed BENCH
     artifact must measure the ENGINE, not concurrent session load (r8:
     committed 7.14 s under gate load vs 6.74 s on the same plans idle).
-    Polls the 1-minute loadavg until it falls under max(1.0, 0.05*ncpu)
-    or ``max_wait`` elapses; returns (loadavg, threshold, ok)."""
+    Polls the 1-minute loadavg until it falls under max(0.5, 0.02*ncpu)
+    or ``max_wait`` elapses; returns (loadavg, threshold, ok).
+
+    VERDICT r9 item 3 tightened the threshold from max(1.0, 0.05*ncpu):
+    the r9 artifact passed at loadavg 1.50 (threshold 1.6 on 32 CPUs)
+    yet read 24% above the judge's idle re-run. 0.02*ncpu = 0.64 here,
+    and the 1-minute loadavg decays slowly (e^(-t/60)), so the wait
+    budget doubled to 480 s to let a post-gate box actually settle."""
     ncpu = os.cpu_count() or 1
-    threshold = max(1.0, 0.05 * ncpu)
+    threshold = max(0.5, 0.02 * ncpu)
     deadline = time.time() + max_wait
     load = os.getloadavg()[0]
     while load > threshold and time.time() < deadline:
@@ -79,15 +85,20 @@ def main() -> None:
 
     # Min of three timed runs per query: the min is the right estimator for
     # "how fast does this plan run" — it sheds GC pauses and co-located
-    # load noise that the mean would absorb.
+    # load noise that the mean would absorb. Isolated (artifact-of-record)
+    # runs take min over TWO full suite passes (VERDICT r9 item 3): a load
+    # transient that straddles one pass cannot inflate the committed JSON.
     times: dict[str, float] = {}
-    for name, q in bench.items():
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            q.fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+    suite_passes = 2 if isolated else 1
+    for _ in range(suite_passes):
+        for name, q in bench.items():
+            best = times.get(name, float("inf"))
+            for _ in range(3):
+                t0 = time.time()
+                q.fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            times[name] = best
+    times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)
     result = {
