@@ -9,6 +9,8 @@ operator implementations live in operators/ and functions/.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -2659,13 +2661,21 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement text late-bound. The oracle is the equivalent static
     query with a scalar subquery: parameters resolve before analysis,
     so the optimized plan (pushed filter, partial agg) is identical to
-    the literal form."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ei")
-    spark.sql("DECLARE OR REPLACE VARIABLE ei_thr BIGINT")
+    the literal form. The temp view and session variable are sf-suffixed
+    (the join_bucketed_colocated convention): both are SESSION-scoped
+    mutable state, and two concurrent invocations in one shared
+    SparkSession against different sf_dirs would otherwise cross-bind
+    the view / read the wrong scale's threshold (ADVICE r9)."""
+    suffix = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    )
+    view, var = f"orders_ei_{suffix}", f"ei_thr_{suffix}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {var} BIGINT")
     spark.sql(
         "EXECUTE IMMEDIATE"
-        " 'SELECT CAST(floor(max(o_totalprice)) AS BIGINT) div 2"
-        " FROM orders_ei' INTO ei_thr"
+        f" 'SELECT CAST(floor(max(o_totalprice)) AS BIGINT) div 2"
+        f" FROM {view}' INTO {var}"
     )
     return spark.sql(
         "EXECUTE IMMEDIATE"
@@ -2673,6 +2683,6 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         CAST(count(*) AS BIGINT) AS n_above,"
         "         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
         "           AS rev_above"
-        "  FROM orders_ei WHERE o_totalprice > ?"
-        "  GROUP BY o_orderpriority' USING ei_thr"
+        f"  FROM {view} WHERE o_totalprice > ?"
+        f"  GROUP BY o_orderpriority' USING {var}"
     )

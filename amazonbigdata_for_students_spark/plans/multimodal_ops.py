@@ -268,34 +268,35 @@ def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from .sources_ops import _cache_dir, _mark
+    from .sources_ops import _build_window, _cache_dir, _mark
 
     d, ready, fp = _cache_dir(sf_dir, "binary_media", tables=("documents",))
     files_dir = os.path.join(d, "files")
     if not ready:
-        os.makedirs(files_dir, exist_ok=True)
-        docs = readers.load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 7 == 3
-        )
+        with _build_window(d):
+            os.makedirs(files_dir, exist_ok=True)
+            docs = readers.load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 7 == 3
+            )
 
-        def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            n = 0
-            for pdf in batches:
-                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    with open(os.path.join(files_dir, f"{int(doc_id)}.bin"), "wb") as f:
-                        f.write((text or "").encode("utf-8"))
-                    n += 1
-            yield pd.DataFrame({"n": [n]})
+            def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                n = 0
+                for pdf in batches:
+                    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                        with open(os.path.join(files_dir, f"{int(doc_id)}.bin"), "wb") as f:
+                            f.write((text or "").encode("utf-8"))
+                        n += 1
+                yield pd.DataFrame({"n": [n]})
 
-        wrote = (
-            docs.select("doc_id", "text")
-            .mapInPandas(write_files, T.StructType([T.StructField("n", T.LongType())]))
-            .agg(F.sum("n"))
-            .collect()[0][0]
-        )
-        if not wrote:
-            raise RuntimeError(f"binary media fixture wrote 0 files under {files_dir}")
-        _mark(d, fp)
+            wrote = (
+                docs.select("doc_id", "text")
+                .mapInPandas(write_files, T.StructType([T.StructField("n", T.LongType())]))
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
+            if not wrote:
+                raise RuntimeError(f"binary media fixture wrote 0 files under {files_dir}")
+            _mark(d, fp)
 
     return (
         spark.read.format("binaryFile")

@@ -18,6 +18,7 @@ glue_cf_template.json:139; Firehose partitioned long-term storage
 from __future__ import annotations
 
 import fcntl
+import hashlib
 import os
 import threading
 import shutil
@@ -136,6 +137,32 @@ def _mark(d: str, fp: str) -> None:
         held[0].close()
 
 
+class _build_window:
+    """Guard the build body between ``_cache_dir`` (lock acquired) and
+    ``_mark`` (lock released): if the body raises, release THIS thread's
+    flock on ``d`` immediately instead of relying on the registry
+    wrapper's except hook — a builder invoked directly (tests, helper
+    compositions) would otherwise leave the flock held for the process
+    lifetime and wedge every other thread on the same fixture (ADVICE
+    r9, sources_ops.py:131). No _OK was stamped, so the next caller
+    clears and rebuilds."""
+
+    def __init__(self, d: str):
+        self.d = d
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            held = _BUILD_LOCKS.get(self.d)
+            if held is not None and held[1] == threading.get_ident():
+                _BUILD_LOCKS.pop(self.d, None)
+                fcntl.flock(held[0], fcntl.LOCK_UN)
+                held[0].close()
+        return False
+
+
 def release_thread_build_locks() -> None:
     """Release every build lock the CURRENT thread holds — called from
     the registry wrapper when a query raises mid-build, so a failed
@@ -195,56 +222,57 @@ def _hourly_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
     layout from the events table; returns the fixture root."""
     d, ready, fp = _cache_dir(sf_dir, "hourly_csv")
     if not ready:
-        # Distributed fixture write: partitionBy lays out hive dirs
-        # (yy=…/mm=…/dd=…/hh=…), then a driver-side RENAME pass (metadata
-        # only, no row ever touches the driver) maps them onto the
-        # reference's YYYY/MM/DD/HH.csv layout (generator.py:241-245).
-        staging = os.path.join(d, "_staging")
-        (
-            readers.load_table(spark, sf_dir, "events")
-            .filter(F.col("ts") < F.lit(_SLICE_END).cast("timestamp"))
-            .select(
-                F.date_format("ts", "yyyy").alias("yy"),
-                F.date_format("ts", "MM").alias("mm"),
-                F.date_format("ts", "dd").alias("dd"),
-                F.date_format("ts", "HH").alias("hh"),
-                "event_id",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
+        with _build_window(d):
+            # Distributed fixture write: partitionBy lays out hive dirs
+            # (yy=…/mm=…/dd=…/hh=…), then a driver-side RENAME pass (metadata
+            # only, no row ever touches the driver) maps them onto the
+            # reference's YYYY/MM/DD/HH.csv layout (generator.py:241-245).
+            staging = os.path.join(d, "_staging")
+            (
+                readers.load_table(spark, sf_dir, "events")
+                .filter(F.col("ts") < F.lit(_SLICE_END).cast("timestamp"))
+                .select(
+                    F.date_format("ts", "yyyy").alias("yy"),
+                    F.date_format("ts", "MM").alias("mm"),
+                    F.date_format("ts", "dd").alias("dd"),
+                    F.date_format("ts", "HH").alias("hh"),
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+                .repartition("yy", "mm", "dd", "hh")  # one file per hour dir
+                .write.partitionBy("yy", "mm", "dd", "hh")
+                .option("header", True)
+                .mode("overwrite")
+                .csv(staging)
             )
-            .repartition("yy", "mm", "dd", "hh")  # one file per hour dir
-            .write.partitionBy("yy", "mm", "dd", "hh")
-            .option("header", True)
-            .mode("overwrite")
-            .csv(staging)
-        )
-        for root, _dirs, files in os.walk(staging):
-            csvs = sorted(f for f in files if f.endswith(".csv"))
-            if not csvs:
-                continue
-            rel = os.path.relpath(root, staging)  # yy=2024/mm=01/dd=01/hh=00
-            y, m, day, h = (seg.split("=", 1)[1] for seg in rel.split(os.sep))
-            hour_dir = os.path.join(d, y, m, day)
-            os.makedirs(hour_dir, exist_ok=True)
-            target = os.path.join(hour_dir, f"{h}.csv")
-            if len(csvs) == 1:
-                # repartition on the partition cols puts each hour group in
-                # one task => normally exactly one part file per leaf dir
-                os.rename(os.path.join(root, csvs[0]), target)
-            else:
-                # e.g. spark.sql.files.maxRecordsPerFile splits the task
-                # output — concatenate, keeping only the first header, so
-                # no part file is ever silently dropped
-                with open(target, "wb") as out:
-                    for i, name in enumerate(csvs):
-                        with open(os.path.join(root, name), "rb") as part:
-                            if i > 0:
-                                part.readline()  # skip repeated header
-                            shutil.copyfileobj(part, out)
-        shutil.rmtree(staging)
-        _mark(d, fp)
+            for root, _dirs, files in os.walk(staging):
+                csvs = sorted(f for f in files if f.endswith(".csv"))
+                if not csvs:
+                    continue
+                rel = os.path.relpath(root, staging)  # yy=2024/mm=01/dd=01/hh=00
+                y, m, day, h = (seg.split("=", 1)[1] for seg in rel.split(os.sep))
+                hour_dir = os.path.join(d, y, m, day)
+                os.makedirs(hour_dir, exist_ok=True)
+                target = os.path.join(hour_dir, f"{h}.csv")
+                if len(csvs) == 1:
+                    # repartition on the partition cols puts each hour group in
+                    # one task => normally exactly one part file per leaf dir
+                    os.rename(os.path.join(root, csvs[0]), target)
+                else:
+                    # e.g. spark.sql.files.maxRecordsPerFile splits the task
+                    # output — concatenate, keeping only the first header, so
+                    # no part file is ever silently dropped
+                    with open(target, "wb") as out:
+                        for i, name in enumerate(csvs):
+                            with open(os.path.join(root, name), "rb") as part:
+                                if i > 0:
+                                    part.readline()  # skip repeated header
+                                shutil.copyfileobj(part, out)
+            shutil.rmtree(staging)
+            _mark(d, fp)
     return d
 
 
@@ -270,8 +298,9 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "jsonl")
     out = os.path.join(d, "events_jsonl")
     if not ready:
-        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
-        _mark(d, fp)
+        with _build_window(d):
+            readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
+            _mark(d, fp)
     ev = readers.read_jsonl(spark, out, schemas.EVENTS)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -302,53 +331,59 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent orderkey join rides it free, which is the difference
     between re-shuffling 100 TB per query and never. The only exchange
     left in the plan is the final aggregate's (plan-shape-tested).
-    Fixture staleness follows the same fingerprint contract as the other
-    source fixtures; tableExists guards a wiped warehouse."""
+
+    Concurrency contract (rebuilt per ADVICE r9): table names AND file
+    locations carry a short hash of the source fingerprint, so a rebuild
+    for regenerated testdata targets a NEW location and can never delete
+    files a concurrent session is still reading; the bucket files live
+    as EXTERNAL tables inside the fingerprinted fixture dir. A session
+    whose catalog lacks the tables while the shared files are fresh
+    registers DDL over the existing location (CREATE TABLE ... CLUSTERED
+    BY ... LOCATION) instead of the old drop-_OK-and-rebuild retry loop,
+    which could both destroy files under a reader and exit with the
+    tables still invisible after >5 concurrent re-marks."""
     suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    li_t, o_t = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
-    # The bucketed tables live in the SESSION catalog (saveAsTable
-    # metadata is per-process even though the files are shared), so a
-    # shared-_OK marker can be fresh while THIS session still cannot see
-    # the tables. Loop: drop the marker (guarded — a concurrent session
-    # may have already dropped it) and re-enter the LOCKED build path
-    # until we either hold the build lock (not ready) or the tables are
-    # visible here. Bounded: each retry means another process re-marked
-    # while we waited, which cannot repeat more times than there are
-    # concurrent sessions.
-    d, ready, fp = _cache_dir(sf_dir, "bucketed", tables=("lineitem", "orders"))
-    for _ in range(5):
-        if not ready or (
-            spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
-        ):
-            break
-        try:
-            os.remove(os.path.join(d, "_OK"))
-        except FileNotFoundError:
-            pass
-        d, ready, fp = _cache_dir(
-            sf_dir, "bucketed", tables=("lineitem", "orders")
-        )
+    fp8 = hashlib.sha1(
+        _src_fingerprint(sf_dir, ("lineitem", "orders")).encode()
+    ).hexdigest()[:8]
+    li_t, o_t = f"bkt_lineitem_{suffix}_{fp8}", f"bkt_orders_{suffix}_{fp8}"
+    specs = (("lineitem", li_t, "l_orderkey"), ("orders", o_t, "o_orderkey"))
+    d, ready, fp = _cache_dir(sf_dir, f"bucketed_{fp8}", tables=("lineitem", "orders"))
     if not ready:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        warehouse = warehouse.removeprefix("file:")
-        for t, name, key in (("lineitem", li_t, "l_orderkey"), ("orders", o_t, "o_orderkey")):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            # a fresh session's catalog may not know the table even though a
-            # previous session left its managed location behind — clear it,
-            # or saveAsTable fails with LOCATION_ALREADY_EXISTS
-            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-            (
-                readers.load_table(spark, sf_dir, t)
-                # align write tasks with buckets so each bucket is one file
-                # (single-file buckets also let the join skip its sorts)
-                .repartition(16, F.col(key))
-                .write.bucketBy(16, key)
-                .sortBy(key)
-                .format("parquet")
-                .mode("overwrite")
-                .saveAsTable(name)
+        with _build_window(d):
+            for t, name, key in specs:
+                # a crashed earlier build may have registered the table
+                # before _OK was stamped; its files were just cleared
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    readers.load_table(spark, sf_dir, t)
+                    # align write tasks with buckets so each bucket is one
+                    # file (single-file buckets let the join skip its sorts)
+                    .repartition(16, F.col(key))
+                    .write.bucketBy(16, key)
+                    .sortBy(key)
+                    .option("path", os.path.join(d, name))
+                    .format("parquet")
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+            _mark(d, fp)
+    for t, name, key in specs:
+        # saveAsTable metadata is per-process: the shared files can be
+        # fresh while THIS session's catalog does not know them yet —
+        # register, never rebuild (_OK is only stamped after a complete
+        # build, so a fresh marker proves the files are whole)
+        if not spark.catalog.tableExists(name):
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in readers.load_table(spark, sf_dir, t).schema
             )
-        _mark(d, fp)
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
+                f"LOCATION '{os.path.join(d, name)}'"
+            )
+    li = spark.table(li_t)
     li = spark.table(li_t)
     o = spark.table(o_t)
     return (
@@ -385,8 +420,9 @@ def src_kafka_shaped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "jsonl")
     out = os.path.join(d, "events_jsonl")
     if not ready:
-        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
-        _mark(d, fp)
+        with _build_window(d):
+            readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
+            _mark(d, fp)
     ev = stream_sources.read_kafka_stream(
         spark, schemas.EVENTS, dev_jsonl_path=out, topic="events"
     ).drop("_topic", "_ingest_ts")
@@ -434,8 +470,9 @@ def src_socket_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "jsonl")
     out = os.path.join(d, "events_jsonl")
     if not ready:
-        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
-        _mark(d, fp)
+        with _build_window(d):
+            readers.load_table(spark, sf_dir, "events").write.mode("overwrite").json(out)
+            _mark(d, fp)
     lines: list[str] = []
     for fn in sorted(os.listdir(out)):
         if fn.startswith("part-") and fn.endswith(".json"):
@@ -505,11 +542,12 @@ def src_dim_csv_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     join uses at scale."""
     d, ready, fp = _cache_dir(sf_dir, "dims_csv", tables=("nation", "region"))
     if not ready:
-        for t in ("nation", "region"):
-            readers.load_table(spark, sf_dir, t).coalesce(1).write.mode(
-                "overwrite"
-            ).option("header", True).csv(os.path.join(d, t))
-        _mark(d, fp)
+        with _build_window(d):
+            for t in ("nation", "region"):
+                readers.load_table(spark, sf_dir, t).coalesce(1).write.mode(
+                    "overwrite"
+                ).option("header", True).csv(os.path.join(d, t))
+            _mark(d, fp)
     nation = (
         spark.read.option("header", True)
         .schema(schemas.NATION)
@@ -549,10 +587,11 @@ def src_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "part_sink")
     out = os.path.join(d, "events_part")
     if not ready:
-        sinks.write_partitioned(
-            readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            sinks.write_partitioned(
+                readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
+            )
+            _mark(d, fp)
     back = sinks.read_partitioned(spark, out)
     return (
         back.filter(F.col("day") == 5)
@@ -586,18 +625,19 @@ def src_incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = os.path.join(d, "data")
     ev = readers.load_table(spark, sf_dir, "events")
     if not ready:
-        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-            os.path.join(data, "batch1")
-        )
-        time.sleep(1.2)
-        ckpt = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
-        with open(ckpt_file, "w") as f:
-            f.write(ckpt)
-        time.sleep(1.2)
-        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-            os.path.join(data, "batch2")
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+                os.path.join(data, "batch1")
+            )
+            time.sleep(1.2)
+            ckpt = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+            with open(ckpt_file, "w") as f:
+                f.write(ckpt)
+            time.sleep(1.2)
+            ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+                os.path.join(data, "batch2")
+            )
+            _mark(d, fp)
     with open(ckpt_file) as f:
         ckpt = f.read().strip()
     newer = sinks.read_incremental(spark, data, schemas.EVENTS, ckpt)
@@ -629,13 +669,14 @@ def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "drift_jsonl")
     out = os.path.join(d, "drifted")
     if not ready:
-        (
-            readers.load_table(spark, sf_dir, "events")
-            .select("event_id", "event_type", "value", "props", F.lit("web").alias("site"))
-            .write.mode("overwrite")
-            .json(out)
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            (
+                readers.load_table(spark, sf_dir, "events")
+                .select("event_id", "event_type", "value", "props", F.lit("web").alias("site"))
+                .write.mode("overwrite")
+                .json(out)
+            )
+            _mark(d, fp)
     issues = readers.infer_and_check(spark, out, schemas.EVENTS)
     return spark.createDataFrame(
         [(i,) for i in sorted(issues)], T.StructType([T.StructField("issue", T.StringType())])
@@ -762,17 +803,18 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "stream_sink")
     out, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
     if not ready:
-        ev = events_stream(spark, sf_dir).withColumn("day", F.dayofmonth("ts"))
-        q = (
-            ev.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .partitionBy("day")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        _mark(d, fp)
+        with _build_window(d):
+            ev = events_stream(spark, sf_dir).withColumn("day", F.dayofmonth("ts"))
+            q = (
+                ev.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .partitionBy("day")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            _mark(d, fp)
     back = spark.read.parquet(out)
     return back.groupBy("day").agg(F.count("*").alias("n"))
 
@@ -876,8 +918,9 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "orc")
     out = os.path.join(d, "events_orc")
     if not ready:
-        readers.load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
-        _mark(d, fp)
+        with _build_window(d):
+            readers.load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
+            _mark(d, fp)
     ev = spark.read.orc(out)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
@@ -1149,13 +1192,14 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "ckpt_files")
     staging = os.path.join(d, "parts")
     if not ready:
-        (
-            readers.load_table(spark, sf_dir, "events")
-            .repartition(8)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            (
+                readers.load_table(spark, sf_dir, "events")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            _mark(d, fp)
     parts = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
     )
@@ -1224,13 +1268,14 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "small_files")
     small = os.path.join(d, "small")
     if not ready:
-        (
-            readers.load_table(spark, sf_dir, "events")
-            .repartition(64)
-            .write.mode("overwrite")
-            .parquet(small)
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            (
+                readers.load_table(spark, sf_dir, "events")
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(small)
+            )
+            _mark(d, fp)
 
     def data_files(p: str) -> list[str]:
         return [
@@ -1356,26 +1401,27 @@ def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "schema_evo")
     table = os.path.join(d, "events_evo")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events")
-        cut = F.lit(_SLICE_END).cast("timestamp")
-        (
-            ev.filter(F.col("ts") < cut)
-            .select("event_id", "ts", "event_type")  # v1 schema: no cents
-            .write.mode("overwrite")
-            .parquet(table)
-        )
-        (
-            ev.filter(F.col("ts") >= cut)
-            .select(
-                "event_id",
-                "ts",
-                "event_type",
-                F.round(F.col("value") * 100).cast("bigint").alias("cents"),  # v2 adds
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events")
+            cut = F.lit(_SLICE_END).cast("timestamp")
+            (
+                ev.filter(F.col("ts") < cut)
+                .select("event_id", "ts", "event_type")  # v1 schema: no cents
+                .write.mode("overwrite")
+                .parquet(table)
             )
-            .write.mode("append")
-            .parquet(table)
-        )
-        _mark(d, fp)
+            (
+                ev.filter(F.col("ts") >= cut)
+                .select(
+                    "event_id",
+                    "ts",
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),  # v2 adds
+                )
+                .write.mode("append")
+                .parquet(table)
+            )
+            _mark(d, fp)
     merged = spark.read.option("mergeSchema", "true").parquet(table)
     cut = F.lit(_SLICE_END).cast("timestamp")
     return (
@@ -1432,22 +1478,23 @@ def src_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "corrupt_jsonl")
     out = os.path.join(d, "events_dirty")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events")
-        good = F.to_json(
-            F.struct(
-                "event_id",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events")
+            good = F.to_json(
+                F.struct(
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
             )
-        )
-        broken = F.concat(
-            F.lit('{"event_id":'), F.col("event_id").cast("string"), F.lit(',"oops')
-        )
-        line = F.when(F.col("event_id") % 13 == 0, broken).otherwise(good)
-        ev.select(line.alias("value")).write.mode("overwrite").text(out)
-        _mark(d, fp)
+            broken = F.concat(
+                F.lit('{"event_id":'), F.col("event_id").cast("string"), F.lit(',"oops')
+            )
+            line = F.when(F.col("event_id") % 13 == 0, broken).otherwise(good)
+            ev.select(line.alias("value")).write.mode("overwrite").text(out)
+            _mark(d, fp)
     dirty = (
         spark.read.schema(_CORRUPT_READ_SCHEMA)
         .option("mode", "PERMISSIVE")
@@ -1499,14 +1546,15 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = os.path.join(d, "events_by_user_bucket")
     ev = readers.load_table(spark, sf_dir, "events")
     if not ready:
-        (
-            ev.withColumn("bucket", F.col("user_id") % 16)
-            .repartition(1, "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(table)
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            (
+                ev.withColumn("bucket", F.col("user_id") % 16)
+                .repartition(1, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(table)
+            )
+            _mark(d, fp)
     # rebuild the pristine layout if a previous run already deleted from it
     marker = os.path.join(d, "_DELETED")
     if os.path.exists(marker):
@@ -1641,20 +1689,21 @@ def reconcile_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "replicas")
     pa, pb = os.path.join(d, "a"), os.path.join(d, "b")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").withColumn(
-            "day", F.dayofmonth("ts")
-        )
-        ev.repartition(1, "day").write.partitionBy("day").mode("overwrite").parquet(pa)
-        drifted = ev.filter(F.col("event_id") % 103 != 0).withColumn(
-            "value",
-            F.when(F.col("event_id") % 101 == 0, F.col("value") + 1.0).otherwise(
-                F.col("value")
-            ),
-        )
-        drifted.repartition(1, "day").write.partitionBy("day").mode(
-            "overwrite"
-        ).parquet(pb)
-        _mark(d, fp)
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").withColumn(
+                "day", F.dayofmonth("ts")
+            )
+            ev.repartition(1, "day").write.partitionBy("day").mode("overwrite").parquet(pa)
+            drifted = ev.filter(F.col("event_id") % 103 != 0).withColumn(
+                "value",
+                F.when(F.col("event_id") % 101 == 0, F.col("value") + 1.0).otherwise(
+                    F.col("value")
+                ),
+            )
+            drifted.repartition(1, "day").write.partitionBy("day").mode(
+                "overwrite"
+            ).parquet(pb)
+            _mark(d, fp)
 
     def summary(path: str, cn: str, hn: str) -> DataFrame:
         t = spark.read.parquet(path)
@@ -1780,30 +1829,31 @@ def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "json_multiline")
     out = os.path.join(d, "export")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").filter(
-            F.dayofmonth("ts") == 1
-        )
-        body = ev.select(
-            F.to_json(
-                F.struct(
-                    "event_id",
-                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-                    "user_id",
-                    "event_type",
-                    "value",
-                )
-            ).alias("j")
-        )
-        # FIXTURE-BUILD PATH, NOT AN OPERATOR (r5 VERDICT watch item): this
-        # collect manufactures the pretty-printed test input the multiLine
-        # READER exists to parse — a driver-side export bounded by the day-1
-        # fixture slice. Do not copy into a pipeline; a production export of
-        # this shape writes per-partition arrays executor-side.
-        rows = [r["j"] for r in body.collect()]
-        os.makedirs(out, exist_ok=True)
-        with open(os.path.join(out, "export.json"), "w") as f:
-            f.write("[\n  " + ",\n  ".join(rows) + "\n]\n")
-        _mark(d, fp)
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").filter(
+                F.dayofmonth("ts") == 1
+            )
+            body = ev.select(
+                F.to_json(
+                    F.struct(
+                        "event_id",
+                        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                        "user_id",
+                        "event_type",
+                        "value",
+                    )
+                ).alias("j")
+            )
+            # FIXTURE-BUILD PATH, NOT AN OPERATOR (r5 VERDICT watch item): this
+            # collect manufactures the pretty-printed test input the multiLine
+            # READER exists to parse — a driver-side export bounded by the day-1
+            # fixture slice. Do not copy into a pipeline; a production export of
+            # this shape writes per-partition arrays executor-side.
+            rows = [r["j"] for r in body.collect()]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "export.json"), "w") as f:
+                f.write("[\n  " + ",\n  ".join(rows) + "\n]\n")
+            _mark(d, fp)
     sch = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1930,11 +1980,12 @@ def src_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "xml_scan", tables=("customer",))
     out = os.path.join(d, "export")
     if not ready:
-        cust = readers.load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
-        )
-        cust.write.format("xml").option("rowTag", "customer").mode("overwrite").save(out)
-        _mark(d, fp)
+        with _build_window(d):
+            cust = readers.load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+            )
+            cust.write.format("xml").option("rowTag", "customer").mode("overwrite").save(out)
+            _mark(d, fp)
     sch = T.StructType(
         [
             T.StructField("c_custkey", T.LongType()),
@@ -1979,14 +2030,15 @@ def src_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "file_metadata_audit", tables=("events",))
     out = os.path.join(d, "by_type")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events")
-        (
-            ev.repartition("event_type")
-            .write.mode("overwrite")
-            .partitionBy("event_type")
-            .parquet(out)
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events")
+            (
+                ev.repartition("event_type")
+                .write.mode("overwrite")
+                .partitionBy("event_type")
+                .parquet(out)
+            )
+            _mark(d, fp)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
@@ -2241,10 +2293,11 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     d, ready, fp = _cache_dir(sf_dir, "part_sink")
     out = os.path.join(d, "events_part")
     if not ready:
-        sinks.write_partitioned(
-            readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
-        )
-        _mark(d, fp)
+        with _build_window(d):
+            sinks.write_partitioned(
+                readers.load_table(spark, sf_dir, "events"), out, mode="overwrite"
+            )
+            _mark(d, fp)
     back = sinks.read_partitioned(spark, out)
     ev = readers.load_table(spark, sf_dir, "events")
     hrs = (

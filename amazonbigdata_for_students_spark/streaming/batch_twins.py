@@ -463,43 +463,44 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..plans.sources_ops import _cache_dir, _mark
+    from ..plans.sources_ops import _build_window, _cache_dir, _mark
     from ..sources import readers
 
     d, ready, fp = _cache_dir(sf_dir, "late_jsonl")
     out = os.path.join(d, "batches")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            F.dayofmonth("ts").alias("_day"),
-        )
-        os.makedirs(out, exist_ok=True)
-        batches = [
-            ("b0", F.col("_day").between(4, 12)),
-            ("b1", F.col("_day").between(13, 20)),
-            ("b2", (F.col("_day") <= 3) | (F.col("_day") >= 21)),
-        ]
-        for i, (nm, cond) in enumerate(batches):
-            staging = os.path.join(d, f"_stage_{nm}")
-            ev.filter(cond).drop("_day").coalesce(1).write.mode("overwrite").json(
-                staging
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.dayofmonth("ts").alias("_day"),
             )
-            part = next(
-                f
-                for f in sorted(os.listdir(staging))
-                if f.startswith("part-") and f.endswith(".json")
-            )
-            target = os.path.join(out, f"{nm}.json")
-            os.rename(os.path.join(staging, part), target)
-            shutil.rmtree(staging)
-            # mtime drives FileStreamSource ordering: strictly increasing
-            t = 1_700_000_000 + i
-            os.utime(target, times=(t, t))
-        _mark(d, fp)
+            os.makedirs(out, exist_ok=True)
+            batches = [
+                ("b0", F.col("_day").between(4, 12)),
+                ("b1", F.col("_day").between(13, 20)),
+                ("b2", (F.col("_day") <= 3) | (F.col("_day") >= 21)),
+            ]
+            for i, (nm, cond) in enumerate(batches):
+                staging = os.path.join(d, f"_stage_{nm}")
+                ev.filter(cond).drop("_day").coalesce(1).write.mode("overwrite").json(
+                    staging
+                )
+                part = next(
+                    f
+                    for f in sorted(os.listdir(staging))
+                    if f.startswith("part-") and f.endswith(".json")
+                )
+                target = os.path.join(out, f"{nm}.json")
+                os.rename(os.path.join(staging, part), target)
+                shutil.rmtree(staging)
+                # mtime drives FileStreamSource ordering: strictly increasing
+                t = 1_700_000_000 + i
+                os.utime(target, times=(t, t))
+            _mark(d, fp)
 
     sch = T.StructType(
         [
@@ -562,39 +563,40 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..plans.registry import dsum
-    from ..plans.sources_ops import _cache_dir, _mark
+    from ..plans.sources_ops import _build_window, _cache_dir, _mark
     from ..sources import readers
 
     d, ready, fp = _cache_dir(sf_dir, "upsert_jsonl")
     out = os.path.join(d, "batches")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            F.dayofmonth("ts").alias("_day"),
-        )
-        os.makedirs(out, exist_ok=True)
-        import shutil
-
-        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
-            staging = os.path.join(d, f"_stage_{i}")
-            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
-                1
-            ).write.mode("overwrite").json(staging)
-            part = next(
-                f
-                for f in sorted(os.listdir(staging))
-                if f.startswith("part-") and f.endswith(".json")
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.dayofmonth("ts").alias("_day"),
             )
-            target = os.path.join(out, f"b{i}.json")
-            os.rename(os.path.join(staging, part), target)
-            shutil.rmtree(staging)
-            t = 1_700_000_000 + i
-            os.utime(target, times=(t, t))
-        _mark(d, fp)
+            os.makedirs(out, exist_ok=True)
+            import shutil
+
+            for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+                staging = os.path.join(d, f"_stage_{i}")
+                ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                    1
+                ).write.mode("overwrite").json(staging)
+                part = next(
+                    f
+                    for f in sorted(os.listdir(staging))
+                    if f.startswith("part-") and f.endswith(".json")
+                )
+                target = os.path.join(out, f"b{i}.json")
+                os.rename(os.path.join(staging, part), target)
+                shutil.rmtree(staging)
+                t = 1_700_000_000 + i
+                os.utime(target, times=(t, t))
+            _mark(d, fp)
 
     sch = T.StructType(
         [
@@ -770,37 +772,38 @@ def stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..plans.sources_ops import _cache_dir, _mark
+    from ..plans.sources_ops import _build_window, _cache_dir, _mark
     from ..sources import readers
 
     d, ready, fp = _cache_dir(sf_dir, "static_refresh")
     out = os.path.join(d, "batches")
     block_dir = os.path.join(d, "blocklist")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            F.dayofmonth("ts").alias("_day"),
-        )
-        os.makedirs(out, exist_ok=True)
-        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
-            staging = os.path.join(d, f"_stage_{i}")
-            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
-                1
-            ).write.mode("overwrite").json(staging)
-            part = next(
-                f
-                for f in sorted(os.listdir(staging))
-                if f.startswith("part-") and f.endswith(".json")
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.dayofmonth("ts").alias("_day"),
             )
-            os.rename(os.path.join(staging, part), os.path.join(out, f"b{i}.json"))
-            shutil.rmtree(staging)
-            t = 1_700_000_000 + i
-            os.utime(os.path.join(out, f"b{i}.json"), times=(t, t))
-        _mark(d, fp)
+            os.makedirs(out, exist_ok=True)
+            for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+                staging = os.path.join(d, f"_stage_{i}")
+                ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                    1
+                ).write.mode("overwrite").json(staging)
+                part = next(
+                    f
+                    for f in sorted(os.listdir(staging))
+                    if f.startswith("part-") and f.endswith(".json")
+                )
+                os.rename(os.path.join(staging, part), os.path.join(out, f"b{i}.json"))
+                shutil.rmtree(staging)
+                t = 1_700_000_000 + i
+                os.utime(os.path.join(out, f"b{i}.json"), times=(t, t))
+            _mark(d, fp)
 
     # blocklist always starts this run EMPTY — a CATALOG table, because a
     # path-based DataFrame freezes its file listing at plan time; the
@@ -1071,7 +1074,7 @@ def stream_atomic_two_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..plans.registry import dsum
-    from ..plans.sources_ops import _cache_dir, _mark
+    from ..plans.sources_ops import _build_window, _cache_dir, _mark
     from ..sources import readers
     from ..sources.commitlog import CommitLog
 
@@ -1079,31 +1082,32 @@ def stream_atomic_two_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ready, fp = _cache_dir(sf_dir, "upsert_jsonl")
     out = os.path.join(d, "batches")
     if not ready:
-        ev = readers.load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            F.dayofmonth("ts").alias("_day"),
-        )
-        os.makedirs(out, exist_ok=True)
-        for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
-            staging = os.path.join(d, f"_stage_{i}")
-            ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
-                1
-            ).write.mode("overwrite").json(staging)
-            part = next(
-                f
-                for f in sorted(os.listdir(staging))
-                if f.startswith("part-") and f.endswith(".json")
+        with _build_window(d):
+            ev = readers.load_table(spark, sf_dir, "events").select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.dayofmonth("ts").alias("_day"),
             )
-            target = os.path.join(out, f"b{i}.json")
-            os.rename(os.path.join(staging, part), target)
-            shutil.rmtree(staging)
-            t = 1_700_000_000 + i
-            os.utime(target, times=(t, t))
-        _mark(d, fp)
+            os.makedirs(out, exist_ok=True)
+            for i, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+                staging = os.path.join(d, f"_stage_{i}")
+                ev.filter(F.col("_day").between(lo, hi)).drop("_day").coalesce(
+                    1
+                ).write.mode("overwrite").json(staging)
+                part = next(
+                    f
+                    for f in sorted(os.listdir(staging))
+                    if f.startswith("part-") and f.endswith(".json")
+                )
+                target = os.path.join(out, f"b{i}.json")
+                os.rename(os.path.join(staging, part), target)
+                shutil.rmtree(staging)
+                t = 1_700_000_000 + i
+                os.utime(target, times=(t, t))
+            _mark(d, fp)
 
     sch = T.StructType(
         [
@@ -1877,6 +1881,11 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             binned(F.col("value")).alias("bin"),
             binned(F.col("value") * 1.5).alias("sbin"),
         )
+        # events outside both comparison windows (days 8-14 / 22-31) fall
+        # out of the CASE as NULL; drop them BEFORE the stateful groupBy —
+        # complete mode would otherwise retain never-read NULL-window rows
+        # forever, ~50% over the |types|x2x15x15 state bound (ADVICE r9)
+        .filter(F.col("win").isNotNull())
         .groupBy("event_type", "win", "bin", "sbin")
         .agg(F.count("*").cast("long").alias("c"))
     )

@@ -3535,6 +3535,45 @@ def test_failed_build_lock_released_for_other_threads(tmp_path, monkeypatch):
     assert results == [False]  # acquired and built; no deadlock
 
 
+def test_build_window_releases_lock_on_direct_invocation_raise(tmp_path, monkeypatch):
+    """ADVICE r9: a builder invoked DIRECTLY (tests, helper compositions —
+    no registry wrapper above it) that raises between _cache_dir and
+    _mark must not leave the thread's flock held. Every build body is now
+    wrapped in _build_window, which releases on exception; another thread
+    must then be able to acquire and build."""
+    import threading
+    from pathlib import Path
+
+    from amazonbigdata_for_students_spark.plans import sources_ops as so
+
+    monkeypatch.setattr(so, "_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x")
+
+    def direct_builder():
+        d, ready, fp = so._cache_dir(str(sf), "fixt")
+        assert not ready
+        with so._build_window(d):
+            raise RuntimeError("build body failed")
+
+    with pytest.raises(RuntimeError):
+        direct_builder()
+    assert not so._BUILD_LOCKS, "flock leaked past the build window"
+    results = []
+
+    def second():
+        d2, r2, fp2 = so._cache_dir(str(sf), "fixt")
+        results.append(r2)
+        (Path(d2) / "x").write_text("b")
+        so._mark(d2, fp2)
+
+    t = threading.Thread(target=second)
+    t.start()
+    t.join(timeout=10)
+    assert results == [False]  # acquired and built; no deadlock
+
+
 def test_wl_refinement_symmetric_graph_stops_splitting(spark, tmp_path):
     """c1-{s1,s2}, c2-{s1}: degree classes {2,1} and the graph is
     label-symmetric across the bipartition, so WL stabilizes at 2
