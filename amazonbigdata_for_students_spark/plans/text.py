@@ -483,11 +483,14 @@ def minhash_signatures(
     )
 
 
-def minhash_sig_cols() -> list:
+def minhash_sig_cols(toks=None) -> list:
     """The k seeded MinHash signature Columns over TOKENS() — shared by
     the signature query, the LSH groupings, and the pipeline compositions
-    so every consumer bands on the identical signatures."""
-    toks = F.array_distinct(TOKENS())
+    so every consumer bands on the identical signatures. Pass ``toks``
+    (an already-materialized array<string> Column) when the caller has
+    tokenized once for several consumers — same signatures, one regex
+    pass (the v7 sf100 tuning, VERDICT r9 item 4)."""
+    toks = F.array_distinct(TOKENS() if toks is None else toks)
 
     def sig(seed: int):
         # NB: the lambda must be unary — transform() feeds a second arg the

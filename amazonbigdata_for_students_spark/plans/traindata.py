@@ -1877,13 +1877,22 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quarantine only ever fires on near-duplicates (identical texts
     are already collapsed to one id before the split draws).
 
-    Scale: base (post-gate survivors) and banded (doc_id, band, split —
-    three narrow columns) are each checkpointed because two consumers
-    read them; the quarantine itself is one distinct + one left-semi
-    join on the 128-char band key, the same cost profile as the LSH
-    dedup it reuses. Stage definitions are imported, not re-typed:
-    gopher_measure_cols, minhash_sig_cols, split_col — the composition
-    cannot drift from its standalone stages."""
+    Scale (restructured for the sf100 spill regime, VERDICT r9 item 4):
+    the old shape checkpointed base — post-gate survivors WITH the full
+    text column, ~19 GB at sf100 — because two consumers read it (the
+    signature scan and a lang/n_tokens re-join under kept). Now lang and
+    n_tokens ride THROUGH the banded scan (the mix_dedup_weighted
+    recipe): base is consumed exactly once, nothing text-wide is ever
+    checkpointed or re-joined, and the doc_id re-join shuffle is gone.
+    banded (doc_id, lang, n_tokens, split, band_key — five narrow
+    columns) is the one checkpoint, read by three consumers; the
+    quarantine itself is one distinct + one left-semi join on the
+    128-char band key, the same cost profile as the LSH dedup it
+    reuses. Tokenization runs ONCE per doc (toks materialized, then
+    size() and the signatures derive from it). Stage definitions are
+    imported, not re-typed: gopher_measure_cols, minhash_sig_cols,
+    split_col — the composition cannot drift from its standalone
+    stages."""
     from .text import (
         TOKENS,
         _NORM,
@@ -1901,11 +1910,21 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    base = g.join(gcanon, "doc_id", "left_semi").localCheckpoint(eager=False)
+    base = g.join(gcanon, "doc_id", "left_semi")
     banded = (
-        base.select("doc_id", split_col().alias("split"), *minhash_sig_cols())
+        base.select(
+            "doc_id", "lang", split_col().alias("split"), TOKENS().alias("toks")
+        )
         .select(
-            "doc_id", "split", minhash_band_col().alias("band_key")
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "split",
+            *minhash_sig_cols(F.col("toks")),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "split",
+            minhash_band_col().alias("band_key"),
         )
         # Zero-token docs have NULL signatures; the oracle's unnest drops
         # them before sig, so the quarantine stage drops them here too
@@ -1921,15 +1940,7 @@ def corpus_build_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train_bands, "band_key", "left_semi")
         .select("doc_id")
     )
-    kept = (
-        banded.join(quar, "doc_id", "left_anti")
-        .join(
-            base.select(
-                "doc_id", "lang", F.size(TOKENS()).cast("long").alias("n_tokens")
-            ),
-            "doc_id",
-        )
-    )
+    kept = banded.join(quar, "doc_id", "left_anti")
     return kept.groupBy("split").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

@@ -95,7 +95,7 @@ def _straggler_ratio(spark, new_stage_ids: set[int]) -> tuple[float, int, int]:
     return worst
 
 
-def measure(spark, build, sf_dir: str, runs: int = 2) -> dict:
+def measure(spark, build, sf_dir: str, runs: int = 2, eager_build: bool = False) -> dict:
     best = float("inf")
     skew_fired = False
     ratio_info = (1.0, 0, 0)
@@ -105,12 +105,21 @@ def measure(spark, build, sf_dir: str, runs: int = 2) -> dict:
         # unexecuted and the skew=true check vacuously False — collect()
         # on this wrapper executes the probe's full subtree inside the
         # inspectable QueryExecution with a 1-row result
-        df = build(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
-        # snapshot AFTER build(): probe builders may run eager setup jobs
-        # (_user_dim's max(user_id) scan) whose stages must not pollute
-        # the straggler attribution (/code-review r8 find)
-        before = _completed_stage_ids(spark)
-        t0 = time.time()
+        if eager_build:
+            # streaming twins do their work INSIDE build() (_drain runs
+            # the stream to completion eagerly): the timer and the stage
+            # snapshot must bracket build(), or the probe only measures
+            # the drained-table readout
+            before = _completed_stage_ids(spark)
+            t0 = time.time()
+            df = build(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            df = build(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+            # snapshot AFTER build(): probe builders may run eager setup jobs
+            # (_user_dim's max(user_id) scan) whose stages must not pollute
+            # the straggler attribution (/code-review r8 find)
+            before = _completed_stage_ids(spark)
+            t0 = time.time()
         df.collect()
         wall = time.time() - t0
         final = df._jdf.queryExecution().executedPlan().toString()
@@ -261,6 +270,19 @@ PROBES: list[tuple[str, object, dict]] = [
     ("eval_cuped_adjustment", registry_probe("eval_cuped_adjustment"), {}),
     ("eval_qini_uplift", registry_probe("eval_qini_uplift"), {}),
     ("timeseries_croston", registry_probe("timeseries_croston"), {}),
+    # r10 (VERDICT r9 item 6): the two r9 streaming monitors that carry
+    # per-user state at volume — the Croston monitor folds each user's
+    # ordered demand array in applyInPandasWithState (hot user = one
+    # monster group inside a single state partition), the PSI monitor's
+    # state is the bounded (type, win, bin, sbin) cube (user skew should
+    # never reach its shuffle key) — and WL refinement, whose iterated
+    # color-key joins put the hot user's degree into every round's
+    # neighbor multiset.
+    ("stream_croston_monitor", registry_probe("stream_croston_monitor"), {"_eager_build": True}),
+    ("stream_psi_drift_monitor", registry_probe("stream_psi_drift_monitor"), {"_eager_build": True}),
+    # WL joins eagerly between rounds (localCheckpoint barriers), so its
+    # per-round color-key shuffles also happen inside build()
+    ("graph_wl_refinement", registry_probe("graph_wl_refinement"), {"_eager_build": True}),
 ]
 
 
@@ -271,10 +293,14 @@ def run_fixture(fixture_name: str, sf_dir: str) -> None:
     spark = get_spark(app_name="skew_bench", extra_conf={"spark.ui.enabled": "true"})
     results: dict[str, dict] = {}
     for probe_name, fn, confs in PROBES:
+        confs = dict(confs)
+        eager = confs.pop("_eager_build", False)
         for k, v in confs.items():
             spark.conf.set(k, v)
         try:
-            results[f"{fixture_name}/{probe_name}"] = measure(spark, fn, sf_dir)
+            results[f"{fixture_name}/{probe_name}"] = measure(
+                spark, fn, sf_dir, eager_build=eager
+            )
         finally:
             for k in confs:
                 spark.conf.unset(k)
