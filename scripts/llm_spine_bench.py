@@ -40,15 +40,55 @@ def main() -> None:
     from amazonbigdata_for_students_spark.plans import REGISTRY
     from amazonbigdata_for_students_spark.session import get_spark
 
-    spark = get_spark(app_name="llm_spine_bench")
+    spark = get_spark(
+        app_name="llm_spine_bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+
+    def _stages():
+        # per-stage spill/shuffle counters via the UI REST API (VERDICT r9
+        # item 4: "plausible but unproven" needs numbers, not attribution)
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
+            ) as r:
+                return {s["stageId"]: s for s in _json.loads(r.read())}
+        except Exception:
+            return {}
+
     for label, sf_dir in (("control", args.control), ("scale", args.scale)):
         times: dict[str, float] = {}
+        spills: dict[str, dict] = {}
         for name in SPINE:
+            before = set(_stages())
             t0 = time.time()
             n = REGISTRY[name].fn(spark, sf_dir).count()
             times[name] = round(time.time() - t0, 1)
+            after = _stages()
+            new = [after[sid] for sid in set(after) - before]
+            gb = 1024**3
+            spills[name] = {
+                "n_stages": len(new),
+                "disk_spill_gb": round(
+                    sum(s.get("diskBytesSpilled", 0) for s in new) / gb, 2
+                ),
+                "mem_spill_gb": round(
+                    sum(s.get("memoryBytesSpilled", 0) for s in new) / gb, 2
+                ),
+                "shuffle_write_gb": round(
+                    sum(s.get("shuffleWriteBytes", 0) for s in new) / gb, 2
+                ),
+            }
             print(
-                f"{label:8s} {name:32s} {times[name]:8.1f}s  {n} rows",
+                f"{label:8s} {name:32s} {times[name]:8.1f}s  {n} rows  "
+                f"spill(disk/mem)={spills[name]['disk_spill_gb']}/"
+                f"{spills[name]['mem_spill_gb']}GB "
+                f"shufW={spills[name]['shuffle_write_gb']}GB "
+                f"({spills[name]['n_stages']} stages)",
                 file=sys.stderr,
                 flush=True,
             )
@@ -59,6 +99,7 @@ def main() -> None:
                     "label": label,
                     "total_sec": round(sum(times.values()), 1),
                     "stages": times,
+                    "spills": spills,
                 }
             ),
             flush=True,
