@@ -152,6 +152,7 @@ _ROTATION_ORDER: tuple[str, ...] = (
     "stream_psi_drift_monitor", "eval_auc_delong", "sql_execute_immediate",
     "timeseries_croston", "eval_log_loss", "stream_croston_monitor",
     "graph_wl_refinement", "retrieval_exposure_parity",
+    "engine_cost_whatif",
 )
 
 _WINDOW_SIZE = 50

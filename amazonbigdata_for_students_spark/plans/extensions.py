@@ -2686,3 +2686,157 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  FROM {view} WHERE o_totalprice > ?"
         f"  GROUP BY o_orderpriority' USING {var}"
     )
+
+
+# --------------------------------------------------------------------------
+# Cost-based what-if: Selinger join-order audit as data (VERDICT r9 item 8)
+# --------------------------------------------------------------------------
+# The chain O -ck- C -nk- N -rk- R with pushed filters on both ends. Every
+# candidate is a connected left-deep join sequence over the path graph
+# (8 of them for a 4-node path); each step's cardinality estimate is the
+# textbook System-R formula |X join T on k| = |X| * |T| div max(ndv(k)),
+# computed from EXACT base statistics (filtered row counts + exact NDVs),
+# so both engines derive bit-identical integers and the chosen order is
+# pure data — the what-if surface a governed deployment runs BEFORE
+# letting a reordered join ship. Spark's own CBO consumes the same
+# statistics shape (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS);
+# this query makes the model auditable next to the engine's choice.
+_WHATIF_EDGES = {
+    ("O", "C"): ("ndv_o_ck", "ndv_c_ck"),
+    ("C", "N"): ("ndv_c_nk", "ndv_n_nk"),
+    ("N", "R"): ("ndv_n_rk", "ndv_r_rk"),
+}
+# all connected left-deep sequences over the path O-C-N-R
+_WHATIF_CANDS = (
+    "OCNR", "CONR", "CNOR", "CNRO", "NCOR", "NCRO", "NRCO", "RNCO",
+)
+_WHATIF_ORDERS_PRED = "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+_WHATIF_REGION_PRED = "r_name IN ('ASIA', 'EUROPE')"
+# stats CTE body; {orders}/{region}/... filled with per-engine table names
+_WHATIF_STATS_SQL = f"""
+    SELECT * FROM
+      (SELECT count(*) AS n_o, count(DISTINCT o_custkey) AS ndv_o_ck
+       FROM {{orders}} WHERE {_WHATIF_ORDERS_PRED}) so
+      CROSS JOIN
+      (SELECT count(*) AS n_c, count(DISTINCT c_custkey) AS ndv_c_ck,
+              count(DISTINCT c_nationkey) AS ndv_c_nk
+       FROM {{customer}}) sc
+      CROSS JOIN
+      (SELECT count(*) AS n_n, count(DISTINCT n_nationkey) AS ndv_n_nk,
+              count(DISTINCT n_regionkey) AS ndv_n_rk
+       FROM {{nation}}) sn
+      CROSS JOIN
+      (SELECT count(*) AS n_r, count(DISTINCT r_regionkey) AS ndv_r_rk
+       FROM {{region}} WHERE {_WHATIF_REGION_PRED}) sr
+"""
+
+
+def _whatif_branches_sql(big: str, idiv: str, stats: str) -> str:
+    """The 8 per-candidate estimate branches, generated from ONE spec so
+    the Spark and DuckDB texts cannot drift. ``big`` lifts the running
+    estimate out of int64 before the product (DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB — the twin-scaling convention); ``idiv`` is the
+    truncating integer division (div / //; every operand is positive, so
+    floor == trunc). Nested text, not lateral aliases: the COMPOSITION
+    ORDER of the truncating divisions is the documented contract."""
+    branches = []
+    for cand in _WHATIF_CANDS:
+        joined = {cand[0]}
+        prev = f"n_{cand[0].lower()}"
+        ests = []
+        for nxt in cand[1:]:
+            (ndv_a, ndv_b), = (
+                v for k, v in _WHATIF_EDGES.items() if nxt in k and (set(k) & joined)
+            )
+            ests.append(
+                f"(({big.format(x=prev)} * n_{nxt.lower()})"
+                f" {idiv} greatest({ndv_a}, {ndv_b}))"
+            )
+            prev = ests[-1]
+            joined.add(nxt)
+        label = ">".join(cand)
+        branches.append(
+            f"SELECT '{label}' AS cand,"
+            f" CAST({ests[0]} AS BIGINT) AS est_s1,"
+            f" CAST({ests[1]} AS BIGINT) AS est_s2,"
+            f" CAST({ests[2]} AS BIGINT) AS est_s3 FROM {stats}"
+        )
+    return "\n      UNION ALL\n      ".join(branches)
+
+
+_WHATIF_FINAL_SQL = """
+    SELECT cand, est_s1, est_s2, est_s3,
+           est_s1 + est_s2 + est_s3 AS est_total,
+           CAST(rank() OVER (ORDER BY est_s1 + est_s2 + est_s3, cand)
+                AS BIGINT) AS rk
+    FROM ({branches}) per_cand
+"""
+
+
+@query(
+    "engine_cost_whatif",
+    # AS MATERIALIZED: the 8 branches each read stats; un-materialized,
+    # DuckDB would inline the 4 stat aggregates into every branch (the
+    # WL-oracle CTE-inlining lesson, catch #5 pre-empted)
+    oracle="WITH stats AS MATERIALIZED ("
+    + _WHATIF_STATS_SQL.format(
+        orders="orders", customer="customer", nation="nation", region="region"
+    )
+    + ")\n"
+    + _WHATIF_FINAL_SQL.format(
+        branches=_whatif_branches_sql(
+            big="CAST({x} AS HUGEINT)",
+            idiv="//",
+            stats="stats",
+        )
+    ),
+    tags=("A4", "A3", "J10"),
+)
+def engine_cost_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based what-if as a QUERY: rank every connected left-deep
+    join order of the orders-customer-nation-region chain by the
+    System-R cardinality model over EXACT collected statistics
+    (filtered row counts + exact per-key NDVs — the same statistics
+    shape Spark's CBO reads from ANALYZE TABLE), and return the ranked
+    orders as data. The point at 100 TB: before trusting a plan change
+    (engine upgrade, stats refresh), a deployment replays the cost
+    model as a query and diffs the chosen order against the shipped
+    plan (engine_plan_audit's governance posture, applied to join
+    ordering). Pushed filters on BOTH chain ends (orders date band,
+    region name pair) make the ordering non-trivial: the 2-row region
+    end collapses early joins that the unfiltered model would rank
+    late.
+
+    Scale: ONE aggregation pass per base table (4 bounded stat rows,
+    localCheckpoint-materialized so the 8 candidate branches read the
+    1-row stats table, not 8 re-scans — the Spark-side CTE-inlining
+    lesson from the WL oracle applied in reverse); all candidate
+    algebra runs over that single broadcast-sized row. Estimates lift
+    through DECIMAL(38,0)/HUGEINT before each product and divide with
+    truncating integer division, so both engines emit bit-identical
+    integers at any sf."""
+    suffix = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    )
+    views = {}
+    for t in ("orders", "customer", "nation", "region"):
+        v = f"whatif_{t}_{suffix}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    stats_view = f"whatif_stats_{suffix}"
+    (
+        spark.sql(_WHATIF_STATS_SQL.format(**views))
+        # materialize the 1-row stats relation: Spark inlines CTEs, so
+        # the 8 branches would otherwise re-run all 4 stat aggregates
+        .localCheckpoint(eager=True)
+        .createOrReplaceTempView(stats_view)
+    )
+    return spark.sql(
+        _WHATIF_FINAL_SQL.format(
+            branches=_whatif_branches_sql(
+                big="CAST({x} AS DECIMAL(38,0))",
+                idiv="div",
+                stats=stats_view,
+            )
+        )
+    )

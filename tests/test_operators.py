@@ -3615,3 +3615,77 @@ def test_exposure_parity_integer_weights(spark, tmp_path):
     assert out["de"]["corpus_share_ppm"] == 250_000
     assert out["en"]["parity_ratio_ppm"] == w_en * 10**6 * 4 // (tw * 3)
     assert out["de"]["parity_ratio_ppm"] == w_de * 10**6 * 4 // (tw * 1)
+
+
+def test_engine_cost_whatif_matches_python_selinger_mirror(spark, sf_small):
+    """Hand-mirror of the Selinger estimate chain in exact Python ints:
+    recompute the four base-stat rows with plain DataFrame aggregates,
+    walk each of the 8 candidate orders with the same
+    prev*n div max(ndv) recurrence, and compare every estimate plus the
+    final ranking against the registered query."""
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+    from amazonbigdata_for_students_spark.plans.extensions import (
+        _WHATIF_CANDS,
+        _WHATIF_EDGES,
+        _WHATIF_ORDERS_PRED,
+        _WHATIF_REGION_PRED,
+    )
+    from amazonbigdata_for_students_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_small, "orders").filter(_WHATIF_ORDERS_PRED)
+    c = load_table(spark, sf_small, "customer")
+    n = load_table(spark, sf_small, "nation")
+    r = load_table(spark, sf_small, "region").filter(_WHATIF_REGION_PRED)
+    stats = {
+        "n_o": o.count(), "ndv_o_ck": o.select("o_custkey").distinct().count(),
+        "n_c": c.count(), "ndv_c_ck": c.select("c_custkey").distinct().count(),
+        "ndv_c_nk": c.select("c_nationkey").distinct().count(),
+        "n_n": n.count(), "ndv_n_nk": n.select("n_nationkey").distinct().count(),
+        "ndv_n_rk": n.select("n_regionkey").distinct().count(),
+        "n_r": r.count(), "ndv_r_rk": r.select("r_regionkey").distinct().count(),
+    }
+    expected = {}
+    for cand in _WHATIF_CANDS:
+        joined = {cand[0]}
+        prev = stats[f"n_{cand[0].lower()}"]
+        ests = []
+        for nxt in cand[1:]:
+            (ndv_a, ndv_b), = (
+                v for k, v in _WHATIF_EDGES.items()
+                if nxt in k and (set(k) & joined)
+            )
+            # int // int on positives == both engines' truncating div
+            prev = (prev * stats[f"n_{nxt.lower()}"]) // max(
+                stats[ndv_a], stats[ndv_b]
+            )
+            ests.append(prev)
+            joined.add(nxt)
+        expected[">".join(cand)] = ests
+    rows = {
+        row["cand"]: row
+        for row in REGISTRY["engine_cost_whatif"].fn(spark, sf_small).collect()
+    }
+    assert set(rows) == set(expected)
+    for cand, (e1, e2, e3) in expected.items():
+        got = rows[cand]
+        assert (got["est_s1"], got["est_s2"], got["est_s3"]) == (e1, e2, e3), cand
+        assert got["est_total"] == e1 + e2 + e3
+    ranked = sorted(expected, key=lambda c: (sum(expected[c]), c))
+    for i, cand in enumerate(ranked, start=1):
+        assert rows[cand]["rk"] == i
+
+
+def test_engine_cost_whatif_branches_read_checkpoint_not_rescans(spark, sf_small):
+    """The 8 candidate branches must read the ONE materialized stats row
+    (localCheckpoint), never re-run the 4 stat aggregates: Spark inlines
+    CTEs, so an un-materialized stats relation would re-scan every base
+    table 8 times. Pin: the final plan contains zero file scans — every
+    parquet read happened in the stats job."""
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    df = REGISTRY["engine_cost_whatif"].fn(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "BatchScan" not in plan
