@@ -3689,3 +3689,37 @@ def test_engine_cost_whatif_branches_read_checkpoint_not_rescans(spark, sf_small
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "BatchScan" not in plan
+
+
+def test_bucketed_join_reregisters_over_fresh_files_without_rebuild(spark, sf_small):
+    """ADVICE r9 regression: when the shared bucket files are fresh but
+    THIS session's catalog lost the tables (new process; here: explicit
+    DROP), the query must register external DDL over the existing
+    location — never delete or rewrite files a concurrent session could
+    be reading. Proven by mtimes: every bucket file survives untouched."""
+    import glob
+    import os
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY, sources_ops as so
+
+    q = REGISTRY["join_bucketed_colocated"].fn
+    first = {tuple(sorted(r)) for r in q(spark, sf_small).collect()}
+    fp8 = __import__("hashlib").sha1(
+        so._src_fingerprint(sf_small, ("lineitem", "orders")).encode()
+    ).hexdigest()[:8]
+    suffix = os.path.basename(os.path.normpath(sf_small)).replace(".", "_")
+    d = os.path.join(so._CACHE_ROOT, os.path.basename(sf_small), f"bucketed_{fp8}")
+    files_before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(d, "*", "*"))
+    }
+    assert files_before, "bucket files missing under the fixture dir"
+    for t in (f"bkt_lineitem_{suffix}_{fp8}", f"bkt_orders_{suffix}_{fp8}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    second = {tuple(sorted(r)) for r in q(spark, sf_small).collect()}
+    assert second == first
+    files_after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(d, "*", "*"))
+    }
+    assert files_after == files_before, "re-registration touched bucket files"
