@@ -341,7 +341,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers DDL over the existing location (CREATE TABLE ... CLUSTERED
     BY ... LOCATION) instead of the old drop-_OK-and-rebuild retry loop,
     which could both destroy files under a reader and exit with the
-    tables still invisible after >5 concurrent re-marks."""
+    tables still invisible after >5 concurrent re-marks. Old-fingerprint
+    dirs are deliberately NOT garbage-collected (reader safety beats
+    disk): the leak is bounded by testdata regenerations, which are rare
+    and driver-controlled."""
     suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     fp8 = hashlib.sha1(
         _src_fingerprint(sf_dir, ("lineitem", "orders")).encode()
@@ -383,7 +386,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
                 f"LOCATION '{os.path.join(d, name)}'"
             )
-    li = spark.table(li_t)
     li = spark.table(li_t)
     o = spark.table(o_t)
     return (
@@ -1560,14 +1562,15 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(marker):
         shutil.rmtree(d)
         d2, _ready2, fp2 = _cache_dir(sf_dir, "gdpr_bucketed")
-        (
-            ev.withColumn("bucket", F.col("user_id") % 16)
-            .repartition(1, "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(table)
-        )
-        _mark(d2, fp2)
+        with _build_window(d2):
+            (
+                ev.withColumn("bucket", F.col("user_id") % 16)
+                .repartition(1, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(table)
+            )
+            _mark(d2, fp2)
     # the layout mutates across runs; drop any cached file listing first
     spark.catalog.refreshByPath(table)
 

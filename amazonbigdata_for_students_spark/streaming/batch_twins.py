@@ -1878,14 +1878,24 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             win.alias("win"),
-            binned(F.col("value")).alias("bin"),
-            binned(F.col("value") * 1.5).alias("sbin"),
+            # Events outside both comparison windows (days 8-14 / 22-31,
+            # win NULL) must keep their event_type in the cube — the type
+            # grid psi_readout derives (and the oracle's full-table
+            # DISTINCT) covers every type in the feed, so a type seen
+            # ONLY outside the windows surfaces with a NULL psi rather
+            # than silently vanishing. But complete mode retains every
+            # state row forever, so their bins collapse to one sentinel
+            # row per type: state is |types|x(2xBxB + 1), not the ~50%
+            # NULL-window overhang ADVICE r9 flagged. psi_readout never
+            # reads the sentinels (every count filters win to 'b'/'c',
+            # and its bin grid is the fixed range(B), not cube-derived).
+            F.when(win.isNotNull(), binned(F.col("value")))
+            .otherwise(F.lit(-1))
+            .alias("bin"),
+            F.when(win.isNotNull(), binned(F.col("value") * 1.5))
+            .otherwise(F.lit(-1))
+            .alias("sbin"),
         )
-        # events outside both comparison windows (days 8-14 / 22-31) fall
-        # out of the CASE as NULL; drop them BEFORE the stateful groupBy —
-        # complete mode would otherwise retain never-read NULL-window rows
-        # forever, ~50% over the |types|x2x15x15 state bound (ADVICE r9)
-        .filter(F.col("win").isNotNull())
         .groupBy("event_type", "win", "bin", "sbin")
         .agg(F.count("*").cast("long").alias("c"))
     )

@@ -59,7 +59,7 @@ def main() -> None:
         # Fresh-JVM is inherent to the CLI (each invocation builds its own
         # SparkSession); the assertion below adds the other half of the
         # protocol — refuse to stamp numbers measured on a loaded box.
-        max_wait = 240.0
+        max_wait = 480.0
         load, thr, ok = _assert_idle(max_wait)
         idle_info = {
             "load_1m_at_start": round(load, 2),

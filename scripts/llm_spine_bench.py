@@ -72,6 +72,9 @@ def main() -> None:
             new = [after[sid] for sid in set(after) - before]
             gb = 1024**3
             spills[name] = {
+                # a failed REST fetch must never read as measured-zero:
+                # the spill conclusion rests on these counters
+                "rest_ok": bool(after),
                 "n_stages": len(new),
                 "disk_spill_gb": round(
                     sum(s.get("diskBytesSpilled", 0) for s in new) / gb, 2

@@ -3703,7 +3703,7 @@ def test_bucketed_join_reregisters_over_fresh_files_without_rebuild(spark, sf_sm
     from amazonbigdata_for_students_spark.plans import REGISTRY, sources_ops as so
 
     q = REGISTRY["join_bucketed_colocated"].fn
-    first = {tuple(sorted(r)) for r in q(spark, sf_small).collect()}
+    first = {tuple(r) for r in q(spark, sf_small).collect()}
     fp8 = __import__("hashlib").sha1(
         so._src_fingerprint(sf_small, ("lineitem", "orders")).encode()
     ).hexdigest()[:8]
@@ -3716,10 +3716,48 @@ def test_bucketed_join_reregisters_over_fresh_files_without_rebuild(spark, sf_sm
     assert files_before, "bucket files missing under the fixture dir"
     for t in (f"bkt_lineitem_{suffix}_{fp8}", f"bkt_orders_{suffix}_{fp8}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    second = {tuple(sorted(r)) for r in q(spark, sf_small).collect()}
+    second = {tuple(r) for r in q(spark, sf_small).collect()}
     assert second == first
     files_after = {
         p: os.stat(p).st_mtime_ns
         for p in glob.glob(os.path.join(d, "*", "*"))
     }
     assert files_after == files_before, "re-registration touched bucket files"
+
+
+def test_psi_monitor_keeps_types_seen_only_outside_windows(spark, tmp_path):
+    """/code-review r10 regression: the streaming PSI cube collapses
+    out-of-window rows to one sentinel state row per type (bounded
+    state) but must NOT drop them — a type seen ONLY outside the two
+    comparison windows has to surface with a NULL psi in BOTH twins,
+    exactly like the oracle's full-table DISTINCT type grid."""
+    import datetime
+    import os
+
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    def t(day):
+        return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        # 'alpha' lives in both windows (days 1-7 and 15-21)
+        (1, t(3), 10, "alpha", 5.0),
+        (2, t(16), 11, "alpha", 7.0),
+        # 'ghost' exists ONLY between the windows (day 10)
+        (3, t(10), 12, "ghost", 1.0),
+    ]
+    sf = str(tmp_path / "sfpsi")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+
+    batch = {r["event_type"]: r for r in REGISTRY["dq_drift_psi"].fn(spark, sf).collect()}
+    stream = {
+        r["event_type"]: r
+        for r in REGISTRY["stream_psi_drift_monitor"].fn(spark, sf).collect()
+    }
+    assert set(batch) == set(stream) == {"alpha", "ghost"}
+    for ty in ("alpha", "ghost"):
+        assert tuple(batch[ty]) == tuple(stream[ty]), ty
+    assert batch["ghost"]["psi_value"] is None
