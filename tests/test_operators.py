@@ -3401,7 +3401,16 @@ def test_execute_immediate_binds_data_derived_threshold(spark, tmp_path):
     assert out["1-URGENT"]["n_above"] == 1
     assert out["1-URGENT"]["rev_above"] == 220.0
     assert out["2-HIGH"]["n_above"] == 1
-    assert spark.sql("SELECT ei_thr AS t").collect()[0]["t"] == 150
+    # the variable is sf-suffixed since the ADVICE r9 fix (concurrent
+    # scales in one session must not cross-bind)
+    import os
+
+    suffix = (
+        os.path.basename(os.path.normpath(str(tmp_path)))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    assert spark.sql(f"SELECT ei_thr_{suffix} AS t").collect()[0]["t"] == 150
 
 
 def test_fixture_cache_build_lock_serializes(tmp_path, monkeypatch):
