@@ -187,14 +187,24 @@ SHOWCASE: dict[str, str] = {
     ),
     "corpus_build_pipeline_v7": (
         "Quality gate -> exact dedup -> split -> band-leakage quarantine "
-        "in one plan: base and the 3-column banded table are checkpointed "
-        "at their fan-out points, the quarantine is a distinct + "
-        "left-semi join on the band key, and the final accounting is a "
-        "3-row groupBy — no stage rescans the corpus."
+        "in one plan: lang and n_tokens ride THROUGH the banded signature "
+        "scan (r10 — nothing text-wide is checkpointed or re-joined; "
+        "tokens materialize once and feed both size() and the minhash "
+        "signatures), the 5-column banded table is the one checkpoint at "
+        "its 3-consumer fan-out, the quarantine is a distinct + left-semi "
+        "join on the band key, and the final accounting is a 3-row "
+        "groupBy — no stage rescans the corpus (sf100: 316->94 s)."
     ),
     "quality_gopher_rules": (
         "Map-only: zero exchanges — every Gopher gate is an integer "
         "cross-multiplication inside one codegen span over the scan."
+    ),
+    "engine_cost_whatif": (
+        "The candidate-ranking plan reads ONLY the localCheckpoint-"
+        "materialized 1-row stats relation (zero FileScans, plan-pinned): "
+        "all four base tables were aggregated exactly once in the stats "
+        "job, and the 8 Selinger branches + rank window run over "
+        "broadcast-sized data."
     ),
     "geo_radius_join_salted": (
         "Hot-cell set joins as BroadcastHashJoin (grid-bounded); the salted "
