@@ -1317,3 +1317,47 @@ def test_exposure_parity_top20_is_takeordered(spark, sf_small):
         F.col("n_chars").desc(), "doc_id"
     ).limit(20)
     assert "TakeOrderedAndProject" in plan_of(frag)
+
+
+def test_whatif_candidates_are_exactly_all_connected_leftdeep_orders():
+    """Brute-force mirror of the candidate set: over all 24 permutations
+    of the O-C-N-R chain, keep those where every prefix is connected in
+    the path graph (no cross joins) — the hardcoded _WHATIF_CANDS must
+    be exactly that set, or the audit silently ranks a subset."""
+    from itertools import permutations
+
+    from amazonbigdata_for_students_spark.plans.extensions import (
+        _WHATIF_CANDS,
+        _WHATIF_EDGES,
+    )
+
+    def connected(seq):
+        joined = {seq[0]}
+        for nxt in seq[1:]:
+            if not any(
+                nxt in k and (set(k) & joined) for k in _WHATIF_EDGES
+            ):
+                return False
+            joined.add(nxt)
+        return True
+
+    expected = {
+        "".join(p) for p in permutations("OCNR") if connected(p)
+    }
+    assert set(_WHATIF_CANDS) == expected
+    assert len(_WHATIF_CANDS) == len(set(_WHATIF_CANDS)) == 8
+
+
+def test_v7_final_plan_runs_on_narrow_checkpoint_not_text(spark, sf_small):
+    """The r10 v7 restructure's contract: everything past the banded
+    checkpoint is narrow — the final plan (quarantine joins + 3-row
+    accounting) must contain NO file scan of documents and NO tokenizer
+    expression; the corpus text was consumed entirely inside the one
+    checkpointed signature scan."""
+    from amazonbigdata_for_students_spark.plans import REGISTRY
+
+    df = REGISTRY["corpus_build_pipeline_v7"].fn(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "BatchScan" not in plan
+    assert "split(lower(trim" not in plan  # TOKENS() must not reappear
