@@ -25,6 +25,10 @@ SPINE = [
     "corpus_build_pipeline_v7",
     "shard_by_token_budget",
     "mix_domain_budget",
+    # r10: the other two LLM-lane band-key heavies join the watchlist so
+    # every sf100 pass records their walls + spill counters too
+    "mix_dedup_weighted",
+    "decontaminate_minhash",
 ]
 
 
