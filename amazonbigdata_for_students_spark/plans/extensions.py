@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.skew import salted_agg
-from ..sources.readers import load_table, register_views
+from ..sources.readers import load_table, register_views, sf_suffix
 from .registry import dsum, query
 from .relational import EVENTS
 from .text import SQL_TOKENS, TOKENS
@@ -2666,9 +2666,7 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutable state, and two concurrent invocations in one shared
     SparkSession against different sf_dirs would otherwise cross-bind
     the view / read the wrong scale's threshold (ADVICE r9)."""
-    suffix = (
-        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    )
+    suffix = sf_suffix(sf_dir)
     view, var = f"orders_ei_{suffix}", f"ei_thr_{suffix}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     spark.sql(f"DECLARE OR REPLACE VARIABLE {var} BIGINT")
@@ -2815,9 +2813,7 @@ def engine_cost_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(38,0)/HUGEINT before each product and divide with
     truncating integer division, so both engines emit bit-identical
     integers at any sf."""
-    suffix = (
-        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    )
+    suffix = sf_suffix(sf_dir)
     views = {}
     for t in ("orders", "customer", "nation", "region"):
         v = f"whatif_{t}_{suffix}"

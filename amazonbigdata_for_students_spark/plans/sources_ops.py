@@ -345,7 +345,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs are deliberately NOT garbage-collected (reader safety beats
     disk): the leak is bounded by testdata regenerations, which are rare
     and driver-controlled."""
-    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    suffix = readers.sf_suffix(sf_dir)
     fp8 = hashlib.sha1(
         _src_fingerprint(sf_dir, ("lineitem", "orders")).encode()
     ).hexdigest()[:8]
@@ -1557,20 +1557,30 @@ def delete_propagate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(table)
             )
             _mark(d, fp)
-    # rebuild the pristine layout if a previous run already deleted from it
+    # Rebuild the pristine layout if a previous run already deleted from
+    # it. /code-review r10: invalidate via _OK unlink (atomic, tolerant
+    # of a concurrent invalidator) and let _cache_dir do the clear +
+    # rebuild UNDER ITS FLOCK — the old unguarded rmtree could race a
+    # concurrent invocation, and the rebuild always re-ran the overwrite
+    # even when the flock loser found the layout already rebuilt
+    # (ready2=True), writing with no lock held under an active reader.
     marker = os.path.join(d, "_DELETED")
     if os.path.exists(marker):
-        shutil.rmtree(d)
-        d2, _ready2, fp2 = _cache_dir(sf_dir, "gdpr_bucketed")
-        with _build_window(d2):
-            (
-                ev.withColumn("bucket", F.col("user_id") % 16)
-                .repartition(1, "bucket")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(table)
-            )
-            _mark(d2, fp2)
+        try:
+            os.remove(os.path.join(d, "_OK"))
+        except FileNotFoundError:
+            pass  # another invocation already invalidated
+        d2, ready2, fp2 = _cache_dir(sf_dir, "gdpr_bucketed")
+        if not ready2:
+            with _build_window(d2):
+                (
+                    ev.withColumn("bucket", F.col("user_id") % 16)
+                    .repartition(1, "bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(table)
+                )
+                _mark(d2, fp2)
     # the layout mutates across runs; drop any cached file listing first
     spark.catalog.refreshByPath(table)
 

@@ -26,6 +26,19 @@ from .. import schemas
 _NANOS_TS_TABLES = {"events": ["ts"]}
 
 
+def sf_suffix(sf_dir: str) -> str:
+    """Identifier-safe session-scoping suffix derived from the fixture
+    dir — THE one definition of the convention (ADVICE r9: every
+    session-scoped mutable name — temp views, session variables,
+    catalog tables — is sf-suffixed so concurrent scales in one shared
+    SparkSession cannot cross-bind). Consumers:
+    join_bucketed_colocated, sql_execute_immediate, engine_cost_whatif,
+    and their tests."""
+    return (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table with its schema contract."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -62,23 +62,33 @@ def main() -> None:
             ) as r:
                 return {s["stageId"]: s for s in _json.loads(r.read())}
         except Exception:
-            return {}
+            # None = fetch FAILED (distinct from "no stages yet"): a
+            # failed before-fetch would otherwise attribute every prior
+            # stage's counters to the current query (/code-review r10)
+            return None
 
     for label, sf_dir in (("control", args.control), ("scale", args.scale)):
         times: dict[str, float] = {}
         spills: dict[str, dict] = {}
         for name in SPINE:
-            before = set(_stages())
+            before_raw = _stages()
             t0 = time.time()
             n = REGISTRY[name].fn(spark, sf_dir).count()
             times[name] = round(time.time() - t0, 1)
-            after = _stages()
-            new = [after[sid] for sid in set(after) - before]
+            after_raw = _stages()
+            rest_ok = before_raw is not None and after_raw is not None
+            after = after_raw or {}
+            new = (
+                [after[sid] for sid in set(after) - set(before_raw)]
+                if rest_ok
+                else []
+            )
             gb = 1024**3
             spills[name] = {
-                # a failed REST fetch must never read as measured-zero:
-                # the spill conclusion rests on these counters
-                "rest_ok": bool(after),
+                # a failed REST fetch (either side) must never read as
+                # measured-zero OR inherit prior stages' counters: the
+                # spill conclusions rest on these numbers
+                "rest_ok": rest_ok,
                 "n_stages": len(new),
                 "disk_spill_gb": round(
                     sum(s.get("diskBytesSpilled", 0) for s in new) / gb, 2

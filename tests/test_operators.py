@@ -3403,14 +3403,12 @@ def test_execute_immediate_binds_data_derived_threshold(spark, tmp_path):
     assert out["2-HIGH"]["n_above"] == 1
     # the variable is sf-suffixed since the ADVICE r9 fix (concurrent
     # scales in one session must not cross-bind)
-    import os
+    from amazonbigdata_for_students_spark.sources.readers import sf_suffix
 
-    suffix = (
-        os.path.basename(os.path.normpath(str(tmp_path)))
-        .replace(".", "_")
-        .replace("-", "_")
+    assert (
+        spark.sql(f"SELECT ei_thr_{sf_suffix(str(tmp_path))} AS t").collect()[0]["t"]
+        == 150
     )
-    assert spark.sql(f"SELECT ei_thr_{suffix} AS t").collect()[0]["t"] == 150
 
 
 def test_fixture_cache_build_lock_serializes(tmp_path, monkeypatch):
@@ -3716,7 +3714,9 @@ def test_bucketed_join_reregisters_over_fresh_files_without_rebuild(spark, sf_sm
     fp8 = __import__("hashlib").sha1(
         so._src_fingerprint(sf_small, ("lineitem", "orders")).encode()
     ).hexdigest()[:8]
-    suffix = os.path.basename(os.path.normpath(sf_small)).replace(".", "_")
+    from amazonbigdata_for_students_spark.sources.readers import sf_suffix
+
+    suffix = sf_suffix(sf_small)
     d = os.path.join(so._CACHE_ROOT, os.path.basename(sf_small), f"bucketed_{fp8}")
     files_before = {
         p: os.stat(p).st_mtime_ns
