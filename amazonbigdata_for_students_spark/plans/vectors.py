@@ -91,7 +91,16 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label so candidate
     generation is an equi-join (per-label blocks) instead of a full cross
-    join — the blocked-pairing pattern that scales; threshold 0.4 (the testdata embeddings are spread — max intra-label cosine ~0.47)."""
+    join; threshold 0.4 (the testdata embeddings are spread — max
+    intra-label cosine ~0.47).
+
+    Scale honesty: the label key has CONSTANT cardinality (10), so blocks
+    grow linearly with N and the pair stage is O(N^2/10) — this is the
+    lane's exact-pairwise AUDIT ARM (same policy as dedup_span_ngrams /
+    join_range), not a 100-TB path. The scale paths are
+    dedup_semantic_clusters (cells sized so K grows as N/256) and the
+    banded ANN family; scripts/vec_spine_bench.py keeps this arm out of
+    the sf100 spine and measures it at sf10."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", _as_double("embedding").alias("v"))
@@ -161,8 +170,6 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer plugs into the same seam without changing the plan shape.
     Similarities are rounded before every ORDER BY so float last-bits
     can't flip an ordering between engines."""
-    from pyspark.sql import Window as W
-
     K, NPROBE = 8, 2
     # per-vector norms once in the scan — the K-way assignment then costs
     # one fold per (vector, centroid), not three
@@ -181,18 +188,12 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a, b, anrm, bnrm):
         return _dot(a, b) / (anrm * bnrm)
 
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(
-            F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6).desc(),
-            F.col("cid"),
-        )
-    )
-    cell = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cid")
-    )
+    cell = _argmin_cell(
+        e.crossJoin(F.broadcast(c)),
+        F.lit(0.0)
+        - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+        ["v", "nrm"],
+    ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     probe = (
         c.crossJoin(F.broadcast(q))
         .orderBy(
@@ -320,6 +321,27 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _argmin_cell(joined: DataFrame, key, carry: list[str]) -> DataFrame:
+    """Per-vec_id argmin over a broadcast-crossJoin candidate set via
+    map-side-combined min(struct(key, cid)) — the scale-safe form of
+    crossJoin -> row_number(partitionBy vec_id): the window form shuffles
+    every JOINED row (N x K of them) into hashpartitioning(vec_id) — at
+    sf100 the SemDeDup seam's 15.6B-row window exchange filled shuffle
+    disk without completing, and even the K=8 IVF assign moved 3.1 GB of
+    shuffle per pass — while the agg form partial-aggregates each map
+    partition down to one row per vec_id before any exchange (assignment
+    becomes map-only + an N-row exchange). `key` must order ASCENDING
+    (negate a similarity as 0.0 - sim: exact for every nonzero double and
+    never emits -0.0, so rounded-cos ties resolve identically); `carry`
+    columns must be functionally dependent on vec_id (first() is then
+    deterministic). Tie-break: struct comparison is lexicographic, so
+    equal keys resolve to the lowest cid — exactly the window's
+    (key asc, cid asc) rule. Winner key is `_m.k`, winner id `_m.cid`."""
+    aggs = [F.min(F.struct(key.alias("k"), F.col("cid").alias("cid"))).alias("_m")]
+    aggs += [F.first(col).alias(col) for col in carry]
+    return joined.groupBy("vec_id").agg(*aggs)
+
+
 def _kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 3):
     """Lloyd's k-means expressed in DataFrame ops — the iterative-algorithm
     pattern (like connected components): broadcast the K centroids, assign
@@ -330,8 +352,6 @@ def _kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 3):
     updates inertia is non-increasing — the self-audit invariant. The
     per-iteration driver scalar (one float) is convergence telemetry, the
     same shape every iterative distributed algorithm pays."""
-    from pyspark.sql import Window as W
-
     cents = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -342,12 +362,8 @@ def _kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 3):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+        assigned = _argmin_cell(e.crossJoin(F.broadcast(cents)), d2, ["v"]).select(
+            "vec_id", "v", F.col("_m.k").alias("_d2"), F.col("_m.cid").alias("cid")
         )
         inertia.append(float(assigned.agg(F.sum("_d2")).collect()[0][0]))
         pos = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -377,8 +393,6 @@ def vec_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia non-increasing across rounds (Lloyd's invariant) and
     cosine recall>=0.8 of the nprobe=4/K=8 search vs the exact top-k
     computed inline."""
-    from pyspark.sql import Window as W
-
     K, NPROBE, TOPK = 8, 4, 10
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -396,13 +410,8 @@ def vec_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
-    cell = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "nrm", "cid")
+    cell = _argmin_cell(e.crossJoin(F.broadcast(cents)), d2, ["v", "nrm"]).select(
+        "vec_id", "v", "nrm", F.col("_m.cid").alias("cid")
     )
     qd2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
@@ -467,9 +476,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Candidate generation is the same label-blocked equi-join
     as vec_neardup_pairs (per-block pairs, never all-pairs); the survivor
     pass is a LEFT ANTI join of the corpus against the dropped-id side of
-    the pair set — at scale that's one blocked pairwise stage plus one
-    hash anti-join, the exact shape MinHash-clustered dedup uses with
-    buckets in place of labels."""
+    the pair set.
+
+    Scale honesty: like vec_neardup_pairs, the 10-label blocking key is
+    CONSTANT-cardinality, so the pair stage is O(N^2/10) — an exact
+    AUDIT ARM, not a 100-TB path (and no output-sensitive short-circuit
+    helps: at threshold 0.4 with max intra-label cosine ~0.47, matches
+    are rare, so certifying a survivor requires checking ~all its block
+    pairs). The production shape swaps the label key for a blocking key
+    whose cardinality grows with N — dedup_semantic_clusters' cells
+    (exact at its own threshold) or MinHash/SimHash bands (recall<1,
+    audited) — feeding the same anti-join."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", _as_double("embedding").alias("v"))
@@ -506,20 +523,25 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computation builds one K-entry lookup table per subspace from the query
     (M*K = 64 floats, broadcast) and scores every database vector with M
     table lookups + adds over its CODES — the full vectors never enter this
-    scan — keeping a shortlist of 100; (2) only the shortlist re-joins the
+    scan — keeping a shortlist; (2) only the shortlist re-joins the
     float vectors for exact L2 re-ranking to top-10. At 100 TB stage 1
     touches 4 bytes/vector instead of 256 (RAM-resident codes) and stage 2
-    reads 100 vectors, not 10^9. Codebooks are float-history-dependent (no
-    cross-engine twin), so the hash-checked form audits the invariants that
-    make the index valid: per-subspace quantization error non-increasing
-    over Lloyd rounds, and re-ranked recall@10 >= 0.7 vs the exact top-k
-    computed inline."""
-    from pyspark.sql import Window as W
-
-    M, SUBDIM, K, SHORTLIST, TOPK = 4, 16, 16, 100, 10
+    reads the shortlist, not 10^9 vectors. The shortlist scales as
+    max(100, N/20): with M=4 coarse codebooks the ADC distortion is a
+    constant fraction of intra-cluster distances, so a FIXED shortlist's
+    recall decays as the corpus grows past it (measured: recall@10 0.7+
+    at 2k vectors but <0.7 at 20k with shortlist 100) — the re-rank
+    budget is a corpus-relative knob, exactly as IVFADC+R tunes R with N.
+    Codebooks are float-history-dependent (no cross-engine twin), so the
+    hash-checked form audits the invariants that make the index valid:
+    per-subspace quantization error non-increasing over Lloyd rounds, and
+    re-ranked recall@10 >= 0.7 vs the exact top-k computed inline."""
+    M, SUBDIM, K, TOPK = 4, 16, 16, 10
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # one bounded driver scalar (the _SEM pattern) sizing the re-rank budget
+    SHORTLIST = max(100, e.count() // 20)
     q = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -538,13 +560,8 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         monotone = monotone and all(
             b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
-        assign = (
-            sub.crossJoin(F.broadcast(cents))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", F.col("cid").alias(f"code{m}"))
+        assign = _argmin_cell(sub.crossJoin(F.broadcast(cents)), d2, []).select(
+            "vec_id", F.col("_m.cid").alias(f"code{m}")
         )
         codes = assign if codes is None else codes.join(assign, "vec_id")
         qsub = q.select("qid", F.slice("qv", m * SUBDIM + 1, SUBDIM).alias("v"))
@@ -810,18 +827,12 @@ def vec_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a, b, anrm, bnrm):
         return _dot(a, b) / (anrm * bnrm)
 
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(
-            F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6).desc(),
-            F.col("cid"),
-        )
-    )
-    cell = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cid")
-    )
+    cell = _argmin_cell(
+        e.crossJoin(F.broadcast(c)),
+        F.lit(0.0)
+        - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+        ["v", "nrm"],
+    ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     pr = (
         c.crossJoin(F.broadcast(q))
         .select(
@@ -1178,8 +1189,27 @@ def semantic_cells_drops(e: DataFrame):
     BIGINT headroom: dim * (scale*|x|)^2 must stay under 2^31 so
     100*dot^2 fits — dim 64 at |x|<=2 is safe. ``e`` must carry
     (vec_id, v[array<double>]). Returns (cell: vec_id/q/na2/cid,
-    dropped: cid/vec_id/is_dropped)."""
-    from pyspark.sql import Window as W
+    dropped: cid/vec_id/is_dropped).
+
+    Seed assignment is an Arrow-batched exact integer matmul, not a
+    JVM crossJoin: because K grows as N/256, the N x K assignment is
+    O(N^2/256) pairs — at sf100 (2M vectors, K=7812) the old
+    crossJoin->window plan materialized 15.6B rows into the window's
+    hashpartitioning(vec_id) exchange (~15 TB of shuffle; measured
+    2026-08-16: filled 17 GB of shuffle disk in minutes with zero task
+    progress, the one genuine does-not-complete wall the vector spine
+    found). The matmul form scores each Arrow batch against the
+    broadcast codebook with one BLAS call per row-chunk and shuffles
+    NOTHING (assignment is map-only). Exactness is preserved bit-for-
+    bit: all inputs are integers, |q[i]| <= 2048 so every dot/norm
+    term is < 2^31 — exactly representable in float64, so the float
+    argmin compares exact integers, and numpy argmin's first-occurrence
+    rule on a cid-ascending codebook IS the window's (d2 asc, cid asc)
+    tie-break. The codebook collect is bounded by the coarse-quantizer
+    invariant (codebook << corpus: K rows of 64 longs; 4 MB at sf100) —
+    the same bound every IVF index and SemDeDup deployment assumes; a
+    corpus big enough to break it gets a two-level quantizer in front,
+    same seam."""
 
     def idot(a, b):
         return F.aggregate(
@@ -1199,23 +1229,55 @@ def semantic_cells_drops(e: DataFrame):
         .localCheckpoint(eager=False)
     )
     k = max(_SEM_K, eq.count() // _SEM_TARGET)
-    c = eq.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid"))
-    )
+    # bounded collect: the coarse codebook (K rows of 64 longs, K=N/256 —
+    # 4 MB at sf100; see docstring for the codebook<<corpus invariant)
+    seeds = eq.orderBy("vec_id").limit(k).select("vec_id", "q").collect()
+    import numpy as np
+
+    cmat = np.array([r.q for r in seeds], dtype=np.float64)  # K x dim
+    cid_arr = np.array([r.vec_id for r in seeds], dtype=np.int64)  # cid asc
+    nc2 = (cmat * cmat).sum(axis=1)  # K, exact ints in float64
+    bc = eq.sparkSession.sparkContext.broadcast((cmat, cid_arr, nc2))
+
+    def _assign(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        cm, cids, c2 = bc.value
+        dim = cm.shape[1]
+        # chunk rows so the n x K score matrix stays ~32 MB
+        chunk = max(1, (1 << 22) // max(1, cm.shape[0]))
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            qcol = b.column(b.schema.get_field_index("q"))
+            qm = (
+                qcol.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64)
+                .reshape(n, dim)
+            )
+            out = _np.empty(n, dtype=_np.int64)
+            for lo in range(0, n, chunk):
+                sl = qm[lo : lo + chunk]
+                # argmin d2 = argmin(|c|^2 - 2 q.c): |q|^2 is constant per
+                # row; all terms exact integers in float64 (docstring)
+                scores = c2 - 2.0 * (sl @ cm.T)
+                out[lo : lo + chunk] = cids[scores.argmin(axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    qcol,
+                    b.column(b.schema.get_field_index("na2")),
+                    pa.array(out, pa.int64()),
+                ],
+                ["vec_id", "q", "na2", "cid"],
+            )
+
     cell = (
-        eq.crossJoin(F.broadcast(c))
-        .withColumn("_d2", d2)
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "na2", "cid")
+        eq.select("vec_id", "q", "na2")
+        .mapInArrow(_assign, "vec_id long, q array<long>, na2 long, cid long")
         # consumed by both sides of the pair self-join AND the caller's
         # census — checkpoint so the N x K assignment runs once
         .localCheckpoint(eager=False)
@@ -1748,10 +1810,17 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, and threshold comparison is against exact milli
     constants, so both engines bucket identically.
 
-    Scale: blocked pairwise (per-label blocks), norms precomputed
-    per-vector, thresholds explode only over PAIRS (bounded by block
-    size), map-side-combined counts; distinct-doc counts shuffle
-    (threshold, doc) keys only."""
+    Scale: norms are precomputed per-vector, thresholds explode only
+    over PAIRS, counts are map-side-combined, and distinct-doc counts
+    shuffle (threshold, doc) keys only — but the pair census itself is
+    an exact AUDIT ARM: it enumerates every within-block pair, and the
+    10-label blocking key is constant-cardinality, so the pass is
+    O(N^2/10) by construction (the curve's SEMANTICS require the full
+    census — no banding scheme is lossless at these thresholds). At
+    100 TB this curve is published over a uniform pair SAMPLE or a
+    banded candidate set with its recall stated; the exact form here is
+    the calibration oracle for those, measured at sf10 by
+    scripts/vec_spine_bench.py --queries audit."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", _as_double("embedding").alias("v"))

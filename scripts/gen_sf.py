@@ -127,6 +127,14 @@ def main() -> None:
         "clustering sf1 walls wedge-bound, VERDICT r8 item 4)",
     )
     ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset of tables to write (default: all). "
+        "Table DEFINITIONS are lazy, so skipping a write skips its compute "
+        "entirely — a vectors-only fixture (--tables embeddings) avoids "
+        "generating 600M lineitem rows it will never read",
+    )
+    ap.add_argument(
         "--hot-frac",
         type=float,
         default=0.0,
@@ -154,7 +162,11 @@ def main() -> None:
     n_doc = int(50_000 * sf)
     n_vec = int(20_000 * sf)
 
+    want = {t.strip() for t in args.tables.split(",") if t.strip()} or None
+
     def write(df, name):
+        if want is not None and name not in want:
+            return
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         n = spark.read.parquet(os.path.join(out, f"{name}.parquet")).count()
         print(f"  {name}: {n} rows", flush=True)

@@ -32,21 +32,15 @@ SPINE = [
 ]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--control", default="/root/testdata/sf0.1")
-    ap.add_argument("--scale", default=".localdata/sf100")
-    ap.add_argument("--width", default=None, help="shuffle partitions override")
-    args = ap.parse_args()
-    if args.width:
-        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = args.width
-
+def run_spine(names, fixtures, app_name="llm_spine_bench") -> None:
+    """Time `names` (registry keys) over each (label, sf_dir) in `fixtures`
+    in ONE warm session, printing per-stage walls + spill/shuffle counters
+    (UI REST API) and one JSON line per fixture. Shared by the LLM-text
+    and vector spine benches."""
     from amazonbigdata_for_students_spark.plans import REGISTRY
     from amazonbigdata_for_students_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="llm_spine_bench", extra_conf={"spark.ui.enabled": "true"}
-    )
+    spark = get_spark(app_name=app_name, extra_conf={"spark.ui.enabled": "true"})
 
     def _stages():
         # per-stage spill/shuffle counters via the UI REST API (VERDICT r9
@@ -67,10 +61,10 @@ def main() -> None:
             # stage's counters to the current query (/code-review r10)
             return None
 
-    for label, sf_dir in (("control", args.control), ("scale", args.scale)):
+    for label, sf_dir in fixtures:
         times: dict[str, float] = {}
         spills: dict[str, dict] = {}
-        for name in SPINE:
+        for name in names:
             before_raw = _stages()
             t0 = time.time()
             n = REGISTRY[name].fn(spark, sf_dir).count()
@@ -121,6 +115,17 @@ def main() -> None:
             ),
             flush=True,
         )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--control", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale", default=".localdata/sf100")
+    ap.add_argument("--width", default=None, help="shuffle partitions override")
+    args = ap.parse_args()
+    if args.width:
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = args.width
+    run_spine(SPINE, [("control", args.control), ("scale", args.scale)])
 
 
 if __name__ == "__main__":
