@@ -1175,7 +1175,7 @@ def sem_sql_ctes(src: str) -> str:
     """
 
 
-def semantic_cells_drops(e: DataFrame):
+def semantic_cells_drops(e: DataFrame, checkpoint: bool = True):
     """SemDeDup core shared by dedup_semantic_clusters and the corpus
     pipeline, INTEGER-EXACT end to end so the result can never flip on a
     float last-bit at any scale (the sf1 lesson: ~20k clustered vectors
@@ -1275,13 +1275,15 @@ def semantic_cells_drops(e: DataFrame):
                 ["vec_id", "q", "na2", "cid"],
             )
 
-    cell = (
-        eq.select("vec_id", "q", "na2")
-        .mapInArrow(_assign, "vec_id long, q array<long>, na2 long, cid long")
+    cell = eq.select("vec_id", "q", "na2").mapInArrow(
+        _assign, "vec_id long, q array<long>, na2 long, cid long"
+    )
+    if checkpoint:
         # consumed by both sides of the pair self-join AND the caller's
         # census — checkpoint so the N x K assignment runs once
-        .localCheckpoint(eager=False)
-    )
+        # (checkpoint=False exists for the plan-shape pin: localCheckpoint
+        # replaces the lineage with a LogicalRDD, hiding the shape)
+        cell = cell.localCheckpoint(eager=False)
     a, b = cell.alias("a"), cell.alias("b")
     dropped = (
         a.join(

@@ -1361,3 +1361,46 @@ def test_v7_final_plan_runs_on_narrow_checkpoint_not_text(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "BatchScan" not in plan
     assert "split(lower(trim" not in plan  # TOKENS() must not reappear
+
+
+def test_vector_assign_stages_have_no_pervec_window(spark, sf_small):
+    """The r10 vector-lane scale fix's contract (_argmin_cell +
+    SemDeDup's Arrow matmul assignment): no assignment stage may shuffle
+    the N x K crossJoin output through a per-vector window — at sf100
+    the SemDeDup seam's window exchange was ~15 TB and never completed.
+    The executed plans must contain NO window over vec_id anywhere (the
+    argmin is a partial-aggregated min(struct); windows keyed on other
+    columns — nprobe ranking etc. — stay legal)."""
+    for name in (
+        "vec_ann_ivf_topk",
+        "vec_ann_ivf_kmeans_topk",
+        "vec_ann_pq_topk",
+        "vec_ann_recall_curve",
+        "dedup_semantic_clusters",
+    ):
+        df = REGISTRY[name].fn(spark, sf_small)
+        df.collect()
+        plan = plan_of(df)
+        assert "windowspecdefinition(vec_id" not in plan, name
+
+
+def test_semantic_assignment_is_arrow_map_only(spark, sf_small):
+    """SemDeDup's seed assignment must be the Arrow matmul (map-only).
+    The census query consumes `cell` through its localCheckpoint, so the
+    final executed plan reads ExistingRDD — assert the assignment shape
+    on the cell DataFrame itself (pre-materialization): one MapInArrow
+    over the quantized scan, NO exchange, NO join, NO window — the
+    proof that assignment shuffles nothing at any N."""
+    from amazonbigdata_for_students_spark.plans.vectors import (
+        _as_double,
+        semantic_cells_drops,
+    )
+
+    e = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cell, _ = semantic_cells_drops(e, checkpoint=False)
+    exec_plan = plan_of(cell)
+    assert "MapInArrow" in exec_plan or "ArrowEvalPython" in exec_plan
+    for banned in ("Exchange", "Join", "windowspecdefinition"):
+        assert banned not in exec_plan, banned
