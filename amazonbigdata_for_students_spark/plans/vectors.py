@@ -342,6 +342,37 @@ def _argmin_cell(joined: DataFrame, key, carry: list[str]) -> DataFrame:
     return joined.groupBy("vec_id").agg(*aggs)
 
 
+def _argmin_lit(cents_rows, key_fn):
+    """Per-row argmin against a COLLECTED centroid set, as one
+    least(struct(key, cid)) expression — assignment with ZERO join and
+    ZERO shuffle (the whole argmin runs inside the scan's codegen).
+    The collect is bounded by the same codebook<<corpus invariant as the
+    SemDeDup matmul (here K<=16 rows). Tie-break identical to
+    _argmin_cell: least() on structs is lexicographic, so equal keys
+    resolve to the lowest cid. Use for CONSTANT-K trained codebooks
+    (Lloyd loops already pull a driver scalar per round, so the K-row
+    collect adds no new synchronization); _argmin_cell remains the form
+    for DataFrame-valued candidate sets. `cents_rows` = [(cid, [float])];
+    `key_fn(cv_literal) -> ascending ordering Column`."""
+    cands = [
+        F.struct(
+            key_fn(F.array(*[F.lit(float(x)) for x in cv])).alias("k"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, cv in cents_rows
+    ]
+    return F.least(*cands) if len(cands) > 1 else cands[0]
+
+
+def _d2_lit(cv):
+    """Squared euclidean distance of col v to a literal centroid array."""
+    return F.aggregate(
+        F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 3):
     """Lloyd's k-means expressed in DataFrame ops — the iterative-algorithm
     pattern (like connected components): broadcast the K centroids, assign
@@ -357,12 +388,10 @@ def _kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 3):
     )
     inertia: list[float] = []
     for _ in range(iters):
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assigned = _argmin_cell(e.crossJoin(F.broadcast(cents)), d2, ["v"]).select(
+        # bounded collect (K<=16 codebook rows; the loop already pulls a
+        # driver scalar per round) -> zero-shuffle literal assignment
+        rows = [(r["cid"], list(r["cv"])) for r in cents.collect()]
+        assigned = e.withColumn("_m", _argmin_lit(rows, _d2_lit)).select(
             "vec_id", "v", F.col("_m.k").alias("_d2"), F.col("_m.cid").alias("cid")
         )
         inertia.append(float(assigned.agg(F.sum("_d2")).collect()[0][0]))
@@ -405,12 +434,9 @@ def vec_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cell = _argmin_cell(e.crossJoin(F.broadcast(cents)), d2, ["v", "nrm"]).select(
+    # trained codebook is K=8 rows — literal zero-shuffle assignment
+    crows = [(r["cid"], list(r["cv"])) for r in cents.collect()]
+    cell = e.withColumn("_m", _argmin_lit(crows, _d2_lit)).select(
         "vec_id", "v", "nrm", F.col("_m.cid").alias("cid")
     )
     qd2 = F.aggregate(
@@ -551,7 +577,7 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    codes = None  # per-vector PQ codes, built one subspace at a time
+    codebooks = []  # collected per-subspace codebooks (K=16 rows each)
     luts = []  # per-subspace query->centroid distance tables (K rows each)
     monotone = True
     for m in range(M):
@@ -560,16 +586,38 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         monotone = monotone and all(
             b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
         )
-        assign = _argmin_cell(sub.crossJoin(F.broadcast(cents)), d2, []).select(
-            "vec_id", F.col("_m.cid").alias(f"code{m}")
-        )
-        codes = assign if codes is None else codes.join(assign, "vec_id")
+        codebooks.append([(r["cid"], list(r["cv"])) for r in cents.collect()])
         qsub = q.select("qid", F.slice("qv", m * SUBDIM + 1, SUBDIM).alias("v"))
         luts.append(
             cents.crossJoin(F.broadcast(qsub)).select(
                 F.col("cid").alias(f"code{m}"), d2.alias(f"lut{m}")
             )
         )
+
+    # all M code columns in ONE map-only pass over the literal codebooks —
+    # the old per-subspace assign tables cost M-1 N-row zip joins on top
+    # of M argmin shuffles
+    def _sub_d2(mm):
+        def key(cv):
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v"), mm * SUBDIM + 1, SUBDIM),
+                    cv,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return key
+
+    codes = e.select(
+        "vec_id",
+        *[
+            _argmin_lit(codebooks[m], _sub_d2(m))["cid"].alias(f"code{m}")
+            for m in range(M)
+        ],
+    )
 
     # stage 1 — ADC scan over codes only (the vectors never enter this plan)
     adc = codes
