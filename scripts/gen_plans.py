@@ -128,11 +128,14 @@ SHOWCASE: dict[str, str] = {
         "interpolation costs one series-key shuffle plus windows."
     ),
     "dedup_semantic_clusters": (
-        "seeds broadcast into the assignment (no shuffle to cluster), the "
-        "within-cluster pair join keyed on cid (SortMergeJoin/BroadcastHashJoin "
-        "on cid — never a cross join), and the final census aggregating per "
-        "cid. Cluster count scales with N (max(8, N/256)) so the pair stage is "
-        "~256-member blocks."
+        "seed assignment is MAP-ONLY (r10: an Arrow-batched exact integer "
+        "matmul against the broadcast codebook, materialized once through the "
+        "cell localCheckpoint — the census plan reads it back as ExistingRDD; "
+        "the old crossJoin->window form shuffled the N x K joined relation, "
+        "~15 TB at sf100), the within-cluster pair join keyed on cid "
+        "(SortMergeJoin/BroadcastHashJoin on cid — never a cross join), and "
+        "the final census aggregating per cid. Cluster count scales with N "
+        "(max(8, N/256)) so the pair stage is ~256-member blocks."
     ),
     "dedup_span_ngrams": (
         "the duplicated-span count partial-aggregates map-side before its one "
