@@ -190,8 +190,13 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell = _argmin_cell(
         e.crossJoin(F.broadcast(c)),
-        F.lit(0.0)
-        - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+        # coalesce: the old window was cos DESC (nulls LAST) — a zero-norm
+        # centroid's null cosine must keep LOSING the argmin (helper doc)
+        F.coalesce(
+            F.lit(0.0)
+            - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+            F.lit(float("inf")),
+        ),
         ["v", "nrm"],
     ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     probe = (
@@ -336,7 +341,14 @@ def _argmin_cell(joined: DataFrame, key, carry: list[str]) -> DataFrame:
     columns must be functionally dependent on vec_id (first() is then
     deterministic). Tie-break: struct comparison is lexicographic, so
     equal keys resolve to the lowest cid — exactly the window's
-    (key asc, cid asc) rule. Winner key is `_m.k`, winner id `_m.cid`."""
+    (key asc, cid asc) rule. Winner key is `_m.k`, winner id `_m.cid`.
+
+    NULL-key contract: struct min sorts a NULL key FIRST (it wins), which
+    matches a window ordered `key.asc()` (Spark asc = nulls first) — the
+    d2 sites inherit their old behavior unchanged. A key derived from a
+    DESC ordering (negated similarity: desc = nulls LAST, null loses)
+    must coalesce nulls to +infinity at the call site, or a null
+    similarity (zero-norm vector) flips from losing to winning."""
     aggs = [F.min(F.struct(key.alias("k"), F.col("cid").alias("cid"))).alias("_m")]
     aggs += [F.first(col).alias(col) for col in carry]
     return joined.groupBy("vec_id").agg(*aggs)
@@ -364,10 +376,12 @@ def _argmin_lit(cents_rows, key_fn):
     return F.least(*cands) if len(cands) > 1 else cands[0]
 
 
-def _d2_lit(cv):
-    """Squared euclidean distance of col v to a literal centroid array."""
+def _d2_lit(cv, vcol=None):
+    """Squared euclidean distance of a vector column (default col v) to a
+    literal centroid array."""
     return F.aggregate(
-        F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(vcol if vcol is not None else F.col("v"), cv,
+                   lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -598,18 +612,9 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the old per-subspace assign tables cost M-1 N-row zip joins on top
     # of M argmin shuffles
     def _sub_d2(mm):
-        def key(cv):
-            return F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("v"), mm * SUBDIM + 1, SUBDIM),
-                    cv,
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        return key
+        return lambda cv: _d2_lit(
+            cv, vcol=F.slice(F.col("v"), mm * SUBDIM + 1, SUBDIM)
+        )
 
     codes = e.select(
         "vec_id",
@@ -877,8 +882,12 @@ def vec_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell = _argmin_cell(
         e.crossJoin(F.broadcast(c)),
-        F.lit(0.0)
-        - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+        # coalesce: old window = cos DESC (nulls LAST); see helper docstring
+        F.coalesce(
+            F.lit(0.0)
+            - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+            F.lit(float("inf")),
+        ),
         ["v", "nrm"],
     ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     pr = (
@@ -1282,16 +1291,33 @@ def semantic_cells_drops(e: DataFrame, checkpoint: bool = True):
     seeds = eq.orderBy("vec_id").limit(k).select("vec_id", "q").collect()
     import numpy as np
 
+    spark = eq.sparkSession
+    if not seeds:
+        # empty corpus (e.g. a pipeline's survivor semi-join matched no
+        # vectors): return empty frames instead of letting the (0,)-shaped
+        # codebook crash the matmul at plan-build time
+        cell = spark.createDataFrame(
+            [], "vec_id long, q array<long>, na2 long, cid long"
+        )
+        dropped = spark.createDataFrame(
+            [], "cid long, vec_id long, is_dropped long"
+        )
+        return cell, dropped
+
     cmat = np.array([r.q for r in seeds], dtype=np.float64)  # K x dim
     cid_arr = np.array([r.vec_id for r in seeds], dtype=np.int64)  # cid asc
     nc2 = (cmat * cmat).sum(axis=1)  # K, exact ints in float64
-    bc = eq.sparkSession.sparkContext.broadcast((cmat, cid_arr, nc2))
+    # plain closure capture: pyspark ships (and auto-broadcasts) the
+    # pickled command per stage and reclaims it with the plan — an
+    # explicit sc.broadcast would pin the codebook on the driver for the
+    # session lifetime across repeated calls (r10 review finding)
+    codebook = (cmat, cid_arr, nc2)
 
     def _assign(batches):
         import numpy as _np
         import pyarrow as pa
 
-        cm, cids, c2 = bc.value
+        cm, cids, c2 = codebook
         dim = cm.shape[1]
         # chunk rows so the n x K score matrix stays ~32 MB
         chunk = max(1, (1 << 22) // max(1, cm.shape[0]))

@@ -162,7 +162,16 @@ def main() -> None:
     n_doc = int(50_000 * sf)
     n_vec = int(20_000 * sf)
 
+    known = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
     want = {t.strip() for t in args.tables.split(",") if t.strip()} or None
+    if want and not want <= known:
+        # fail fast: a typo would otherwise produce an empty/stale fixture
+        # that only surfaces much later as a missing-parquet error
+        sys.exit(f"--tables: unknown table(s) {sorted(want - known)}; "
+                 f"known: {sorted(known)}")
 
     def write(df, name):
         if want is not None and name not in want:

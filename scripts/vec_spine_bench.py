@@ -65,13 +65,17 @@ def main() -> None:
     args = ap.parse_args()
     if args.width:
         os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = args.width
-    ap_names = {"audit": AUDIT_ARMS}
-    names = (
-        ap_names.get(args.queries)
-        or [q.strip() for q in args.queries.split(",") if q.strip()]
-        if args.queries
-        else SPINE
-    )
+    aliases = {"audit": AUDIT_ARMS, "spine": SPINE}
+    if args.queries:
+        # resolve aliases per-token so "audit,vec_cosine_topk" works too
+        names = [
+            n
+            for tok in args.queries.split(",")
+            if tok.strip()
+            for n in aliases.get(tok.strip(), [tok.strip()])
+        ]
+    else:
+        names = SPINE
     run_spine(names, [("control", args.control), ("scale", args.scale)],
               app_name="vec_spine_bench")
 

@@ -3770,3 +3770,42 @@ def test_psi_monitor_keeps_types_seen_only_outside_windows(spark, tmp_path):
     for ty in ("alpha", "ghost"):
         assert tuple(batch[ty]) == tuple(stream[ty]), ty
     assert batch["ghost"]["psi_value"] is None
+
+
+def test_semantic_cells_drops_empty_input(spark):
+    """r10 review regression: an empty embedding input (a pipeline's
+    survivor semi-join matching nothing) must yield empty cell/dropped
+    frames, not crash the Arrow-matmul codebook build on a (0,)-shaped
+    array."""
+    from amazonbigdata_for_students_spark.plans.vectors import (
+        semantic_cells_drops,
+    )
+
+    e = spark.createDataFrame([], "vec_id long, v array<double>")
+    cell, dropped = semantic_cells_drops(e)
+    assert cell.count() == 0 and dropped.count() == 0
+    assert cell.columns == ["vec_id", "q", "na2", "cid"]
+    assert dropped.columns == ["cid", "vec_id", "is_dropped"]
+
+
+def test_argmin_null_similarity_loses(spark):
+    """r10 review regression: the cos-DESC argmin sites must keep a NULL
+    similarity LOSING (the old window's desc-nulls-last), not winning
+    struct-min's nulls-first order. A zero-norm centroid yields a null
+    cosine for every vector; with the call-site coalesce(+inf) the
+    winner must be the best real-cosine centroid."""
+    from pyspark.sql import functions as F
+
+    from amazonbigdata_for_students_spark.plans.vectors import _argmin_cell
+
+    # one vector against three "centroids": cid 10 has null cos
+    joined = spark.createDataFrame(
+        [(1, 10, None), (1, 11, 0.5), (1, 12, 0.9)],
+        "vec_id long, cid long, cos double",
+    )
+    key = F.coalesce(F.lit(0.0) - F.col("cos"), F.lit(float("inf")))
+    winner = _argmin_cell(joined, key, []).select("_m.cid").collect()[0][0]
+    assert winner == 12
+    # and WITHOUT the coalesce the null would win — the documented trap
+    bare = _argmin_cell(joined, F.lit(0.0) - F.col("cos"), [])
+    assert bare.select("_m.cid").collect()[0][0] == 10
