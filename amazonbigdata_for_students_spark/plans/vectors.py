@@ -188,16 +188,20 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a, b, anrm, bnrm):
         return _dot(a, b) / (anrm * bnrm)
 
-    cell = _argmin_cell(
-        e.crossJoin(F.broadcast(c)),
-        # coalesce: the old window was cos DESC (nulls LAST) — a zero-norm
-        # centroid's null cosine must keep LOSING the argmin (helper doc)
-        F.coalesce(
-            F.lit(0.0)
-            - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
-            F.lit(float("inf")),
+    # deterministic 8-seed quantizer — bounded collect, literal
+    # zero-shuffle assignment (coalesce: the old window was cos DESC,
+    # nulls LAST — a zero-norm centroid's null cosine must keep LOSING)
+    crows = [(r["cid"], list(r["cv"]), float(r["cnrm"])) for r in c.collect()]
+    cell = e.withColumn(
+        "_m",
+        _argmin_lit(
+            crows,
+            lambda cvl, cn: F.coalesce(
+                F.lit(0.0)
+                - F.round(cos(F.col("v"), cvl, F.col("nrm"), F.lit(cn)), 6),
+                F.lit(float("inf")),
+            ),
         ),
-        ["v", "nrm"],
     ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     probe = (
         c.crossJoin(F.broadcast(q))
@@ -364,14 +368,17 @@ def _argmin_lit(cents_rows, key_fn):
     resolve to the lowest cid. Use for CONSTANT-K trained codebooks
     (Lloyd loops already pull a driver scalar per round, so the K-row
     collect adds no new synchronization); _argmin_cell remains the form
-    for DataFrame-valued candidate sets. `cents_rows` = [(cid, [float])];
-    `key_fn(cv_literal) -> ascending ordering Column`."""
+    for DataFrame-valued candidate sets. `cents_rows` =
+    [(cid, [float], *extras)] — extras (e.g. a precomputed centroid norm)
+    are passed through to `key_fn(cv_literal, *extras) -> ascending
+    ordering Column` (a DESC-derived key must coalesce nulls to +inf,
+    same contract as _argmin_cell)."""
     cands = [
         F.struct(
-            key_fn(F.array(*[F.lit(float(x)) for x in cv])).alias("k"),
+            key_fn(F.array(*[F.lit(float(x)) for x in cv]), *extras).alias("k"),
             F.lit(int(cid)).cast("long").alias("cid"),
         )
-        for cid, cv in cents_rows
+        for cid, cv, *extras in cents_rows
     ]
     return F.least(*cands) if len(cands) > 1 else cands[0]
 
@@ -880,15 +887,19 @@ def vec_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a, b, anrm, bnrm):
         return _dot(a, b) / (anrm * bnrm)
 
-    cell = _argmin_cell(
-        e.crossJoin(F.broadcast(c)),
-        # coalesce: old window = cos DESC (nulls LAST); see helper docstring
-        F.coalesce(
-            F.lit(0.0)
-            - F.round(cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
-            F.lit(float("inf")),
+    # deterministic 8-seed quantizer — literal zero-shuffle assignment
+    # (coalesce: old window = cos DESC, nulls LAST; see helper docstring)
+    crows = [(r["cid"], list(r["cv"]), float(r["cnrm"])) for r in c.collect()]
+    cell = e.withColumn(
+        "_m",
+        _argmin_lit(
+            crows,
+            lambda cvl, cn: F.coalesce(
+                F.lit(0.0)
+                - F.round(cos(F.col("v"), cvl, F.col("nrm"), F.lit(cn)), 6),
+                F.lit(float("inf")),
+            ),
         ),
-        ["v", "nrm"],
     ).select("vec_id", "v", "nrm", F.col("_m.cid").alias("cid"))
     pr = (
         c.crossJoin(F.broadcast(q))
